@@ -1,0 +1,236 @@
+"""Geometry kernel unit tests (no Spark).
+
+Semantics under test mirror /root/reference/src/resque/spjoin_2d.hpp
+(predicates) and src/extensions/specialmeasures (measures). Intersection
+areas are cross-checked against a Monte-Carlo estimator on random
+triangles, the reference's own test-shape
+(test/datagenerator/generatePolygons.py:26-41).
+"""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from hadoopgis_spark.geometry import (
+    Geometry,
+    area,
+    contains,
+    dice,
+    disjoint,
+    distance,
+    dwithin,
+    equals,
+    haversine_distance,
+    intersection_area,
+    intersects,
+    jaccard,
+    overlaps,
+    parse_wkt,
+    to_wkt,
+    touches,
+    union_area,
+    within,
+)
+
+SQ = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+SQ_SHIFT = "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"
+SQ_FAR = "POLYGON ((100 100, 110 100, 110 110, 100 110, 100 100))"
+SQ_TOUCH = "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"
+SQ_INNER = "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"
+DONUT = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+TRI = "POLYGON ((0 0, 4 0, 0 4, 0 0))"
+CONCAVE = "POLYGON ((0 0, 10 0, 10 10, 5 2, 0 10, 0 0))"
+
+
+class TestWkt:
+    def test_point_roundtrip(self):
+        k, p = parse_wkt("POINT (3.5 -2)")
+        assert k == "POINT" and p == (3.5, -2.0)
+        assert to_wkt((k, p)) == "POINT (3.5 -2)"
+
+    def test_polygon_with_hole(self):
+        k, rings = parse_wkt(DONUT)
+        assert k == "POLYGON" and len(rings) == 2
+        assert len(rings[0]) == 5
+
+    def test_unclosed_ring_gets_closed(self):
+        k, rings = parse_wkt("POLYGON ((0 0, 1 0, 1 1))")
+        assert (rings[0][0] == rings[0][-1]).all()
+
+    def test_multipolygon(self):
+        k, polys = parse_wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+        assert k == "MULTIPOLYGON" and len(polys) == 2
+
+    def test_malformed_raises(self):
+        for bad in ["", "   ", "FOO (1 2)", "POLYGON ()", "POINT (x y)", None]:
+            with pytest.raises(ValueError):
+                parse_wkt(bad)
+
+
+class TestPredicates:
+    def test_intersects_overlap(self):
+        assert intersects(SQ, SQ_SHIFT)
+        assert not intersects(SQ, SQ_FAR)
+        assert disjoint(SQ, SQ_FAR)
+
+    def test_intersects_touching_edge(self):
+        assert intersects(SQ, SQ_TOUCH)
+        assert touches(SQ, SQ_TOUCH)
+        assert not touches(SQ, SQ_SHIFT)  # interiors overlap
+
+    def test_containment_no_boundary_contact(self):
+        assert intersects(SQ, SQ_INNER)
+        assert contains(SQ, SQ_INNER)
+        assert within(SQ_INNER, SQ)
+        assert not contains(SQ_INNER, SQ)
+
+    def test_contains_excludes_hole(self):
+        inner = "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"  # inside the donut hole
+        assert not contains(DONUT, inner)
+        assert contains(DONUT, "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+
+    def test_point_predicates(self):
+        assert intersects("POINT (5 5)", SQ)
+        assert contains(SQ, "POINT (5 5)")
+        assert not contains(SQ, "POINT (0 0)")  # boundary: not contained
+        assert intersects("POINT (0 0)", SQ)  # but does intersect
+        assert not intersects("POINT (11 11)", SQ)
+        assert not intersects("POINT (5 5)", DONUT)  # in the hole
+
+    def test_equals(self):
+        assert equals(SQ, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+        # same region, different vertex order/start
+        assert equals(SQ, "POLYGON ((10 0, 10 10, 0 10, 0 0, 10 0))")
+        assert not equals(SQ, SQ_SHIFT)
+
+    def test_overlaps(self):
+        assert overlaps(SQ, SQ_SHIFT)
+        assert not overlaps(SQ, SQ_INNER)  # containment is not overlap
+        assert not overlaps(SQ, SQ_FAR)
+        assert not overlaps(SQ, SQ_TOUCH)  # touching is not overlap
+
+    def test_concave_intersects(self):
+        # the notch region (above edges (0,10)-(5,2)-(10,10)) is exterior
+        in_notch = "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"
+        assert not intersects(CONCAVE, in_notch)
+        # straddles the notch boundary: intersects but is not contained
+        straddle = "POLYGON ((4 1, 6 1, 6 3, 4 3, 4 1))"
+        assert intersects(CONCAVE, straddle)
+        assert not contains(CONCAVE, straddle)
+        assert contains(CONCAVE, "POLYGON ((1 0.5, 9 0.5, 9 1.5, 1 1.5, 1 0.5))")
+
+
+class TestMeasures:
+    def test_area(self):
+        assert area(SQ) == pytest.approx(100.0)
+        assert area(TRI) == pytest.approx(8.0)
+        assert area(DONUT) == pytest.approx(100.0 - 16.0)
+        assert area(CONCAVE) == pytest.approx(100 - 2 * (0.5 * 5 * 8))
+
+    def test_intersection_squares(self):
+        assert intersection_area(SQ, SQ_SHIFT) == pytest.approx(25.0)
+        assert intersection_area(SQ, SQ_INNER) == pytest.approx(4.0)
+        assert intersection_area(SQ, SQ_FAR) == 0.0
+        assert intersection_area(SQ, SQ_TOUCH) == pytest.approx(0.0, abs=1e-9)
+
+    def test_intersection_with_hole(self):
+        # probe overlapping donut: covers [2,8]x[2,8]=36 minus hole 16
+        probe = "POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))"
+        assert intersection_area(DONUT, probe) == pytest.approx(36.0 - 16.0)
+
+    def test_union_jaccard_dice(self):
+        assert union_area(SQ, SQ_SHIFT) == pytest.approx(175.0)
+        assert jaccard(SQ, SQ_SHIFT) == pytest.approx(25.0 / 175.0)
+        assert dice(SQ, SQ_SHIFT) == pytest.approx(50.0 / 200.0)
+
+    def test_distance(self):
+        assert distance("POINT (0 0)", "POINT (3 4)") == pytest.approx(5.0)
+        assert distance(SQ, SQ_FAR) == pytest.approx(math.hypot(90, 90))
+        assert distance(SQ, SQ_SHIFT) == 0.0
+        assert distance("POINT (15 5)", SQ) == pytest.approx(5.0)
+
+    def test_dwithin(self):
+        assert dwithin(SQ, SQ_TOUCH, 0.0)
+        assert dwithin(SQ, SQ_FAR, 200.0)
+        assert not dwithin(SQ, SQ_FAR, 10.0)
+
+    def test_haversine_reference_constants(self):
+        # 1 degree of longitude at the equator with R=3958.75mi * 1609 m/mi
+        d = haversine_distance("POINT (0 0)", "POINT (1 0)")
+        expected = 3958.75 * 1609.00 * math.radians(1.0)
+        assert d == pytest.approx(expected, rel=1e-9)
+
+
+def _rand_triangle(rng, extent=100.0, size=20.0):
+    x, y = rng.uniform(0, extent), rng.uniform(0, extent)
+    pts = [(x, y)]
+    for _ in range(2):
+        pts.append((x + rng.uniform(-size, size), y + rng.uniform(-size, size)))
+    ring = pts + [pts[0]]
+    return "POLYGON ((" + ", ".join(f"{a} {b}" for a, b in ring) + "))"
+
+
+class TestMonteCarloCrossCheck:
+    """intersection_area vs. a hit-count estimator on random triangles."""
+
+    def test_random_triangle_pairs(self):
+        rng = random.Random(42)
+        np_rng = np.random.default_rng(42)
+        from hadoopgis_spark.geometry.kernel import _point_in_polygon
+
+        geoms = [Geometry.from_wkt(_rand_triangle(rng)) for _ in range(40)]
+        geoms = [g for g in geoms if g.area >= 1.0]
+        checked = 0
+        for i in range(len(geoms)):
+            for j in range(i + 1, len(geoms)):
+                ga, gb = geoms[i], geoms[j]
+                if not intersects(ga, gb):
+                    assert intersection_area(ga, gb) == 0.0
+                    continue
+                ia = intersection_area(ga, gb)
+                # Monte-Carlo estimate over ga's bbox
+                x0, y0, x1, y1 = ga.bbox
+                n = 3000
+                xs = np_rng.uniform(x0, x1, n)
+                ys = np_rng.uniform(y0, y1, n)
+                hits = sum(
+                    1
+                    for x, y in zip(xs, ys)
+                    if _point_in_polygon(x, y, ga) == 2 and _point_in_polygon(x, y, gb) == 2
+                )
+                est = hits / n * (x1 - x0) * (y1 - y0)
+                tol = max(3.0, 0.35 * max(ia, est))
+                assert abs(ia - est) <= tol, (ia, est)
+                if ia > 0:
+                    checked += 1
+                if checked >= 25:
+                    return
+        assert checked >= 10  # enough genuinely-intersecting pairs exercised
+
+    def test_symmetry_properties(self):
+        rng = random.Random(7)
+        for _ in range(40):
+            wa, wb = _rand_triangle(rng), _rand_triangle(rng)
+            assert intersects(wa, wb) == intersects(wb, wa)
+            assert intersection_area(wa, wb) == pytest.approx(
+                intersection_area(wb, wa), rel=1e-6, abs=1e-9
+            )
+            assert distance(wa, wb) == pytest.approx(distance(wb, wa), rel=1e-9, abs=1e-12)
+            if intersects(wa, wb):
+                assert distance(wa, wb) == 0.0
+            else:
+                assert intersection_area(wa, wb) == 0.0
+
+    def test_containment_consistency(self):
+        rng = random.Random(11)
+        for _ in range(30):
+            w = _rand_triangle(rng)
+            g = Geometry.from_wkt(w)
+            if g.area < 1.0:
+                continue
+            assert contains(w, w) or g.area == 0
+            assert equals(w, w)
+            assert intersection_area(w, w) == pytest.approx(g.area, rel=1e-6)
+            assert jaccard(w, w) == pytest.approx(1.0, rel=1e-6)
