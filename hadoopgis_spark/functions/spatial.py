@@ -1,0 +1,188 @@
+"""Exact geometry predicates/measures as Arrow pandas UDFs over WKT.
+
+The refine step of the engine (reference: exact GEOS evaluation on
+R-tree candidates, ``/root/reference/src/resque/spjoin_2d.hpp:87-93``).
+Each batch parses every distinct WKT once (joins repeat geometries many
+times per batch, so the cache hit rate is high), then evaluates the
+scalar kernel. Malformed geometries evaluate to null — the engine's
+callers drop them, mirroring the reference's silent skip
+(``src/transform/manipulate_2d.cpp:182-189``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hadoopgis_spark.geometry import kernel as K
+from hadoopgis_spark.geometry.kernel import Geometry
+
+__all__ = [
+    "st_mbb",
+    "st_is_valid",
+    "st_predicate",
+    "st_intersects",
+    "st_contains",
+    "st_within",
+    "st_touches",
+    "st_equals",
+    "st_overlaps",
+    "st_crosses",
+    "st_disjoint",
+    "st_adjacent",
+    "st_dwithin",
+    "st_area",
+    "st_distance",
+    "st_haversine_m",
+    "st_intersection_area",
+    "st_union_area",
+    "st_jaccard",
+    "st_dice",
+    "PREDICATES",
+]
+
+_MBB_SCHEMA = T.StructType(
+    [
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ]
+)
+
+
+def _parse_cache(series: pd.Series, cache: dict):
+    out = []
+    for w in series:
+        if w is None:
+            out.append(None)
+            continue
+        g = cache.get(w)
+        if g is None and w not in cache:
+            try:
+                g = Geometry.from_wkt(w)
+            except (ValueError, IndexError):
+                g = None
+            cache[w] = g
+        out.append(g)
+    return out
+
+
+@F.pandas_udf(_MBB_SCHEMA)
+def st_mbb(wkt: pd.Series) -> pd.DataFrame:
+    """WKT → MBB struct; nulls for malformed rows (T1,
+    ``manipulate_2d.cpp:104-135``)."""
+    cache: dict = {}
+    rows = []
+    for g in _parse_cache(wkt, cache):
+        rows.append(g.bbox if g is not None else (None, None, None, None))
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+@F.pandas_udf(T.BooleanType())
+def st_is_valid(wkt: pd.Series) -> pd.Series:
+    cache: dict = {}
+    return pd.Series([g is not None for g in _parse_cache(wkt, cache)])
+
+
+def _binary_pred_udf(fn: Callable) -> Callable:
+    @F.pandas_udf(T.BooleanType())
+    def _udf(w1: pd.Series, w2: pd.Series) -> pd.Series:
+        cache: dict = {}
+        g1s = _parse_cache(w1, cache)
+        g2s = _parse_cache(w2, cache)
+        return pd.Series(
+            [fn(a, b) if a is not None and b is not None else None for a, b in zip(g1s, g2s)]
+        )
+
+    return _udf
+
+
+def _binary_measure_udf(fn: Callable) -> Callable:
+    @F.pandas_udf(T.DoubleType())
+    def _udf(w1: pd.Series, w2: pd.Series) -> pd.Series:
+        cache: dict = {}
+        g1s = _parse_cache(w1, cache)
+        g2s = _parse_cache(w2, cache)
+        return pd.Series(
+            [fn(a, b) if a is not None and b is not None else None for a, b in zip(g1s, g2s)]
+        )
+
+    return _udf
+
+
+# Predicate UDFs — names/dispatch mirror get_join_predicate
+# (resque_params_2d.hpp:164-208)
+st_intersects = _binary_pred_udf(K.intersects)
+st_touches = _binary_pred_udf(K.touches)
+st_crosses = _binary_pred_udf(K.crosses)
+st_contains = _binary_pred_udf(K.contains)
+st_within = _binary_pred_udf(K.within)
+st_equals = _binary_pred_udf(K.equals)
+st_overlaps = _binary_pred_udf(K.overlaps)
+st_disjoint = _binary_pred_udf(K.disjoint)
+# st_adjacent ≡ !disjoint in the reference (spjoin_2d.hpp:155-157)
+st_adjacent = _binary_pred_udf(lambda a, b: K.intersects(a, b))
+
+
+@F.pandas_udf(T.DoubleType())
+def st_area(wkt: pd.Series) -> pd.Series:
+    cache: dict = {}
+    return pd.Series([g.area if g is not None else None for g in _parse_cache(wkt, cache)])
+
+
+st_distance = _binary_measure_udf(K.distance)
+st_haversine_m = _binary_measure_udf(K.haversine_distance)
+st_intersection_area = _binary_measure_udf(K.intersection_area)
+st_union_area = _binary_measure_udf(K.union_area)
+st_jaccard = _binary_measure_udf(K.jaccard)
+st_dice = _binary_measure_udf(K.dice)
+
+
+def st_dwithin(w1: Column, w2: Column, d: float, geography: bool = False) -> Column:
+    """distance(g1,g2) ≤ d (haversine for geography point pairs) —
+    ``spjoin_2d.hpp:167-205``."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        cache: dict = {}
+        g1s = _parse_cache(a, cache)
+        g2s = _parse_cache(b, cache)
+        return pd.Series(
+            [
+                K.dwithin(x, y, d, geography=geography)
+                if x is not None and y is not None
+                else None
+                for x, y in zip(g1s, g2s)
+            ]
+        )
+
+    return _udf(w1, w2)
+
+
+PREDICATES: dict[str, Callable] = {
+    "st_intersects": st_intersects,
+    "st_touches": st_touches,
+    "st_crosses": st_crosses,
+    "st_contains": st_contains,
+    "st_within": st_within,
+    "st_equals": st_equals,
+    "st_overlaps": st_overlaps,
+    "st_disjoint": st_disjoint,
+    "st_adjacent": st_adjacent,
+}
+
+
+def st_predicate(name: str) -> Callable:
+    """Predicate UDF by reference name (``resque_params_2d.hpp:10-12``)."""
+    try:
+        return PREDICATES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown predicate {name!r}; choose from {sorted(PREDICATES)} "
+            "(st_dwithin/st_nearest take parameters — use st_dwithin() / knn_join())"
+        ) from None

@@ -1,0 +1,150 @@
+"""Text-analysis functions for large-scale document pipelines.
+
+All pure Column expressions (JVM-side, codegen) — no Python in the hot
+path. Deterministic and expressible in ANSI SQL so every operator built
+on them can be oracle-checked.
+
+The cross-engine hash primitive is md5-derived: Spark's ``md5`` and
+DuckDB's ``md5`` agree byte-for-byte, so ``md5_hash32`` gives identical
+32-bit integer hashes in both engines (unlike murmur/xxhash, whose
+seeds differ between engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text",
+    "tokens",
+    "token_count",
+    "char_count",
+    "avg_word_len",
+    "punct_ratio",
+    "alpha_ratio",
+    "stopword_ratio",
+    "lang_guess",
+    "quality_score",
+    "fingerprint",
+    "char_shingles",
+    "md5_hash32",
+    "STOPWORDS",
+]
+
+# small public stopword lists per language for the n-gram/stopword
+# language heuristic (public knowledge; any basic list works)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "pour", "que", "une"],
+    "es": ["el", "la", "los", "las", "es", "en", "que", "por", "con", "para"],
+}
+
+
+def _c(v) -> Column:
+    return v if isinstance(v, Column) else F.col(v)
+
+
+def normalize_text(col) -> Column:
+    """lowercase, strip non-alphanumerics to spaces, collapse whitespace."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.trim(F.regexp_replace(c, " +", " "))
+    return c
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of the normalized text (empty string → [])."""
+    n = normalize_text(col)
+    return F.when(n == "", F.array().cast("array<string>")).otherwise(F.split(n, " "))
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col) -> Column:
+    return F.length(_c(col))
+
+
+def avg_word_len(col) -> Column:
+    t = tokens(col)
+    return F.when(
+        F.size(t) > 0,
+        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double") / F.size(t),
+    ).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are .,!?;: punctuation."""
+    c = _c(col)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, "[.,!?;:]", ""))
+    return F.when(F.length(c) > 0, n_punct.cast("double") / F.length(c)).otherwise(F.lit(0.0))
+
+
+def alpha_ratio(col) -> Column:
+    c = _c(col)
+    n_alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    return F.when(F.length(c) > 0, n_alpha.cast("double") / F.length(c)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    t = tokens(col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    return F.when(F.size(t) > 0, hits.cast("double") / F.size(t)).otherwise(F.lit(0.0))
+
+
+def lang_guess(col) -> Column:
+    """Stopword-vote language heuristic: the language whose stopword list
+    scores the most token hits; 'und' (undetermined) when no hits."""
+    t = tokens(col)
+    scores = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append((lang, F.size(F.filter(t, lambda x, s=sw: F.array_contains(s, x)))))
+    # argmax with deterministic tie-break on language code order
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in sorted(scores, key=lambda p: p[0], reverse=True):
+        cond = score > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, score).otherwise(best_score)
+    return best
+
+
+def quality_score(col) -> Column:
+    """Composite [0,1] document quality: length band + alpha ratio +
+    moderate word length + stopword presence. Deterministic arithmetic."""
+    c = _c(col)
+    len_score = F.least(F.length(c).cast("double") / 500.0, F.lit(1.0))
+    awl = avg_word_len(c)
+    wl_score = F.when((awl >= 3.0) & (awl <= 10.0), 1.0).otherwise(0.5)
+    sw = stopword_ratio(c)
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    return (len_score + alpha_ratio(c) + wl_score + sw_score) / 4.0
+
+
+def fingerprint(col) -> Column:
+    """Normalization fingerprint: md5 of the normalized text — identical
+    docs modulo case/punct/whitespace collide (rolling-hash analogue)."""
+    return F.md5(normalize_text(col))
+
+
+def char_shingles(col, n: int = 5) -> Column:
+    """Array of overlapping character n-grams of the normalized text."""
+    norm = normalize_text(col)
+    return F.when(F.length(norm) < n, F.array(norm)).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+    )
+
+
+def md5_hash32(col) -> Column:
+    """First 8 hex chars of md5 as a non-negative 32-bit int — the
+    cross-engine (Spark ⇄ DuckDB) deterministic hash primitive."""
+    return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")

@@ -1,0 +1,113 @@
+"""Containment / window query (J3).
+
+Reference: ``execute_containment`` prunes tiles intersecting the window
+and runs a mapper-only filter-refine pass over the surviving tile files
+(``/root/reference/src/framework/query_containment.hpp:62-163``; window
+parse ``utilities/queryprocessor_aux.h:20-54``; probe
+``resque_2d.cpp:127-273``).
+
+Spark restatement: a plain ``filter`` whose cheap conjunct is the MBB
+range condition — Catalyst pushes it into the Parquet scan (row-group
+min/max skipping over the xmin/ymin/xmax/ymax columns does the
+reference's tile pruning automatically), and the exact predicate UDF
+refines only survivors. On data loaded with
+``sources.loader.save_partitioned`` the tile_id partition column prunes
+whole directories too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.functions import boxes as B
+from hadoopgis_spark.functions.spatial import st_dwithin, st_predicate
+from hadoopgis_spark.geometry import Geometry
+from hadoopgis_spark.operators.mbb import MBB_COLS, with_mbb
+
+__all__ = ["containment", "parse_window"]
+
+
+def parse_window(window: str) -> tuple[str | None, tuple[float, float, float, float]]:
+    """Accept WKT or the reference's bare-MBB form ``"x0,y0,x1,y1"``
+    (``--containrange``, ``queryprocessor_aux.h:20-44``).
+    Returns (wkt_or_None, mbb)."""
+    s = window.strip()
+    if "(" in s:
+        g = Geometry.from_wkt(s)
+        return s, g.bbox
+    parts = [float(v) for v in s.replace(",", " ").split()]
+    if len(parts) != 4:
+        raise ValueError(f"window must be WKT or 'x0,y0,x1,y1': {window!r}")
+    x0, y0, x1, y1 = parts
+    return None, (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+
+
+def containment(
+    df: DataFrame,
+    window: str,
+    predicate: str = "st_intersects",
+    *,
+    geom_col: str = "geom",
+    distance: float | None = None,
+    geography: bool = False,
+) -> DataFrame:
+    """Rows of ``df`` satisfying ``predicate(geom, window)``.
+
+    The window is a constant, so the MBB conjunct is a literal range
+    filter — fully pushable. WKT windows refine with the exact kernel;
+    bare-MBB windows (or box-native data) stay entirely in the JVM.
+    """
+    wkt, (wx0, wy0, wx1, wy1) = parse_window(window)
+    wkt_mode = geom_col in df.columns
+    df = with_mbb(df, geom_col) if wkt_mode else df
+    pad = float(distance or 0.0)
+
+    prefilter = B.box_intersects(
+        F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"),
+        F.lit(wx0), F.lit(wy0), F.lit(wx1), F.lit(wy1), pad=pad,
+    )
+    out = df.filter(prefilter)
+
+    window_is_box = wkt is None or _wkt_is_rectangle(wkt)
+    if wkt_mode and not (window_is_box and predicate == "st_intersects" and pad == 0.0):
+        w = F.lit(wkt if wkt is not None else _mbb_wkt(wx0, wy0, wx1, wy1))
+        if predicate == "st_dwithin":
+            if distance is None:
+                raise ValueError("st_dwithin requires distance=")
+            out = out.filter(st_dwithin(F.col(geom_col), w, distance, geography=geography))
+        else:
+            out = out.filter(st_predicate(predicate)(F.col(geom_col), w))
+    elif not wkt_mode and predicate != "st_intersects":
+        m = [F.col(c) for c in MBB_COLS]
+        wlits = [F.lit(wx0), F.lit(wy0), F.lit(wx1), F.lit(wy1)]
+        if predicate == "st_within":
+            out = out.filter(B.box_contains(*wlits, *m))
+        elif predicate == "st_contains":
+            out = out.filter(B.box_contains(*m, *wlits))
+        elif predicate == "st_dwithin":
+            out = df.filter(B.box_distance(*m, *wlits) <= pad)
+        else:
+            raise ValueError(f"unsupported box containment predicate {predicate}")
+    return out
+
+
+def _mbb_wkt(x0, y0, x1, y1) -> str:
+    return f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+
+
+def _wkt_is_rectangle(wkt: str) -> bool:
+    try:
+        g = Geometry.from_wkt(wkt)
+    except ValueError:
+        return False
+    if g.kind != "POLYGON" or len(g.payload) != 1:
+        return False
+    ring = g.payload[0]
+    if len(ring) != 5:
+        return False
+    x0, y0, x1, y1 = g.bbox
+    import numpy as np
+
+    corners = {(x0, y0), (x1, y0), (x1, y1), (x0, y1)}
+    return {(float(p[0]), float(p[1])) for p in ring[:-1]} == corners

@@ -1,0 +1,171 @@
+"""kNN join (J4 — ``st_nearest`` / ``st_nearest2``).
+
+Reference: per-tile R-tree probes with an expanding search radius
+(``/root/reference/src/resque/knn_2d.hpp:22-233``; radius heuristic from
+bucket extent & density ``:86-93``; ×√2 expansion ``:146-180``; bounded
+k-list ``update_nn`` ``:235-268``). The reference is **per-tile
+approximate**: neighbors living in other tiles are never seen.
+
+Spark restatement:
+
+* ``mode="tile"`` — reference semantics: candidates are tile-co-located
+  pairs, ranked by distance with a window, ``row_number() <= k``.
+  (Improvement kept result-compatible: pairs found in several shared
+  tiles are deduped before ranking, so an object gets one global
+  k-list over its tile neighborhood instead of k per tile.)
+* ``mode="exact"`` — true kNN: distance-bounded candidate join with the
+  reference's density radius heuristic, then a driver loop that ×√2-
+  expands the radius **only for objects still short of k matches**
+  (distributed restatement of ``knn_2d.hpp:146-180``). Terminates when
+  every object has k candidates or the radius covers the space.
+
+Distance column: exact geometry distance in WKT mode, box (== point)
+distance in box mode; ``geography=True`` uses the reference's
+mile-constant haversine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.functions import boxes as B
+from hadoopgis_spark.functions import spatial as S
+from hadoopgis_spark.operators.mbb import MBB_COLS, space_extent, with_mbb
+from hadoopgis_spark.operators.spatial_join import default_bucket_size, _suffix_all
+from hadoopgis_spark.operators.tile import assign_tiles, sample_mbbs, tiles_dataframe
+from hadoopgis_spark.partition import partition_tiles
+
+__all__ = ["knn_join"]
+
+
+def _distance_col(wkt_mode, geography, g1, g2, m1, m2):
+    if wkt_mode:
+        if geography:
+            return S.st_haversine_m(F.col(g1), F.col(g2))
+        return S.st_distance(F.col(g1), F.col(g2))
+    return B.box_distance(*[F.col(c) for c in m1], *[F.col(c) for c in m2])
+
+
+def knn_join(
+    a: DataFrame,
+    b: DataFrame | None = None,
+    k: int = 3,
+    *,
+    geom_col: str = "geom",
+    id_col: str = "id",
+    mode: str = "tile",
+    geography: bool = False,
+    partitioner: str = "bsp",
+    bucket_size: int | None = None,
+    max_sample: int = 200_000,
+    max_distance: float | None = None,
+    max_rounds: int = 8,
+    suffixes: tuple[str, str] = ("_1", "_2"),
+) -> DataFrame:
+    """k nearest neighbors in ``b`` for every object of ``a``.
+
+    ``max_distance`` caps the search radius (the ``-d`` flag of
+    ``st_nearest``, ``knn_2d.hpp:187-195``); without it, ``exact`` mode
+    auto-derives the radius like ``st_nearest2``.
+    Output: suffixed columns of both sides + ``distance``, ≤ k rows per
+    left object, ordered ties broken by right id (deterministic).
+    """
+    if mode not in ("tile", "exact"):
+        raise ValueError("mode must be 'tile' or 'exact'")
+    self_join = b is None
+    if self_join:
+        b = a
+    sfx1, sfx2 = suffixes
+    wkt_mode = geom_col in a.columns
+    a = with_mbb(a, geom_col) if wkt_mode else a
+    b = (a if self_join else with_mbb(b, geom_col)) if wkt_mode else b
+
+    g1, g2 = f"{geom_col}{sfx1}", f"{geom_col}{sfx2}"
+    m1 = [f"{c}{sfx1}" for c in MBB_COLS]
+    m2 = [f"{c}{sfx2}" for c in MBB_COLS]
+    idc1, idc2 = f"{id_col}{sfx1}", f"{id_col}{sfx2}"
+
+    if mode == "tile":
+        mbb_union = a.select(*MBB_COLS) if self_join else (
+            a.select(*MBB_COLS).unionByName(b.select(*MBB_COLS))
+        )
+        x0, y0, x1, y1, n_total = space_extent(mbb_union)
+        if n_total == 0:
+            return _empty(a, b, sfx1, sfx2)
+        bucket = bucket_size or default_bucket_size(n_total, a.sparkSession)
+        sample = sample_mbbs(mbb_union, n_total, max_sample)
+        scaled = max(1, int(bucket * min(1.0, max_sample / n_total)))
+        tiles = partition_tiles(sample, scaled, partitioner, cover_plane=True)
+        tiles_df = tiles_dataframe(a.sparkSession, tiles)
+        at = assign_tiles(_suffix_all(a, sfx1), tiles_df, mbb_cols=tuple(m1)).drop(
+            "t_xmin", "t_ymin", "t_xmax", "t_ymax"
+        )
+        bt = assign_tiles(_suffix_all(b, sfx2), tiles_df, mbb_cols=tuple(m2)).drop(
+            "t_xmin", "t_ymin", "t_xmax", "t_ymax"
+        )
+        pairs = at.join(bt, "tile_id").drop("tile_id")
+        if self_join:
+            pairs = pairs.filter(F.col(idc1) != F.col(idc2))
+        pairs = pairs.dropDuplicates([idc1, idc2])
+        pairs = pairs.withColumn("distance", _distance_col(wkt_mode, geography, g1, g2, m1, m2))
+        if max_distance is not None:
+            pairs = pairs.filter(F.col("distance") <= max_distance)
+        return _rank_k(pairs, idc1, idc2, k, a, b, sfx1, sfx2)
+
+    # ---- exact mode ----------------------------------------------------
+    bx0, by0, bx1, by1, n_b = space_extent(b.select(*MBB_COLS))
+    if n_b == 0:
+        return _empty(a, b, sfx1, sfx2)
+    space_area = max((bx1 - bx0) * (by1 - by0), 1e-12)
+    diag = math.hypot(bx1 - bx0, by1 - by0)
+    # density radius heuristic, knn_2d.hpp:86-93
+    r = max_distance or max(1e-9, 1.5 * math.sqrt(space_area * k / n_b))
+
+    at = _suffix_all(a, sfx1)
+    remaining = at
+    collected: DataFrame | None = None
+    bt = _suffix_all(b, sfx2)
+    rounds = 0
+    while rounds < max_rounds:
+        rounds += 1
+        cond = B.box_intersects(*[F.col(c) for c in m1], *[F.col(c) for c in m2], pad=r)
+        cand = remaining.join(bt, cond)
+        if self_join:
+            cand = cand.filter(F.col(idc1) != F.col(idc2))
+        cand = cand.withColumn("distance", _distance_col(wkt_mode, geography, g1, g2, m1, m2))
+        cand = cand.filter(F.col("distance") <= r).localCheckpoint(eager=True)
+        counts = cand.groupBy(idc1).agg(F.count(F.lit(1)).alias("_n"))
+        sat_ids = counts.filter(F.col("_n") >= k).select(idc1)
+        done = cand.join(sat_ids, idc1, "left_semi")
+        collected = done if collected is None else collected.unionByName(done)
+        remaining = remaining.join(sat_ids, idc1, "left_anti")
+        if max_distance is not None or r >= diag:
+            # capped search (st_nearest) or whole space covered: remaining
+            # objects keep whatever neighbors exist within the cap
+            leftover = cand.join(sat_ids, idc1, "left_anti")
+            collected = collected.unionByName(leftover)
+            break
+        if remaining.isEmpty():
+            break
+        r *= math.sqrt(2.0)  # reference expansion factor, knn_2d.hpp:146-180
+    return _rank_k(collected, idc1, idc2, k, a, b, sfx1, sfx2)
+
+
+def _rank_k(pairs, idc1, idc2, k, a, b, sfx1, sfx2):
+    w = Window.partitionBy(idc1).orderBy(F.col("distance").asc(), F.col(idc2).asc())
+    out_cols = [f"{c}{sfx1}" for c in a.columns if c not in MBB_COLS] + [
+        f"{c}{sfx2}" for c in b.columns if c not in MBB_COLS
+    ] + ["distance"]
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*out_cols)
+    )
+
+
+def _empty(a, b, sfx1, sfx2):
+    out = _suffix_all(a, sfx1).join(_suffix_all(b, sfx2), F.lit(False))
+    return out.withColumn("distance", F.lit(None).cast("double")).filter(F.lit(False))

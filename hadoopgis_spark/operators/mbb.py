@@ -1,0 +1,54 @@
+"""MBB extraction and global space statistics.
+
+Reference stage 1 of every pipeline: extract each object's MBB and the
+global space extent + count (map ``manipulate_2d.cpp:104-135``, reduce
+``stats_extract_space_dims.cpp:43-86``). Here both are one declarative
+pass each; the extent aggregation is a tiny 5-value map-side-combined
+agg, never a single-reducer bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.functions.spatial import st_mbb
+
+__all__ = ["with_mbb", "space_extent", "MBB_COLS"]
+
+MBB_COLS = ("xmin", "ymin", "xmax", "ymax")
+
+
+def with_mbb(df: DataFrame, geom_col: str = "geom", drop_invalid: bool = True) -> DataFrame:
+    """Add xmin/ymin/xmax/ymax columns from a WKT column (T1).
+
+    Malformed WKT → null MBB; dropped by default exactly like the
+    reference's skip path (``manipulate_2d.cpp:182-189``). If the MBB
+    columns already exist (box-native data) the frame passes through —
+    box data never pays the parse.
+    """
+    if all(c in df.columns for c in MBB_COLS):
+        return df
+    out = df.withColumn("_mbb", st_mbb(F.col(geom_col))).select(
+        "*",
+        F.col("_mbb.xmin").alias("xmin"),
+        F.col("_mbb.ymin").alias("ymin"),
+        F.col("_mbb.xmax").alias("xmax"),
+        F.col("_mbb.ymax").alias("ymax"),
+    ).drop("_mbb")
+    if drop_invalid:
+        out = out.filter(F.col("xmin").isNotNull())
+    return out
+
+
+def space_extent(df: DataFrame) -> tuple[float, float, float, float, int]:
+    """Global extent + object count (A1) in a single partial-aggregated
+    pass (reference needs a dedicated MR job with a single reducer)."""
+    row = df.agg(
+        F.min("xmin").alias("x0"),
+        F.min("ymin").alias("y0"),
+        F.max("xmax").alias("x1"),
+        F.max("ymax").alias("y1"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return (row.x0, row.y0, row.x1, row.y1, row.n)

@@ -1,0 +1,272 @@
+"""Partitioned spatial join (J1/J2/J5) — the engine's core operator.
+
+Reference pipeline (``/root/reference/src/framework/query_spjoin.hpp:70-322``):
+MBB-extract → sample → partition → multicast tile assignment → per-tile
+R*-tree filter-refine join → duplicate removal. The Spark restatement is
+one declarative plan:
+
+1. ``with_mbb``   — MBB columns (skipped for box-native data)
+2. extent/count   — one tiny agg per side
+3. partitioner    — driver-side over a bounded sample (numpy)
+4. assignment     — broadcast range join (multicast, J6)
+5. pair join      — equi-join on tile_id AND the MBB overlap range
+   condition (the filter step, JVM/codegen) — Catalyst/AQE choose the
+   physical join; skewed tiles are split by AQE skew-join
+6. refine         — exact predicate pandas UDF, only on candidates, and
+   only when geometry is richer than its box
+7. dedup          — reference-point technique for space partitioners
+   (pure column predicate, **zero extra shuffle**, replaces the
+   reference's whole dedup MR job ``duplicate_remover.cpp:28-42``);
+   ``distinct()`` for MBR partitioners (str/hc) where tiles may overlap
+
+Scale notes: the only driver-side data is the MBB sample (bounded) and
+the tile table (≈ n/bucket rows, broadcast). Everything else is
+shuffle-on-tile_id. No collect of data rows, ever.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.functions import boxes as B
+from hadoopgis_spark.functions.spatial import st_dwithin, st_predicate
+from hadoopgis_spark.functions import spatial as S
+from hadoopgis_spark.operators.mbb import MBB_COLS, space_extent, with_mbb
+from hadoopgis_spark.operators.tile import assign_tiles, sample_mbbs, tiles_dataframe
+from hadoopgis_spark.partition import SPACE_PARTITIONERS, partition_tiles
+
+__all__ = ["spatial_join", "default_bucket_size", "STAT_FIELDS"]
+
+STAT_FIELDS = ("area1", "area2", "union", "intersect", "jaccard", "dice", "mindist", "tileid")
+
+_BOX_PREDICATES = {"st_intersects", "st_contains", "st_within", "st_equals",
+                   "st_adjacent", "st_dwithin", "st_touches", "st_overlaps",
+                   "st_disjoint"}
+
+
+def default_bucket_size(n_total: int, spark) -> int:
+    """Objects per tile. The reference targets ~16 MB of objects per tile
+    (``query_spjoin.hpp:146-152``); we target a few tiles per shuffle
+    partition so every core stays busy and AQE can rebalance."""
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(64, min(200_000, math.ceil(n_total / max(1, parts * 4))))
+
+
+def _suffix_all(df: DataFrame, suffix: str) -> DataFrame:
+    return df.select([F.col(c).alias(f"{c}{suffix}") for c in df.columns])
+
+
+def spatial_join(
+    a: DataFrame,
+    b: DataFrame | None = None,
+    predicate: str = "st_intersects",
+    *,
+    geom_col: str = "geom",
+    distance: float | None = None,
+    geography: bool = False,
+    partitioner: str = "bsp",
+    bucket_size: int | None = None,
+    max_sample: int = 200_000,
+    stats: list[str] | None = None,
+    suffixes: tuple[str, str] = ("_1", "_2"),
+    id_col: str = "id",
+    replicate: bool = False,
+    keep_mbb: bool = False,
+) -> DataFrame:
+    """Spatial join of ``a`` with ``b`` (self-join when ``b`` is None).
+
+    Parameters mirror the reference CLI (``queryprocessor_params_2d.hpp:26-60``):
+    ``predicate`` ∈ the 10 boolean ``st_`` predicates; ``distance`` is
+    ``-d`` for ``st_dwithin``; ``partitioner`` is ``-u``; ``bucket_size``
+    is ``-z``; ``replicate`` is ``--replicate`` for self-joins
+    (``spjoin_2d.hpp:78-84``); ``stats`` are the ``-f`` computed fields
+    (``§2.5``: area1, area2, union, intersect, jaccard, dice, mindist,
+    tileid).
+
+    Returns all user columns of both sides with ``suffixes``, plus any
+    requested stat columns.
+
+    Semantics caveat carried over from the reference: ``st_disjoint`` is
+    evaluated among tile-co-located candidate pairs only
+    (``spjoin_2d.hpp:159-161``) — it is NOT a global anti-join.
+    """
+    if predicate == "st_dwithin" and distance is None:
+        raise ValueError("st_dwithin requires distance=")
+    if predicate in ("st_nearest", "st_nearest2"):
+        raise ValueError("use knn_join() for st_nearest/st_nearest2")
+    stats = list(stats or [])
+    for s in stats:
+        if s not in STAT_FIELDS:
+            raise ValueError(f"unknown stat field {s!r}; choose from {STAT_FIELDS}")
+
+    self_join = b is None
+    if self_join:
+        b = a
+    sfx1, sfx2 = suffixes
+
+    wkt_mode = geom_col in a.columns
+    if wkt_mode != (geom_col in b.columns):
+        raise ValueError("both sides must carry the geometry column (or neither)")
+    if not wkt_mode and predicate not in _BOX_PREDICATES:
+        raise ValueError(f"{predicate} requires a WKT geometry column")
+
+    a = with_mbb(a, geom_col) if wkt_mode else a
+    b = (a if self_join else with_mbb(b, geom_col)) if wkt_mode else b
+    pad = float(distance or 0.0)
+
+    # ---- extent + count + sample (bounded driver data) -----------------
+    mbb_union = a.select(*MBB_COLS) if self_join else (
+        a.select(*MBB_COLS).unionByName(b.select(*MBB_COLS))
+    )
+    x0, y0, x1, y1, n_total = space_extent(mbb_union)
+    if n_total == 0:
+        empty = _pair_schema_frame(a, b, sfx1, sfx2, stats, keep_mbb)
+        return empty
+    bucket = bucket_size or default_bucket_size(n_total, a.sparkSession)
+    sample = sample_mbbs(mbb_union, n_total, max_sample)
+    scaled_bucket = max(1, int(bucket * min(1.0, max_sample / n_total)))
+    tiles = partition_tiles(sample, scaled_bucket, partitioner, cover_plane=True)
+    tiles_df = tiles_dataframe(a.sparkSession, tiles)
+    use_refpoint = partitioner in SPACE_PARTITIONERS
+
+    # ---- multicast assignment (J6) ------------------------------------
+    m1_names = tuple(f"{c}{sfx1}" for c in MBB_COLS)
+    m2_names = tuple(f"{c}{sfx2}" for c in MBB_COLS)
+    at = assign_tiles(_suffix_all(a, sfx1), tiles_df, pad=pad, mbb_cols=m1_names)
+    if not use_refpoint:
+        at = at.drop("t_xmin", "t_ymin", "t_xmax", "t_ymax")
+    bt = assign_tiles(_suffix_all(b, sfx2), tiles_df, mbb_cols=m2_names).drop(
+        "t_xmin", "t_ymin", "t_xmax", "t_ymax"
+    )
+
+    # ---- pair join: tile equi-join + MBB range condition ---------------
+    m1 = [f"{c}{sfx1}" for c in MBB_COLS]
+    m2 = [f"{c}{sfx2}" for c in MBB_COLS]
+    cond = B.box_intersects(*[F.col(c) for c in m1], *[F.col(c) for c in m2], pad=pad)
+    joined = at.join(bt, on=["tile_id"], how="inner").filter(cond)
+
+    # ---- self-join pair rules (spjoin_2d.hpp:78-84) --------------------
+    if self_join:
+        idc1, idc2 = f"{id_col}{sfx1}", f"{id_col}{sfx2}"
+        if idc1 not in joined.columns:
+            raise ValueError(f"self-join needs id column {id_col!r}")
+        joined = joined.filter(F.col(idc1) != F.col(idc2))
+        if not replicate:
+            joined = joined.filter(F.col(idc1) < F.col(idc2))
+
+    # ---- refine (exact geometry, candidates only) ----------------------
+    g1, g2 = f"{geom_col}{sfx1}", f"{geom_col}{sfx2}"
+    if wkt_mode:
+        if predicate == "st_dwithin":
+            joined = joined.filter(st_dwithin(F.col(g1), F.col(g2), pad, geography=geography))
+        else:
+            joined = joined.filter(st_predicate(predicate)(F.col(g1), F.col(g2)))
+    else:
+        joined = joined.filter(_box_predicate(predicate, m1, m2, pad))
+
+    # ---- dedup (O4) ----------------------------------------------------
+    out_cols = [f"{c}{sfx1}" for c in a.columns if keep_mbb or c not in MBB_COLS] + [
+        f"{c}{sfx2}" for c in b.columns if keep_mbb or c not in MBB_COLS
+    ]
+    if "tileid" in stats:
+        out_cols.append("tile_id")
+    joined = _append_stats(joined, stats, wkt_mode, g1, g2, m1, m2, geography)
+    stat_cols = [s for s in stats if s != "tileid"]
+    if use_refpoint:
+        # emit the pair only in the tile owning the reference point of the
+        # (padded) MBB intersection — globally exactly once, no shuffle
+        rx = F.greatest(F.col(m1[0]) - F.lit(pad), F.col(m2[0]))
+        ry = F.greatest(F.col(m1[1]) - F.lit(pad), F.col(m2[1]))
+        on_ref_tile = (
+            (rx >= F.col("t_xmin")) & (rx < F.col("t_xmax"))
+            & (ry >= F.col("t_ymin")) & (ry < F.col("t_ymax"))
+        )
+        joined = joined.filter(on_ref_tile)
+        return joined.select(*out_cols, *stat_cols)
+    # MBR partitioners: tiles can overlap → exact-duplicate removal,
+    # the reference's dedup job (duplicate_remover.cpp:28-42)
+    return joined.select(*out_cols, *stat_cols).distinct()
+
+
+def _box_predicate(predicate: str, m1: list[str], m2: list[str], pad: float) -> Column:
+    c1 = [F.col(c) for c in m1]
+    c2 = [F.col(c) for c in m2]
+    if predicate in ("st_intersects", "st_adjacent"):
+        return B.box_intersects(*c1, *c2)
+    if predicate == "st_dwithin":
+        return B.box_distance(*c1, *c2) <= pad
+    if predicate == "st_contains":
+        return B.box_contains(*c1, *c2)
+    if predicate == "st_within":
+        return B.box_contains(*c2, *c1)
+    if predicate == "st_equals":
+        return (
+            (c1[0] == c2[0]) & (c1[1] == c2[1]) & (c1[2] == c2[2]) & (c1[3] == c2[3])
+        )
+    if predicate == "st_touches":
+        return B.box_intersects(*c1, *c2) & (B.box_intersection_area(*c1, *c2) <= 0.0)
+    if predicate == "st_overlaps":
+        i = B.box_intersection_area(*c1, *c2)
+        return (i > 0) & (i < B.box_area(*c1)) & (i < B.box_area(*c2))
+    if predicate == "st_disjoint":
+        # per-tile caveat: disjoint among co-located candidates
+        return ~B.box_intersects(*c1, *c2)
+    raise ValueError(f"unsupported box predicate {predicate}")
+
+
+def _append_stats(
+    df: DataFrame,
+    stats: list[str],
+    wkt_mode: bool,
+    g1: str,
+    g2: str,
+    m1: list[str],
+    m2: list[str],
+    geography: bool,
+) -> DataFrame:
+    """Computed output fields (§2.5, ``spjoin_2d.hpp:226-264``) — lazily
+    evaluated by Catalyst only when selected."""
+    if not stats:
+        return df
+    c1 = [F.col(c) for c in m1]
+    c2 = [F.col(c) for c in m2]
+    for s in stats:
+        if s == "tileid":
+            continue
+        if wkt_mode:
+            col = {
+                "area1": lambda: S.st_area(F.col(g1)),
+                "area2": lambda: S.st_area(F.col(g2)),
+                "union": lambda: S.st_union_area(F.col(g1), F.col(g2)),
+                "intersect": lambda: S.st_intersection_area(F.col(g1), F.col(g2)),
+                "jaccard": lambda: S.st_jaccard(F.col(g1), F.col(g2)),
+                "dice": lambda: S.st_dice(F.col(g1), F.col(g2)),
+                "mindist": lambda: (
+                    S.st_haversine_m(F.col(g1), F.col(g2)) if geography else S.st_distance(F.col(g1), F.col(g2))
+                ),
+            }[s]()
+        else:
+            col = {
+                "area1": lambda: B.box_area(*c1),
+                "area2": lambda: B.box_area(*c2),
+                "union": lambda: B.box_union_area(*c1, *c2),
+                "intersect": lambda: B.box_intersection_area(*c1, *c2),
+                "jaccard": lambda: B.box_jaccard(*c1, *c2),
+                "dice": lambda: B.box_dice(*c1, *c2),
+                "mindist": lambda: B.box_distance(*c1, *c2),
+            }[s]()
+        df = df.withColumn(s, col)
+    return df
+
+
+def _pair_schema_frame(a, b, sfx1, sfx2, stats, keep_mbb) -> DataFrame:
+    cols = [f"{c}{sfx1}" for c in a.columns if keep_mbb or c not in MBB_COLS] + [
+        f"{c}{sfx2}" for c in b.columns if keep_mbb or c not in MBB_COLS
+    ]
+    out = _suffix_all(a, sfx1).join(_suffix_all(b, sfx2), F.lit(False)).select(*cols)
+    for s in stats:
+        out = out.withColumn("tile_id" if s == "tileid" else s, F.lit(None).cast("double"))
+    return out

@@ -1,0 +1,208 @@
+"""End-to-end spatial join / kNN / containment vs a brute-force oracle.
+
+Fixtures follow the reference's generator shape (random triangles with
+int attrs, /root/reference/test/datagenerator/generatePolygons.py) at
+test scale. The oracle is a driver-side O(n²) evaluation with the same
+geometry kernel — independent of all tiling/dedup machinery, so it
+catches replication duplicates, dropped boundary objects, and wrong
+reference-point logic.
+"""
+
+import math
+import random
+
+import pytest
+
+from hadoopgis_spark.geometry import kernel as K
+from hadoopgis_spark.geometry.kernel import Geometry
+from hadoopgis_spark.operators import containment, knn_join, spatial_join
+from hadoopgis_spark.partition import ALGORITHMS
+
+
+def _triangles(n, seed, extent=1000.0, size=30.0):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(1, n + 1):
+        x, y = rng.uniform(0, extent), rng.uniform(0, extent)
+        pts = [
+            (x, y),
+            (x + rng.uniform(0.5, size), y + rng.uniform(-size, size)),
+            (x + rng.uniform(-size, size), y + rng.uniform(0.5, size)),
+        ]
+        wkt = "POLYGON ((" + ", ".join(f"{a:.4f} {b:.4f}" for a, b in pts + [pts[0]]) + "))"
+        rows.append((i, wkt, rng.randint(0, 8)))
+    return rows
+
+
+def _points(n, seed, extent=1000.0):
+    rng = random.Random(seed)
+    return [
+        (i, f"POINT ({rng.uniform(0, extent):.4f} {rng.uniform(0, extent):.4f})", rng.randint(0, 8))
+        for i in range(1, n + 1)
+    ]
+
+
+@pytest.fixture(scope="module")
+def tri_a(spark):
+    return spark.createDataFrame(_triangles(200, 1), "id long, geom string, attr int").cache()
+
+
+@pytest.fixture(scope="module")
+def tri_b(spark):
+    return spark.createDataFrame(_triangles(300, 2), "id long, geom string, attr int").cache()
+
+
+def brute_pairs(rows_a, rows_b, pred):
+    geoms_a = [(i, Geometry.from_wkt(w)) for i, w, _ in rows_a]
+    geoms_b = [(i, Geometry.from_wkt(w)) for i, w, _ in rows_b]
+    out = set()
+    for ia, ga in geoms_a:
+        for ib, gb in geoms_b:
+            if pred(ga, gb):
+                out.add((ia, ib))
+    return out
+
+
+class TestSpatialJoin:
+    def test_intersects_matches_bruteforce_all_partitioners(self, spark, tri_a, tri_b):
+        rows_a, rows_b = _triangles(200, 1), _triangles(300, 2)
+        expected = brute_pairs(rows_a, rows_b, K.intersects)
+        results = {}
+        for algo in sorted(ALGORITHMS):
+            got = spatial_join(
+                tri_a, tri_b, "st_intersects", partitioner=algo, bucket_size=40
+            ).select("id_1", "id_2").collect()
+            got_set = {(r.id_1, r.id_2) for r in got}
+            assert len(got) == len(got_set), f"{algo}: duplicate pairs emitted"
+            assert got_set == expected, (
+                f"{algo}: missing={len(expected - got_set)} extra={len(got_set - expected)}"
+            )
+            results[algo] = got_set
+
+    def test_self_join_unordered_once(self, spark, tri_a):
+        rows_a = _triangles(200, 1)
+        expected = {
+            (i, j)
+            for (i, j) in brute_pairs(rows_a, rows_a, K.intersects)
+            if i < j
+        }
+        got = spatial_join(tri_a, None, "st_intersects", bucket_size=40).select("id_1", "id_2")
+        got_set = {(r.id_1, r.id_2) for r in got.collect()}
+        assert got_set == expected
+
+    def test_self_join_replicate(self, spark, tri_a):
+        rows_a = _triangles(200, 1)
+        expected = {
+            (i, j) for (i, j) in brute_pairs(rows_a, rows_a, K.intersects) if i != j
+        }
+        got = spatial_join(tri_a, None, "st_intersects", bucket_size=40, replicate=True)
+        got_set = {(r.id_1, r.id_2) for r in got.select("id_1", "id_2").collect()}
+        assert got_set == expected
+
+    def test_contains_and_stats(self, spark, tri_a, tri_b):
+        rows_a, rows_b = _triangles(200, 1), _triangles(300, 2)
+        got = spatial_join(
+            tri_a, tri_b, "st_intersects", bucket_size=50,
+            stats=["area1", "intersect", "jaccard", "mindist"],
+        ).collect()
+        assert len(got) > 0
+        ga = {i: Geometry.from_wkt(w) for i, w, _ in rows_a}
+        gb = {i: Geometry.from_wkt(w) for i, w, _ in rows_b}
+        for r in got[:50]:
+            assert r.area1 == pytest.approx(ga[r.id_1].area, rel=1e-6)
+            assert r.intersect == pytest.approx(
+                K.intersection_area(ga[r.id_1], gb[r.id_2]), rel=1e-5, abs=1e-9
+            )
+            assert r.jaccard == pytest.approx(K.jaccard(ga[r.id_1], gb[r.id_2]), rel=1e-5, abs=1e-9)
+            assert r.mindist == 0.0
+
+    def test_dwithin_points(self, spark):
+        pa, pb = _points(300, 3), _points(300, 4)
+        dfa = spark.createDataFrame(pa, "id long, geom string, attr int")
+        dfb = spark.createDataFrame(pb, "id long, geom string, attr int")
+        d = 25.0
+        expected = brute_pairs(pa, pb, lambda x, y: K.dwithin(x, y, d))
+        got = spatial_join(dfa, dfb, "st_dwithin", distance=d, bucket_size=50)
+        got_set = {(r.id_1, r.id_2) for r in got.select("id_1", "id_2").collect()}
+        assert got_set == expected
+
+    def test_malformed_geometry_skipped(self, spark, tri_b):
+        rows = _triangles(50, 5)
+        rows[10] = (11, "POLYGON ((broken", 0)
+        rows[20] = (21, "", 1)
+        dfa = spark.createDataFrame(rows, "id long, geom string, attr int")
+        got = spatial_join(dfa, tri_b, "st_intersects", bucket_size=40)
+        ids = {r.id_1 for r in got.select("id_1").distinct().collect()}
+        assert 11 not in ids and 21 not in ids
+
+
+class TestKnnJoin:
+    def test_exact_knn_points(self, spark):
+        pa, pb = _points(120, 6), _points(200, 7)
+        dfa = spark.createDataFrame(pa, "id long, geom string, attr int")
+        dfb = spark.createDataFrame(pb, "id long, geom string, attr int")
+        k = 3
+        got = knn_join(dfa, dfb, k=k, mode="exact").collect()
+        # brute-force oracle
+        import numpy as np
+
+        def coords(rows):
+            return {
+                i: tuple(map(float, w[w.index("(") + 1 : w.index(")")].split()))
+                for i, w, _ in rows
+            }
+
+        ca, cb = coords(pa), coords(pb)
+        by_left = {}
+        for r in got:
+            by_left.setdefault(r.id_1, []).append((r.distance, r.id_2))
+        assert set(by_left) == set(ca)
+        for ia, (xa, ya) in ca.items():
+            dists = sorted(
+                (math.hypot(xa - xb, ya - yb), ib) for ib, (xb, yb) in cb.items()
+            )
+            expect = dists[:k]
+            gotk = sorted(by_left[ia])
+            assert len(gotk) == k
+            for (ed, eid), (gd, gid) in zip(expect, gotk):
+                assert gid == eid and gd == pytest.approx(ed, rel=1e-9)
+
+    def test_tile_knn_shape(self, spark):
+        pa = _points(100, 8)
+        dfa = spark.createDataFrame(pa, "id long, geom string, attr int")
+        got = knn_join(dfa, None, k=2, mode="tile", bucket_size=30).collect()
+        by_left = {}
+        for r in got:
+            by_left.setdefault(r.id_1, []).append(r)
+        assert all(len(v) <= 2 for v in by_left.values())
+        for rows in by_left.values():
+            for r in rows:
+                assert r.id_1 != r.id_2
+
+
+class TestContainment:
+    def test_window_query_wkt(self, spark, tri_a):
+        rows_a = _triangles(200, 1)
+        win = "POLYGON ((100 100, 400 100, 400 400, 100 400, 100 100))"
+        wg = Geometry.from_wkt(win)
+        expected = {i for i, w, _ in rows_a if K.intersects(Geometry.from_wkt(w), wg)}
+        got = {r.id for r in containment(tri_a, win).select("id").collect()}
+        assert got == expected
+
+    def test_window_query_mbb_form(self, spark, tri_a):
+        rows_a = _triangles(200, 1)
+        got = {r.id for r in containment(tri_a, "100,100,400,400").select("id").collect()}
+        wg = Geometry.from_wkt("POLYGON ((100 100, 400 100, 400 400, 100 400, 100 100))")
+        expected = {i for i, w, _ in rows_a if K.intersects(Geometry.from_wkt(w), wg)}
+        assert got == expected
+
+    def test_window_within(self, spark, tri_a):
+        rows_a = _triangles(200, 1)
+        win = "POLYGON ((0 0, 500 0, 500 500, 0 500, 0 0))"
+        wg = Geometry.from_wkt(win)
+        expected = {i for i, w, _ in rows_a if K.within(Geometry.from_wkt(w), wg)}
+        got = {r.id for r in containment(tri_a, win, "st_within").select("id").collect()}
+        assert got == expected
+
+    def test_empty_window(self, spark, tri_a):
+        assert containment(tri_a, "2000,2000,3000,3000").count() == 0
