@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the workload queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is materialized through the noop sink (all columns computed,
+nothing collected to the driver) after a warmup pass of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "rel_q1_pricing",
+    "rel_q3_top_orders",
+    "rel_q5_nation_revenue",
+    "rel_events_hourly",
+    "rel_window_rank",
+    "sp_mbb_extent",
+    "sp_fg_histogram",
+    "sp_join_boxes",
+    "sp_join_self",
+    "sp_dwithin_points",
+    "sp_knn",
+    "sp_containment",
+    "sp_box_measures",
+    "txt_stats",
+    "txt_fingerprint",
+    "txt_lang_guess",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_pairs",
+    "sim_ann_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from hadoopgis_spark.session import get_spark
+    from hadoopgis_spark.workload import REGISTRY
+
+    spark = get_spark("hgs-bench")
+    # warm the JVM + parquet footers
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q = REGISTRY[name]
+        t0 = time.time()
+        try:
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # record failures, keep the bench alive
+            print(f"bench {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "workload_total_wall",
+        "value": round(sum(v for v in timings.values() if v > 0), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

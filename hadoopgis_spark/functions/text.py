@@ -101,10 +101,13 @@ def lang_guess(col) -> Column:
     """Stopword-vote language heuristic: the language whose stopword list
     scores the most token hits; 'und' (undetermined) when no hits."""
     t = tokens(col)
-    scores = []
-    for lang, words in STOPWORDS.items():
+
+    def hits(words):
         sw = F.array(*[F.lit(w) for w in words])
-        scores.append((lang, F.size(F.filter(t, lambda x, s=sw: F.array_contains(s, x)))))
+        # one-arg lambda: F.filter treats a second param as the index
+        return F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+
+    scores = [(lang, hits(words)) for lang, words in STOPWORDS.items()]
     # argmax with deterministic tie-break on language code order
     best = F.lit("und")
     best_score = F.lit(0)

@@ -1,0 +1,856 @@
+"""Driver-gate workload: engine queries + DuckDB oracle SQL.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with
+an ANSI-SQL oracle producing the identical result on the same parquet
+tables. Spatial queries derive **deterministic box/point geometry from
+the driver tables** (pure integer/double arithmetic, identical in both
+engines) so the oracle stays expressible without a spatial extension;
+the exact-WKT kernel path is covered by the pytest brute-force suite
+and the ``entry()`` flagship.
+
+Float discipline (both engines are IEEE-754 double):
+* coordinates/distances/areas are identical-by-construction → no rounds
+* order-dependent aggregates (SUM/AVG of doubles) → ROUND(2..6)
+* libm-dependent values (trig) → ROUND(3)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from hadoopgis_spark.functions import boxes as B
+from hadoopgis_spark.functions import text as TXT
+from hadoopgis_spark.functions import vector as V
+from hadoopgis_spark.functions.text import md5_hash32, normalize_text, tokens
+from hadoopgis_spark.operators import containment, knn_join, spatial_join
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): Spark 4 rejects it unless
+        # read as raw long (runtime-settable, works on any session)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Derived geometry (identical arithmetic in Spark and SQL)
+# ---------------------------------------------------------------------------
+
+def part_boxes(spark, sf):
+    p = _t(spark, sf, "part")
+    xmin = (F.col("p_partkey") % 97) * 10.0
+    ymin = (F.col("p_partkey") % 89) * 10.0
+    return p.select(
+        F.col("p_partkey").alias("id"),
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        (xmin + 5.0 + (F.col("p_size") % 10)).alias("xmax"),
+        (ymin + 5.0 + (F.col("p_partkey") % 7)).alias("ymax"),
+    )
+
+
+# NOTE all oracle float literals are CAST to DOUBLE: DuckDB parses bare
+# decimal literals as DECIMAL and its exact arithmetic diverges from
+# Spark's IEEE doubles in the last ulps.
+PART_BOXES_SQL = """
+  SELECT p_partkey AS id,
+         (p_partkey % 97) * CAST(10.0 AS DOUBLE) AS xmin,
+         (p_partkey % 89) * CAST(10.0 AS DOUBLE) AS ymin,
+         (p_partkey % 97) * CAST(10.0 AS DOUBLE) + 5.0 + (p_size % 10) AS xmax,
+         (p_partkey % 89) * CAST(10.0 AS DOUBLE) + 5.0 + (p_partkey % 7) AS ymax
+  FROM part
+"""
+
+
+def customer_boxes(spark, sf):
+    c = _t(spark, sf, "customer")
+    xmin = (F.col("c_custkey") % 101) * 9.5
+    ymin = (F.col("c_custkey") % 83) * 10.7
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        xmin.alias("xmin"),
+        ymin.alias("ymin"),
+        (xmin + 4.0 + (F.col("c_custkey") % 11)).alias("xmax"),
+        (ymin + 3.0 + (F.col("c_custkey") % 13)).alias("ymax"),
+    )
+
+
+CUSTOMER_BOXES_SQL = """
+  SELECT c_custkey AS id,
+         (c_custkey % 101) * CAST(9.5 AS DOUBLE) AS xmin,
+         (c_custkey % 83) * CAST(10.7 AS DOUBLE) AS ymin,
+         (c_custkey % 101) * CAST(9.5 AS DOUBLE) + 4.0 + (c_custkey % 11) AS xmax,
+         (c_custkey % 83) * CAST(10.7 AS DOUBLE) + 3.0 + (c_custkey % 13) AS ymax
+  FROM customer
+"""
+
+
+def event_points(spark, sf):
+    e = _t(spark, sf, "events")
+    x = F.col("value") * 2.0
+    y = (F.col("user_id") % 499) * 2.0
+    return e.select(
+        F.col("event_id").alias("id"),
+        x.alias("xmin"),
+        y.alias("ymin"),
+        x.alias("xmax"),
+        y.alias("ymax"),
+    )
+
+
+EVENT_POINTS_SQL = """
+  SELECT event_id AS id,
+         value * CAST(2.0 AS DOUBLE) AS x,
+         (user_id % 499) * CAST(2.0 AS DOUBLE) AS y
+  FROM events
+"""
+
+
+def customer_points(spark, sf):
+    c = _t(spark, sf, "customer")
+    x = (F.col("c_custkey") % 211) * 4.7
+    y = (F.col("c_custkey") % 193) * 5.1
+    return c.select(F.col("c_custkey").alias("id"), x.alias("xmin"), y.alias("ymin"),
+                    x.alias("xmax"), y.alias("ymax"))
+
+
+def supplier_points(spark, sf):
+    s = _t(spark, sf, "supplier")
+    x = (F.col("s_suppkey") % 89) * 11.0
+    y = (F.col("s_suppkey") % 97) * 10.0
+    return s.select(F.col("s_suppkey").alias("id"), x.alias("xmin"), y.alias("ymin"),
+                    x.alias("xmax"), y.alias("ymax"))
+
+
+# ---------------------------------------------------------------------------
+# Relational queries (Spark built-ins; SURVEY §2.1/§2.4/§2.6/§2.9)
+# ---------------------------------------------------------------------------
+
+def rel_q1_pricing(spark, sf):
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+REL_Q1_SQL = """
+  SELECT l_returnflag, l_linestatus,
+         SUM(l_quantity) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         ROUND(AVG(l_discount), 6) AS avg_disc,
+         COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def rel_q3_top_orders(spark, sf):
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    l = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+REL_Q3_SQL = """
+  SELECT o_orderkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND l_shipdate > TIMESTAMP '1996-01-01'
+  GROUP BY o_orderkey
+  ORDER BY revenue DESC, o_orderkey
+  LIMIT 10
+"""
+
+
+def rel_q5_nation_revenue(spark, sf):
+    r = _t(spark, sf, "region")
+    n = _t(spark, sf, "nation")
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+REL_Q5_SQL = """
+  SELECT n_name,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY n_name
+"""
+
+
+def rel_window_rank(spark, sf):
+    l = _t(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        l.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "rn")
+    )
+
+
+REL_WINDOW_SQL = """
+  SELECT l_suppkey, l_orderkey, l_linenumber, rn FROM (
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+    FROM lineitem WHERE l_suppkey <= 5
+  ) WHERE rn <= 5
+"""
+
+
+def rel_distinct_parts(spark, sf):
+    return _t(spark, sf, "part").select("p_brand", "p_type", "p_size").distinct()
+
+
+REL_DISTINCT_SQL = "SELECT DISTINCT p_brand, p_type, p_size FROM part"
+
+
+def rel_events_hourly(spark, sf):
+    e = _t(spark, sf, "events")
+    # ts is read as raw nanoseconds (long): hour bucket via exact integer
+    # division — identical to epoch(date_trunc('hour', ts)) for epoch > 0
+    hour = (F.expr("ts div 3600000000000") * 3600).alias("hour_epoch")
+    return (
+        e.groupBy(hour, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+REL_EVENTS_HOURLY_SQL = """
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         event_type,
+         COUNT(*) AS n_events,
+         ROUND(SUM(value), 2) AS sum_value
+  FROM events
+  GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spatial queries (engine path over derived geometry; SURVEY §2.2-2.7)
+# ---------------------------------------------------------------------------
+
+def sp_mbb_extent(spark, sf):
+    """A1: global space extent + count in one partial-aggregated pass."""
+    return part_boxes(spark, sf).agg(
+        F.min("xmin").alias("space_x0"),
+        F.min("ymin").alias("space_y0"),
+        F.max("xmax").alias("space_x1"),
+        F.max("ymax").alias("space_y1"),
+        F.count(F.lit(1)).alias("n_objects"),
+    )
+
+
+SP_MBB_EXTENT_SQL = f"""
+  SELECT MIN(xmin) AS space_x0, MIN(ymin) AS space_y0,
+         MAX(xmax) AS space_x1, MAX(ymax) AS space_y1,
+         COUNT(*) AS n_objects
+  FROM ({PART_BOXES_SQL}) b
+"""
+
+
+def sp_fg_histogram(spark, sf):
+    """A2 + the arithmetic fg fast path: multicast each box to every
+    16×16-grid cell it intersects with pure column math (zero broadcast,
+    zero UDF — the O(1)-per-row tile assignment that scales to any data
+    size), then per-tile counts."""
+    b = part_boxes(spark, sf)
+    cell = F.lit(62.5)
+    b = b.select(
+        "id",
+        F.floor(F.col("xmin") / cell).alias("ix0"),
+        F.floor(F.col("xmax") / cell).alias("ix1"),
+        F.floor(F.col("ymin") / cell).alias("iy0"),
+        F.floor(F.col("ymax") / cell).alias("iy1"),
+    )
+    g = b.select(
+        "id",
+        F.explode(F.sequence("ix0", "ix1")).alias("ix"),
+        F.col("iy0"),
+        F.col("iy1"),
+    ).select("id", "ix", F.explode(F.sequence("iy0", "iy1")).alias("iy"))
+    return g.groupBy((F.col("iy") * 16 + F.col("ix")).alias("tile_id")).agg(
+        F.count(F.lit(1)).alias("n_objects")
+    )
+
+
+SP_FG_HISTOGRAM_SQL = f"""
+  WITH b AS ({PART_BOXES_SQL}),
+  cells AS (
+    SELECT b.id, gx.ix, gy.iy
+    FROM b
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS ix) gx
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS iy) gy
+    WHERE gx.ix BETWEEN CAST(FLOOR(b.xmin / 62.5) AS BIGINT) AND CAST(FLOOR(b.xmax / 62.5) AS BIGINT)
+      AND gy.iy BETWEEN CAST(FLOOR(b.ymin / 62.5) AS BIGINT) AND CAST(FLOOR(b.ymax / 62.5) AS BIGINT)
+  )
+  SELECT iy * 16 + ix AS tile_id, COUNT(*) AS n_objects
+  FROM cells GROUP BY 1
+"""
+
+
+def sp_join_boxes(spark, sf):
+    """J1 through the full engine: sample → bsp tiles → multicast →
+    tile join + MBB condition → reference-point dedup."""
+    a = part_boxes(spark, sf)
+    b = customer_boxes(spark, sf)
+    j = spatial_join(a, b, "st_intersects", bucket_size=400, stats=["intersect", "jaccard"])
+    return j.select("id_1", "id_2", F.col("intersect").alias("inter_area"),
+                    F.col("jaccard").alias("jaccard_sim"))
+
+
+SP_JOIN_BOXES_SQL = f"""
+  WITH a AS ({PART_BOXES_SQL}), b AS ({CUSTOMER_BOXES_SQL})
+  SELECT a.id AS id_1, b.id AS id_2,
+         GREATEST(0.0, LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin))
+           * GREATEST(0.0, LEAST(a.ymax, b.ymax) - GREATEST(a.ymin, b.ymin)) AS inter_area,
+         CASE WHEN (a.xmax-a.xmin)*(a.ymax-a.ymin) + (b.xmax-b.xmin)*(b.ymax-b.ymin)
+                   - GREATEST(0.0, LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin))
+                     * GREATEST(0.0, LEAST(a.ymax, b.ymax) - GREATEST(a.ymin, b.ymin)) > 0
+              THEN (GREATEST(0.0, LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin))
+                    * GREATEST(0.0, LEAST(a.ymax, b.ymax) - GREATEST(a.ymin, b.ymin)))
+                   / ((a.xmax-a.xmin)*(a.ymax-a.ymin) + (b.xmax-b.xmin)*(b.ymax-b.ymin)
+                      - GREATEST(0.0, LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin))
+                        * GREATEST(0.0, LEAST(a.ymax, b.ymax) - GREATEST(a.ymin, b.ymin)))
+              ELSE 0.0 END AS jaccard_sim
+  FROM a JOIN b
+    ON a.xmin <= b.xmax AND b.xmin <= a.xmax
+   AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+"""
+
+
+def sp_join_self(spark, sf):
+    """J2: self-join, unordered pairs once (id_1 < id_2)."""
+    c = customer_boxes(spark, sf)
+    return spatial_join(c, None, "st_intersects", bucket_size=300).select("id_1", "id_2")
+
+
+SP_JOIN_SELF_SQL = f"""
+  WITH c AS ({CUSTOMER_BOXES_SQL})
+  SELECT a.id AS id_1, b.id AS id_2
+  FROM c a JOIN c b
+    ON a.id < b.id
+   AND a.xmin <= b.xmax AND b.xmin <= a.xmax
+   AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+"""
+
+
+def sp_dwithin_points(spark, sf):
+    """J5: distance self-join on points (euclidean, d=3)."""
+    p = event_points(spark, sf)
+    j = spatial_join(p, None, "st_dwithin", distance=3.0, bucket_size=1500, stats=["mindist"])
+    return j.select("id_1", "id_2", F.col("mindist").alias("dist"))
+
+
+SP_DWITHIN_SQL = f"""
+  WITH p AS ({EVENT_POINTS_SQL})
+  SELECT a.id AS id_1, b.id AS id_2,
+         SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS dist
+  FROM p a JOIN p b ON a.id < b.id
+  WHERE SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 3.0
+"""
+
+
+def sp_knn(spark, sf):
+    """J4: exact kNN join (customer points → 3 nearest suppliers)."""
+    a = customer_points(spark, sf)
+    b = supplier_points(spark, sf)
+    j = knn_join(a, b, k=3, mode="exact")
+    return j.select("id_1", "id_2", "distance")
+
+
+SP_KNN_SQL = """
+  WITH c AS (
+    SELECT c_custkey AS id,
+           (c_custkey % 211) * CAST(4.7 AS DOUBLE) AS x,
+           (c_custkey % 193) * CAST(5.1 AS DOUBLE) AS y
+    FROM customer
+  ), s AS (
+    SELECT s_suppkey AS id,
+           (s_suppkey % 89) * CAST(11.0 AS DOUBLE) AS x,
+           (s_suppkey % 97) * CAST(10.0 AS DOUBLE) AS y
+    FROM supplier
+  ), d AS (
+    SELECT c.id AS id_1, s.id AS id_2,
+           SQRT((c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y)) AS distance
+    FROM c CROSS JOIN s
+  ), r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1 ORDER BY distance, id_2) AS rn FROM d
+  )
+  SELECT id_1, id_2, distance FROM r WHERE rn <= 3
+"""
+
+
+def sp_containment(spark, sf):
+    """J3: window query with pushable MBB prefilter."""
+    return containment(part_boxes(spark, sf), "200,150,600,500")
+
+
+SP_CONTAINMENT_SQL = f"""
+  SELECT * FROM ({PART_BOXES_SQL}) b
+  WHERE b.xmin <= 600 AND 200 <= b.xmax AND b.ymin <= 500 AND 150 <= b.ymax
+"""
+
+
+def sp_box_measures(spark, sf):
+    """§2.5 pairwise measures (area/union/intersect/jaccard/dice/mindist)
+    on a bounded deterministic pair set."""
+    a = part_boxes(spark, sf).filter(F.col("id") <= 100)
+    b = customer_boxes(spark, sf).filter(F.col("id") <= 50)
+    a = a.select([F.col(c).alias(f"{c}_1") for c in a.columns])
+    b = b.select([F.col(c).alias(f"{c}_2") for c in b.columns])
+    m1 = [f"{c}_1" for c in ("xmin", "ymin", "xmax", "ymax")]
+    m2 = [f"{c}_2" for c in ("xmin", "ymin", "xmax", "ymax")]
+    c1 = [F.col(c) for c in m1]
+    c2 = [F.col(c) for c in m2]
+    return a.crossJoin(b).select(
+        "id_1",
+        "id_2",
+        B.box_area(*c1).alias("area1"),
+        B.box_area(*c2).alias("area2"),
+        B.box_union_area(*c1, *c2).alias("union_area"),
+        B.box_intersection_area(*c1, *c2).alias("inter_area"),
+        B.box_jaccard(*c1, *c2).alias("jaccard_sim"),
+        B.box_dice(*c1, *c2).alias("dice_sim"),
+        B.box_distance(*c1, *c2).alias("mindist"),
+    )
+
+
+SP_BOX_MEASURES_SQL = f"""
+  WITH a AS (SELECT * FROM ({PART_BOXES_SQL}) WHERE id <= 100),
+       b AS (SELECT * FROM ({CUSTOMER_BOXES_SQL}) WHERE id <= 50),
+       p AS (
+         SELECT a.id AS id_1, b.id AS id_2,
+                (a.xmax-a.xmin)*(a.ymax-a.ymin) AS area1,
+                (b.xmax-b.xmin)*(b.ymax-b.ymin) AS area2,
+                GREATEST(0.0, LEAST(a.xmax,b.xmax) - GREATEST(a.xmin,b.xmin))
+                  * GREATEST(0.0, LEAST(a.ymax,b.ymax) - GREATEST(a.ymin,b.ymin)) AS ia,
+                GREATEST(0.0, GREATEST(b.xmin - a.xmax, a.xmin - b.xmax)) AS dx,
+                GREATEST(0.0, GREATEST(b.ymin - a.ymax, a.ymin - b.ymax)) AS dy
+         FROM a CROSS JOIN b
+       )
+  SELECT id_1, id_2, area1, area2,
+         area1 + area2 - ia AS union_area,
+         ia AS inter_area,
+         CASE WHEN area1 + area2 - ia > 0 THEN ia / (area1 + area2 - ia) ELSE 0.0 END AS jaccard_sim,
+         CASE WHEN area1 + area2 > 0 THEN 2.0 * ia / (area1 + area2) ELSE 0.0 END AS dice_sim,
+         SQRT(dx*dx + dy*dy) AS mindist
+  FROM p
+"""
+
+
+def sp_haversine(spark, sf):
+    """Geography distance with the reference's mile constants
+    (geographical.h:11-22) — nation-derived lon/lat pairs."""
+    n = _t(spark, sf, "nation")
+    pts = n.select(
+        F.col("n_nationkey").alias("id"),
+        ((F.col("n_nationkey") % 24) * 15.0 - 180.0).alias("lon"),
+        ((F.col("n_nationkey") % 17) * 10.0 - 80.0).alias("lat"),
+    )
+    a = pts.select([F.col(c).alias(f"{c}_1") for c in pts.columns])
+    b = pts.select([F.col(c).alias(f"{c}_2") for c in pts.columns])
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            F.round(B.haversine_m("lon_1", "lat_1", "lon_2", "lat_2"), 3).alias("hav_m"),
+        )
+    )
+
+
+SP_HAVERSINE_SQL = """
+  WITH p AS (
+    SELECT n_nationkey AS id,
+           (n_nationkey % 24) * 15.0 - 180.0 AS lon,
+           (n_nationkey % 17) * 10.0 - 80.0 AS lat
+    FROM nation
+  )
+  SELECT a.id AS id_1, b.id AS id_2,
+         ROUND(2.0 * 3958.75 * 1609.00 * ASIN(LEAST(1.0, SQRT(
+             POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+             + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+               * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+         ))), 3) AS hav_m
+  FROM p a JOIN p b ON a.id < b.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text / document pipeline queries
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+
+def txt_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    norm = normalize_text(F.col("text"))
+    ntok = F.size(F.split(norm, " "))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        ntok.alias("n_tokens"),
+        ((F.length(norm) - (ntok - 1)).cast("double") / ntok).alias("avg_word_len"),
+        TXT.alpha_ratio(F.col("text")).alias("alpha_ratio"),
+        TXT.punct_ratio(F.col("text")).alias("punct_ratio"),
+    )
+
+
+TXT_STATS_SQL = f"""
+  SELECT doc_id,
+         LENGTH(text) AS n_chars,
+         LEN(STRING_SPLIT({_NORM_SQL}, ' ')) AS n_tokens,
+         CAST(LENGTH({_NORM_SQL}) - (LEN(STRING_SPLIT({_NORM_SQL}, ' ')) - 1) AS DOUBLE)
+           / LEN(STRING_SPLIT({_NORM_SQL}, ' ')) AS avg_word_len,
+         CASE WHEN LENGTH(text) > 0
+              THEN CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text)
+              ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN LENGTH(text) > 0
+              THEN CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text)
+              ELSE 0.0 END AS punct_ratio
+  FROM documents
+"""
+
+
+def txt_lang_guess(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TXT.lang_guess(F.col("text")).alias("lang_pred"))
+
+
+def _sql_lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in TXT.STOPWORDS[lang])
+    return f"LEN(LIST_FILTER(STRING_SPLIT({_NORM_SQL}, ' '), x -> x IN ({words})))"
+
+
+TXT_LANG_SQL = f"""
+  SELECT doc_id,
+         CASE
+           WHEN {_sql_lang_hits('es')} >= {_sql_lang_hits('fr')}
+            AND {_sql_lang_hits('es')} >= {_sql_lang_hits('en')}
+            AND {_sql_lang_hits('es')} >= {_sql_lang_hits('de')}
+            AND {_sql_lang_hits('es')} > 0 THEN 'es'
+           WHEN {_sql_lang_hits('fr')} >= {_sql_lang_hits('en')}
+            AND {_sql_lang_hits('fr')} >= {_sql_lang_hits('de')}
+            AND {_sql_lang_hits('fr')} > 0 THEN 'fr'
+           WHEN {_sql_lang_hits('en')} >= {_sql_lang_hits('de')}
+            AND {_sql_lang_hits('en')} > 0 THEN 'en'
+           WHEN {_sql_lang_hits('de')} > 0 THEN 'de'
+           ELSE 'und'
+         END AS lang_pred
+  FROM documents
+"""
+
+
+def txt_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", TXT.fingerprint(F.col("text")).alias("fp"))
+
+
+TXT_FINGERPRINT_SQL = f"SELECT doc_id, MD5({_NORM_SQL}) AS fp FROM documents"
+
+
+def dedup_exact(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("first_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+DEDUP_EXACT_SQL = """
+  SELECT MD5(text) AS h, MIN(doc_id) AS first_id, COUNT(*) AS n_dups
+  FROM documents GROUP BY 1
+"""
+
+
+# MinHash over word-bigram shingles. Unigram sets saturate on short-vocab
+# corpora (every doc shares most words → all pairs collide); bigram
+# jaccard is discriminative. 16 hashes in 4 bands × 4 rows gives
+# P(candidate | j) = 1-(1-j^4)^4: ~0.6% at j=0.2, ~95% at j=0.9.
+N_MINHASH = 16
+N_BANDS = 4
+_ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+def _bigram_sets(spark, sf):
+    """doc_id + distinct word-bigram shingle set (empty-shingle docs
+    dropped in both engines so null minhash signatures can't diverge)."""
+    d = _t(spark, sf, "documents")
+    words = tokens(F.col("text"))
+    # bigrams via zip_with(words, tail(words)) — NOT element_at(words, i)
+    # inside a transform lambda: a lambda-indexed reference inlines the
+    # whole normalize+split expression per element (O(n²) regex per doc)
+    n1 = F.greatest(F.size(words) - 1, F.lit(0))
+    bigr = F.slice(
+        F.zip_with(words, F.slice(words, 2, n1), lambda x, y: F.concat_ws(" ", x, y)),
+        1,
+        n1,
+    )
+    # hs = one md5-derived 32-bit hash per shingle; the 16 minhash rows mix
+    # it with linear (a·h+b) mod p transforms — the standard construction,
+    # one expensive hash per shingle instead of 16.
+    # persist: downstream plans fan `sh`/`hs` out into 16 minhash columns —
+    # without a materialization boundary, projection collapse would
+    # re-evaluate normalize→split→shingle per column
+    return (
+        d.select(F.col("doc_id"), F.array_distinct(bigr).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("hs", F.transform(F.col("sh"), lambda t: md5_hash32(t)))
+        .persist()
+    )
+
+
+_BIGRAMS_SQL = f"""
+    SELECT doc_id, sh,
+           LIST_TRANSFORM(sh, x -> ('0x' || SUBSTR(MD5(x), 1, 8))::BIGINT) AS hs
+    FROM (
+      SELECT doc_id,
+             CASE WHEN LEN(words) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(words)),
+                                                    i -> words[i] || ' ' || words[i+1]))
+             END AS sh
+      FROM (SELECT doc_id, STRING_SPLIT({_NORM_SQL}, ' ') AS words FROM documents)
+    ) WHERE LEN(sh) > 0
+"""
+
+# linear minhash family over the shingle hash: (a_i·h + b_i) mod p with
+# p prime > 2^32; products stay < 2^63 so int64 arithmetic is exact in
+# both engines
+_MH_P = 4294967311
+def _mh_a(i: int) -> int: return 2 * i + 3
+def _mh_b(i: int) -> int: return 1000003 * i + 12345
+
+
+def _minhash_bands(spark, sf, base=None):
+    """(doc_id, band_idx, key) — banded minhash of the bigram sets."""
+    if base is None:
+        base = _bigram_sets(spark, sf)
+
+    def mh_col(i):
+        a, b = F.lit(_mh_a(i)), F.lit(_mh_b(i))
+        # one-arg lambda only: a second lambda param would be bound to the
+        # element index by F.transform
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (a * h + b) % F.lit(_MH_P))
+        ).alias(f"mh{i}")
+
+    sig = base.select("doc_id", *[mh_col(i) for i in range(N_MINHASH)])
+    r = _ROWS_PER_BAND
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.concat_ws(
+                            "_", *[F.col(f"mh{r*bi + j}") for j in range(r)]
+                        ).alias("key"),
+                    )
+                    for bi in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.key")
+
+
+def _lsh_candidates(spark, sf, base=None):
+    # persist the signatures: the band self-join would otherwise recompute
+    # the whole normalize→shingle→minhash subtree for both sides (at scale
+    # this is the "write signatures once" stage of the pipeline)
+    bands = _minhash_bands(spark, sf, base=base).persist()
+    return (
+        bands.alias("a")
+        .join(bands.withColumnRenamed("doc_id", "doc_id2").alias("b"), ["band_idx", "key"])
+        .filter(F.col("doc_id") < F.col("doc_id2"))
+        .select(F.col("doc_id").alias("id_1"), F.col("doc_id2").alias("id_2"))
+        .distinct()
+    )
+
+
+_MH_SQL = ", ".join(
+    f"LIST_MIN(LIST_TRANSFORM(hs, h -> ({_mh_a(i)} * h + {_mh_b(i)}) % {_MH_P})) AS mh{i}"
+    for i in range(N_MINHASH)
+)
+_BAND_SQL = " UNION ALL ".join(
+    "SELECT doc_id, {bi} AS band_idx, {key} AS key FROM sig".format(
+        bi=bi,
+        key=" || '_' || ".join(
+            f"mh{_ROWS_PER_BAND*bi + j}::VARCHAR" for j in range(_ROWS_PER_BAND)
+        ),
+    )
+    for bi in range(N_BANDS)
+)
+
+_LSH_CANDIDATES_SQL = f"""
+  WITH s AS ({_BIGRAMS_SQL}),
+  sig AS (SELECT doc_id, {_MH_SQL} FROM s),
+  bands AS ({_BAND_SQL}),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+    FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+  )
+"""
+
+
+def dedup_minhash_lsh(spark, sf):
+    """MinHash + LSH banding candidate pairs (md5-derived hash family —
+    identical integers in both engines)."""
+    return _lsh_candidates(spark, sf)
+
+
+DEDUP_MINHASH_SQL = _LSH_CANDIDATES_SQL + "SELECT id_1, id_2 FROM cand"
+
+
+def dedup_jaccard_pairs(spark, sf):
+    """Near-dup detection, the scalable pipeline: LSH candidates →
+    exact bigram-jaccard verification ≥ 0.5. (The exhaustive-pairwise
+    variant is pytest-only; at scale candidates are the only pairs ever
+    materialized.)"""
+    base = _bigram_sets(spark, sf)
+    cand = _lsh_candidates(spark, sf, base=base)
+    a = base.select(F.col("doc_id").alias("id_1"), F.col("sh").alias("sh1"))
+    b = base.select(F.col("doc_id").alias("id_2"), F.col("sh").alias("sh2"))
+    j = cand.join(a, "id_1").join(b, "id_2")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    uni = F.size(F.array_union("sh1", "sh2"))
+    return (
+        j.withColumn("jac", inter.cast("double") / uni)
+        .filter(F.col("jac") >= 0.5)
+        .select("id_1", "id_2", "jac")
+    )
+
+
+DEDUP_JACCARD_SQL = _LSH_CANDIDATES_SQL + """
+  , s2 AS (SELECT * FROM s)
+  SELECT c.id_1, c.id_2,
+         CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+           / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS jac
+  FROM cand c
+  JOIN s a ON a.doc_id = c.id_1
+  JOIN s2 b ON b.doc_id = c.id_2
+  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+          / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.5
+"""
+
+
+def sim_ann_topk(spark, sf):
+    """Brute-force cosine top-5 for query vectors (vec_id % 50 = 0) —
+    the correctness baseline of the ANN surface."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
+    cos = V.cosine(F.col("q_emb"), F.col("embedding"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+SIM_ANN_SQL = """
+  WITH q AS (
+    SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id % 50 = 0
+  ), e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+  ), p AS (
+    SELECT q.q_id, e.vec_id,
+           LIST_DOT_PRODUCT(q.qe, e.ce)
+             / (SQRT(LIST_DOT_PRODUCT(q.qe, q.qe)) * SQRT(LIST_DOT_PRODUCT(e.ce, e.ce))) AS cos
+    FROM q CROSS JOIN e WHERE e.vec_id != q.q_id
+  ), r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM p
+  )
+  SELECT q_id, vec_id, ROUND(cos, 6) AS cosine FROM r WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, Query] = {
+    "rel_q1_pricing": Query(rel_q1_pricing, REL_Q1_SQL, "scan+filter+agg (S1/P1/A*)"),
+    "rel_q3_top_orders": Query(rel_q3_top_orders, REL_Q3_SQL, "3-way join + agg + top-k"),
+    "rel_q5_nation_revenue": Query(rel_q5_nation_revenue, REL_Q5_SQL, "6-way join + agg"),
+    "rel_window_rank": Query(rel_window_rank, REL_WINDOW_SQL, "window functions (O2)"),
+    "rel_distinct_parts": Query(rel_distinct_parts, REL_DISTINCT_SQL, "distinct (O4)"),
+    "rel_events_hourly": Query(rel_events_hourly, REL_EVENTS_HOURLY_SQL, "time-bucket agg"),
+    "sp_mbb_extent": Query(sp_mbb_extent, SP_MBB_EXTENT_SQL, "A1 space extent"),
+    "sp_fg_histogram": Query(sp_fg_histogram, SP_FG_HISTOGRAM_SQL, "A2 tile histogram + fg fast path"),
+    "sp_join_boxes": Query(sp_join_boxes, SP_JOIN_BOXES_SQL, "J1 partitioned spatial join"),
+    "sp_join_self": Query(sp_join_self, SP_JOIN_SELF_SQL, "J2 self-join"),
+    "sp_dwithin_points": Query(sp_dwithin_points, SP_DWITHIN_SQL, "J5 distance join"),
+    "sp_knn": Query(sp_knn, SP_KNN_SQL, "J4 exact kNN join"),
+    "sp_containment": Query(sp_containment, SP_CONTAINMENT_SQL, "J3 window query"),
+    "sp_box_measures": Query(sp_box_measures, SP_BOX_MEASURES_SQL, "§2.5 pairwise measures"),
+    "sp_haversine": Query(sp_haversine, SP_HAVERSINE_SQL, "geography distance"),
+    "txt_stats": Query(txt_stats, TXT_STATS_SQL, "text quality stats"),
+    "txt_lang_guess": Query(txt_lang_guess, TXT_LANG_SQL, "language id heuristic"),
+    "txt_fingerprint": Query(txt_fingerprint, TXT_FINGERPRINT_SQL, "doc fingerprint"),
+    "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup"),
+    "dedup_jaccard_pairs": Query(dedup_jaccard_pairs, DEDUP_JACCARD_SQL, "n-gram jaccard near-dup"),
+    "dedup_minhash_lsh": Query(dedup_minhash_lsh, DEDUP_MINHASH_SQL, "minhash+LSH candidates"),
+    "sim_ann_topk": Query(sim_ann_topk, SIM_ANN_SQL, "embedding cosine top-k"),
+}
