@@ -1,0 +1,218 @@
+"""Deduplication operators for document pipelines.
+
+Library surface behind the workload's dedup queries, plus SimHash and
+embedding near-dup. All hot paths are JVM Column expressions; the only
+driver-side data is parameters. Hash primitives are md5-derived
+(cross-engine deterministic, see ``functions.text.md5_hash32``).
+
+Techniques (all public knowledge: Broder '97 minhash, Charikar '02
+simhash, banding from Leskovec et al. MMDS):
+
+* ``exact_dedup``        — hash-groupBy, keep first per group
+* ``minhash_lsh_pairs``  — shingle → minhash → band → bucket-join
+* ``simhash64``/``simhash_pairs`` — 64-bit sign fingerprint, near-dup =
+  small Hamming distance (banded by 16-bit chunks for candidates)
+* ``jaccard_verify``     — exact set-jaccard verification of candidates
+* ``embedding_dup_pairs`` — cosine ≥ τ pairs via ANN candidates
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.functions.text import md5_hash32, normalize_text, tokens
+
+__all__ = [
+    "exact_dedup",
+    "shingle_sets",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "jaccard_verify",
+    "simhash64",
+    "simhash_pairs",
+    "embedding_dup_pairs",
+]
+
+MH_PRIME = 4294967311  # prime > 2^32; (a·h+b) products stay < 2^63
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalized: bool = False) -> DataFrame:
+    """Keep the lowest-id row per identical (optionally normalized) text.
+    Distributed: hash-partitioned window, no driver data."""
+    key = F.md5(normalize_text(F.col(text_col))) if normalized else F.md5(F.col(text_col))
+    w = Window.partitionBy("_k").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_k", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_k", "_rn")
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 2) -> DataFrame:
+    """(id, sh, hs): distinct word n-gram shingles + one 32-bit hash per
+    shingle. n-grams built with zip_with chains — never element_at(expr)
+    inside a lambda (that inlines the tokenize expression per element)."""
+    words = tokens(F.col(text_col))
+    if n == 1:
+        sh = F.array_distinct(words)
+    else:
+        nk = F.greatest(F.size(words) - (n - 1), F.lit(0))
+        grams = words
+        for k in range(1, n):
+            grams = F.zip_with(
+                grams, F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0))),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        sh = F.array_distinct(F.slice(grams, 1, nk))
+    return (
+        df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("hs", F.transform(F.col("sh"), lambda t: md5_hash32(t)))
+        .persist()
+    )
+
+
+def minhash_signature(shingled: DataFrame, n_hashes: int = 16) -> DataFrame:
+    """(id, mh0..mh{n-1}) linear minhash family over the shingle hashes."""
+    def mh(i):
+        a, b = F.lit(2 * i + 3), F.lit(1000003 * i + 12345)
+        return F.array_min(
+            F.transform(F.col("hs"), lambda h: (a * h + b) % F.lit(MH_PRIME))
+        ).alias(f"mh{i}")
+
+    return shingled.select("id", *[mh(i) for i in range(n_hashes)])
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      shingle_n: int = 2, n_hashes: int = 16, n_bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs (id_1 < id_2) via banded minhash."""
+    r = n_hashes // n_bands
+    sig = minhash_signature(shingle_sets(df, text_col, id_col, shingle_n), n_hashes).persist()
+    bands = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band_idx"),
+                F.concat_ws("_", *[F.col(f"mh{r*bi+j}") for j in range(r)]).alias("key"),
+            )
+            for bi in range(n_bands)
+        ])).alias("band"),
+    ).select("id", "band.band_idx", "band.key")
+    return (
+        bands.alias("a")
+        .join(bands.withColumnRenamed("id", "id2").alias("b"), ["band_idx", "key"])
+        .filter(F.col("id") < F.col("id2"))
+        .select(F.col("id").alias("id_1"), F.col("id2").alias("id_2"))
+        .distinct()
+    )
+
+
+def jaccard_verify(candidates: DataFrame, shingled: DataFrame, threshold: float) -> DataFrame:
+    """Exact jaccard over candidate pairs; keeps pairs ≥ threshold."""
+    a = shingled.select(F.col("id").alias("id_1"), F.col("sh").alias("_sh1"))
+    b = shingled.select(F.col("id").alias("id_2"), F.col("sh").alias("_sh2"))
+    j = candidates.join(a, "id_1").join(b, "id_2")
+    inter = F.size(F.array_intersect("_sh1", "_sh2"))
+    uni = F.size(F.array_union("_sh1", "_sh2"))
+    return (
+        j.withColumn("jaccard", inter.cast("double") / uni)
+        .filter(F.col("jaccard") >= threshold)
+        .drop("_sh1", "_sh2")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash) 64-bit SimHash over word tokens.
+
+    Per bit b: sign of Σ_tokens (±1 depending on bit b of the token
+    hash). Two md5-derived 32-bit hashes form the 64-bit space. Stored
+    as the bit array folded to a BIGINT via aggregate — all JVM.
+    """
+    words = F.array_distinct(tokens(F.col(text_col)))
+    base = (
+        df.select(F.col(id_col).alias("id"), words.alias("w"))
+        .filter(F.size("w") > 0)
+        .withColumn("h1", F.transform(F.col("w"), lambda t: md5_hash32(t)))
+        .withColumn("h2", F.transform(F.col("w"), lambda t: md5_hash32(F.concat(F.lit("s:"), t))))
+        .persist()
+    )
+
+    def bit(col, b):
+        # +1 if bit b set else -1, summed over tokens; bit = sum > 0
+        votes = F.aggregate(
+            col, F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, b % 32).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0))
+
+    # 63-bit fingerprint: bit 63 would need 1<<63 which overflows signed long
+    sim = F.lit(0).cast("long")
+    for b in range(63):
+        src = F.col("h1") if b < 32 else F.col("h2")
+        sim = sim + bit(src, b).cast("long") * F.lit(1 << b).cast("long")
+    return base.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidates: Hamming(simhash) ≤ max_hamming, banded on
+    16-bit chunks (a pair within distance 3 must agree on ≥1 of 4
+    chunks — pigeonhole), verified with exact popcount."""
+    sig = simhash64(df, text_col, id_col).persist()
+    chunks = sig.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+            )
+            for c in range(4)
+        ])).alias("ck"),
+    ).select("id", "simhash", "ck.chunk_idx", "ck.chunk")
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.select(
+                F.col("id").alias("id2"), F.col("simhash").alias("simhash2"),
+                "chunk_idx", "chunk",
+            ).alias("b"),
+            ["chunk_idx", "chunk"],
+        )
+        .filter(F.col("id") < F.col("id2"))
+        .select(F.col("id").alias("id_1"), F.col("id2").alias("id_2"),
+                "simhash", "simhash2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("simhash2")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )
+
+
+def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+                        threshold: float = 0.95, n_planes: int = 8) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold, with random-
+    hyperplane LSH bucketing as the candidate generator (see
+    operators.similarity.hyperplane_buckets)."""
+    from hadoopgis_spark.functions.vector import cosine
+    from hadoopgis_spark.operators.similarity import hyperplane_buckets
+
+    b = hyperplane_buckets(df, vec_col, id_col, n_planes=n_planes)
+    cand = (
+        b.alias("a")
+        .join(b.select(F.col("id").alias("id2"), F.col("vec").alias("vec2"), "bucket").alias("b"), "bucket")
+        .filter(F.col("id") < F.col("id2"))
+        .select(F.col("id").alias("id_1"), F.col("id2").alias("id_2"), "vec", "vec2")
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    return (
+        cand.withColumn("cosine", cosine(F.col("vec"), F.col("vec2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_1", "id_2", "cosine")
+    )

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``brute_force_topk`` — exact cosine top-k of query vectors against the
+  corpus: broadcast the (small) query set, JVM fold for the dot product,
+  window rank. The correctness baseline.
+* ``hyperplane_buckets`` / ``lsh_topk`` — random-hyperplane LSH (Charikar
+  '02 sign sketch): bucket = sign bits of h·v for n deterministic
+  pseudo-random hyperplanes. The scale path: candidates share a bucket
+  (multi-probe over bands), so the join is bucket-equi instead of
+  all-pairs. Recall < 1 by construction — callers choose n_planes /
+  n_tables for their recall target.
+
+Hyperplane components are derived from md5 of (table, plane, dim) —
+deterministic, no runtime RNG, reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.functions.text import md5_hash32
+from hadoopgis_spark.functions.vector import cosine
+
+__all__ = ["brute_force_topk", "hyperplane_buckets", "lsh_topk"]
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (queries broadcast)."""
+    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(q_id_col)
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        pairs.withColumn("cosine", cosine(F.col(q_vec_col), F.col(vec_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(q_id_col, id_col, "cosine")
+    )
+
+
+def _plane_coeff(table: int, plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
+    h = md5_hash32(F.lit(f"hp:{table}:{plane}:{dim}"))
+    return (h.cast("double") / F.lit(2147483648.0)) - F.lit(1.0)
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_planes: int = 8,
+    table: int = 0,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, vec, bucket): sign-sketch bucket string of each vector."""
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+        if not first:
+            return df.sparkSession.createDataFrame([], "id long, vec array<float>, bucket string")
+        dim = first[0].d
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for p in range(n_planes):
+        # dot(v, plane) as an explicit per-dimension sum: element_at on a
+        # *resolved column* is O(1); coefficients are literals
+        dot = None
+        for d in range(dim):
+            term = F.element_at(v, d + 1) * _plane_coeff(table, p, d)
+            dot = term if dot is None else dot + term
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.concat(*bits).alias("bucket"),
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    n_planes: int = 8,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Approximate top-k: union of per-table bucket joins, exact cosine
+    rank within candidates. Increasing n_tables raises recall."""
+    cand = None
+    for t in range(n_tables):
+        cb = hyperplane_buckets(corpus, vec_col, id_col, n_planes=n_planes, table=t)
+        qb = hyperplane_buckets(queries, q_vec_col, q_id_col, n_planes=n_planes, table=t)
+        c = cb.join(
+            qb.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "bucket"),
+            "bucket",
+        ).select(F.col("qid"), F.col("id"), F.col("qvec"), F.col("vec"))
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.filter(F.col("qid") != F.col("id")).dropDuplicates(["qid", "id"])
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        cand.withColumn("cosine", cosine(F.col("qvec"), F.col("vec")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("qid").alias(q_id_col), F.col("id").alias(id_col), "cosine")
+    )

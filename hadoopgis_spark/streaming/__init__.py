@@ -1,0 +1,16 @@
+"""Structured Streaming operators.
+
+The reference is strictly batch MapReduce (SURVEY §2.9) — this module is
+the forward-looking extension: the same engine functions applied to
+unbounded sources. Batch/stream parity is by construction: every helper
+takes a DataFrame (batch or streaming) and builds the identical
+declarative plan, so the batch oracle validates the streaming logic.
+"""
+
+from hadoopgis_spark.streaming.events import (
+    hourly_event_rollup,
+    streaming_containment,
+    windowed_event_counts,
+)
+
+__all__ = ["windowed_event_counts", "hourly_event_rollup", "streaming_containment"]

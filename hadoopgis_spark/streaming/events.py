@@ -1,0 +1,75 @@
+"""Streaming event analytics (works on batch and streaming frames).
+
+* ``windowed_event_counts`` — tumbling-window counts/sums with a
+  watermark for late data
+* ``hourly_event_rollup``   — the batch-equivalent rollup (oracle-
+  checkable; same expressions)
+* ``streaming_containment`` — spatial window filter applied to a stream
+  (stateless: identical plan on batch and stream)
+
+Event time arrives as raw nanosecond longs (driver testdata uses parquet
+TIMESTAMP(NANOS)); ``_event_time`` converts once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["windowed_event_counts", "hourly_event_rollup", "streaming_containment"]
+
+
+def _event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """ns-long → TimestampType (µs precision is plenty for windows)."""
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type.
+
+    On a streaming frame the watermark bounds state and admits late rows
+    up to ``watermark``; on a batch frame the same plan is a plain
+    grouped aggregation (watermark is a no-op) — that is the parity test.
+    """
+    e = _event_time(events, ts_col)
+    if e.isStreaming:
+        e = e.withWatermark("event_time", watermark)
+    return e.groupBy(
+        F.window("event_time", window).alias("win"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select(
+        F.unix_timestamp("win.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def hourly_event_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Batch rollup equivalent of :func:`windowed_event_counts` at 1 hour."""
+    return windowed_event_counts(events, window="1 hour", ts_col=ts_col)
+
+
+def streaming_containment(
+    events: DataFrame,
+    window_box: tuple[float, float, float, float],
+    x_col="value",
+    y_col="user_id",
+) -> DataFrame:
+    """Stateless spatial filter on a stream: keep events whose derived
+    point falls in the window box. The filter is a pure column predicate,
+    so it runs identically on batch and stream (and pushes down on batch
+    parquet scans)."""
+    x0, y0, x1, y1 = window_box
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    return events.filter((x >= x0) & (x <= x1) & (y >= y0) & (y <= y1))

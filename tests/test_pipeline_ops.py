@@ -1,0 +1,323 @@
+"""Tests: sources (TSV, partitioned loader), dedup/similarity/multimodal
+operators, transforms, streaming — the data-pipeline half of the engine.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.operators import containment
+from hadoopgis_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    jaccard_verify,
+    minhash_lsh_pairs,
+    shingle_sets,
+    simhash64,
+    simhash_pairs,
+)
+from hadoopgis_spark.operators.multimodal import attach_media_meta, decode_image, frame_sample
+from hadoopgis_spark.operators.similarity import brute_force_topk, lsh_topk
+from hadoopgis_spark.operators.transforms import (
+    bernoulli_sample,
+    denormalize_mbb,
+    discretize_coords,
+    normalize_mbb,
+    partition_quality_stats,
+    rect_union_area,
+    uniqpart,
+)
+from hadoopgis_spark.sources import load_partitioned, read_tsv, save_partitioned, write_tsv
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "The quick brown fox jumps over the lazy dog!"),         # normalized dup of 1
+    (4, "a completely different sentence about spark engines"),
+    (5, "the quick brown fox jumps over the sleepy dog"),        # near dup of 1
+    (6, "spark engines process completely different sentences"),
+    (7, "entirely unrelated content here with unique words"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+class TestDedup:
+    def test_exact_dedup(self, spark, docs):
+        kept = {r.doc_id for r in exact_dedup(docs).collect()}
+        assert kept == {1, 3, 4, 5, 6, 7}  # 2 removed (identical to 1)
+        kept_norm = {r.doc_id for r in exact_dedup(docs, normalized=True).collect()}
+        assert kept_norm == {1, 4, 5, 6, 7}  # 3 also collapses
+
+    def test_minhash_finds_near_dups(self, spark, docs):
+        pairs = {(r.id_1, r.id_2) for r in minhash_lsh_pairs(docs).collect()}
+        assert (1, 2) in pairs and (1, 3) in pairs  # exact/normalized dups always collide
+        # verify stage: near dup (1,5) shares most bigrams
+        sh = shingle_sets(docs)
+        cand = minhash_lsh_pairs(docs)
+        verified = {(r.id_1, r.id_2): r.jaccard for r in jaccard_verify(cand, sh, 0.3).collect()}
+        assert verified.get((1, 2)) == 1.0
+        for (i, j) in verified:
+            assert i < j
+
+    def test_simhash(self, spark, docs):
+        sigs = {r.id: r.simhash for r in simhash64(docs).collect()}
+        assert sigs[1] == sigs[2]  # identical text → identical fingerprint
+        pairs = {(r.id_1, r.id_2): r.hamming for r in simhash_pairs(docs, max_hamming=8).collect()}
+        assert pairs.get((1, 2)) == 0
+        assert (1, 3) in pairs  # near-identical after normalization
+        # unrelated docs should not be near in hamming space
+        assert (4, 7) not in pairs or pairs[(4, 7)] > 0
+
+    def test_embedding_dup_pairs(self, spark):
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=8).astype("float32")
+        rows = [
+            (1, [float(v) for v in base]),
+            (2, [float(v) for v in base * 1.001]),        # same direction → cos≈1
+            (3, [float(v) for v in rng.normal(size=8)]),
+            (4, [float(v) for v in -base]),               # opposite
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {(r.id_1, r.id_2): r.cosine for r in embedding_dup_pairs(df, threshold=0.99).collect()}
+        assert (1, 2) in got and got[(1, 2)] > 0.999
+        assert (1, 4) not in got
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.default_rng(11)
+        rows = [(i, [float(v) for v in rng.normal(size=16)]) for i in range(60)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    def test_brute_force_topk(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        got = brute_force_topk(emb, q, k=4).collect()
+        per = {}
+        for r in got:
+            per.setdefault(r.q_id, []).append((r.vec_id, r.cosine))
+        assert set(per) == {0, 1, 2}
+        for qid, rows in per.items():
+            assert len(rows) == 4
+            cos = [c for _, c in rows]
+            assert cos == sorted(cos, reverse=True)
+            assert all(v != qid for v, _ in rows)
+
+    def test_lsh_topk_recall(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        exact = brute_force_topk(emb, q, k=3).collect()
+        approx = lsh_topk(emb, q, k=3, n_planes=4, n_tables=4).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r.q_id, set()).add(r.vec_id)
+        # recall over all queries; 4 tables × 4 planes on 60 vecs is generous
+        hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+        total = sum(len(v) for v in exact_sets.values())
+        assert hits / total >= 0.5, f"LSH recall {hits}/{total}"
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [(i, bytes([i % 256]) * (500 + 137 * i)) for i in range(20)]
+        return spark.createDataFrame(rows, "media_id long, data binary")
+
+    def test_attach_meta(self, spark, media):
+        got = attach_media_meta(media).collect()
+        assert all(r.n_bytes == 500 + 137 * r.media_id for r in got)
+        assert len({r.checksum for r in got}) == 20
+
+    def test_decode_stub(self, spark, media):
+        got = decode_image(media).collect()
+        assert len(got) == 20
+        for r in got:
+            assert 64 <= r.width < 1984 and 64 <= r.height < 1144 and 1 <= r.channels <= 4
+        # determinism
+        again = decode_image(media).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    def test_real_decode_raises(self, spark, media):
+        with pytest.raises(Exception) as ei:
+            decode_image(media, real_decode=True).collect()
+        assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+    def test_frame_sample(self, spark, media):
+        got = frame_sample(media, every_n=2).collect()
+        by_media = {}
+        for r in got:
+            by_media.setdefault(r.media_id, []).append(r.frame_idx)
+        assert set(by_media) == set(range(20))
+        for frames in by_media.values():
+            assert frames == sorted(frames)
+            assert all(f % 2 == 0 for f in frames)
+
+
+class TestTransforms:
+    def test_normalize_roundtrip(self, spark):
+        rows = [(1, 10.0, 20.0, 30.0, 40.0), (2, -5.0, 0.0, 5.0, 10.0)]
+        df = spark.createDataFrame(rows, "id long, xmin double, ymin double, xmax double, ymax double")
+        ext = (-5.0, 0.0, 30.0, 40.0)
+        back = denormalize_mbb(normalize_mbb(df, ext), ext).collect()
+        orig = {r.id: (r.xmin, r.ymin, r.xmax, r.ymax) for r in df.collect()}
+        for r in back:
+            for a, b in zip((r.xmin, r.ymin, r.xmax, r.ymax), orig[r.id]):
+                assert a == pytest.approx(b, abs=1e-9)
+        n = normalize_mbb(df, ext).agg(F.min("xmin"), F.max("xmax")).collect()[0]
+        assert 0.0 <= n[0] and n[1] <= 1.0
+
+    def test_discretize(self, spark):
+        rows = [(1, "POLYGON ((0.4 0.6, 10.3 0.2, 5.1 9.8, 0.4 0.6))"),
+                (2, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"),
+                (3, "POINT (1 2)")]
+        df = spark.createDataFrame(rows, "id long, geom string")
+        got = {r.id: r.geom for r in discretize_coords(df, cell=1.0).collect()}
+        assert got[1] == "POLYGON ((0 1, 10 0, 5 10, 0 1))"
+        assert 2 in got  # holes kept by default
+        assert 3 not in got  # non-polygon dropped
+        got_simple = {r.id for r in discretize_coords(df, skip_complex=True).collect()}
+        assert got_simple == {1}
+
+    def test_partition_quality_stats(self, spark):
+        rows = [(i, f"T{i % 3}") for i in range(30)]
+        df = spark.createDataFrame(rows, "id long, tile_id string")
+        r = partition_quality_stats(df).collect()[0]
+        assert r.n_tiles == 3 and r.n_objects == 30 and r.avg_per_tile == 10.0
+        assert r.stddev_per_tile == 0.0
+
+    def test_uniqpart(self, spark):
+        rows = [(1, "a", 100), (1, "a", 200), (2, "b", 300)]
+        df = spark.createDataFrame(rows, "k long, v string, extra long")
+        assert uniqpart(df).count() == 2
+
+    def test_sampler(self, spark):
+        df = spark.range(10_000)
+        n = bernoulli_sample(df, 0.1).count()
+        assert 700 <= n <= 1300
+
+    def test_rect_union_area(self):
+        tiles = np.array([[0, 0, 10, 10], [5, 5, 15, 15]], dtype=float)
+        assert rect_union_area(tiles) == pytest.approx(175.0)
+        assert rect_union_area(np.zeros((0, 4))) == 0.0
+        # disjoint covers sum exactly
+        grid = np.array([[i * 10, j * 10, (i + 1) * 10, (j + 1) * 10] for i in range(3) for j in range(3)], dtype=float)
+        assert rect_union_area(grid) == pytest.approx(900.0)
+
+
+class TestSources:
+    def test_tsv_roundtrip(self, spark, tmp_path):
+        rows = [(1, "POLYGON ((0 0, 1 0, 0 1, 0 0))", 7), (2, "POINT (3 4)", 8)]
+        df = spark.createDataFrame(rows, "id long, geom string, attr int")
+        p = str(tmp_path / "tsv")
+        write_tsv(df, p)
+        back = read_tsv(spark, p, geom_idx=2)
+        assert back.columns == ["f1", "geom", "f3"]
+        got = {(r.f1, r.geom, r.f3) for r in back.collect()}
+        assert got == {("1", "POLYGON ((0 0, 1 0, 0 1, 0 0))", "7"), ("2", "POINT (3 4)", "8")}
+
+    def test_tsv_bad_geom_idx(self, spark, tmp_path):
+        df = spark.createDataFrame([(1, "x")], "a long, b string")
+        p = str(tmp_path / "t2")
+        write_tsv(df, p)
+        with pytest.raises(ValueError):
+            read_tsv(spark, p, geom_idx=5)
+
+    def test_save_load_partitioned(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(5)
+        rows = []
+        for i in range(400):
+            x, y = rng.uniform(0, 100), rng.uniform(0, 100)
+            pts = [(x, y), (x + 3, y), (x, y + 3)]
+            rows.append((i, "POLYGON ((" + ", ".join(f"{a:.3f} {b:.3f}" for a, b in pts + [pts[0]]) + "))"))
+        df = spark.createDataFrame(rows, "id long, geom string")
+        p = str(tmp_path / "loaded")
+        meta = save_partitioned(df, p, bucket_size=50)
+        assert meta["count"] == 400 and meta["n_tiles"] >= 4
+
+        # full read returns every object exactly once
+        full = load_partitioned(spark, p)
+        assert full.count() == 400
+        assert full.select("id").distinct().count() == 400
+
+        # window query on loaded data == containment on raw data
+        win = "20,20,60,60"
+        expected = {r.id for r in containment(df, win).select("id").collect()}
+        got = {r.id for r in load_partitioned(spark, p, window=win).select("id").collect()}
+        assert got == expected
+        assert len(got) > 0
+
+
+class TestStreaming:
+    def test_windowed_counts_batch_parity(self, spark):
+        from hadoopgis_spark.streaming import hourly_event_rollup
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        got = hourly_event_rollup(ev)
+        rows = got.collect()
+        assert len(rows) > 0
+        assert got.columns == ["window_start", "event_type", "n_events", "sum_value"]
+        # parity with the direct arithmetic rollup
+        direct = (
+            ev.groupBy((F.expr("ts div 3600000000000") * 3600).alias("window_start"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        d = {(r.window_start, r.event_type): r.n_events for r in direct.collect()}
+        g = {(r.window_start, r.event_type): r.n_events for r in rows}
+        assert g == d
+
+    def test_streaming_source_end_to_end(self, spark, tmp_path):
+        """Real streaming: file source → windowed agg with watermark →
+        memory sink; compare with the batch run of the same frame."""
+        from hadoopgis_spark.streaming import windowed_event_counts
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        src = str(tmp_path / "stream_src")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ev.write.mode("overwrite").parquet(src)
+        schema = ev.schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        assert stream.isStreaming
+        agg = windowed_event_counts(stream, window="6 hours", watermark="1 hour")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        batch = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in windowed_event_counts(ev, window="6 hours").collect()
+        }
+        assert got == batch and len(got) > 0
+
+    def test_streaming_containment(self, spark):
+        from hadoopgis_spark.streaming import streaming_containment
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        got = streaming_containment(ev, (0.0, 0.0, 100.0, 50.0))
+        rows = got.collect()
+        assert all(0 <= r.value <= 100 and 0 <= r.user_id <= 50 for r in rows)
