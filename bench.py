@@ -36,7 +36,12 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_jaccard_pairs",
+    "dedup_simhash",
     "sim_ann_topk",
+    "sim_embed_dup",
+    "txt_quality_filter",
+    "agg_partition_stats",
+    "stream_rollup_batch",
 ]
 
 

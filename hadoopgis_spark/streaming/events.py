@@ -20,10 +20,13 @@ __all__ = ["windowed_event_counts", "hourly_event_rollup", "streaming_containmen
 
 
 def _event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """ns-long → TimestampType (µs precision is plenty for windows)."""
-    return df.withColumn(
-        "event_time", F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
-    )
+    """ns-long → TimestampType (µs precision is plenty for windows).
+
+    Integer `div`, not `/1000`: float division of ~1e18 ns longs loses
+    the low bits (double has 53-bit mantissa) and can shift events
+    across window boundaries.
+    """
+    return df.withColumn("event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
 
 
 def windowed_event_counts(

@@ -826,6 +826,213 @@ SIM_ANN_SQL = """
 """
 
 
+def dedup_simhash(spark, sf):
+    """SimHash near-dup pairs: 63-bit fingerprint, 16-bit-chunk banding
+    (lossless for hamming ≤ 3 by pigeonhole), popcount verify."""
+    from hadoopgis_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf, "documents")
+    return simhash_pairs(d, max_hamming=3)
+
+
+def _simhash_sql() -> str:
+    # same construction as operators.dedup.simhash64, generated per bit:
+    # bit b votes = Σ tokens ±1 by bit (b mod 32) of h1 (b<32) / h2 (b>=32)
+    bit_terms = []
+    for b in range(63):
+        src = "h1" if b < 32 else "h2"
+        shift = b % 32
+        bit_terms.append(
+            f"CASE WHEN LIST_SUM(LIST_TRANSFORM({src}, h -> "
+            f"CASE WHEN (h >> {shift}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {1 << b}::BIGINT ELSE 0 END"
+        )
+    sim = " + ".join(bit_terms)
+    return f"""
+  WITH t AS (
+    SELECT doc_id AS id,
+           LIST_DISTINCT(STRING_SPLIT({_NORM_SQL}, ' ')) AS w
+    FROM documents
+  ), h AS (
+    SELECT id,
+           LIST_TRANSFORM(w, x -> ('0x' || SUBSTR(MD5(x), 1, 8))::BIGINT) AS h1,
+           LIST_TRANSFORM(w, x -> ('0x' || SUBSTR(MD5('s:' || x), 1, 8))::BIGINT) AS h2
+    FROM t WHERE LEN(w) > 0
+  ), sig AS (
+    SELECT id, {sim} AS simhash FROM h
+  )
+  SELECT a.id AS id_1, b.id AS id_2,
+         BIT_COUNT(XOR(a.simhash, b.simhash)) AS hamming
+  FROM sig a JOIN sig b ON a.id < b.id
+  WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
+
+
+def sim_embed_dup(spark, sf):
+    """Embedding near-dup pairs via hyperplane LSH buckets + cosine ≥ τ."""
+    from hadoopgis_spark.operators.dedup import embedding_dup_pairs
+
+    e = _t(spark, sf, "embeddings")
+    d = embedding_dup_pairs(e, threshold=0.3, n_planes=8)
+    return d.select("id_1", "id_2", F.round("cosine", 6).alias("cosine"))
+
+
+def _embed_dup_sql(n_planes: int = 8, dim: int = 64, table: int = 0) -> str:
+    import hashlib
+
+    def coeff(p, dd):
+        h = int(hashlib.md5(f"hp:{table}:{p}:{dd}".encode()).hexdigest()[:8], 16)
+        return h / 2147483648.0 - 1.0
+
+    bits = []
+    for p in range(n_planes):
+        dot = " + ".join(f"ce[{dd+1}] * ({coeff(p, dd)!r})" for dd in range(dim))
+        bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+    bucket = " || ".join(bits)
+    # cosine with the same left-assoc fold order as F.aggregate
+    return f"""
+  WITH e AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+  ), b AS (
+    SELECT id, ce, {bucket} AS bucket FROM e
+  ), cand AS (
+    SELECT DISTINCT a.id AS id_1, b2.id AS id_2
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+  ), v AS (
+    SELECT c.id_1, c.id_2,
+           LIST_DOT_PRODUCT(x.ce, y.ce)
+             / (SQRT(LIST_DOT_PRODUCT(x.ce, x.ce)) * SQRT(LIST_DOT_PRODUCT(y.ce, y.ce))) AS cos
+    FROM cand c JOIN e x ON x.id = c.id_1 JOIN e y ON y.id = c.id_2
+  )
+  SELECT id_1, id_2, ROUND(cos, 6) AS cosine FROM v WHERE cos >= 0.3
+"""
+
+
+SIM_EMBED_DUP_SQL = _embed_dup_sql()
+
+
+def txt_quality_filter(spark, sf):
+    """Quality-score filter over documents (score ≥ 0.7)."""
+    d = _t(spark, sf, "documents")
+    score = TXT.quality_score(F.col("text"))
+    return (
+        d.select("doc_id", F.round(score, 6).alias("quality"))
+        .filter(F.col("quality") >= 0.7)
+    )
+
+
+_SW_EN = ", ".join(f"'{w}'" for w in TXT.STOPWORDS["en"])
+TXT_QUALITY_SQL = f"""
+  WITH q AS (
+    SELECT doc_id,
+           LEAST(LENGTH(text) / CAST(500.0 AS DOUBLE), 1.0) AS len_score,
+           CASE WHEN LENGTH(text) > 0
+                THEN CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                ELSE 0.0 END AS alpha,
+           CAST(LENGTH({_NORM_SQL}) - (LEN(STRING_SPLIT({_NORM_SQL}, ' ')) - 1) AS DOUBLE)
+             / LEN(STRING_SPLIT({_NORM_SQL}, ' ')) AS awl,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT({_NORM_SQL}, ' '), x -> x IN ({_SW_EN}))) AS DOUBLE)
+             / LEN(STRING_SPLIT({_NORM_SQL}, ' ')) AS swr
+    FROM documents
+  )
+  SELECT doc_id,
+         ROUND((len_score + alpha
+                + CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END
+                + LEAST(swr * 5.0, 1.0)) / 4.0, 6) AS quality
+  FROM q
+  WHERE ROUND((len_score + alpha
+               + CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END
+               + LEAST(swr * 5.0, 1.0)) / 4.0, 6) >= 0.7
+"""
+
+
+def agg_partition_stats(spark, sf):
+    """A3 partition-quality summary over the fg-grid histogram."""
+    from hadoopgis_spark.operators.transforms import partition_quality_stats
+
+    b = part_boxes(spark, sf)
+    cell = F.lit(62.5)
+    g = (
+        b.select(
+            "id",
+            F.floor(F.col("xmin") / cell).alias("ix0"),
+            F.floor(F.col("xmax") / cell).alias("ix1"),
+            F.floor(F.col("ymin") / cell).alias("iy0"),
+            F.floor(F.col("ymax") / cell).alias("iy1"),
+        )
+        .select("id", F.explode(F.sequence("ix0", "ix1")).alias("ix"), "iy0", "iy1")
+        .select("id", "ix", F.explode(F.sequence("iy0", "iy1")).alias("iy"))
+        .select("id", (F.col("iy") * 16 + F.col("ix")).alias("tile_id"))
+    )
+    return partition_quality_stats(g)
+
+
+AGG_PARTITION_STATS_SQL = f"""
+  WITH b AS ({PART_BOXES_SQL}),
+  cells AS (
+    SELECT b.id, gx.ix, gy.iy
+    FROM b
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS ix) gx
+    CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS iy) gy
+    WHERE gx.ix BETWEEN CAST(FLOOR(b.xmin / 62.5) AS BIGINT) AND CAST(FLOOR(b.xmax / 62.5) AS BIGINT)
+      AND gy.iy BETWEEN CAST(FLOOR(b.ymin / 62.5) AS BIGINT) AND CAST(FLOOR(b.ymax / 62.5) AS BIGINT)
+  ),
+  hist AS (SELECT iy * 16 + ix AS tile_id, COUNT(*) AS n FROM cells GROUP BY 1)
+  SELECT COUNT(*) AS n_tiles,
+         SUM(n) AS n_objects,
+         ROUND(AVG(n), 6) AS avg_per_tile,
+         MIN(n) AS min_per_tile,
+         MAX(n) AS max_per_tile,
+         ROUND(STDDEV_SAMP(n), 6) AS stddev_per_tile
+  FROM hist
+"""
+
+
+def sp_normalize_mbb(spark, sf):
+    """T2 unit-space normalization of part boxes (extent from the data)."""
+    from hadoopgis_spark.operators.mbb import space_extent
+    from hadoopgis_spark.operators.transforms import normalize_mbb
+
+    b = part_boxes(spark, sf)
+    x0, y0, x1, y1, _ = space_extent(b)
+    return normalize_mbb(b, (x0, y0, x1, y1)).select("id", "xmin", "ymin", "xmax", "ymax")
+
+
+SP_NORMALIZE_SQL = f"""
+  WITH b AS ({PART_BOXES_SQL}),
+  ext AS (
+    SELECT MIN(xmin) AS x0, MIN(ymin) AS y0, MAX(xmax) AS x1, MAX(ymax) AS y1 FROM b
+  )
+  SELECT id,
+         (xmin - x0) / (x1 - x0) AS xmin,
+         (ymin - y0) / (y1 - y0) AS ymin,
+         (xmax - x0) / (x1 - x0) AS xmax,
+         (ymax - y0) / (y1 - y0) AS ymax
+  FROM b, ext
+"""
+
+
+def stream_rollup_batch(spark, sf):
+    """The streaming module's tumbling-window rollup on a batch frame —
+    batch/stream parity means this oracle also validates the stream."""
+    from hadoopgis_spark.streaming import hourly_event_rollup
+
+    return hourly_event_rollup(_t(spark, sf, "events"))
+
+
+STREAM_ROLLUP_SQL = """
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+         event_type,
+         COUNT(*) AS n_events,
+         ROUND(SUM(value), 2) AS sum_value
+  FROM events
+  GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -852,5 +1059,11 @@ REGISTRY: dict[str, Query] = {
     "dedup_exact": Query(dedup_exact, DEDUP_EXACT_SQL, "exact dedup"),
     "dedup_jaccard_pairs": Query(dedup_jaccard_pairs, DEDUP_JACCARD_SQL, "n-gram jaccard near-dup"),
     "dedup_minhash_lsh": Query(dedup_minhash_lsh, DEDUP_MINHASH_SQL, "minhash+LSH candidates"),
+    "dedup_simhash": Query(dedup_simhash, DEDUP_SIMHASH_SQL, "simhash near-dup"),
     "sim_ann_topk": Query(sim_ann_topk, SIM_ANN_SQL, "embedding cosine top-k"),
+    "sim_embed_dup": Query(sim_embed_dup, SIM_EMBED_DUP_SQL, "embedding near-dup via LSH"),
+    "txt_quality_filter": Query(txt_quality_filter, TXT_QUALITY_SQL, "quality-score filter"),
+    "agg_partition_stats": Query(agg_partition_stats, AGG_PARTITION_STATS_SQL, "A3 partition quality"),
+    "sp_normalize_mbb": Query(sp_normalize_mbb, SP_NORMALIZE_SQL, "T2 unit-space normalize"),
+    "stream_rollup_batch": Query(stream_rollup_batch, STREAM_ROLLUP_SQL, "streaming rollup (batch parity)"),
 }
