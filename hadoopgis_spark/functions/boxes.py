@@ -39,9 +39,16 @@ def _c(v) -> Column:
 
 def box_intersects(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1, pad=0.0) -> Column:
     """Closed-box overlap; ``pad`` expands box A by a distance (the
-    reference's dwithin MBB expansion, ``spjoin_2d.hpp:61-66``)."""
+    reference's dwithin MBB expansion, ``spjoin_2d.hpp:61-66``).
+
+    A statically-zero pad emits bare column comparisons — `xmin - 0.0`
+    style arithmetic would block Parquet filter pushdown (the scan only
+    skips row groups on untransformed column predicates).
+    """
     ax0, ay0, ax1, ay1 = _c(ax0), _c(ay0), _c(ax1), _c(ay1)
     bx0, by0, bx1, by1 = _c(bx0), _c(by0), _c(bx1), _c(by1)
+    if isinstance(pad, (int, float)) and pad == 0:
+        return (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
     p = _c(pad)
     return (
         (ax0 - p <= bx1) & (bx0 <= ax1 + p) & (ay0 - p <= by1) & (by0 <= ay1 + p)

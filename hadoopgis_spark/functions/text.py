@@ -99,22 +99,37 @@ def stopword_ratio(col, lang: str = "en") -> Column:
 
 def lang_guess(col) -> Column:
     """Stopword-vote language heuristic: the language whose stopword list
-    scores the most token hits; 'und' (undetermined) when no hits."""
+    scores the most token hits; 'und' (undetermined) when no hits.
+
+    Single-pass: all four languages' votes are packed into one long
+    (14-bit lanes) accumulated by ONE aggregate over the token array —
+    the tokenize expression is evaluated once, not per language.
+    Per-language counts cap at 2^14-1 hits (ample for any document).
+    """
     t = tokens(col)
+    langs = sorted(STOPWORDS)  # lane order: de, en, es, fr
+    arrays = {lang: F.array(*[F.lit(w) for w in STOPWORDS[lang]]) for lang in langs}
 
-    def hits(words):
-        sw = F.array(*[F.lit(w) for w in words])
-        # one-arg lambda: F.filter treats a second param as the index
-        return F.size(F.filter(t, lambda x: F.array_contains(sw, x)))
+    def tok_votes(tok):
+        s = F.lit(0).cast("long")
+        for i, lang in enumerate(langs):
+            s = s + F.when(
+                F.array_contains(arrays[lang], tok), F.lit(1 << (14 * i)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return s
 
-    scores = [(lang, hits(words)) for lang, words in STOPWORDS.items()]
+    packed = F.aggregate(t, F.lit(0).cast("long"), lambda acc, tok: acc + tok_votes(tok))
+    hits = {
+        lang: F.shiftright(packed, 14 * i).bitwiseAND(F.lit((1 << 14) - 1))
+        for i, lang in enumerate(langs)
+    }
     # argmax with deterministic tie-break on language code order
     best = F.lit("und")
     best_score = F.lit(0)
-    for lang, score in sorted(scores, key=lambda p: p[0], reverse=True):
-        cond = score > best_score
+    for lang in sorted(langs, reverse=True):
+        cond = hits[lang] > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, score).otherwise(best_score)
+        best_score = F.when(cond, hits[lang]).otherwise(best_score)
     return best
 
 

@@ -29,7 +29,12 @@ def with_mbb(df: DataFrame, geom_col: str = "geom", drop_invalid: bool = True) -
     """
     if all(c in df.columns for c in MBB_COLS):
         return df
-    out = df.withColumn("_mbb", st_mbb(F.col(geom_col))).select(
+    # asNondeterministic: stops Catalyst from duplicating the parse UDF
+    # into the null-filter and each projected field (1 Arrow stage per
+    # side instead of 2+; the parse IS deterministic, the marker only
+    # pins evaluate-once placement)
+    mbb_once = st_mbb.asNondeterministic()(F.col(geom_col))
+    out = df.withColumn("_mbb", mbb_once).select(
         "*",
         F.col("_mbb.xmin").alias("xmin"),
         F.col("_mbb.ymin").alias("ymin"),

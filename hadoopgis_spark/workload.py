@@ -1033,6 +1033,107 @@ STREAM_ROLLUP_SQL = """
 """
 
 
+def rel_semi_join(spark, sf):
+    """EXISTS via left-semi join: orders with a >90k-value line item."""
+    o = _t(spark, sf, "orders")
+    l = _t(spark, sf, "lineitem").filter(F.col("l_extendedprice") > 90000.0)
+    return o.join(l, o.o_orderkey == l.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+REL_SEMI_SQL = """
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE EXISTS (SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_extendedprice > 90000.0)
+"""
+
+
+def rel_anti_join(spark, sf):
+    """NOT EXISTS via left-anti join: customers with no urgent orders."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+REL_ANTI_SQL = """
+  SELECT c_custkey, c_name FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def rel_rollup(spark, sf):
+    """ROLLUP aggregation (grouping sets come free with Catalyst)."""
+    l = _t(spark, sf, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+REL_ROLLUP_SQL = """
+  SELECT l_returnflag, l_linestatus,
+         SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+  FROM lineitem
+  GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def sp_interval_join(spark, sf):
+    """Temporal-extension interval overlap join, run on the spatial
+    engine as degenerate 1-D boxes (slc time strips)."""
+    from hadoopgis_spark.functions.temporal import interval_join
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 1500)
+    start = F.unix_timestamp("o_orderdate")
+    iv = o.select(
+        F.col("o_orderkey").alias("id"),
+        start.alias("start"),
+        (start + ((F.col("o_orderkey") % 30) + 1) * 86400).alias("end"),
+    )
+    j = interval_join(iv, None, bucket_size=200)
+    return j.select("id_1", "id_2", "start_1", "end_1", "start_2", "end_2")
+
+
+SP_INTERVAL_SQL = """
+  WITH iv AS (
+    SELECT o_orderkey AS id,
+           CAST(epoch(o_orderdate) AS BIGINT) AS s,
+           CAST(epoch(o_orderdate) AS BIGINT) + ((o_orderkey % 30) + 1) * 86400 AS e
+    FROM orders WHERE o_orderkey <= 1500
+  )
+  SELECT a.id AS id_1, b.id AS id_2,
+         a.s AS start_1, a.e AS end_1, b.s AS start_2, b.e AS end_2
+  FROM iv a JOIN iv b
+    ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
+"""
+
+
+def sp_join_fields(spark, sf):
+    """P1: the reference's -f output grammar over a join result
+    (spec '1:1,2:1,intersect' ≡ resque -f)."""
+    from hadoopgis_spark.operators.fields import select_fields
+
+    a = part_boxes(spark, sf)
+    b = customer_boxes(spark, sf)
+    j = spatial_join(a, b, "st_intersects", bucket_size=400, stats=["intersect"])
+    return select_fields(j, "1:1,2:1,intersect", a.columns, b.columns)
+
+
+SP_JOIN_FIELDS_SQL = f"""
+  WITH a AS ({PART_BOXES_SQL}), b AS ({CUSTOMER_BOXES_SQL})
+  SELECT a.id AS "1_1", b.id AS "2_1",
+         GREATEST(0.0, LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin))
+           * GREATEST(0.0, LEAST(a.ymax, b.ymax) - GREATEST(a.ymin, b.ymin)) AS intersect
+  FROM a JOIN b
+    ON a.xmin <= b.xmax AND b.xmin <= a.xmax
+   AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1066,4 +1167,9 @@ REGISTRY: dict[str, Query] = {
     "agg_partition_stats": Query(agg_partition_stats, AGG_PARTITION_STATS_SQL, "A3 partition quality"),
     "sp_normalize_mbb": Query(sp_normalize_mbb, SP_NORMALIZE_SQL, "T2 unit-space normalize"),
     "stream_rollup_batch": Query(stream_rollup_batch, STREAM_ROLLUP_SQL, "streaming rollup (batch parity)"),
+    "rel_semi_join": Query(rel_semi_join, REL_SEMI_SQL, "left-semi (EXISTS)"),
+    "rel_anti_join": Query(rel_anti_join, REL_ANTI_SQL, "left-anti (NOT EXISTS)"),
+    "rel_rollup": Query(rel_rollup, REL_ROLLUP_SQL, "ROLLUP grouping sets"),
+    "sp_interval_join": Query(sp_interval_join, SP_INTERVAL_SQL, "temporal interval join (spt ext)"),
+    "sp_join_fields": Query(sp_join_fields, SP_JOIN_FIELDS_SQL, "P1 -f output grammar"),
 }

@@ -1,0 +1,121 @@
+"""Physical-plan assertions — the 100 TB design contracts.
+
+These tests pin the *plan shape*, not timings: filters reach the parquet
+scan, tile tables broadcast, the pair join shuffles exactly once per
+side, dedup adds no extra shuffle, codegen covers the hot expressions.
+A regression here is a scale regression even if small-data tests stay
+green.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.operators import containment, spatial_join
+from hadoopgis_spark.plans import (
+    count_codegen_nodes,
+    count_exchanges,
+    formatted_plan,
+    has_broadcast,
+    pushed_filters,
+    scan_read_schema,
+)
+
+
+@pytest.fixture(scope="module")
+def boxes_parquet(spark, tmp_path_factory):
+    """Box-native dataset materialized to parquet (stats-bearing scan)."""
+    p = str(tmp_path_factory.mktemp("plans") / "boxes")
+    import random
+
+    rng = random.Random(0)
+    rows = [
+        (
+            i,
+            x := rng.uniform(0, 1000),
+            y := rng.uniform(0, 1000),
+            x + rng.uniform(1, 10),
+            y + rng.uniform(1, 10),
+        )
+        for i in range(5000)
+    ]
+    spark.createDataFrame(
+        rows, "id long, xmin double, ymin double, xmax double, ymax double"
+    ).write.mode("overwrite").parquet(p)
+    return p
+
+
+class TestContainmentPushdown:
+    def test_window_filter_reaches_parquet_scan(self, spark, boxes_parquet):
+        df = spark.read.parquet(boxes_parquet)
+        q = containment(df, "200,200,600,600")
+        pushed = pushed_filters(q)
+        # the MBB range conjuncts must be pushed (row-group min/max skip)
+        assert any("xmin" in p and "LessThanOrEqual" in p for p in pushed), pushed
+        assert any("xmax" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
+
+    def test_column_pruning(self, spark, boxes_parquet):
+        df = spark.read.parquet(boxes_parquet)
+        q = containment(df, "200,200,600,600").select("id")
+        schemas = scan_read_schema(q)
+        # id + the 4 mbb filter columns; nothing else
+        assert all("ymax" in s and "id" in s for s in schemas)
+
+
+class TestJoinShape:
+    def test_spatial_join_single_shuffle_pair(self, spark, boxes_parquet):
+        df = spark.read.parquet(boxes_parquet)
+        j = spatial_join(df, None, "st_intersects", bucket_size=500)
+        # tile multicast must be broadcast, not shuffle
+        assert has_broadcast(j)
+        # exactly one shuffle per side for the tile co-partitioning; the
+        # reference-point dedup must NOT add a distinct/exchange on top
+        assert count_exchanges(j) == 2, formatted_plan(j)[:2000]
+        plan = formatted_plan(j)
+        assert "BroadcastNestedLoopJoin" in plan  # tile assignment
+        import re
+
+        shuffle_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan))
+        assert shuffle_joins == 1, plan[:1500]
+
+    def test_mbr_partitioner_uses_distinct(self, spark, boxes_parquet):
+        df = spark.read.parquet(boxes_parquet)
+        j = spatial_join(df, None, "st_intersects", bucket_size=500, partitioner="str")
+        # str tiles may overlap → dedup is a distinct → one extra exchange
+        assert count_exchanges(j) == 3, formatted_plan(j)[:2000]
+
+    def test_box_join_stays_in_codegen(self, spark, boxes_parquet):
+        df = spark.read.parquet(boxes_parquet)
+        # codegen ids only show in non-AQE plans before execution
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            j = spatial_join(df, None, "st_intersects", bucket_size=500)
+            # box mode has no Python: every hot operator is codegen'd, and
+            # no Arrow/Python eval nodes appear
+            plan = formatted_plan(j)
+            assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+            assert count_codegen_nodes(j) >= 5, plan[:1500]
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    def test_wkt_refine_is_single_python_stage(self, spark):
+        rows = [(i, f"POLYGON (({i} 0, {i+5} 0, {i} 5, {i} 0))") for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, geom string")
+        j = spatial_join(df, None, "st_intersects", bucket_size=100)
+        plan = formatted_plan(j)
+        import re
+
+        # minimal Python footprint: one MBB parse per join side + one
+        # refine — nothing else leaves the JVM
+        arrow_nodes = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+        assert arrow_nodes == 3, plan[:1500]
+
+
+class TestAggPushdown:
+    def test_extent_agg_is_partial(self, spark, boxes_parquet):
+        from hadoopgis_spark.operators.mbb import MBB_COLS
+
+        df = spark.read.parquet(boxes_parquet)
+        agg = df.agg(F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax"), F.count(F.lit(1)))
+        plan = formatted_plan(agg)
+        # partial_min/... before the single-partition exchange = map-side combine
+        assert "partial_min" in plan and "partial_count" in plan

@@ -1,0 +1,81 @@
+"""Temporal interval extension + the -f output-field grammar."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.functions.temporal import (
+    interval_contains,
+    interval_intersects,
+    interval_join,
+    interval_mindist,
+)
+from hadoopgis_spark.operators import spatial_join
+from hadoopgis_spark.operators.fields import select_fields
+
+
+class TestIntervalPredicates:
+    def test_predicates(self, spark):
+        rows = [
+            (1, 0, 10, 5, 15, True, False, 0),     # overlap
+            (2, 0, 10, 12, 20, False, False, 2),   # gap of 2
+            (3, 0, 10, 2, 8, True, True, 0),       # containment
+            (4, 0, 10, 10, 20, True, False, 0),    # touching endpoints
+        ]
+        df = spark.createDataFrame(
+            rows, "id long, s1 long, e1 long, s2 long, e2 long, want_i boolean, want_c boolean, want_d long"
+        )
+        got = df.select(
+            "id",
+            interval_intersects("s1", "e1", "s2", "e2").alias("i"),
+            interval_contains("s1", "e1", "s2", "e2").alias("c"),
+            interval_mindist("s1", "e1", "s2", "e2").alias("d"),
+            "want_i", "want_c", "want_d",
+        ).collect()
+        for r in got:
+            assert r.i == r.want_i and r.c == r.want_c and r.d == r.want_d, r
+
+
+class TestIntervalJoin:
+    def test_matches_bruteforce(self, spark):
+        import random
+
+        rng = random.Random(13)
+        rows = [(i, s := rng.randint(0, 10_000), s + rng.randint(1, 300)) for i in range(1, 301)]
+        df = spark.createDataFrame(rows, "id long, start long, end long")
+        got = {
+            (r.id_1, r.id_2)
+            for r in interval_join(df, None, bucket_size=40).select("id_1", "id_2").collect()
+        }
+        expected = {
+            (i, j)
+            for i, s1, e1 in rows
+            for j, s2, e2 in rows
+            if i < j and s1 <= e2 and s2 <= e1
+        }
+        assert got == expected and len(expected) > 100
+
+
+class TestFieldsGrammar:
+    @pytest.fixture(scope="class")
+    def joined(self, spark):
+        rows_a = [(i, float(i), 0.0, i + 5.0, 5.0, f"a{i}") for i in range(20)]
+        rows_b = [(i, i + 2.0, 0.0, i + 6.0, 4.0, f"b{i}") for i in range(20)]
+        a = spark.createDataFrame(rows_a, "id long, xmin double, ymin double, xmax double, ymax double, tag string")
+        b = spark.createDataFrame(rows_b, "id long, xmin double, ymin double, xmax double, ymax double, tag string")
+        j = spatial_join(a, b, "st_intersects", bucket_size=10,
+                         stats=["area2", "jaccard", "tileid"])
+        return j, a.columns, b.columns
+
+    def test_reference_spec(self, spark, joined):
+        j, ac, bc = joined
+        out = select_fields(j, "1:1, 2:6, area2, jaccard, tileid", ac, bc)
+        assert out.columns == ["1_1", "2_6", "area2", "jaccard", "tileid"]
+        rows = out.collect()
+        assert len(rows) > 0
+        assert all(r["2_6"].startswith("b") for r in rows)
+
+    def test_bad_specs(self, spark, joined):
+        j, ac, bc = joined
+        for bad in ["3:1", "1:99", "nope", "", "1:x"]:
+            with pytest.raises(ValueError):
+                select_fields(j, bad, ac, bc)
