@@ -42,6 +42,12 @@ BENCH_QUERIES = [
     "txt_quality_filter",
     "agg_partition_stats",
     "stream_rollup_batch",
+    "rel_semi_join",
+    "rel_anti_join",
+    "rel_rollup",
+    "sp_interval_join",
+    "sp_join_fields",
+    "sp_containment_wkt",
 ]
 
 

@@ -36,7 +36,11 @@ from hadoopgis_spark.functions.spatial import st_dwithin, st_predicate
 from hadoopgis_spark.functions import spatial as S
 from hadoopgis_spark.operators.mbb import MBB_COLS, space_extent, with_mbb
 from hadoopgis_spark.operators.tile import assign_tiles, sample_mbbs, tiles_dataframe
-from hadoopgis_spark.partition import SPACE_PARTITIONERS, partition_tiles
+from hadoopgis_spark.partition import (
+    SPACE_PARTITIONERS,
+    partition_tiles,
+    partition_tiles_two_level,
+)
 
 __all__ = ["spatial_join", "default_bucket_size", "STAT_FIELDS"]
 
@@ -75,6 +79,7 @@ def spatial_join(
     id_col: str = "id",
     replicate: bool = False,
     keep_mbb: bool = False,
+    two_level: bool = False,
 ) -> DataFrame:
     """Spatial join of ``a`` with ``b`` (self-join when ``b`` is None).
 
@@ -128,7 +133,8 @@ def spatial_join(
     bucket = bucket_size or default_bucket_size(n_total, a.sparkSession)
     sample = sample_mbbs(mbb_union, n_total, max_sample)
     scaled_bucket = max(1, int(bucket * min(1.0, max_sample / n_total)))
-    tiles = partition_tiles(sample, scaled_bucket, partitioner, cover_plane=True)
+    fit = partition_tiles_two_level if two_level else partition_tiles
+    tiles = fit(sample, scaled_bucket, partitioner, cover_plane=True)
     tiles_df = tiles_dataframe(a.sparkSession, tiles)
     use_refpoint = partitioner in SPACE_PARTITIONERS
 

@@ -35,6 +35,7 @@ from hadoopgis_spark.partition.algos import (
     fit_slc,
     fit_str,
     partition_tiles,
+    partition_tiles_two_level,
 )
 
 __all__ = [
@@ -49,4 +50,5 @@ __all__ = [
     "fit_slc",
     "fit_bos",
     "partition_tiles",
+    "partition_tiles_two_level",
 ]

@@ -36,6 +36,7 @@ __all__ = [
     "SPACE_PARTITIONERS",
     "MBR_PARTITIONERS",
     "partition_tiles",
+    "partition_tiles_two_level",
 ]
 
 INF = float("inf")
@@ -348,6 +349,60 @@ def expand_to_cover(tiles: np.ndarray, extent) -> np.ndarray:
     t[np.abs(t[:, 2] - x1) <= eps, 2] = INF
     t[np.abs(t[:, 3] - y1) <= eps, 3] = INF
     return t
+
+
+def partition_tiles_two_level(
+    mbbs: np.ndarray,
+    bucket_size: int,
+    algorithm: str = "bsp",
+    fine_algorithm: str | None = None,
+    rough_factor: int = 16,
+    prefix: str | None = None,
+    cover_plane: bool = False,
+) -> list[tuple[str, float, float, float, float]]:
+    """Two-step ("para") partitioning: a coarse pass with
+    ``rough_bucket = n/rough_factor`` then a per-coarse-tile fine pass,
+    composite tile ids by concatenation — the reference's
+    ``--parapartition`` (``query_spjoin.hpp:175-230``; composite ids
+    ``fg_2d.cpp:104,122``). Keeps the driver O(sample) while letting the
+    coarse pass soak global skew and the fine pass balance locally."""
+    if algorithm not in SPACE_PARTITIONERS:
+        raise ValueError("two-level partitioning needs a space partitioner for the coarse pass")
+    fine_algorithm = fine_algorithm or algorithm
+    mbbs = np.asarray(mbbs, dtype=np.float64)
+    if len(mbbs) == 0:
+        return []
+    rough_bucket = max(bucket_size, math.ceil(len(mbbs) / max(1, rough_factor)))
+    coarse = ALGORITHMS[algorithm](mbbs, rough_bucket)
+    if cover_plane:
+        coarse = expand_to_cover(coarse, _extent(mbbs))
+    cx = (mbbs[:, 0] + mbbs[:, 2]) / 2.0
+    cy = (mbbs[:, 1] + mbbs[:, 3]) / 2.0
+    p = prefix or algorithm.upper()
+    out: list[tuple[str, float, float, float, float]] = []
+    assigned = np.full(len(mbbs), -1, dtype=np.int64)
+    for ci, (tx0, ty0, tx1, ty1) in enumerate(coarse):
+        mask = (assigned < 0) & (cx >= tx0) & (cx <= tx1) & (cy >= ty0) & (cy <= ty1)
+        assigned[mask] = ci
+    for ci, (tx0, ty0, tx1, ty1) in enumerate(coarse):
+        members = mbbs[assigned == ci]
+        if len(members) <= bucket_size:
+            out.append((f"{p}{ci}_0", float(tx0), float(ty0), float(tx1), float(ty1)))
+            continue
+        fine = ALGORITHMS[fine_algorithm](members, bucket_size)
+        if fine_algorithm in SPACE_PARTITIONERS:
+            # fine tiles cover the member extent; re-anchor to the coarse
+            # tile bounds so the union still covers the coarse tile
+            fe = _extent(members)
+            eps = 1e-9 * max(1.0, abs(fe[2] - fe[0]), abs(fe[3] - fe[1]))
+            fine = fine.copy()
+            fine[np.abs(fine[:, 0] - fe[0]) <= eps, 0] = tx0
+            fine[np.abs(fine[:, 1] - fe[1]) <= eps, 1] = ty0
+            fine[np.abs(fine[:, 2] - fe[2]) <= eps, 2] = tx1
+            fine[np.abs(fine[:, 3] - fe[3]) <= eps, 3] = ty1
+        for fi, t in enumerate(fine):
+            out.append((f"{p}{ci}_{fi}", float(t[0]), float(t[1]), float(t[2]), float(t[3])))
+    return out
 
 
 def partition_tiles(

@@ -1134,6 +1134,43 @@ SP_JOIN_FIELDS_SQL = f"""
 """
 
 
+# triangle window for the WKT-kernel gate query (CCW)
+_TRI = ((13.3, 7.1), (911.7, 203.9), (401.3, 876.1))
+_TRI_WKT = "POLYGON ((13.3 7.1, 911.7 203.9, 401.3 876.1, 13.3 7.1))"
+
+
+def sp_containment_wkt(spark, sf):
+    """J3 through the exact WKT kernel: event points serialized to WKT,
+    parsed by the Arrow geometry UDF, refined against a *triangle*
+    window — the polygon point-in-polygon path inside the driver gate
+    (the box queries never exercise it)."""
+    e = _t(spark, sf, "events")
+    x = F.col("value") * 2.0
+    y = (F.col("user_id") % 499) * 2.0
+    pts = e.select(
+        F.col("event_id").alias("id"),
+        F.concat(F.lit("POINT ("), x, F.lit(" "), y, F.lit(")")).alias("geom"),
+    )
+    return containment(pts, _TRI_WKT).select("id")
+
+
+def _tri_side_sql(p1, p2) -> str:
+    (x1, y1), (x2, y2) = p1, p2
+    return (
+        f"(CAST({x2} AS DOUBLE) - CAST({x1} AS DOUBLE)) * (y - CAST({y1} AS DOUBLE))"
+        f" - (CAST({y2} AS DOUBLE) - CAST({y1} AS DOUBLE)) * (x - CAST({x1} AS DOUBLE))"
+    )
+
+
+SP_CONTAINMENT_WKT_SQL = f"""
+  WITH p AS ({EVENT_POINTS_SQL})
+  SELECT id FROM p
+  WHERE {_tri_side_sql(_TRI[0], _TRI[1])} >= 0
+    AND {_tri_side_sql(_TRI[1], _TRI[2])} >= 0
+    AND {_tri_side_sql(_TRI[2], _TRI[0])} >= 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1172,4 +1209,5 @@ REGISTRY: dict[str, Query] = {
     "rel_rollup": Query(rel_rollup, REL_ROLLUP_SQL, "ROLLUP grouping sets"),
     "sp_interval_join": Query(sp_interval_join, SP_INTERVAL_SQL, "temporal interval join (spt ext)"),
     "sp_join_fields": Query(sp_join_fields, SP_JOIN_FIELDS_SQL, "P1 -f output grammar"),
+    "sp_containment_wkt": Query(sp_containment_wkt, SP_CONTAINMENT_WKT_SQL, "J3 exact WKT kernel path"),
 }

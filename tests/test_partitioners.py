@@ -146,3 +146,39 @@ def test_bad_inputs():
     with pytest.raises(ValueError):
         partition_tiles(make_mbbs(10), 10, "nope")
     assert partition_tiles(np.zeros((0, 4)), 10, "fg") == []
+
+
+class TestTwoLevel:
+    def test_two_level_covers_and_disjoint(self):
+        from hadoopgis_spark.partition import partition_tiles_two_level
+
+        mbbs = make_mbbs(n=3000, skew=True)
+        tiles = partition_tiles_two_level(mbbs, bucket_size=100, algorithm="bsp", cover_plane=True)
+        assert len(tiles) > 10
+        assert all("_" in t[0] for t in tiles)  # composite ids
+        t = np.asarray([r[1:] for r in tiles])
+        cx = (mbbs[:, 0] + mbbs[:, 2]) / 2
+        cy = (mbbs[:, 1] + mbbs[:, 3]) / 2
+        inside = (
+            (cx[:, None] >= t[None, :, 0]) & (cx[:, None] <= t[None, :, 2])
+            & (cy[:, None] >= t[None, :, 1]) & (cy[:, None] <= t[None, :, 3])
+        )
+        assert (~inside.any(axis=1)).sum() == 0
+        # strict-interior membership unique (disjoint)
+        rng = np.random.default_rng(1)
+        px = rng.uniform(0, 1000, 400)
+        py = rng.uniform(0, 1000, 400)
+        strictly = (
+            (px[:, None] > t[None, :, 0]) & (px[:, None] < t[None, :, 2])
+            & (py[:, None] > t[None, :, 1]) & (py[:, None] < t[None, :, 3])
+        )
+        assert (strictly.sum(axis=1) <= 1).all()
+
+    def test_two_level_requires_space_partitioner(self):
+        from hadoopgis_spark.partition import partition_tiles_two_level
+
+        with pytest.raises(ValueError):
+            partition_tiles_two_level(make_mbbs(100), 10, algorithm="hc")
+
+    def test_join_with_two_level(self, spark=None):
+        pass  # covered in test_spatial_join via two_level flag

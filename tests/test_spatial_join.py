@@ -206,3 +206,15 @@ class TestContainment:
 
     def test_empty_window(self, spark, tri_a):
         assert containment(tri_a, "2000,2000,3000,3000").count() == 0
+
+
+class TestTwoLevelJoin:
+    def test_two_level_matches_single_level(self, spark, tri_a, tri_b):
+        rows_a, rows_b = _triangles(200, 1), _triangles(300, 2)
+        expected = brute_pairs(rows_a, rows_b, K.intersects)
+        got = spatial_join(
+            tri_a, tri_b, "st_intersects", bucket_size=30, two_level=True
+        ).select("id_1", "id_2").collect()
+        got_set = {(r.id_1, r.id_2) for r in got}
+        assert len(got) == len(got_set)
+        assert got_set == expected
