@@ -9,44 +9,99 @@ approximate**: neighbors living in other tiles are never seen.
 Spark restatement:
 
 * ``mode="tile"`` — reference semantics: candidates are tile-co-located
-  pairs, ranked by distance with a window, ``row_number() <= k``.
-  (Improvement kept result-compatible: pairs found in several shared
-  tiles are deduped before ranking, so an object gets one global
-  k-list over its tile neighborhood instead of k per tile.)
+  pairs, ranked by distance, ``row_number() <= k``.
 * ``mode="exact"`` — true kNN: distance-bounded candidate join with the
   reference's density radius heuristic, then a driver loop that ×√2-
-  expands the radius **only for objects still short of k matches**
-  (distributed restatement of ``knn_2d.hpp:146-180``). Terminates when
-  every object has k candidates or the radius covers the space.
+  expands the radius **only for objects still short of k matches**.
 
-Distance column: exact geometry distance in WKT mode, box (== point)
-distance in box mode; ``geography=True`` uses the reference's
-mile-constant haversine.
+Both modes use MBB **distance bounds** in place of the reference's
+R-tree pruning: ``box_distance`` (lower bound on the true geometry
+distance) and the opposite-corner upper bound. Candidates are ranked by
+the upper bound; everything whose lower bound exceeds the k-th upper
+bound can never be a k-nearest neighbor and is dropped *before* the
+exact-geometry UDF — so the Python kernel only ever sees O(k) pairs per
+object. For point data the bounds coincide with the true distance and
+the exact pass is skipped entirely (pure JVM).
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions import boxes as B
 from hadoopgis_spark.functions import spatial as S
 from hadoopgis_spark.operators.mbb import MBB_COLS, space_extent, with_mbb
-from hadoopgis_spark.operators.spatial_join import default_bucket_size, _suffix_all
+from hadoopgis_spark.operators.spatial_join import _suffix_all, default_bucket_size
 from hadoopgis_spark.operators.tile import assign_tiles, sample_mbbs, tiles_dataframe
 from hadoopgis_spark.partition import partition_tiles
 
 __all__ = ["knn_join"]
 
 
-def _distance_col(wkt_mode, geography, g1, g2, m1, m2):
+def _box_maxdist(m1: list[str], m2: list[str]) -> Column:
+    """Upper bound on min geometry distance: farthest corner separation
+    (valid because every point of a geometry lies inside its MBB)."""
+    dx = F.greatest(
+        F.abs(F.col(m1[0]) - F.col(m2[2])), F.abs(F.col(m1[2]) - F.col(m2[0]))
+    )
+    dy = F.greatest(
+        F.abs(F.col(m1[1]) - F.col(m2[3])), F.abs(F.col(m1[3]) - F.col(m2[1]))
+    )
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def _exact_distance(wkt_mode, geography, g1, g2, m1, m2) -> Column:
     if wkt_mode:
         if geography:
             return S.st_haversine_m(F.col(g1), F.col(g2))
         return S.st_distance(F.col(g1), F.col(g2))
     return B.box_distance(*[F.col(c) for c in m1], *[F.col(c) for c in m2])
+
+
+def _rank_k_refined(
+    pairs: DataFrame,
+    idc1: str,
+    idc2: str,
+    k: int,
+    wkt_mode: bool,
+    geography: bool,
+    g1: str,
+    g2: str,
+    m1: list[str],
+    m2: list[str],
+    max_distance: float | None,
+    out_cols: list[str],
+) -> DataFrame:
+    """Exact top-k with MBB-bound pruning before the geometry UDF."""
+    lo = B.box_distance(*[F.col(c) for c in m1], *[F.col(c) for c in m2])
+    if wkt_mode and not geography:
+        hi = _box_maxdist(m1, m2)
+        pairs = pairs.withColumn("_lo", lo).withColumn("_hi", hi)
+        w_hi = Window.partitionBy(idc1).orderBy(F.col("_hi").asc(), F.col(idc2).asc())
+        # k-th smallest upper bound via a second window over the SAME
+        # partitioning — reuses the sort, no extra shuffle or join
+        pairs = pairs.withColumn("_hr", F.row_number().over(w_hi))
+        w_all = Window.partitionBy(idc1)
+        pairs = pairs.withColumn(
+            "_thresh", F.max(F.when(F.col("_hr") <= k, F.col("_hi"))).over(w_all)
+        ).filter(F.col("_lo") <= F.col("_thresh"))
+        pairs = pairs.withColumn("distance", _exact_distance(True, False, g1, g2, m1, m2))
+    else:
+        # geography / box mode: bounds don't apply or are already exact
+        pairs = pairs.withColumn(
+            "distance", _exact_distance(wkt_mode, geography, g1, g2, m1, m2)
+        )
+    if max_distance is not None:
+        pairs = pairs.filter(F.col("distance") <= max_distance)
+    w = Window.partitionBy(idc1).orderBy(F.col("distance").asc(), F.col(idc2).asc())
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(*out_cols)
+    )
 
 
 def knn_join(
@@ -71,7 +126,7 @@ def knn_join(
     ``st_nearest``, ``knn_2d.hpp:187-195``); without it, ``exact`` mode
     auto-derives the radius like ``st_nearest2``.
     Output: suffixed columns of both sides + ``distance``, ≤ k rows per
-    left object, ordered ties broken by right id (deterministic).
+    left object, ties broken by right id (deterministic).
     """
     if mode not in ("tile", "exact"):
         raise ValueError("mode must be 'tile' or 'exact'")
@@ -87,6 +142,9 @@ def knn_join(
     m1 = [f"{c}{sfx1}" for c in MBB_COLS]
     m2 = [f"{c}{sfx2}" for c in MBB_COLS]
     idc1, idc2 = f"{id_col}{sfx1}", f"{id_col}{sfx2}"
+    out_cols = [f"{c}{sfx1}" for c in a.columns if c not in MBB_COLS] + [
+        f"{c}{sfx2}" for c in b.columns if c not in MBB_COLS
+    ] + ["distance"]
 
     if mode == "tile":
         mbb_union = a.select(*MBB_COLS) if self_join else (
@@ -106,16 +164,35 @@ def knn_join(
         bt = assign_tiles(_suffix_all(b, sfx2), tiles_df, mbb_cols=tuple(m2)).drop(
             "t_xmin", "t_ymin", "t_xmax", "t_ymax"
         )
-        pairs = at.join(bt, "tile_id").drop("tile_id")
+        pairs = at.join(bt, "tile_id")
         if self_join:
             pairs = pairs.filter(F.col(idc1) != F.col(idc2))
-        pairs = pairs.dropDuplicates([idc1, idc2])
-        pairs = pairs.withColumn("distance", _distance_col(wkt_mode, geography, g1, g2, m1, m2))
-        if max_distance is not None:
-            pairs = pairs.filter(F.col("distance") <= max_distance)
-        return _rank_k(pairs, idc1, idc2, k, a, b, sfx1, sfx2)
+        if wkt_mode and not geography:
+            # per-tile bound pruning FIRST (the declarative counterpart of
+            # the reference's per-tile R-tree probe): within each tile keep
+            # only pairs whose lower bound can still make the object's
+            # tile-local top-k by upper bound — cuts the candidate set to
+            # ~k per object per tile before any wide shuffle
+            plo = B.box_distance(*[F.col(c) for c in m1], *[F.col(c) for c in m2])
+            pairs = pairs.withColumn("_tlo", plo).withColumn("_thi", _box_maxdist(m1, m2))
+            w_tile = Window.partitionBy("tile_id", idc1).orderBy(
+                F.col("_thi").asc(), F.col(idc2).asc()
+            )
+            pairs = pairs.withColumn("_thr", F.row_number().over(w_tile))
+            w_tile_all = Window.partitionBy("tile_id", idc1)
+            pairs = pairs.withColumn(
+                "_tth", F.max(F.when(F.col("_thr") <= k, F.col("_thi"))).over(w_tile_all)
+            )
+            pairs = pairs.filter(F.col("_tlo") <= F.col("_tth")).drop(
+                "_tlo", "_thi", "_thr", "_tth"
+            )
+        pairs = pairs.drop("tile_id").dropDuplicates([idc1, idc2])
+        return _rank_k_refined(
+            pairs, idc1, idc2, k, wkt_mode, geography, g1, g2, m1, m2,
+            max_distance, out_cols,
+        )
 
-    # ---- exact mode ----------------------------------------------------
+    # ---- exact mode: UDF-free rounds via distance bounds ---------------
     bx0, by0, bx1, by1, n_b = space_extent(b.select(*MBB_COLS))
     if n_b == 0:
         return _empty(a, b, sfx1, sfx2)
@@ -124,10 +201,10 @@ def knn_join(
     # density radius heuristic, knn_2d.hpp:86-93
     r = max_distance or max(1e-9, 1.5 * math.sqrt(space_area * k / n_b))
 
-    at = _suffix_all(a, sfx1)
-    remaining = at
-    collected: DataFrame | None = None
+    remaining = _suffix_all(a, sfx1)
     bt = _suffix_all(b, sfx2)
+    collected: DataFrame | None = None
+    lo = B.box_distance(*[F.col(c) for c in m1], *[F.col(c) for c in m2])
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
@@ -135,13 +212,19 @@ def knn_join(
         cand = remaining.join(bt, cond)
         if self_join:
             cand = cand.filter(F.col(idc1) != F.col(idc2))
-        cand = cand.withColumn("distance", _distance_col(wkt_mode, geography, g1, g2, m1, m2))
-        cand = cand.filter(F.col("distance") <= r).localCheckpoint(eager=True)
-        counts = cand.groupBy(idc1).agg(F.count(F.lit(1)).alias("_n"))
+        # lower bound ≤ r is a superset of the true ≤ r matches; an object
+        # is provably satisfied once ≥ k candidates have UPPER bound ≤ r
+        cand = cand.withColumn("_lo", lo).filter(F.col("_lo") <= r)
+        cand = cand.withColumn("_hi", _box_maxdist(m1, m2)).localCheckpoint(eager=True)
+        counts = cand.filter(F.col("_hi") <= r).groupBy(idc1).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
         sat_ids = counts.filter(F.col("_n") >= k).select(idc1)
         done = cand.join(sat_ids, idc1, "left_semi")
         collected = done if collected is None else collected.unionByName(done)
-        remaining = remaining.join(sat_ids, idc1, "left_anti")
+        # checkpoint: without it the anti-join lineage accumulates and
+        # every round recomputes all previous rounds' candidate joins
+        remaining = remaining.join(sat_ids, idc1, "left_anti").localCheckpoint(eager=True)
         if max_distance is not None or r >= diag:
             # capped search (st_nearest) or whole space covered: remaining
             # objects keep whatever neighbors exist within the cap
@@ -151,18 +234,10 @@ def knn_join(
         if remaining.isEmpty():
             break
         r *= math.sqrt(2.0)  # reference expansion factor, knn_2d.hpp:146-180
-    return _rank_k(collected, idc1, idc2, k, a, b, sfx1, sfx2)
-
-
-def _rank_k(pairs, idc1, idc2, k, a, b, sfx1, sfx2):
-    w = Window.partitionBy(idc1).orderBy(F.col("distance").asc(), F.col(idc2).asc())
-    out_cols = [f"{c}{sfx1}" for c in a.columns if c not in MBB_COLS] + [
-        f"{c}{sfx2}" for c in b.columns if c not in MBB_COLS
-    ] + ["distance"]
-    return (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select(*out_cols)
+    collected = collected.drop("_lo", "_hi")
+    return _rank_k_refined(
+        collected, idc1, idc2, k, wkt_mode, geography, g1, g2, m1, m2,
+        max_distance, out_cols,
     )
 
 
