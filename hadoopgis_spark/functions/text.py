@@ -135,13 +135,37 @@ def lang_guess(col) -> Column:
 
 def quality_score(col) -> Column:
     """Composite [0,1] document quality: length band + alpha ratio +
-    moderate word length + stopword presence. Deterministic arithmetic."""
+    moderate word length + stopword presence. Deterministic arithmetic.
+
+    Single-pass: token count, summed word length, and stopword hits are
+    packed into one long (count<<40 | sum_len<<14 | hits) accumulated by
+    ONE aggregate over the token array, so the tokenize expression is
+    evaluated once. Lanes cap at 2^20 tokens / 2^26 chars / 2^14 hits.
+    """
     c = _c(col)
+    t = tokens(c)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+
+    def tok_acc(tok):
+        hit = F.when(F.array_contains(sw, tok), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        return (
+            F.lit(1 << 40).cast("long")
+            + (F.length(tok).cast("long") * F.lit(1 << 14).cast("long"))
+            + hit
+        )
+
+    packed = F.aggregate(t, F.lit(0).cast("long"), lambda acc, tok: acc + tok_acc(tok))
+    n_tok = F.shiftright(packed, 40)
+    sum_len = F.shiftright(packed, 14).bitwiseAND(F.lit((1 << 26) - 1))
+    hits = packed.bitwiseAND(F.lit((1 << 14) - 1))
+
     len_score = F.least(F.length(c).cast("double") / 500.0, F.lit(1.0))
-    awl = avg_word_len(c)
+    awl = F.when(n_tok > 0, sum_len.cast("double") / n_tok).otherwise(F.lit(0.0))
     wl_score = F.when((awl >= 3.0) & (awl <= 10.0), 1.0).otherwise(0.5)
-    sw = stopword_ratio(c)
-    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    swr = F.when(n_tok > 0, hits.cast("double") / n_tok).otherwise(F.lit(0.0))
+    sw_score = F.least(swr * 5.0, F.lit(1.0))
     return (len_score + alpha_ratio(c) + wl_score + sw_score) / 4.0
 
 

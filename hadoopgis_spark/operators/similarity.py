@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hadoopgis_spark.functions.text import md5_hash32
 from hadoopgis_spark.functions.vector import cosine
 
 __all__ = ["brute_force_topk", "hyperplane_buckets", "lsh_topk"]
@@ -48,10 +47,14 @@ def brute_force_topk(
     )
 
 
-def _plane_coeff(table: int, plane: int, dim: int):
-    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
-    h = md5_hash32(F.lit(f"hp:{table}:{plane}:{dim}"))
-    return (h.cast("double") / F.lit(2147483648.0)) - F.lit(1.0)
+def _plane_coeff(table: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1) —
+    md5-derived on the driver (bit-identical to the SQL oracle's
+    inlined constants)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"hp:{table}:{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return h / 2147483648.0 - 1.0
 
 
 def hyperplane_buckets(
@@ -63,7 +66,14 @@ def hyperplane_buckets(
     table: int = 0,
     dim: int | None = None,
 ) -> DataFrame:
-    """(id, vec, bucket): sign-sketch bucket string of each vector."""
+    """(id, vec, bucket): sign-sketch bucket string of each vector.
+
+    Dot products run as ``zip_with`` + ``aggregate`` over an array
+    literal of plane coefficients — a compact plan (an unrolled
+    per-dimension sum makes Janino compile seconds of generated code
+    per plane; the array form is milliseconds to plan and the per-row
+    fold matches the oracle's left-to-right summation order).
+    """
     if dim is None:
         first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
         if not first:
@@ -72,12 +82,12 @@ def hyperplane_buckets(
     v = F.col(vec_col).cast("array<double>")
     bits = []
     for p in range(n_planes):
-        # dot(v, plane) as an explicit per-dimension sum: element_at on a
-        # *resolved column* is O(1); coefficients are literals
-        dot = None
-        for d in range(dim):
-            term = F.element_at(v, d + 1) * _plane_coeff(table, p, d)
-            dot = term if dot is None else dot + term
+        plane = F.array(*[F.lit(_plane_coeff(table, p, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
         bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return df.select(
         F.col(id_col).alias("id"),
