@@ -24,6 +24,8 @@ from hadoopgis_spark.geometry.kernel import Geometry
 __all__ = [
     "st_mbb",
     "st_is_valid",
+    "st_as_wkb",
+    "st_as_wkt",
     "st_predicate",
     "st_intersects",
     "st_contains",
@@ -56,18 +58,20 @@ _MBB_SCHEMA = T.StructType(
 
 
 def _parse_cache(series: pd.Series, cache: dict):
+    """Parse WKT strings or WKB bytes, once per distinct value per batch."""
     out = []
     for w in series:
         if w is None:
             out.append(None)
             continue
-        g = cache.get(w)
-        if g is None and w not in cache:
+        key = bytes(w) if isinstance(w, (bytes, bytearray, memoryview)) else w
+        g = cache.get(key)
+        if g is None and key not in cache:
             try:
-                g = Geometry.from_wkt(w)
-            except (ValueError, IndexError):
+                g = Geometry.parse(key)
+            except (ValueError, IndexError, TypeError):
                 g = None
-            cache[w] = g
+            cache[key] = g
         out.append(g)
     return out
 
@@ -87,6 +91,30 @@ def st_mbb(wkt: pd.Series) -> pd.DataFrame:
 def st_is_valid(wkt: pd.Series) -> pd.Series:
     cache: dict = {}
     return pd.Series([g is not None for g in _parse_cache(wkt, cache)])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_as_wkb(wkt: pd.Series) -> pd.Series:
+    """WKT → WKB (the at-scale storage form: binary, no float text)."""
+    from hadoopgis_spark.geometry.wkb import to_wkb
+
+    cache: dict = {}
+    return pd.Series(
+        [to_wkb((g.kind, g.payload)) if g is not None else None
+         for g in _parse_cache(wkt, cache)]
+    )
+
+
+@F.pandas_udf(T.StringType())
+def st_as_wkt(geom: pd.Series) -> pd.Series:
+    """WKB (or WKT) → canonical WKT text."""
+    from hadoopgis_spark.geometry.wkt import to_wkt
+
+    cache: dict = {}
+    return pd.Series(
+        [to_wkt((g.kind, g.payload)) if g is not None else None
+         for g in _parse_cache(geom, cache)]
+    )
 
 
 def _binary_pred_udf(fn: Callable) -> Callable:

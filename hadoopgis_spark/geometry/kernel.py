@@ -80,6 +80,20 @@ class Geometry:
         kind, payload = parse_wkt(text)
         return cls(kind, payload)
 
+    @classmethod
+    def from_wkb(cls, data: bytes) -> "Geometry":
+        from hadoopgis_spark.geometry.wkb import from_wkb
+
+        kind, payload = from_wkb(data)
+        return cls(kind, payload)
+
+    @classmethod
+    def parse(cls, value) -> "Geometry":
+        """WKT string or WKB bytes → Geometry."""
+        if isinstance(value, (bytes, bytearray, memoryview)):
+            return cls.from_wkb(bytes(value))
+        return cls.from_wkt(value)
+
     # -- derived ---------------------------------------------------------
     @property
     def bbox(self) -> tuple[float, float, float, float]:

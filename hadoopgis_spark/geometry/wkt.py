@@ -113,15 +113,24 @@ def parse_wkt(text: str):
     raise ValueError(f"unsupported WKT type: {s[:30]!r}")
 
 
+def _num(v: float) -> str:
+    """Shortest exact round-trip float formatting (repr semantics);
+    integral values print without the trailing '.0'."""
+    f = float(v)
+    if f.is_integer() and abs(f) < 1e16:
+        return str(int(f))
+    return repr(f)
+
+
 def _ring_to_wkt(ring: np.ndarray) -> str:
-    return "(" + ", ".join(f"{x:g} {y:g}" for x, y in ring) + ")"
+    return "(" + ", ".join(f"{_num(x)} {_num(y)}" for x, y in ring) + ")"
 
 
 def to_wkt(geom) -> str:
     kind, payload = geom
     if kind == "POINT":
         x, y = payload
-        return f"POINT ({x:g} {y:g})"
+        return f"POINT ({_num(x)} {_num(y)})"
     if kind == "LINESTRING":
         return "LINESTRING " + _ring_to_wkt(payload)
     if kind == "POLYGON":
