@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "sp_interval_join",
     "sp_join_fields",
     "sp_containment_wkt",
+    "sp_join_boxes_hc",
+    "sp_join_boxes_2level",
 ]
 
 

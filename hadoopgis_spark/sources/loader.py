@@ -48,8 +48,18 @@ def save_partitioned(
     partitioner: str = "bsp",
     bucket_size: int | None = None,
     max_sample: int = 200_000,
+    overwrite: bool = True,
 ) -> dict:
-    """Spatially partition and persist a dataset. Returns the metadata."""
+    """Spatially partition and persist a dataset. Returns the metadata.
+
+    ``overwrite=False`` memoizes: if the artifact already exists its
+    metadata is returned and nothing is recomputed — the reference's
+    stage-skip guard (S8, ``hdfs_check_data``,
+    ``query_spjoin.hpp:107,162``).
+    """
+    if not overwrite and os.path.exists(f"{path}/_hgs_meta/info.json"):
+        with open(f"{path}/_hgs_meta/info.json") as f:
+            return json.load(f)
     spark = df.sparkSession
     wkt_mode = geom_col in df.columns
     df = with_mbb(df, geom_col) if wkt_mode else df

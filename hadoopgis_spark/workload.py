@@ -378,6 +378,34 @@ def sp_join_self(spark, sf):
     return spatial_join(c, None, "st_intersects", bucket_size=300).select("id_1", "id_2")
 
 
+def sp_join_boxes_qt(spark, sf):
+    """J1 under the quadtree partitioner (same result, different tiling)."""
+    j = spatial_join(part_boxes(spark, sf), customer_boxes(spark, sf),
+                     "st_intersects", partitioner="qt", bucket_size=400,
+                     stats=["intersect", "jaccard"])
+    return j.select("id_1", "id_2", F.col("intersect").alias("inter_area"),
+                    F.col("jaccard").alias("jaccard_sim"))
+
+
+def sp_join_boxes_hc(spark, sf):
+    """J1 under the Hilbert (MBR) partitioner — exercises the
+    overlapping-tile replication + distinct() dedup path in the gate."""
+    j = spatial_join(part_boxes(spark, sf), customer_boxes(spark, sf),
+                     "st_intersects", partitioner="hc", bucket_size=400,
+                     stats=["intersect", "jaccard"])
+    return j.select("id_1", "id_2", F.col("intersect").alias("inter_area"),
+                    F.col("jaccard").alias("jaccard_sim"))
+
+
+def sp_join_boxes_2level(spark, sf):
+    """J1 under two-level (para) partitioning with composite tile ids."""
+    j = spatial_join(part_boxes(spark, sf), customer_boxes(spark, sf),
+                     "st_intersects", bucket_size=150, two_level=True,
+                     stats=["intersect", "jaccard"])
+    return j.select("id_1", "id_2", F.col("intersect").alias("inter_area"),
+                    F.col("jaccard").alias("jaccard_sim"))
+
+
 SP_JOIN_SELF_SQL = f"""
   WITH c AS ({CUSTOMER_BOXES_SQL})
   SELECT a.id AS id_1, b.id AS id_2
@@ -1185,6 +1213,9 @@ REGISTRY: dict[str, Query] = {
     "sp_mbb_extent": Query(sp_mbb_extent, SP_MBB_EXTENT_SQL, "A1 space extent"),
     "sp_fg_histogram": Query(sp_fg_histogram, SP_FG_HISTOGRAM_SQL, "A2 tile histogram + fg fast path"),
     "sp_join_boxes": Query(sp_join_boxes, SP_JOIN_BOXES_SQL, "J1 partitioned spatial join"),
+    "sp_join_boxes_qt": Query(sp_join_boxes_qt, SP_JOIN_BOXES_SQL, "J1 via quadtree tiles"),
+    "sp_join_boxes_hc": Query(sp_join_boxes_hc, SP_JOIN_BOXES_SQL, "J1 via hilbert MBR tiles + distinct dedup"),
+    "sp_join_boxes_2level": Query(sp_join_boxes_2level, SP_JOIN_BOXES_SQL, "J1 via two-level tiles"),
     "sp_join_self": Query(sp_join_self, SP_JOIN_SELF_SQL, "J2 self-join"),
     "sp_dwithin_points": Query(sp_dwithin_points, SP_DWITHIN_SQL, "J5 distance join"),
     "sp_knn": Query(sp_knn, SP_KNN_SQL, "J4 exact kNN join"),

@@ -321,3 +321,93 @@ class TestStreaming:
         got = streaming_containment(ev, (0.0, 0.0, 100.0, 50.0))
         rows = got.collect()
         assert all(0 <= r.value <= 100 and 0 <= r.user_id <= 50 for r in rows)
+
+
+class TestSpatialOrder:
+    def test_hilbert_matches_numpy(self, spark):
+        """The distributed Hilbert column expr equals the numpy fitter."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from hadoopgis_spark.functions.spatial_order import hilbert_index
+        from hadoopgis_spark.partition.algos import _hilbert_d
+
+        rng = np.random.default_rng(4)
+        xs = rng.uniform(0, 1000, 500)
+        ys = rng.uniform(0, 1000, 500)
+        bits = 8
+        side = 1 << bits
+        df = spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in enumerate(zip(xs, ys))],
+            "id long, x double, y double",
+        )
+        got = {
+            r.id: r.h
+            for r in df.select(
+                "id", hilbert_index(F.col("x"), F.col("y"), (0, 0, 1000, 1000), bits).alias("h")
+            ).collect()
+        }
+        gx = np.clip((xs / 1000.0 * side).astype(np.int64), 0, side - 1)
+        gy = np.clip((ys / 1000.0 * side).astype(np.int64), 0, side - 1)
+        want = _hilbert_d(side, gx.copy(), gy.copy())
+        for i in range(500):
+            assert got[i] == want[i], (i, got[i], want[i])
+
+    def test_cluster_spatially_orders_rows(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from hadoopgis_spark.functions.spatial_order import cluster_spatially, hilbert_index
+
+        rng = np.random.default_rng(9)
+        rows = [
+            (i, float(x), float(y), float(x) + 1.0, float(y) + 1.0)
+            for i, (x, y) in enumerate(zip(rng.uniform(0, 100, 2000), rng.uniform(0, 100, 2000)))
+        ]
+        df = spark.createDataFrame(rows, "id long, xmin double, ymin double, xmax double, ymax double")
+        out = cluster_spatially(df, (0, 0, 100, 100), n_partitions=4)
+        assert out.count() == 2000
+        # within each output partition, hilbert keys are sorted
+        h = hilbert_index(F.col("xmin"), F.col("ymin"), (0, 0, 100, 100))
+        check = out.withColumn("_h", h).withColumn("_p", F.spark_partition_id())
+        pdf = check.select("_p", "_h").toPandas()
+        for p, grp in pdf.groupby("_p"):
+            vals = grp["_h"].to_numpy()
+            assert (np.diff(vals) >= 0).all()
+
+
+class TestVisualizer:
+    def test_plot_data_and_stub(self, spark):
+        import numpy as np
+        import pytest as _pytest
+
+        from hadoopgis_spark.operators.visualize import partition_plot_data, plot_partitions
+
+        rows = [(i, float(i % 50), float(i % 40), float(i % 50) + 2, float(i % 40) + 2) for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, xmin double, ymin double, xmax double, ymax double")
+        tiles = [("T0", 0.0, 0.0, 25.0, 45.0), ("T1", 25.0, 0.0, 55.0, 45.0)]
+        pts, boxes = partition_plot_data(df, tiles, max_points=100)
+        assert pts.shape[1] == 2 and boxes.shape == (2, 4)
+        try:
+            import matplotlib  # noqa: F401
+            has_mpl = True
+        except ImportError:
+            has_mpl = False
+        if not has_mpl:
+            with _pytest.raises(NotImplementedError):
+                plot_partitions(df, tiles, "/tmp/never.png")
+
+
+class TestLoaderMemoization:
+    def test_save_skips_when_exists(self, spark, tmp_path):
+        from hadoopgis_spark.sources import save_partitioned
+
+        rows = [(i, float(i), float(i), float(i) + 1, float(i) + 1) for i in range(100)]
+        df = spark.createDataFrame(rows, "id long, xmin double, ymin double, xmax double, ymax double")
+        p = str(tmp_path / "memo")
+        m1 = save_partitioned(df, p, bucket_size=20)
+        # second call with overwrite=False returns cached metadata fast
+        m2 = save_partitioned(df.limit(1), p, bucket_size=99, overwrite=False)
+        assert m2 == m1
+        m3 = save_partitioned(df, p, bucket_size=10, overwrite=True)
+        assert m3["bucket_size"] == 10
