@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "sp_containment_wkt",
     "sp_join_boxes_hc",
     "sp_join_boxes_2level",
+    "sp_join_broadcast",
+    "sp_join_3d",
 ]
 
 

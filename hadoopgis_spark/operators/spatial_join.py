@@ -80,6 +80,7 @@ def spatial_join(
     replicate: bool = False,
     keep_mbb: bool = False,
     two_level: bool = False,
+    strategy: str = "tile",
 ) -> DataFrame:
     """Spatial join of ``a`` with ``b`` (self-join when ``b`` is None).
 
@@ -97,6 +98,14 @@ def spatial_join(
     Semantics caveat carried over from the reference: ``st_disjoint`` is
     evaluated among tile-co-located candidate pairs only
     (``spjoin_2d.hpp:159-161``) — it is NOT a global anti-join.
+
+    ``strategy``: ``"tile"`` (default — sample, partition, multicast,
+    co-partitioned join; the 100 TB path) or ``"broadcast"`` — ship side
+    B to every executor and skip tiling entirely: no shuffle, no
+    replication, no dedup. The right choice when B fits in a broadcast
+    (the analogue of the reference's join-side size checks,
+    ``query_spjoin.hpp:74-95``). ``st_disjoint`` under broadcast is a
+    true global anti-semantics evaluation (every pair is seen).
     """
     if predicate == "st_dwithin" and distance is None:
         raise ValueError("st_dwithin requires distance=")
@@ -118,9 +127,18 @@ def spatial_join(
     if not wkt_mode and predicate not in _BOX_PREDICATES:
         raise ValueError(f"{predicate} requires a WKT geometry column")
 
+    if strategy not in ("tile", "broadcast"):
+        raise ValueError("strategy must be 'tile' or 'broadcast'")
+
     a = with_mbb(a, geom_col) if wkt_mode else a
     b = (a if self_join else with_mbb(b, geom_col)) if wkt_mode else b
     pad = float(distance or 0.0)
+
+    if strategy == "broadcast":
+        return _broadcast_join(
+            a, b, predicate, self_join, wkt_mode, geom_col, pad, geography,
+            stats, suffixes, id_col, replicate, keep_mbb,
+        )
 
     # ---- extent + count + sample (bounded driver data) -----------------
     mbb_union = a.select(*MBB_COLS) if self_join else (
@@ -195,6 +213,45 @@ def spatial_join(
     # MBR partitioners: tiles can overlap → exact-duplicate removal,
     # the reference's dedup job (duplicate_remover.cpp:28-42)
     return joined.select(*out_cols, *stat_cols).distinct()
+
+
+def _broadcast_join(
+    a, b, predicate, self_join, wkt_mode, geom_col, pad, geography,
+    stats, suffixes, id_col, replicate, keep_mbb,
+):
+    """Broadcast-side-B spatial join: one stage, no shuffle, no dedup."""
+    sfx1, sfx2 = suffixes
+    at = _suffix_all(a, sfx1)
+    bt = _suffix_all(b, sfx2)
+    m1 = [f"{c}{sfx1}" for c in MBB_COLS]
+    m2 = [f"{c}{sfx2}" for c in MBB_COLS]
+    cond = B.box_intersects(*[F.col(c) for c in m1], *[F.col(c) for c in m2], pad=pad)
+    if predicate == "st_disjoint":
+        # broadcast sees every pair: true global disjoint semantics
+        cond = F.lit(True)
+    joined = at.join(F.broadcast(bt), cond)
+    if self_join:
+        idc1, idc2 = f"{id_col}{sfx1}", f"{id_col}{sfx2}"
+        if idc1 not in joined.columns:
+            raise ValueError(f"self-join needs id column {id_col!r}")
+        joined = joined.filter(F.col(idc1) != F.col(idc2))
+        if not replicate:
+            joined = joined.filter(F.col(idc1) < F.col(idc2))
+    g1, g2 = f"{geom_col}{sfx1}", f"{geom_col}{sfx2}"
+    if wkt_mode:
+        if predicate == "st_dwithin":
+            joined = joined.filter(st_dwithin(F.col(g1), F.col(g2), pad, geography=geography))
+        else:
+            joined = joined.filter(st_predicate(predicate)(F.col(g1), F.col(g2)))
+    else:
+        joined = joined.filter(_box_predicate(predicate, m1, m2, pad))
+    out_cols = [f"{c}{sfx1}" for c in a.columns if keep_mbb or c not in MBB_COLS] + [
+        f"{c}{sfx2}" for c in b.columns if keep_mbb or c not in MBB_COLS
+    ]
+    if "tileid" in stats:
+        raise ValueError("tileid stat is undefined under strategy='broadcast'")
+    joined = _append_stats(joined, stats, wkt_mode, g1, g2, m1, m2, geography)
+    return joined.select(*out_cols, *[s for s in stats if s != "tileid"])
 
 
 def _box_predicate(predicate: str, m1: list[str], m2: list[str], pad: float) -> Column:

@@ -397,6 +397,16 @@ def sp_join_boxes_hc(spark, sf):
                     F.col("jaccard").alias("jaccard_sim"))
 
 
+def sp_join_broadcast(spark, sf):
+    """J1 under the broadcast strategy (small side shipped, no tiling,
+    no shuffle — the dimension-join fast path)."""
+    j = spatial_join(part_boxes(spark, sf), customer_boxes(spark, sf),
+                     "st_intersects", strategy="broadcast",
+                     stats=["intersect", "jaccard"])
+    return j.select("id_1", "id_2", F.col("intersect").alias("inter_area"),
+                    F.col("jaccard").alias("jaccard_sim"))
+
+
 def sp_join_boxes_2level(spark, sf):
     """J1 under two-level (para) partitioning with composite tile ids."""
     j = spatial_join(part_boxes(spark, sf), customer_boxes(spark, sf),
@@ -1162,6 +1172,44 @@ SP_JOIN_FIELDS_SQL = f"""
 """
 
 
+def sp_join_3d(spark, sf):
+    """3-D box self-join (rtree3d extension): 2-D engine tiles on (x,y)
+    + z-overlap conjunct."""
+    from hadoopgis_spark.functions.boxes3d import spatial_join_3d
+
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 3000)
+    x = (F.col("o_orderkey") % 97) * 10.0
+    y = (F.col("o_orderkey") % 89) * 10.0
+    z = (F.col("o_orderkey") % 83) * 10.0
+    b = o.select(
+        F.col("o_orderkey").alias("id"),
+        x.alias("xmin"), y.alias("ymin"), z.alias("zmin"),
+        (x + 6.0 + (F.col("o_orderkey") % 5)).alias("xmax"),
+        (y + 6.0 + (F.col("o_orderkey") % 7)).alias("ymax"),
+        (z + 6.0 + (F.col("o_orderkey") % 11)).alias("zmax"),
+    )
+    return spatial_join_3d(b, None, bucket_size=300).select("id_1", "id_2")
+
+
+SP_JOIN_3D_SQL = """
+  WITH b AS (
+    SELECT o_orderkey AS id,
+           (o_orderkey % 97) * CAST(10.0 AS DOUBLE) AS xmin,
+           (o_orderkey % 89) * CAST(10.0 AS DOUBLE) AS ymin,
+           (o_orderkey % 83) * CAST(10.0 AS DOUBLE) AS zmin,
+           (o_orderkey % 97) * CAST(10.0 AS DOUBLE) + 6.0 + (o_orderkey % 5) AS xmax,
+           (o_orderkey % 89) * CAST(10.0 AS DOUBLE) + 6.0 + (o_orderkey % 7) AS ymax,
+           (o_orderkey % 83) * CAST(10.0 AS DOUBLE) + 6.0 + (o_orderkey % 11) AS zmax
+    FROM orders WHERE o_orderkey <= 3000
+  )
+  SELECT a.id AS id_1, c.id AS id_2
+  FROM b a JOIN b c ON a.id < c.id
+   AND a.xmin <= c.xmax AND c.xmin <= a.xmax
+   AND a.ymin <= c.ymax AND c.ymin <= a.ymax
+   AND a.zmin <= c.zmax AND c.zmin <= a.zmax
+"""
+
+
 # triangle window for the WKT-kernel gate query (CCW)
 _TRI = ((13.3, 7.1), (911.7, 203.9), (401.3, 876.1))
 _TRI_WKT = "POLYGON ((13.3 7.1, 911.7 203.9, 401.3 876.1, 13.3 7.1))"
@@ -1216,6 +1264,7 @@ REGISTRY: dict[str, Query] = {
     "sp_join_boxes_qt": Query(sp_join_boxes_qt, SP_JOIN_BOXES_SQL, "J1 via quadtree tiles"),
     "sp_join_boxes_hc": Query(sp_join_boxes_hc, SP_JOIN_BOXES_SQL, "J1 via hilbert MBR tiles + distinct dedup"),
     "sp_join_boxes_2level": Query(sp_join_boxes_2level, SP_JOIN_BOXES_SQL, "J1 via two-level tiles"),
+    "sp_join_broadcast": Query(sp_join_broadcast, SP_JOIN_BOXES_SQL, "J1 broadcast strategy"),
     "sp_join_self": Query(sp_join_self, SP_JOIN_SELF_SQL, "J2 self-join"),
     "sp_dwithin_points": Query(sp_dwithin_points, SP_DWITHIN_SQL, "J5 distance join"),
     "sp_knn": Query(sp_knn, SP_KNN_SQL, "J4 exact kNN join"),
@@ -1241,4 +1290,5 @@ REGISTRY: dict[str, Query] = {
     "sp_interval_join": Query(sp_interval_join, SP_INTERVAL_SQL, "temporal interval join (spt ext)"),
     "sp_join_fields": Query(sp_join_fields, SP_JOIN_FIELDS_SQL, "P1 -f output grammar"),
     "sp_containment_wkt": Query(sp_containment_wkt, SP_CONTAINMENT_WKT_SQL, "J3 exact WKT kernel path"),
+    "sp_join_3d": Query(sp_join_3d, SP_JOIN_3D_SQL, "3-D box join (rtree3d ext)"),
 }

@@ -218,3 +218,32 @@ class TestTwoLevelJoin:
         got_set = {(r.id_1, r.id_2) for r in got}
         assert len(got) == len(got_set)
         assert got_set == expected
+
+
+class TestBroadcastStrategy:
+    def test_broadcast_matches_tile(self, spark, tri_a, tri_b):
+        rows_a, rows_b = _triangles(200, 1), _triangles(300, 2)
+        expected = brute_pairs(rows_a, rows_b, K.intersects)
+        got = spatial_join(tri_a, tri_b, "st_intersects", strategy="broadcast")
+        got_set = {(r.id_1, r.id_2) for r in got.select("id_1", "id_2").collect()}
+        assert got_set == expected
+
+    def test_broadcast_self_join(self, spark, tri_a):
+        rows_a = _triangles(200, 1)
+        expected = {(i, j) for (i, j) in brute_pairs(rows_a, rows_a, K.intersects) if i < j}
+        got = spatial_join(tri_a, None, "st_intersects", strategy="broadcast")
+        got_set = {(r.id_1, r.id_2) for r in got.select("id_1", "id_2").collect()}
+        assert got_set == expected
+
+    def test_broadcast_no_shuffle(self, spark, tri_a, tri_b):
+        from hadoopgis_spark.plans import count_exchanges, has_broadcast
+
+        j = spatial_join(tri_a, tri_b, "st_intersects", strategy="broadcast")
+        assert has_broadcast(j)
+        assert count_exchanges(j) == 0  # zero shuffles end-to-end
+
+    def test_broadcast_tileid_rejected(self, spark, tri_a, tri_b):
+        with pytest.raises(ValueError):
+            spatial_join(tri_a, tri_b, strategy="broadcast", stats=["tileid"])
+        with pytest.raises(ValueError):
+            spatial_join(tri_a, tri_b, strategy="nope")

@@ -79,3 +79,56 @@ class TestFieldsGrammar:
         for bad in ["3:1", "1:99", "nope", "", "1:x"]:
             with pytest.raises(ValueError):
                 select_fields(j, bad, ac, bc)
+
+
+class TestBoxes3D:
+    def test_3d_functions(self, spark):
+        from hadoopgis_spark.functions.boxes3d import (
+            box3d_contains,
+            box3d_distance,
+            box3d_intersection_volume,
+            box3d_intersects,
+            box3d_volume,
+        )
+
+        rows = [(1, 0.0, 0.0, 0.0, 10.0, 10.0, 10.0, 5.0, 5.0, 5.0, 15.0, 15.0, 15.0)]
+        df = spark.createDataFrame(
+            rows,
+            "id long, ax0 double, ay0 double, az0 double, ax1 double, ay1 double, az1 double, "
+            "bx0 double, by0 double, bz0 double, bx1 double, by1 double, bz1 double",
+        )
+        A = ("ax0", "ay0", "az0", "ax1", "ay1", "az1")
+        B = ("bx0", "by0", "bz0", "bx1", "by1", "bz1")
+        r = df.select(
+            box3d_intersects(A, B).alias("i"),
+            box3d_contains(A, B).alias("c"),
+            box3d_volume(A).alias("v"),
+            box3d_intersection_volume(A, B).alias("iv"),
+            box3d_distance(A, B).alias("d"),
+        ).collect()[0]
+        assert r.i and not r.c
+        assert r.v == 1000.0 and r.iv == 125.0 and r.d == 0.0
+
+    def test_3d_join_matches_bruteforce(self, spark):
+        import random
+
+        from hadoopgis_spark.functions.boxes3d import spatial_join_3d
+
+        rng = random.Random(31)
+        rows = []
+        for i in range(250):
+            x, y, z = rng.uniform(0, 100), rng.uniform(0, 100), rng.uniform(0, 100)
+            rows.append((i, x, y, z, x + rng.uniform(1, 8), y + rng.uniform(1, 8), z + rng.uniform(1, 8)))
+        df = spark.createDataFrame(
+            rows, "id long, xmin double, ymin double, zmin double, xmax double, ymax double, zmax double"
+        )
+        got = {
+            (r.id_1, r.id_2)
+            for r in spatial_join_3d(df, None, bucket_size=40).select("id_1", "id_2").collect()
+        }
+        expected = set()
+        for i, x0, y0, z0, x1, y1, z1 in rows:
+            for j, u0, v0, w0, u1, v1, w1 in rows:
+                if i < j and x0 <= u1 and u0 <= x1 and y0 <= v1 and v0 <= y1 and z0 <= w1 and w0 <= z1:
+                    expected.add((i, j))
+        assert got == expected and len(expected) > 20
