@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "sp_join_boxes_2level",
     "sp_join_broadcast",
     "sp_join_3d",
+    "stream_sessionize",
 ]
 
 

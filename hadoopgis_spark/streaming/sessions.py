@@ -1,0 +1,113 @@
+"""Gap-based sessionization — batch and stateful-streaming forms.
+
+* ``sessionize`` (batch): lag → new-session flag → running session
+  number → per-session aggregate. Pure window/agg plan, oracle-checkable.
+* ``sessionize_stream``: the same semantics on an unbounded stream via
+  ``applyInPandasWithState`` — per-user state holds the open session
+  (start, last-seen, counts); a session closes when the gap exceeds the
+  timeout or the state times out. State size is O(users), not O(events).
+
+Timestamps are nanosecond longs end-to-end (exact integer arithmetic).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["sessionize", "sessionize_stream", "SESSION_SCHEMA"]
+
+SESSION_SCHEMA = (
+    "user_id long, session_no long, session_start long, session_end long, "
+    "n_events long, sum_value double"
+)
+
+
+def sessionize(events: DataFrame, gap_ns: int = 1_800_000_000_000, ts_col: str = "ts") -> DataFrame:
+    """Split each user's event stream into sessions separated by gaps
+    > ``gap_ns`` (default 30 min). Returns one row per session."""
+    w = Window.partitionBy("user_id").orderBy(ts_col)
+    flagged = events.withColumn(
+        "_new",
+        F.when(
+            F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(gap_ns), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_sess", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        flagged.groupBy("user_id", F.col("_sess").alias("session_no"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_ns: int = 1_800_000_000_000,
+    ts_col: str = "ts",
+    state_timeout_ms: int = 60_000,
+) -> DataFrame:
+    """Stateful streaming sessionization.
+
+    Emits a row for every session **closed** in a micro-batch (a new
+    event arriving after the gap closes the previous session); the
+    still-open session stays in state and is flushed on state timeout.
+    """
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                s_no, s_start, s_end, n, sv = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [(user_id, s_no, s_start, s_end, n, round(sv, 2))],
+                    columns=["user_id", "session_no", "session_start", "session_end", "n_events", "sum_value"],
+                )
+            return
+        rows = pd.concat(list(batches), ignore_index=True).sort_values(ts_col)
+        if state.exists:
+            s_no, s_start, s_end, n, sv = state.get
+        else:
+            s_no, s_start, s_end, n, sv = 0, None, None, 0, 0.0
+        closed = []
+        for ts, value in zip(rows[ts_col], rows["value"]):
+            ts = int(ts)
+            if s_start is None:
+                s_start, s_end, n, sv = ts, ts, 1, float(value)
+            elif ts - s_end > gap_ns:
+                closed.append((user_id, s_no, s_start, s_end, n, round(sv, 2)))
+                s_no += 1
+                s_start, s_end, n, sv = ts, ts, 1, float(value)
+            else:
+                s_end = max(s_end, ts)
+                n += 1
+                sv += float(value)
+        state.update((s_no, s_start, s_end, n, sv))
+        state.setTimeoutDuration(state_timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_no", "session_start", "session_end", "n_events", "sum_value"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType="session_no long, session_start long, session_end long, n_events long, sum_value double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1172,6 +1172,35 @@ SP_JOIN_FIELDS_SQL = f"""
 """
 
 
+def stream_sessionize(spark, sf):
+    """Gap-based sessionization (batch form of the stateful streaming
+    operator; 30-minute gap). Timestamps are truncated to microseconds
+    because DuckDB reads parquet TIMESTAMP(NANOS) at µs precision."""
+    from hadoopgis_spark.streaming.sessions import sessionize
+
+    e = _t(spark, sf, "events").withColumn("ts", F.expr("ts div 1000"))
+    return sessionize(e, gap_ns=1_800_000_000)  # 30 min in µs
+
+
+STREAM_SESSIONIZE_SQL = """
+  WITH flagged AS (
+    SELECT user_id, epoch_us(ts) AS tus, value,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+  ), numbered AS (
+    SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM flagged
+  )
+  SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+         MIN(tus) AS session_start, MAX(tus) AS session_end,
+         COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+  FROM numbered GROUP BY user_id, session_no
+"""
+
+
 def sp_join_3d(spark, sf):
     """3-D box self-join (rtree3d extension): 2-D engine tiles on (x,y)
     + z-overlap conjunct."""
@@ -1291,4 +1320,5 @@ REGISTRY: dict[str, Query] = {
     "sp_join_fields": Query(sp_join_fields, SP_JOIN_FIELDS_SQL, "P1 -f output grammar"),
     "sp_containment_wkt": Query(sp_containment_wkt, SP_CONTAINMENT_WKT_SQL, "J3 exact WKT kernel path"),
     "sp_join_3d": Query(sp_join_3d, SP_JOIN_3D_SQL, "3-D box join (rtree3d ext)"),
+    "stream_sessionize": Query(stream_sessionize, STREAM_SESSIONIZE_SQL, "gap sessionization (stateful op, batch form)"),
 }

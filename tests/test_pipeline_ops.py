@@ -411,3 +411,71 @@ class TestLoaderMemoization:
         assert m2 == m1
         m3 = save_partitioned(df, p, bucket_size=10, overwrite=True)
         assert m3["bucket_size"] == 10
+
+
+class TestStatefulSessionize:
+    def test_batch_sessionize(self, spark):
+        from hadoopgis_spark.streaming.sessions import sessionize
+
+        rows = [
+            (1, 1000, 1.0), (1, 2000, 2.0), (1, 50_000, 3.0),   # gap closes session
+            (2, 500, 4.0),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+        got = {
+            (r.user_id, r.session_no): (r.session_start, r.session_end, r.n_events, r.sum_value)
+            for r in sessionize(df, gap_ns=10_000).collect()
+        }
+        assert got[(1, 0)] == (1000, 2000, 2, 3.0)
+        assert got[(1, 1)] == (50_000, 50_000, 1, 3.0)
+        assert got[(2, 0)] == (500, 500, 1, 4.0)
+
+    def test_stream_state_across_microbatches(self, spark, tmp_path):
+        """applyInPandasWithState keeps per-user session state across
+        micro-batches: batch 2 events continue batch 1's open session."""
+        import time
+
+        from hadoopgis_spark.streaming.sessions import sessionize_stream
+
+        src = str(tmp_path / "sess_src")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(1, 1000, 1.0), (1, 2000, 1.0)], "user_id long, ts long, value double"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema("user_id long, ts long, value double").parquet(src)
+        out = sessionize_stream(stream, gap_ns=10_000, state_timeout_ms=600_000)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessions_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            # wait for batch 1 to be consumed
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                p = q.lastProgress
+                if p and p.get("batchId", -1) >= 0 and q.status["isDataAvailable"] is False:
+                    break
+                time.sleep(0.5)
+            # batch 2: one event continuing the open session (gap small),
+            # then one far event that CLOSES it
+            spark.createDataFrame(
+                [(1, 5000, 1.0), (1, 1_000_000, 9.0)], "user_id long, ts long, value double"
+            ).coalesce(1).write.mode("append").parquet(src)
+            closed = {}
+            while time.time() < deadline:
+                rows = spark.sql("SELECT * FROM sessions_out").collect()
+                closed = {
+                    (r.user_id, r.session_no): (r.session_start, r.session_end, r.n_events)
+                    for r in rows
+                }
+                if (1, 0) in closed:
+                    break
+                time.sleep(0.5)
+            # the closed session must span BOTH micro-batches: 1000..5000, 3 events
+            assert closed.get((1, 0)) == (1000, 5000, 3), closed
+        finally:
+            q.stop()
