@@ -214,7 +214,54 @@ def _binary_measure_udf(fn: Callable) -> Callable:
 
 # Predicate UDFs — names/dispatch mirror get_join_predicate
 # (resque_params_2d.hpp:164-208)
-st_intersects = _binary_pred_udf(K.intersects)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_intersects(w1: pd.Series, w2: pd.Series) -> pd.Series:
+    """Intersects with a numpy batch fast path for single-ring polygon
+    pairs (the dominant refine case); everything else evaluates through
+    the scalar kernel. Bit-identical results either way."""
+    import numpy as np
+
+    from hadoopgis_spark.geometry.vectorized import (
+        MAX_VECTOR_VERTS,
+        batch_single_ring_intersects,
+    )
+
+    cache: dict = {}
+    g1s = _parse_cache(w1, cache)
+    g2s = _parse_cache(w2, cache)
+    n = len(g1s)
+    out = np.zeros(n, dtype=object)
+    vec_i: list[int] = []
+    for i, (a, b) in enumerate(zip(g1s, g2s)):
+        if a is None or b is None:
+            out[i] = None
+            continue
+        ab, bb = a.bbox, b.bbox
+        if ab[0] > bb[2] or bb[0] > ab[2] or ab[1] > bb[3] or bb[1] > ab[3]:
+            out[i] = False
+            continue
+        if (
+            a.kind == "POLYGON"
+            and b.kind == "POLYGON"
+            and len(a.payload) == 1
+            and len(b.payload) == 1
+            and len(a.payload[0]) <= MAX_VECTOR_VERTS
+            and len(b.payload[0]) <= MAX_VECTOR_VERTS
+        ):
+            vec_i.append(i)
+        else:
+            out[i] = K.intersects(a, b)
+    CHUNK = 4096
+    for s in range(0, len(vec_i), CHUNK):
+        idx = vec_i[s : s + CHUNK]
+        res = batch_single_ring_intersects(
+            [g1s[i].payload[0] for i in idx], [g2s[i].payload[0] for i in idx]
+        )
+        for j, i in enumerate(idx):
+            out[i] = bool(res[j])
+    return pd.Series(out)
 st_touches = _binary_pred_udf(K.touches)
 st_crosses = _binary_pred_udf(K.crosses)
 st_contains = _binary_pred_udf(K.contains)
