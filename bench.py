@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "sp_join_broadcast",
     "sp_join_3d",
     "stream_sessionize",
+    "dedup_clusters",
+    "txt_tfidf_topterms",
 ]
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "simhash64",
     "simhash_pairs",
     "embedding_dup_pairs",
+    "dup_clusters",
 ]
 
 MH_PRIME = 4294967311  # prime > 2^32; (a·h+b) products stay < 2^63
@@ -193,6 +194,55 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
     )
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster) with
+    cluster = min id of the component (the canonical survivor).
+
+    Distributed min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds (dup clusters are shallow). Each round
+    is one join + one aggregation; labels are checkpointed so lineage
+    stays flat. No driver-side graph, scales with the pair list.
+    """
+    edges = pairs.select(
+        F.col("id_1").alias("src"), F.col("id_2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_2").alias("src"), F.col("id_1").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels.select("id", F.col("label").alias("cluster"))
 
 
 def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",

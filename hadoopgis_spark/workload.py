@@ -828,6 +828,79 @@ DEDUP_JACCARD_SQL = _LSH_CANDIDATES_SQL + """
 """
 
 
+def dedup_clusters(spark, sf):
+    """Near-dup clustering: LSH candidates → exact jaccard ≥ 0.5 →
+    connected components (cluster = min doc_id, the canonical survivor)."""
+    from hadoopgis_spark.operators.dedup import dup_clusters
+
+    return dup_clusters(dedup_jaccard_pairs(spark, sf).select("id_1", "id_2"))
+
+
+DEDUP_CLUSTERS_SQL = f"""
+  WITH RECURSIVE pairs AS ({DEDUP_JACCARD_SQL.strip()}),
+  e AS (
+    SELECT id_1 AS a, id_2 AS b FROM pairs
+    UNION
+    SELECT id_2 AS a, id_1 AS b FROM pairs
+  ),
+  reach(a, b) AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+  )
+  SELECT a AS id, LEAST(MIN(b), a) AS cluster FROM reach GROUP BY a
+"""
+
+
+def txt_tfidf_topterms(spark, sf):
+    """TF-IDF: top-3 terms per document (tf = count/len, idf = ln(N/df));
+    pure built-ins — tokens, explode, two aggregations, window rank."""
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(df_, "term")
+        .withColumn(
+            "tfidf",
+            (F.col("tc").cast("double") / F.col("dl"))
+            * F.log(F.lit(float(n_docs)) / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rn")
+    )
+
+
+TXT_TFIDF_SQL = f"""
+  WITH toks AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT({_NORM_SQL}, ' ')) AS term FROM documents
+  ),
+  tf AS (SELECT doc_id, term, COUNT(*) AS tc FROM toks GROUP BY 1, 2),
+  dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+  dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+  n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+  scored AS (
+    SELECT tf.doc_id, tf.term,
+           (CAST(tf.tc AS DOUBLE) / dl.dl) * LN(n.n_docs / dfx.df) AS tfidf
+    FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN dfx ON tf.term = dfx.term
+    CROSS JOIN n
+  ),
+  ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+    FROM scored
+  )
+  SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, rn FROM ranked WHERE rn <= 3
+"""
+
+
 def sim_ann_topk(spark, sf):
     """Brute-force cosine top-5 for query vectors (vec_id % 50 = 0) —
     the correctness baseline of the ANN surface."""
@@ -1321,4 +1394,6 @@ REGISTRY: dict[str, Query] = {
     "sp_containment_wkt": Query(sp_containment_wkt, SP_CONTAINMENT_WKT_SQL, "J3 exact WKT kernel path"),
     "sp_join_3d": Query(sp_join_3d, SP_JOIN_3D_SQL, "3-D box join (rtree3d ext)"),
     "stream_sessionize": Query(stream_sessionize, STREAM_SESSIONIZE_SQL, "gap sessionization (stateful op, batch form)"),
+    "dedup_clusters": Query(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
+    "txt_tfidf_topterms": Query(txt_tfidf_topterms, TXT_TFIDF_SQL, "TF-IDF top terms"),
 }

@@ -479,3 +479,24 @@ class TestStatefulSessionize:
             assert closed.get((1, 0)) == (1000, 5000, 3), closed
         finally:
             q.stop()
+
+
+class TestDupClusters:
+    def test_components(self, spark):
+        from hadoopgis_spark.operators.dedup import dup_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)], "id_1 long, id_2 long"
+        )
+        got = {r.id: r.cluster for r in dup_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8}
+
+    def test_chain_converges(self, spark):
+        from hadoopgis_spark.operators.dedup import dup_clusters
+
+        # a 30-node path graph: worst-case diameter for label propagation
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "id_1 long, id_2 long"
+        )
+        got = {r.id: r.cluster for r in dup_clusters(pairs, max_iters=40).collect()}
+        assert set(got.values()) == {0}
