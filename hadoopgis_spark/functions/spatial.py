@@ -228,12 +228,19 @@ def st_intersects(w1: pd.Series, w2: pd.Series) -> pd.Series:
         batch_single_ring_intersects,
     )
 
+    from hadoopgis_spark.geometry.vectorized import batch_points_in_single_ring
+
     cache: dict = {}
     g1s = _parse_cache(w1, cache)
     g2s = _parse_cache(w2, cache)
     n = len(g1s)
     out = np.zeros(n, dtype=object)
     vec_i: list[int] = []
+    pt_i: list[int] = []  # (point, single-ring polygon) pairs, either order
+
+    def _single_ring(g):
+        return g.kind == "POLYGON" and len(g.payload) == 1 and len(g.payload[0]) <= MAX_VECTOR_VERTS
+
     for i, (a, b) in enumerate(zip(g1s, g2s)):
         if a is None or b is None:
             out[i] = None
@@ -242,15 +249,10 @@ def st_intersects(w1: pd.Series, w2: pd.Series) -> pd.Series:
         if ab[0] > bb[2] or bb[0] > ab[2] or ab[1] > bb[3] or bb[1] > ab[3]:
             out[i] = False
             continue
-        if (
-            a.kind == "POLYGON"
-            and b.kind == "POLYGON"
-            and len(a.payload) == 1
-            and len(b.payload) == 1
-            and len(a.payload[0]) <= MAX_VECTOR_VERTS
-            and len(b.payload[0]) <= MAX_VECTOR_VERTS
-        ):
+        if _single_ring(a) and _single_ring(b):
             vec_i.append(i)
+        elif (a.kind == "POINT" and _single_ring(b)) or (b.kind == "POINT" and _single_ring(a)):
+            pt_i.append(i)
         else:
             out[i] = K.intersects(a, b)
     CHUNK = 4096
@@ -259,6 +261,17 @@ def st_intersects(w1: pd.Series, w2: pd.Series) -> pd.Series:
         res = batch_single_ring_intersects(
             [g1s[i].payload[0] for i in idx], [g2s[i].payload[0] for i in idx]
         )
+        for j, i in enumerate(idx):
+            out[i] = bool(res[j])
+    for s in range(0, len(pt_i), CHUNK):
+        idx = pt_i[s : s + CHUNK]
+        pts = np.array(
+            [g1s[i].payload if g1s[i].kind == "POINT" else g2s[i].payload for i in idx]
+        )
+        rings = [
+            g2s[i].payload[0] if g1s[i].kind == "POINT" else g1s[i].payload[0] for i in idx
+        ]
+        res = batch_points_in_single_ring(pts, rings)
         for j, i in enumerate(idx):
             out[i] = bool(res[j])
     return pd.Series(out)

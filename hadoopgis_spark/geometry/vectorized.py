@@ -21,7 +21,7 @@ import numpy as np
 
 from hadoopgis_spark.geometry.kernel import _EPS
 
-__all__ = ["batch_single_ring_intersects", "MAX_VECTOR_VERTS"]
+__all__ = ["batch_single_ring_intersects", "batch_points_in_single_ring", "MAX_VECTOR_VERTS"]
 
 MAX_VECTOR_VERTS = 16  # rings larger than this go to the scalar kernel
 
@@ -103,6 +103,22 @@ def batch_single_ring_intersects(rings_a: list[np.ndarray], rings_b: list[np.nda
     if rest.any():
         hit[rest] |= _points_in_rings(B[rest, 0, :], A[rest], A2[rest], ca[rest])
     return hit
+
+
+def batch_points_in_single_ring(points: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Pairwise point-in-(closed single ring) — inside or on boundary —
+    for (n, 2) points against n rings. Mirrors the scalar
+    ``_point_in_ring(...) > 0`` semantics (the POINT∩POLYGON intersects
+    case)."""
+    n = len(rings)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    maxv = max(len(r) - 1 for r in rings)
+    V, counts = _pad_rings(rings, maxv)
+    rows = np.arange(n)
+    V2 = np.concatenate([V[:, 1:], V[:, -1:]], axis=1)
+    V2[rows, counts - 1] = V[:, 0]
+    return _points_in_rings(points, V, V2, counts)
 
 
 def _points_in_rings(pts: np.ndarray, V: np.ndarray, V2: np.ndarray, counts: np.ndarray) -> np.ndarray:

@@ -197,7 +197,15 @@ def knn_join(
     if n_b == 0:
         return _empty(a, b, sfx1, sfx2)
     space_area = max((bx1 - bx0) * (by1 - by0), 1e-12)
-    diag = math.hypot(bx1 - bx0, by1 - by0)
+    # the radius cap must cover the farthest A-to-B distance: A objects
+    # can live far outside B's extent, so use the UNION extent diagonal
+    # (capping at B's own diagonal silently starved far-away objects)
+    ax0, ay0, ax1, ay1, n_a = space_extent(a.select(*MBB_COLS))
+    if n_a == 0:
+        return _empty(a, b, sfx1, sfx2)
+    diag = math.hypot(
+        max(ax1, bx1) - min(ax0, bx0), max(ay1, by1) - min(ay0, by0)
+    )
     # density radius heuristic, knn_2d.hpp:86-93
     r = max_distance or max(1e-9, 1.5 * math.sqrt(space_area * k / n_b))
 
@@ -208,6 +216,10 @@ def knn_join(
     rounds = 0
     while rounds < max_rounds:
         rounds += 1
+        if rounds == max_rounds and max_distance is None:
+            # final round safety net: sweep the whole union extent so no
+            # straggler is left without its k list
+            r = max(r, diag)
         cond = B.box_intersects(*[F.col(c) for c in m1], *[F.col(c) for c in m2], pad=r)
         cand = remaining.join(bt, cond)
         if self_join:
