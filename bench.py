@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "stream_sessionize",
     "dedup_clusters",
     "txt_tfidf_topterms",
+    "rel_pivot",
+    "rel_percentiles",
 ]
 
 

@@ -127,12 +127,22 @@ def spatial_join(
     if not wkt_mode and predicate not in _BOX_PREDICATES:
         raise ValueError(f"{predicate} requires a WKT geometry column")
 
-    if strategy not in ("tile", "broadcast"):
-        raise ValueError("strategy must be 'tile' or 'broadcast'")
+    if strategy not in ("tile", "broadcast", "auto"):
+        raise ValueError("strategy must be 'tile', 'broadcast', or 'auto'")
 
     a = with_mbb(a, geom_col) if wkt_mode else a
     b = (a if self_join else with_mbb(b, geom_col)) if wkt_mode else b
     pad = float(distance or 0.0)
+
+    if strategy == "auto":
+        # mirror the reference's join-side size check
+        # (query_spjoin.hpp:74-95): broadcast a small side, tile otherwise.
+        # The limit() probe costs one cheap job and avoids a full count.
+        threshold = int(
+            a.sparkSession.conf.get("hgs.broadcastRowThreshold", "100000")
+        )
+        small_b = b.limit(threshold + 1).count() <= threshold
+        strategy = "broadcast" if (small_b and not self_join) else "tile"
 
     if strategy == "broadcast":
         return _broadcast_join(

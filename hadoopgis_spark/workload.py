@@ -1144,6 +1144,49 @@ STREAM_ROLLUP_SQL = """
 """
 
 
+def rel_pivot(spark, sf):
+    """Pivot (conditional aggregation): revenue by return flag across
+    line statuses."""
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .select(
+            "l_returnflag",
+            F.col("O").alias("qty_open"),
+            F.col("F").alias("qty_filled"),
+        )
+    )
+
+
+REL_PIVOT_SQL = """
+  SELECT l_returnflag,
+         SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
+         SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_filled
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def rel_percentiles(spark, sf):
+    """Exact percentiles (linear interpolation) per group."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+REL_PERCENTILES_SQL = """
+  SELECT l_returnflag,
+         ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+         ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90,
+         ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99
+  FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def rel_semi_join(spark, sf):
     """EXISTS via left-semi join: orders with a >90k-value line item."""
     o = _t(spark, sf, "orders")
@@ -1386,6 +1429,8 @@ REGISTRY: dict[str, Query] = {
     "agg_partition_stats": Query(agg_partition_stats, AGG_PARTITION_STATS_SQL, "A3 partition quality"),
     "sp_normalize_mbb": Query(sp_normalize_mbb, SP_NORMALIZE_SQL, "T2 unit-space normalize"),
     "stream_rollup_batch": Query(stream_rollup_batch, STREAM_ROLLUP_SQL, "streaming rollup (batch parity)"),
+    "rel_pivot": Query(rel_pivot, REL_PIVOT_SQL, "pivot / conditional agg"),
+    "rel_percentiles": Query(rel_percentiles, REL_PERCENTILES_SQL, "exact percentiles"),
     "rel_semi_join": Query(rel_semi_join, REL_SEMI_SQL, "left-semi (EXISTS)"),
     "rel_anti_join": Query(rel_anti_join, REL_ANTI_SQL, "left-anti (NOT EXISTS)"),
     "rel_rollup": Query(rel_rollup, REL_ROLLUP_SQL, "ROLLUP grouping sets"),

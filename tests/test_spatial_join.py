@@ -247,3 +247,26 @@ class TestBroadcastStrategy:
             spatial_join(tri_a, tri_b, strategy="broadcast", stats=["tileid"])
         with pytest.raises(ValueError):
             spatial_join(tri_a, tri_b, strategy="nope")
+
+
+class TestAutoStrategy:
+    def test_auto_picks_broadcast_for_small_b(self, spark, tri_a, tri_b):
+        from hadoopgis_spark.plans import count_exchanges
+
+        j = spatial_join(tri_a, tri_b, "st_intersects", strategy="auto")
+        # tri_b is small -> broadcast path -> zero shuffles
+        assert count_exchanges(j) == 0
+        rows_a, rows_b = _triangles(200, 1), _triangles(300, 2)
+        expected = brute_pairs(rows_a, rows_b, K.intersects)
+        got = {(r.id_1, r.id_2) for r in j.select("id_1", "id_2").collect()}
+        assert got == expected
+
+    def test_auto_self_join_tiles(self, spark, tri_a):
+        from hadoopgis_spark.plans import count_exchanges
+
+        spark.conf.set("hgs.broadcastRowThreshold", "10")
+        try:
+            j = spatial_join(tri_a, None, "st_intersects", strategy="auto")
+            assert count_exchanges(j) == 2  # self-join always tiles
+        finally:
+            spark.conf.unset("hgs.broadcastRowThreshold")
