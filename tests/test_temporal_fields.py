@@ -132,3 +132,28 @@ class TestBoxes3D:
                 if i < j and x0 <= u1 and u0 <= x1 and y0 <= v1 and v0 <= y1 and z0 <= w1 and w0 <= z1:
                     expected.add((i, j))
         assert got == expected and len(expected) > 20
+
+
+class TestSqlRegistration:
+    def test_sql_surface(self, spark):
+        from hadoopgis_spark.functions.register import register_all
+
+        names = register_all(spark)
+        assert "st_intersects" in names
+        spark.createDataFrame(
+            [(1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+             (2, "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"),
+             (3, "POLYGON ((50 50, 60 50, 60 60, 50 60, 50 50))")],
+            "id long, geom string",
+        ).createOrReplaceTempView("polys")
+        rows = spark.sql("""
+            SELECT a.id AS id_1, b.id AS id_2,
+                   ROUND(st_jaccard(a.geom, b.geom), 6) AS jac
+            FROM polys a JOIN polys b ON a.id < b.id
+            WHERE st_intersects(a.geom, b.geom)
+        """).collect()
+        got = {(r.id_1, r.id_2): r.jac for r in rows}
+        assert set(got) == {(1, 2)}
+        assert got[(1, 2)] == round(25.0 / 175.0, 6)
+        area = spark.sql("SELECT st_area('POLYGON ((0 0, 4 0, 0 4, 0 0))') AS a").collect()[0].a
+        assert area == 8.0
