@@ -73,7 +73,7 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         df.select(F.col(id_col).alias("id"), sh.alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("hs", F.transform(F.col("sh"), lambda t: md5_hash32(t)))
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
 
@@ -92,7 +92,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       shingle_n: int = 2, n_hashes: int = 16, n_bands: int = 4) -> DataFrame:
     """Candidate near-dup pairs (id_1 < id_2) via banded minhash."""
     r = n_hashes // n_bands
-    sig = minhash_signature(shingle_sets(df, text_col, id_col, shingle_n), n_hashes).persist()
+    sig = minhash_signature(shingle_sets(df, text_col, id_col, shingle_n), n_hashes).localCheckpoint(eager=True)
     bands = sig.select(
         "id",
         F.explode(F.array(*[
@@ -139,7 +139,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         .filter(F.size("w") > 0)
         .withColumn("h1", F.transform(F.col("w"), lambda t: md5_hash32(t)))
         .withColumn("h2", F.transform(F.col("w"), lambda t: md5_hash32(F.concat(F.lit("s:"), t))))
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     def bit(col, b):

@@ -42,7 +42,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS): Spark 4 rejects it unless
         # read as raw long (runtime-settable, works on any session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # the documents table arrives as one small parquet split; text
+        # pipelines (regex + per-shingle hashing) are CPU-bound, so spread
+        # them across cores (a no-op concern at real input sizes, which
+        # come pre-split)
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -685,11 +692,14 @@ def _bigram_sets(spark, sf):
     # persist: downstream plans fan `sh`/`hs` out into 16 minhash columns —
     # without a materialization boundary, projection collapse would
     # re-evaluate normalize→split→shingle per column
+    # localCheckpoint, not persist: building the in-memory columnar cache
+    # for array<string> columns costs seconds; checkpointed row batches
+    # materialize in milliseconds (single-session scope is fine here)
     return (
         d.select(F.col("doc_id"), F.array_distinct(bigr).alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("hs", F.transform(F.col("sh"), lambda t: md5_hash32(t)))
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
 
@@ -715,19 +725,32 @@ def _mh_b(i: int) -> int: return 1000003 * i + 12345
 
 
 def _minhash_bands(spark, sf, base=None):
-    """(doc_id, band_idx, key) — banded minhash of the bigram sets."""
+    """(doc_id, band_idx, key) — banded minhash of the bigram sets.
+
+    The 16 minima are ONE nested-transform array expression over a
+    literal (a, b) parameter array — 16 unrolled array_min columns cost
+    seconds of codegen compilation for the same work. The signature is
+    persisted so band extraction reads the materialized array instead of
+    re-evaluating the transform per element_at reference.
+    """
     if base is None:
         base = _bigram_sets(spark, sf)
-
-    def mh_col(i):
-        a, b = F.lit(_mh_a(i)), F.lit(_mh_b(i))
-        # one-arg lambda only: a second lambda param would be bound to the
-        # element index by F.transform
-        return F.array_min(
-            F.transform(F.col("hs"), lambda h: (a * h + b) % F.lit(_MH_P))
-        ).alias(f"mh{i}")
-
-    sig = base.select("doc_id", *[mh_col(i) for i in range(N_MINHASH)])
+    params = F.array(
+        *[
+            F.struct(F.lit(_mh_a(i)).alias("a"), F.lit(_mh_b(i)).alias("b"))
+            for i in range(N_MINHASH)
+        ]
+    )
+    sig_arr = F.transform(
+        params,
+        lambda p: F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: (p.getField("a") * h + p.getField("b")) % F.lit(_MH_P),
+            )
+        ),
+    )
+    sig = base.select("doc_id", sig_arr.alias("mh")).localCheckpoint(eager=True)
     r = _ROWS_PER_BAND
     return sig.select(
         "doc_id",
@@ -737,7 +760,8 @@ def _minhash_bands(spark, sf, base=None):
                     F.struct(
                         F.lit(bi).alias("band_idx"),
                         F.concat_ws(
-                            "_", *[F.col(f"mh{r*bi + j}") for j in range(r)]
+                            "_",
+                            *[F.element_at(F.col("mh"), r * bi + j + 1) for j in range(r)],
                         ).alias("key"),
                     )
                     for bi in range(N_BANDS)
