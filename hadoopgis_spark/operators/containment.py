@@ -107,7 +107,5 @@ def _wkt_is_rectangle(wkt: str) -> bool:
     if len(ring) != 5:
         return False
     x0, y0, x1, y1 = g.bbox
-    import numpy as np
-
     corners = {(x0, y0), (x1, y0), (x1, y1), (x0, y1)}
     return {(float(p[0]), float(p[1])) for p in ring[:-1]} == corners

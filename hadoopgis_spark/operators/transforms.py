@@ -20,8 +20,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hadoopgis_spark.operators.mbb import MBB_COLS
-
 __all__ = [
     "normalize_mbb",
     "denormalize_mbb",

@@ -11,7 +11,6 @@ import pytest
 
 from hadoopgis_spark.partition import (
     ALGORITHMS,
-    MBR_PARTITIONERS,
     SPACE_PARTITIONERS,
     partition_tiles,
 )

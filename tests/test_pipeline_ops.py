@@ -2,7 +2,6 @@
 operators, transforms, streaming — the data-pipeline half of the engine.
 """
 
-import math
 import os
 
 import numpy as np

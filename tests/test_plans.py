@@ -112,8 +112,6 @@ class TestJoinShape:
 
 class TestAggPushdown:
     def test_extent_agg_is_partial(self, spark, boxes_parquet):
-        from hadoopgis_spark.operators.mbb import MBB_COLS
-
         df = spark.read.parquet(boxes_parquet)
         agg = df.agg(F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax"), F.count(F.lit(1)))
         plan = formatted_plan(agg)

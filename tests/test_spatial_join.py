@@ -144,8 +144,6 @@ class TestKnnJoin:
         k = 3
         got = knn_join(dfa, dfb, k=k, mode="exact").collect()
         # brute-force oracle
-        import numpy as np
-
         def coords(rows):
             return {
                 i: tuple(map(float, w[w.index("(") + 1 : w.index(")")].split()))

@@ -1,7 +1,6 @@
 """Temporal interval extension + the -f output-field grammar."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions.temporal import (
     interval_contains,

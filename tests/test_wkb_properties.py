@@ -1,7 +1,5 @@
 """WKB codec + hypothesis property tests for the geometry kernel."""
 
-import math
-
 import numpy as np
 import pytest
 from hypothesis import given, settings, strategies as st
