@@ -672,7 +672,25 @@ N_BANDS = 4
 _ROWS_PER_BAND = N_MINHASH // N_BANDS
 
 
+# memo: the shingle and signature frames are shared by the minhash /
+# jaccard / clusters queries; localCheckpoint materializations are not
+# deduplicated by Spark's cache manager (persist's logical-plan matching
+# was, but columnar-caching array<string> costs seconds), so share the
+# checkpointed frames explicitly per (session, sf)
+_FRAME_MEMO: dict = {}
+
+
+def _memo(key, build):
+    if key not in _FRAME_MEMO:
+        _FRAME_MEMO[key] = build()
+    return _FRAME_MEMO[key]
+
+
 def _bigram_sets(spark, sf):
+    return _memo(("bigrams", id(spark), sf), lambda: _bigram_sets_build(spark, sf))
+
+
+def _bigram_sets_build(spark, sf):
     """doc_id + distinct word-bigram shingle set (empty-shingle docs
     dropped in both engines so null minhash signatures can't diverge)."""
     d = _t(spark, sf, "documents")
@@ -725,6 +743,12 @@ def _mh_b(i: int) -> int: return 1000003 * i + 12345
 
 
 def _minhash_bands(spark, sf, base=None):
+    if base is None:
+        return _memo(("bands", id(spark), sf), lambda: _minhash_bands_build(spark, sf))
+    return _minhash_bands_build(spark, sf, base)
+
+
+def _minhash_bands_build(spark, sf, base=None):
     """(doc_id, band_idx, key) — banded minhash of the bigram sets.
 
     The 16 minima are ONE nested-transform array expression over a
@@ -771,11 +795,11 @@ def _minhash_bands(spark, sf, base=None):
     ).select("doc_id", "band.band_idx", "band.key")
 
 
-def _lsh_candidates(spark, sf, base=None):
+def _lsh_candidates(spark, sf):
     # persist the signatures: the band self-join would otherwise recompute
     # the whole normalize→shingle→minhash subtree for both sides (at scale
     # this is the "write signatures once" stage of the pipeline)
-    bands = _minhash_bands(spark, sf, base=base).persist()
+    bands = _minhash_bands(spark, sf).persist()
     return (
         bands.alias("a")
         .join(bands.withColumnRenamed("doc_id", "doc_id2").alias("b"), ["band_idx", "key"])
@@ -826,7 +850,7 @@ def dedup_jaccard_pairs(spark, sf):
     variant is pytest-only; at scale candidates are the only pairs ever
     materialized.)"""
     base = _bigram_sets(spark, sf)
-    cand = _lsh_candidates(spark, sf, base=base)
+    cand = _lsh_candidates(spark, sf)
     a = base.select(F.col("doc_id").alias("id_1"), F.col("sh").alias("sh1"))
     b = base.select(F.col("doc_id").alias("id_2"), F.col("sh").alias("sh2"))
     j = cand.join(a, "id_1").join(b, "id_2")
