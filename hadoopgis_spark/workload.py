@@ -687,7 +687,7 @@ def _memo(key, build):
 
 
 def _bigram_sets(spark, sf):
-    return _memo(("bigrams", id(spark), sf), lambda: _bigram_sets_build(spark, sf))
+    return _memo(("bigrams", spark.sparkContext.applicationId, sf), lambda: _bigram_sets_build(spark, sf))
 
 
 def _bigram_sets_build(spark, sf):
@@ -744,7 +744,7 @@ def _mh_b(i: int) -> int: return 1000003 * i + 12345
 
 def _minhash_bands(spark, sf, base=None):
     if base is None:
-        return _memo(("bands", id(spark), sf), lambda: _minhash_bands_build(spark, sf))
+        return _memo(("bands", spark.sparkContext.applicationId, sf), lambda: _minhash_bands_build(spark, sf))
     return _minhash_bands_build(spark, sf, base)
 
 
