@@ -246,7 +246,9 @@ def st_intersects(w1: pd.Series, w2: pd.Series) -> pd.Series:
             out[i] = None
             continue
         ab, bb = a.bbox, b.bbox
-        if ab[0] > bb[2] or bb[0] > ab[2] or ab[1] > bb[3] or bb[1] > ab[3]:
+        # _EPS-padded, matching kernel.intersects' prefilter exactly
+        eps = K._EPS
+        if ab[0] > bb[2] + eps or bb[0] > ab[2] + eps or ab[1] > bb[3] + eps or bb[1] > ab[3] + eps:
             out[i] = False
             continue
         if _single_ring(a) and _single_ring(b):

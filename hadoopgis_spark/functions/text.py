@@ -123,10 +123,13 @@ def lang_guess(col) -> Column:
         lang: F.shiftright(packed, 14 * i).bitwiseAND(F.lit((1 << 14) - 1))
         for i, lang in enumerate(langs)
     }
-    # argmax with deterministic tie-break on language code order
+    # argmax with deterministic tie-break priority es > fr > en > de —
+    # with a strict `>` comparison the first-processed language wins
+    # ties, and this order matches the TXT_LANG_SQL oracle's CASE
+    # cascade exactly (e.g. 'la la': la ∈ both es+fr stopwords → 'es').
     best = F.lit("und")
     best_score = F.lit(0)
-    for lang in sorted(langs, reverse=True):
+    for lang in ("es", "fr", "en", "de"):
         cond = hits[lang] > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, hits[lang]).otherwise(best_score)

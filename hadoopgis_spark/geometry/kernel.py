@@ -306,7 +306,10 @@ def intersects(g1, g2) -> bool:
     Reference: ``spjoin_2d.hpp:139-141``.
     """
     a, b = _as_geom(g1), _as_geom(g2)
-    if not _bbox_intersects(a.bbox, b.bbox):
+    # Pad the prefilter by the same _EPS the segment/on-segment tests use:
+    # an exact bbox gate would reject pairs < _EPS apart that the eps-tolerant
+    # distance() still reports as 0.0 (predicate/measure consistency).
+    if not _bbox_intersects(a.bbox, b.bbox, pad=_EPS):
         return False
     if a.kind == "POINT" and b.kind == "POINT":
         (x1, y1), (x2, y2) = a.payload, b.payload

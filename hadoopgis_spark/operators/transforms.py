@@ -108,13 +108,29 @@ def partition_quality_stats(assigned: DataFrame, tile_col: str = "tile_id") -> D
     """A3: one-row quality summary over per-tile object counts —
     n_tiles, total, avg/min/max/stddev of tile occupancy."""
     hist = assigned.groupBy(tile_col).agg(F.count(F.lit(1)).alias("n"))
-    return hist.agg(
-        F.count(F.lit(1)).alias("n_tiles"),
-        F.sum("n").alias("n_objects"),
-        F.round(F.avg("n"), 6).alias("avg_per_tile"),
+    # avg/stddev derived from exact integer moments (count, Σn, Σn²) so a
+    # SQL oracle computing the identical expression shape produces the
+    # bit-identical double before rounding (cross-engine hash stability;
+    # native STDDEV_SAMP accumulates doubles in engine-specific order).
+    m = hist.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
         F.min("n").alias("min_per_tile"),
         F.max("n").alias("max_per_tile"),
-        F.round(F.stddev_samp("n"), 6).alias("stddev_per_tile"),
+    )
+    c = F.col("c").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    return m.select(
+        F.col("c").alias("n_tiles"),
+        F.col("s1").alias("n_objects"),
+        F.round(s1 / c, 6).alias("avg_per_tile"),
+        "min_per_tile",
+        "max_per_tile",
+        F.round(
+            F.when(F.col("c") > 1, F.sqrt((s2 - s1 * s1 / c) / (c - F.lit(1.0)))), 6
+        ).alias("stddev_per_tile"),
     )
 
 

@@ -1139,14 +1139,27 @@ AGG_PARTITION_STATS_SQL = f"""
     WHERE gx.ix BETWEEN CAST(FLOOR(b.xmin / 62.5) AS BIGINT) AND CAST(FLOOR(b.xmax / 62.5) AS BIGINT)
       AND gy.iy BETWEEN CAST(FLOOR(b.ymin / 62.5) AS BIGINT) AND CAST(FLOOR(b.ymax / 62.5) AS BIGINT)
   ),
-  hist AS (SELECT iy * 16 + ix AS tile_id, COUNT(*) AS n FROM cells GROUP BY 1)
-  SELECT COUNT(*) AS n_tiles,
-         SUM(n) AS n_objects,
-         ROUND(AVG(n), 6) AS avg_per_tile,
-         MIN(n) AS min_per_tile,
-         MAX(n) AS max_per_tile,
-         ROUND(STDDEV_SAMP(n), 6) AS stddev_per_tile
-  FROM hist
+  hist AS (SELECT iy * 16 + ix AS tile_id, COUNT(*) AS n FROM cells GROUP BY 1),
+  m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(n) AS BIGINT) AS s1,
+           CAST(SUM(n * n) AS BIGINT) AS s2,
+           MIN(n) AS min_per_tile,
+           MAX(n) AS max_per_tile
+    FROM hist
+  )
+  -- moment-based avg/stddev: identical expression shape to the Spark side
+  -- (transforms.partition_quality_stats) => bit-identical doubles pre-ROUND
+  SELECT c AS n_tiles,
+         s1 AS n_objects,
+         ROUND(CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE), 6) AS avg_per_tile,
+         min_per_tile,
+         max_per_tile,
+         ROUND(CASE WHEN c > 1 THEN SQRT(
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
+             / (CAST(c AS DOUBLE) - 1.0)
+           ) END, 6) AS stddev_per_tile
+  FROM m
 """
 
 

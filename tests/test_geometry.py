@@ -111,6 +111,30 @@ class TestPredicates:
         assert not overlaps(SQ, SQ_FAR)
         assert not overlaps(SQ, SQ_TOUCH)  # touching is not overlap
 
+    def test_vertex_touch_and_eps_consistency(self):
+        """Regression (round-1 verdict): predicate/measure consistency at
+        boundary contact. Triangles sharing a single vertex intersect
+        (GEOS: closure ∩ closure ≠ ∅), and whenever distance()==0 the
+        pair must also report intersects — including pairs separated by
+        less than the kernel eps, where the old exact bbox prefilter
+        rejected the pair the eps-tolerant segment test accepts."""
+        t1 = "POLYGON ((0 0, 1 0, 0 1, 0 0))"
+        t2 = "POLYGON ((1 0, 2 0, 1 1, 1 0))"  # shares only vertex (1,0)
+        assert intersects(t1, t2)
+        assert touches(t1, t2)
+        assert distance(t1, t2) == 0.0
+        # separated by 1e-12 < _EPS: distance() reports 0 via the
+        # eps-tolerant segment test, so intersects must agree
+        t3 = "POLYGON ((1.000000000001 0, 2 0, 1.000000000001 1, 1.000000000001 0))"
+        d = distance(t1, t3)
+        i = intersects(t1, t3)
+        assert i == intersects(t3, t1)
+        assert (d == 0.0) <= i  # distance 0 implies intersects
+        # well-separated pairs stay disjoint
+        t4 = "POLYGON ((1.001 0, 2 0, 1.001 1, 1.001 0))"
+        assert not intersects(t1, t4)
+        assert distance(t1, t4) > 0
+
     def test_concave_intersects(self):
         # the notch region (above edges (0,10)-(5,2)-(10,10)) is exterior
         in_notch = "POLYGON ((4 4, 6 4, 6 6, 4 6, 4 4))"
