@@ -49,10 +49,20 @@ def interval_mindist(s1, e1, s2, e2) -> Column:
 
 
 def with_interval_mbb(df: DataFrame, start_col: str, end_col: str) -> DataFrame:
-    """Map an interval table onto the engine's MBB columns (1-D boxes)."""
+    """Map an interval table onto the engine's MBB columns (1-D boxes).
+
+    The long→double cast rounds beyond 2^53 (nanosecond epochs ~1.7e18
+    round by ~256 ns), which could *lose* boundary-touching candidate
+    pairs. The boxes are therefore padded outward by more than the
+    maximum relative cast error (2^-53 < 1e-15), making the tile join a
+    strict superset; :func:`interval_join` restores exactness by
+    re-applying :func:`interval_intersects` on the original long columns.
+    """
+    s = _c(start_col).cast("double")
+    e = _c(end_col).cast("double")
     return (
-        df.withColumn("xmin", _c(start_col).cast("double"))
-        .withColumn("xmax", _c(end_col).cast("double"))
+        df.withColumn("xmin", s - (F.abs(s) * F.lit(1e-15) + F.lit(1.0)))
+        .withColumn("xmax", e + (F.abs(e) * F.lit(1e-15) + F.lit(1.0)))
         .withColumn("ymin", F.lit(0.0))
         .withColumn("ymax", F.lit(0.0))
     )
@@ -72,6 +82,15 @@ def interval_join(
     a1 = with_interval_mbb(a, start_col, end_col)
     b1 = with_interval_mbb(b, start_col, end_col) if b is not None else None
     spatial_kwargs.setdefault("partitioner", "slc")
+    sfx1, sfx2 = spatial_kwargs.get("suffixes", ("_1", "_2"))
     out = spatial_join(a1, b1, "st_intersects", **spatial_kwargs)
+    # exact refine on the original long columns: the padded double boxes
+    # over-approximate, this filter is the precise closed-interval test
+    out = out.filter(
+        interval_intersects(
+            F.col(f"{start_col}{sfx1}"), F.col(f"{end_col}{sfx1}"),
+            F.col(f"{start_col}{sfx2}"), F.col(f"{end_col}{sfx2}"),
+        )
+    )
     drop = [c for c in out.columns if c.startswith(("xmin", "xmax", "ymin", "ymax"))]
     return out.drop(*drop)

@@ -134,28 +134,37 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     as the bit array folded to a BIGINT via aggregate — all JVM.
     """
     words = F.array_distinct(tokens(F.col(text_col)))
-    base = (
-        df.select(F.col(id_col).alias("id"), words.alias("w"))
-        .filter(F.size("w") > 0)
-        .withColumn("h1", F.transform(F.col("w"), lambda t: md5_hash32(t)))
-        .withColumn("h2", F.transform(F.col("w"), lambda t: md5_hash32(F.concat(F.lit("s:"), t))))
-        .localCheckpoint(eager=True)
-    )
-
-    def bit(col, b):
-        # +1 if bit b set else -1, summed over tokens; bit = sum > 0
-        votes = F.aggregate(
-            col, F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, b % 32).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    # One pass, all JVM codegen: explode distinct tokens, hash each token
+    # once per 32-bit half, then a single hash aggregation computing the 63
+    # per-bit vote sums as flat SUM(CASE ...) columns. Map-side partial
+    # aggregation reduces the shuffle to one 63-long row per document —
+    # this replaces the previous 63 independent F.aggregate folds per row
+    # (each re-traversing the whole token-hash array; CLAUDE.md trap list).
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(words).alias("t"))
+        .select(
+            "id",
+            md5_hash32(F.col("t")).alias("h1"),
+            md5_hash32(F.concat(F.lit("s:"), F.col("t"))).alias("h2"),
         )
-        return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0))
-
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h1" if b < 32 else "h2"), b % 32).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(63)
+    ]
+    sig = tok.groupBy("id").agg(*votes)
     # 63-bit fingerprint: bit 63 would need 1<<63 which overflows signed long
     sim = F.lit(0).cast("long")
     for b in range(63):
-        src = F.col("h1") if b < 32 else F.col("h2")
-        sim = sim + bit(src, b).cast("long") * F.lit(1 << b).cast("long")
-    return base.select("id", sim.alias("simhash"))
+        sim = sim + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig.select("id", sim.alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -246,14 +255,16 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
 
 
 def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
-                        threshold: float = 0.95, n_planes: int = 8) -> DataFrame:
+                        threshold: float = 0.95, n_planes: int = 8,
+                        dim: int | None = None) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, with random-
     hyperplane LSH bucketing as the candidate generator (see
-    operators.similarity.hyperplane_buckets)."""
+    operators.similarity.hyperplane_buckets). Pass ``dim`` when known to
+    skip the schema-probe job."""
     from hadoopgis_spark.functions.vector import cosine
     from hadoopgis_spark.operators.similarity import hyperplane_buckets
 
-    b = hyperplane_buckets(df, vec_col, id_col, n_planes=n_planes)
+    b = hyperplane_buckets(df, vec_col, id_col, n_planes=n_planes, dim=dim)
     cand = (
         b.alias("a")
         .join(b.select(F.col("id").alias("id2"), F.col("vec").alias("vec2"), "bucket").alias("b"), "bucket")

@@ -107,13 +107,15 @@ def lsh_topk(
     q_vec_col: str = "q_emb",
     n_planes: int = 8,
     n_tables: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: union of per-table bucket joins, exact cosine
-    rank within candidates. Increasing n_tables raises recall."""
+    rank within candidates. Increasing n_tables raises recall. Pass
+    ``dim`` when known — it avoids a schema-probe job per table."""
     cand = None
     for t in range(n_tables):
-        cb = hyperplane_buckets(corpus, vec_col, id_col, n_planes=n_planes, table=t)
-        qb = hyperplane_buckets(queries, q_vec_col, q_id_col, n_planes=n_planes, table=t)
+        cb = hyperplane_buckets(corpus, vec_col, id_col, n_planes=n_planes, table=t, dim=dim)
+        qb = hyperplane_buckets(queries, q_vec_col, q_id_col, n_planes=n_planes, table=t, dim=dim)
         c = cb.join(
             qb.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "bucket"),
             "bucket",

@@ -128,8 +128,16 @@ def partition_quality_stats(assigned: DataFrame, tile_col: str = "tile_id") -> D
         F.round(s1 / c, 6).alias("avg_per_tile"),
         "min_per_tile",
         "max_per_tile",
+        # clamp: s2 - s1²/c can round slightly negative when variance ≈ 0
+        # and s1² exceeds 2^53 (≥ ~9.4e7 total objects — inside the 100 TB
+        # design point); sqrt(neg) is NaN here but a hard error in DuckDB,
+        # so both engines clamp with the identical expression shape
         F.round(
-            F.when(F.col("c") > 1, F.sqrt((s2 - s1 * s1 / c) / (c - F.lit(1.0)))), 6
+            F.when(
+                F.col("c") > 1,
+                F.sqrt(F.greatest((s2 - s1 * s1 / c) / (c - F.lit(1.0)), F.lit(0.0))),
+            ),
+            6,
         ).alias("stddev_per_tile"),
     )
 

@@ -304,16 +304,25 @@ def fit_bos(mbbs: np.ndarray, bucket_size: int) -> np.ndarray:
             cut_y = (cy[oy[b - 1]] + cy[oy[min(b, len(oy) - 1)]]) / 2.0
             cost_x = int(((m[:, 0] < cut_x) & (m[:, 2] > cut_x)).sum())
             cost_y = int(((m[:, 1] < cut_y) & (m[:, 3] > cut_y)).sum())
+            # if no center survives the cut (duplicate-center data can put
+            # every center at/below the cut line), emit the WHOLE remaining
+            # slab instead of the cut tile — otherwise the region beyond the
+            # cut is covered by no tile and refpoint-dedup joins silently
+            # drop pairs whose refpoint lands there
             if cost_x <= cost_y:
-                out.append((bx0, by0, cut_x, by1))
                 keep = cx > cut_x
+                if not keep.any():
+                    out.append((bx0, by0, bx1, by1))
+                    return
+                out.append((bx0, by0, cut_x, by1))
                 bx0 = cut_x
             else:
-                out.append((bx0, by0, bx1, cut_y))
                 keep = cy > cut_y
+                if not keep.any():
+                    out.append((bx0, by0, bx1, by1))
+                    return
+                out.append((bx0, by0, bx1, cut_y))
                 by0 = cut_y
-            if not keep.any():
-                return
             idx = idx[keep]
 
     x0, y0, x1, y1 = _extent(mbbs)

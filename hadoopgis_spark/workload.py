@@ -16,6 +16,7 @@ Float discipline (both engines are IEEE-754 double):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -1035,7 +1036,7 @@ def sim_embed_dup(spark, sf):
     from hadoopgis_spark.operators.dedup import embedding_dup_pairs
 
     e = _t(spark, sf, "embeddings")
-    d = embedding_dup_pairs(e, threshold=0.3, n_planes=8)
+    d = embedding_dup_pairs(e, threshold=0.3, n_planes=8, dim=64)
     return d.select("id_1", "id_2", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1155,9 +1156,9 @@ AGG_PARTITION_STATS_SQL = f"""
          ROUND(CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE), 6) AS avg_per_tile,
          min_per_tile,
          max_per_tile,
-         ROUND(CASE WHEN c > 1 THEN SQRT(
+         ROUND(CASE WHEN c > 1 THEN SQRT(GREATEST(
              (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(c AS DOUBLE))
-             / (CAST(c AS DOUBLE) - 1.0)
+             / (CAST(c AS DOUBLE) - 1.0), CAST(0.0 AS DOUBLE))
            ) END, 6) AS stddev_per_tile
   FROM m
 """
@@ -1416,6 +1417,413 @@ SP_JOIN_3D_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# WKT boundary-predicate gates (touches/within/overlaps/equals/crosses)
+#
+# Deterministic grid-aligned rectangles: cells on an 8-unit grid, box
+# sizes chosen so edge contact (touches), partial overlap, containment
+# and exact duplicates (equals) all occur, with integer coordinates so
+# the kernel's 1e-9 tolerances can never flip a decision the SQL oracle
+# (pure box arithmetic) makes. These pin the polygon boundary semantics
+# of the exact kernel (reference spjoin_2d.hpp:143-213) to the driver's
+# hard signal — the box fast path never exercises that code.
+# ---------------------------------------------------------------------------
+
+def _rect_wkt(x0, y0, x1, y1):
+    """Axis-aligned rectangle WKT from coordinate Columns (CCW, closed)."""
+    return F.concat(
+        F.lit("POLYGON (("),
+        x0, F.lit(" "), y0, F.lit(", "),
+        x1, F.lit(" "), y0, F.lit(", "),
+        x1, F.lit(" "), y1, F.lit(", "),
+        x0, F.lit(" "), y1, F.lit(", "),
+        x0, F.lit(" "), y0,
+        F.lit("))"),
+    )
+
+
+def grid_polys_a(spark, sf):
+    """Part-derived rectangles on the 8-grid; w ∈ 4..8 (8 ⇒ edge contact
+    with the right neighbor cell), h ∈ 4..9 (9 ⇒ overlap into the cell
+    above). Capped at id ≤ 2500 so gate work is sf-invariant."""
+    p = _t(spark, sf, "part").filter(F.col("p_partkey") <= 2500)
+    x0 = ((F.col("p_partkey") % 400) % 20) * 8.0
+    y0 = F.expr("(p_partkey % 400) DIV 20") * 8.0
+    x1 = x0 + 4.0 + (F.col("p_partkey") % 5)
+    y1 = y0 + 4.0 + (F.col("p_partkey") % 6)
+    return p.select(F.col("p_partkey").alias("id"), _rect_wkt(x0, y0, x1, y1).alias("geom"))
+
+
+def grid_polys_b(spark, sf):
+    """Customer-derived rectangles on the same grid, w ∈ 3..8, h ∈ 3..9
+    — same-cell pairs yield within/equals/overlaps, neighbor cells yield
+    touches."""
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 2000)
+    x0 = ((F.col("c_custkey") % 400) % 20) * 8.0
+    y0 = F.expr("(c_custkey % 400) DIV 20") * 8.0
+    x1 = x0 + 3.0 + (F.col("c_custkey") % 6)
+    y1 = y0 + 3.0 + (F.col("c_custkey") % 7)
+    return c.select(F.col("c_custkey").alias("id"), _rect_wkt(x0, y0, x1, y1).alias("geom"))
+
+
+def grid_lines(spark, sf):
+    """Customer-derived 2-point segments with +0.25 offsets so no vertex
+    ever lies on a grid polygon boundary (vertex in/out tests are then
+    tolerance-free in both engines)."""
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 2000)
+    x1 = (F.col("c_custkey") % 150) + 0.25
+    y1 = (F.col("c_custkey") % 140) + 0.25
+    x2 = x1 + 3.0 + (F.col("c_custkey") % 9)
+    y2 = y1 + 2.0 + (F.col("c_custkey") % 7)
+    wkt = F.concat(
+        F.lit("LINESTRING ("), x1, F.lit(" "), y1, F.lit(", "), x2, F.lit(" "), y2, F.lit(")")
+    )
+    return c.select(F.col("c_custkey").alias("id"), wkt.alias("geom"))
+
+
+GRID_A_SQL = """
+  SELECT p_partkey AS id,
+         ((p_partkey % 400) % 20) * CAST(8.0 AS DOUBLE) AS xmin,
+         ((p_partkey % 400) // 20) * CAST(8.0 AS DOUBLE) AS ymin,
+         ((p_partkey % 400) % 20) * CAST(8.0 AS DOUBLE) + 4.0 + (p_partkey % 5) AS xmax,
+         ((p_partkey % 400) // 20) * CAST(8.0 AS DOUBLE) + 4.0 + (p_partkey % 6) AS ymax
+  FROM part WHERE p_partkey <= 2500
+"""
+
+GRID_B_SQL = """
+  SELECT c_custkey AS id,
+         ((c_custkey % 400) % 20) * CAST(8.0 AS DOUBLE) AS xmin,
+         ((c_custkey % 400) // 20) * CAST(8.0 AS DOUBLE) AS ymin,
+         ((c_custkey % 400) % 20) * CAST(8.0 AS DOUBLE) + 3.0 + (c_custkey % 6) AS xmax,
+         ((c_custkey % 400) // 20) * CAST(8.0 AS DOUBLE) + 3.0 + (c_custkey % 7) AS ymax
+  FROM customer WHERE c_custkey <= 2000
+"""
+
+GRID_LINES_SQL = """
+  SELECT c_custkey AS id,
+         (c_custkey % 150) + CAST(0.25 AS DOUBLE) AS x1,
+         (c_custkey % 140) + CAST(0.25 AS DOUBLE) AS y1,
+         (c_custkey % 150) + CAST(0.25 AS DOUBLE) + 3.0 + (c_custkey % 9) AS x2,
+         (c_custkey % 140) + CAST(0.25 AS DOUBLE) + 2.0 + (c_custkey % 7) AS y2
+  FROM customer WHERE c_custkey <= 2000
+"""
+
+# shared candidate CTE: closed-box intersection + the derived quantities
+# each boundary predicate needs (iw/ih = intersection width/height)
+_GRID_PAIR_SQL = f"""
+  WITH a AS ({GRID_A_SQL}), b AS ({GRID_B_SQL}),
+  p AS (
+    SELECT a.id AS id_1, b.id AS id_2,
+           LEAST(a.xmax, b.xmax) - GREATEST(a.xmin, b.xmin) AS iw,
+           LEAST(a.ymax, b.ymax) - GREATEST(a.ymin, b.ymin) AS ih,
+           (a.xmax - a.xmin) * (a.ymax - a.ymin) AS area1,
+           (b.xmax - b.xmin) * (b.ymax - b.ymin) AS area2,
+           a.xmin AS ax0, a.ymin AS ay0, a.xmax AS ax1, a.ymax AS ay1,
+           b.xmin AS bx0, b.ymin AS by0, b.xmax AS bx1, b.ymax AS by1
+    FROM a JOIN b
+      ON a.xmin <= b.xmax AND b.xmin <= a.xmax
+     AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+  )
+"""
+
+
+def _grid_pred_join(spark, sf, predicate):
+    j = spatial_join(
+        grid_polys_a(spark, sf), grid_polys_b(spark, sf), predicate, bucket_size=500
+    )
+    return j.select("id_1", "id_2")
+
+
+def sp_touches_wkt(spark, sf):
+    """st_touches through the exact WKT kernel: boundary contact with
+    disjoint interiors (spjoin_2d.hpp:143-145)."""
+    return _grid_pred_join(spark, sf, "st_touches")
+
+
+def sp_within_wkt(spark, sf):
+    """st_within through the exact WKT kernel (spjoin_2d.hpp:207-209)."""
+    return _grid_pred_join(spark, sf, "st_within")
+
+
+def sp_overlaps_wkt(spark, sf):
+    """st_overlaps: same-dimension partial overlap (spjoin_2d.hpp:211-213)."""
+    return _grid_pred_join(spark, sf, "st_overlaps")
+
+
+def sp_equals_wkt(spark, sf):
+    """st_equals: geometric equality (spjoin_2d.hpp:163-165)."""
+    return _grid_pred_join(spark, sf, "st_equals")
+
+
+def sp_crosses_wkt(spark, sf):
+    """st_crosses: line/polygon interior crossing, vertex-based semantics
+    as documented in geometry.kernel.crosses (spjoin_2d.hpp:147-149)."""
+    j = spatial_join(
+        grid_polys_a(spark, sf), grid_lines(spark, sf), "st_crosses", bucket_size=500
+    )
+    return j.select("id_1", "id_2")
+
+
+SP_TOUCHES_WKT_SQL = _GRID_PAIR_SQL + "SELECT id_1, id_2 FROM p WHERE iw = 0 OR ih = 0"
+
+SP_WITHIN_WKT_SQL = _GRID_PAIR_SQL + """
+  SELECT id_1, id_2 FROM p
+  WHERE bx0 <= ax0 AND ax1 <= bx1 AND by0 <= ay0 AND ay1 <= by1
+"""
+
+SP_OVERLAPS_WKT_SQL = _GRID_PAIR_SQL + """
+  SELECT id_1, id_2 FROM p
+  WHERE iw > 0 AND ih > 0 AND iw * ih < area1 AND iw * ih < area2
+"""
+
+SP_EQUALS_WKT_SQL = _GRID_PAIR_SQL + """
+  SELECT id_1, id_2 FROM p
+  WHERE ax0 = bx0 AND ay0 = by0 AND ax1 = bx1 AND ay1 = by1
+"""
+
+# vertex-based crosses: some vertex strictly inside AND some strictly
+# outside (with +0.25 offsets no vertex is ever on the boundary)
+SP_CROSSES_WKT_SQL = f"""
+  WITH a AS ({GRID_A_SQL}), l AS ({GRID_LINES_SQL})
+  SELECT a.id AS id_1, l.id AS id_2
+  FROM a JOIN l
+    ON ((l.x1 > a.xmin AND l.x1 < a.xmax AND l.y1 > a.ymin AND l.y1 < a.ymax)
+        OR (l.x2 > a.xmin AND l.x2 < a.xmax AND l.y2 > a.ymin AND l.y2 < a.ymax))
+   AND ((l.x1 < a.xmin OR l.x1 > a.xmax OR l.y1 < a.ymin OR l.y1 > a.ymax)
+        OR (l.x2 < a.xmin OR l.x2 > a.xmax OR l.y2 < a.ymin OR l.y2 > a.ymax))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Partitioner gates: str / slc / bos produce the same join result as bsp
+# (tiling is an execution detail; reference src/partitionalgo/{str,slc,bos})
+# ---------------------------------------------------------------------------
+
+def sp_join_boxes_str(spark, sf):
+    """J1 via STR (MBR tiles → distinct() dedup path)."""
+    j = spatial_join(part_boxes(spark, sf), customer_boxes(spark, sf),
+                     "st_intersects", partitioner="str", bucket_size=400,
+                     stats=["intersect", "jaccard"])
+    return j.select("id_1", "id_2", F.col("intersect").alias("inter_area"),
+                    F.col("jaccard").alias("jaccard_sim"))
+
+
+def sp_join_boxes_slc(spark, sf):
+    """J1 via single-orientation strips (slc_2d.cpp:12-116)."""
+    j = spatial_join(part_boxes(spark, sf), customer_boxes(spark, sf),
+                     "st_intersects", partitioner="slc", bucket_size=400,
+                     stats=["intersect", "jaccard"])
+    return j.select("id_1", "id_2", F.col("intersect").alias("inter_area"),
+                    F.col("jaccard").alias("jaccard_sim"))
+
+
+def sp_join_boxes_bos(spark, sf):
+    """J1 via boundary-optimized strips (bos_2d.cpp)."""
+    j = spatial_join(part_boxes(spark, sf), customer_boxes(spark, sf),
+                     "st_intersects", partitioner="bos", bucket_size=400,
+                     stats=["intersect", "jaccard"])
+    return j.select("id_1", "id_2", F.col("intersect").alias("inter_area"),
+                    F.col("jaccard").alias("jaccard_sim"))
+
+
+# ---------------------------------------------------------------------------
+# kNN tile mode + distance-capped mode (knn_2d.hpp:22-233, :187-195)
+# ---------------------------------------------------------------------------
+
+def sp_knn_tile(spark, sf):
+    """J4 in the reference's per-tile mode. A single-tile configuration
+    (bucket ≥ n) makes tile semantics coincide with exact kNN, so the
+    oracle is expressible; multi-tile parity vs exact mode is pinned by
+    pytest."""
+    a = customer_points(spark, sf).filter(F.col("id") <= 2000)
+    b = supplier_points(spark, sf)
+    j = knn_join(a, b, k=3, mode="tile", bucket_size=10_000_000)
+    return j.select("id_1", "id_2", "distance")
+
+
+def sp_knn_capped(spark, sf):
+    """J4 with the -d search cap of st_nearest (knn_2d.hpp:187-195):
+    neighbors beyond the cap are never returned, objects may get < k."""
+    a = customer_points(spark, sf).filter(F.col("id") <= 2000)
+    b = supplier_points(spark, sf)
+    j = knn_join(a, b, k=3, mode="exact", max_distance=60.0)
+    return j.select("id_1", "id_2", "distance")
+
+
+_KNN_CTES = """
+  WITH c AS (
+    SELECT c_custkey AS id,
+           (c_custkey % 211) * CAST(4.7 AS DOUBLE) AS x,
+           (c_custkey % 193) * CAST(5.1 AS DOUBLE) AS y
+    FROM customer WHERE c_custkey <= 2000
+  ), s AS (
+    SELECT s_suppkey AS id,
+           (s_suppkey % 89) * CAST(11.0 AS DOUBLE) AS x,
+           (s_suppkey % 97) * CAST(10.0 AS DOUBLE) AS y
+    FROM supplier
+  ), d AS (
+    SELECT c.id AS id_1, s.id AS id_2,
+           SQRT((c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y)) AS distance
+    FROM c CROSS JOIN s
+  )
+"""
+
+SP_KNN_TILE_SQL = _KNN_CTES + """
+  , r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1 ORDER BY distance, id_2) AS rn FROM d
+  )
+  SELECT id_1, id_2, distance FROM r WHERE rn <= 3
+"""
+
+SP_KNN_CAPPED_SQL = _KNN_CTES + """
+  , r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1 ORDER BY distance, id_2) AS rn
+    FROM d WHERE distance <= CAST(60.0 AS DOUBLE)
+  )
+  SELECT id_1, id_2, distance FROM r WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: hyperplane-LSH bucketed top-k (the 100 TB answer;
+# brute force sim_ann_topk stays as the recall baseline)
+# ---------------------------------------------------------------------------
+
+def sim_ann_lsh(spark, sf):
+    """Bucketed approximate top-k over deterministic md5 hyperplanes —
+    candidates share a sign-sketch bucket in ≥1 of 2 tables, exact
+    cosine rank within candidates. dim passed explicitly (no probe job)."""
+    from hadoopgis_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    j = lsh_topk(e, q, k=5, n_planes=8, n_tables=2, dim=64)
+    return j.select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _ann_lsh_sql(n_planes: int = 8, dim: int = 64, n_tables: int = 2, k: int = 5) -> str:
+    import hashlib
+
+    def coeff(t, p, dd):
+        h = int(hashlib.md5(f"hp:{t}:{p}:{dd}".encode()).hexdigest()[:8], 16)
+        return h / 2147483648.0 - 1.0
+
+    buckets = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            dot = " + ".join(f"ce[{dd+1}] * ({coeff(t, p, dd)!r})" for dd in range(dim))
+            bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
+        buckets.append(" || ".join(bits))
+    bucket_cols = ", ".join(f"{b} AS bucket{t}" for t, b in enumerate(buckets))
+    match = " OR ".join(f"q.bucket{t} = c.bucket{t}" for t in range(n_tables))
+    return f"""
+  WITH e AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+  ), bk AS (
+    SELECT id, ce, {bucket_cols} FROM e
+  ), q AS (
+    SELECT * FROM bk WHERE id % 50 = 0
+  ), cand AS (
+    SELECT DISTINCT q.id AS q_id, c.id AS vec_id
+    FROM q JOIN bk c ON ({match})
+    WHERE c.id != q.id
+  ), v AS (
+    SELECT cand.q_id, cand.vec_id,
+           LIST_DOT_PRODUCT(x.ce, y.ce)
+             / (SQRT(LIST_DOT_PRODUCT(x.ce, x.ce)) * SQRT(LIST_DOT_PRODUCT(y.ce, y.ce))) AS cos
+    FROM cand JOIN e x ON x.id = cand.q_id JOIN e y ON y.id = cand.vec_id
+  ), r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM v
+  )
+  SELECT q_id, vec_id, ROUND(cos, 6) AS cosine FROM r WHERE rn <= {k}
+"""
+
+
+SIM_ANN_LSH_SQL = _ann_lsh_sql()
+
+
+# ---------------------------------------------------------------------------
+# Loader roundtrip (§3.2 save → §3.3 pruned windowed load)
+# ---------------------------------------------------------------------------
+
+def sp_loaded_containment(spark, sf):
+    """save_partitioned → load_partitioned(window): write-once refpoint
+    ownership, directory pruning on tile_id, padded-window row filter —
+    the reference's query_partition.hpp → query_containment.hpp pipeline.
+    Result must equal a plain window filter on the source data."""
+    from hadoopgis_spark.sources.loader import load_partitioned, save_partitioned
+
+    b = part_boxes(spark, sf)
+    tag = os.path.basename(os.path.normpath(sf))
+    path = f"/tmp/hgs_gate_loader/{tag}"
+    save_partitioned(b, path, partitioner="bsp", bucket_size=400)
+    out = load_partitioned(spark, path, window="200,150,600,500")
+    return out.select("id", "xmin", "ymin", "xmax", "ymax")
+
+
+# identical to SP_CONTAINMENT_SQL (the roundtrip must be lossless)
+SP_LOADED_CONTAINMENT_SQL = f"""
+  SELECT id, xmin, ymin, xmax, ymax FROM ({PART_BOXES_SQL}) b
+  WHERE b.xmin <= 600 AND 200 <= b.xmax AND b.ymin <= 500 AND 150 <= b.ymax
+"""
+
+
+# ---------------------------------------------------------------------------
+# Small transform gates: uniqpart (O5) + discretize (T3)
+# ---------------------------------------------------------------------------
+
+def op_uniqpart(spark, sf):
+    """O5 uniqpart: dedup ignoring the trailing column
+    (duplicate_remover.cpp:45-63). The ignored column is derived from the
+    keys so the kept row is deterministic."""
+    from hadoopgis_spark.operators.transforms import uniqpart
+
+    l = _t(spark, sf, "lineitem")
+    d = l.select("l_partkey", "l_suppkey", (F.col("l_suppkey") % 7).alias("tag"))
+    return uniqpart(d, ignore_last=1)
+
+
+OP_UNIQPART_SQL = """
+  SELECT DISTINCT l_partkey, l_suppkey, l_suppkey % 7 AS tag FROM lineitem
+"""
+
+
+def op_discretize(spark, sf):
+    """T3 vertex snapping to an integer grid, re-emitted as WKT
+    (discretize_cords.cpp:39-330). cell=3.0 keeps every coord/cell
+    fraction in {0, 1/3, 2/3} — never a rounding tie, so numpy round and
+    SQL FLOOR(x+0.5) agree exactly."""
+    from hadoopgis_spark.operators.transforms import discretize_coords
+
+    b = part_boxes(spark, sf).filter(F.col("id") <= 2500)
+    d = b.select(
+        "id",
+        _rect_wkt(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")).alias("geom"),
+    )
+    return discretize_coords(d, cell=3.0)
+
+
+OP_DISCRETIZE_SQL = f"""
+  WITH b AS (SELECT * FROM ({PART_BOXES_SQL}) WHERE id <= 2500),
+  s AS (
+    SELECT id,
+           CAST(FLOOR(xmin / 3.0 + 0.5) AS BIGINT) AS x0,
+           CAST(FLOOR(ymin / 3.0 + 0.5) AS BIGINT) AS y0,
+           CAST(FLOOR(xmax / 3.0 + 0.5) AS BIGINT) AS x1,
+           CAST(FLOOR(ymax / 3.0 + 0.5) AS BIGINT) AS y1
+    FROM b
+  )
+  SELECT id,
+         'POLYGON ((' || x0 || ' ' || y0 || ', ' || x1 || ' ' || y0 || ', '
+           || x1 || ' ' || y1 || ', ' || x0 || ' ' || y1 || ', '
+           || x0 || ' ' || y0 || '))' AS geom
+  FROM s
+"""
+
+
 # triangle window for the WKT-kernel gate query (CCW)
 _TRI = ((13.3, 7.1), (911.7, 203.9), (401.3, 876.1))
 _TRI_WKT = "POLYGON ((13.3 7.1, 911.7 203.9, 401.3 876.1, 13.3 7.1))"
@@ -1502,4 +1910,18 @@ REGISTRY: dict[str, Query] = {
     "stream_sessionize": Query(stream_sessionize, STREAM_SESSIONIZE_SQL, "gap sessionization (stateful op, batch form)"),
     "dedup_clusters": Query(dedup_clusters, DEDUP_CLUSTERS_SQL, "near-dup connected components"),
     "txt_tfidf_topterms": Query(txt_tfidf_topterms, TXT_TFIDF_SQL, "TF-IDF top terms"),
+    "sp_touches_wkt": Query(sp_touches_wkt, SP_TOUCHES_WKT_SQL, "P3 st_touches, exact kernel"),
+    "sp_within_wkt": Query(sp_within_wkt, SP_WITHIN_WKT_SQL, "P3 st_within, exact kernel"),
+    "sp_overlaps_wkt": Query(sp_overlaps_wkt, SP_OVERLAPS_WKT_SQL, "P3 st_overlaps, exact kernel"),
+    "sp_equals_wkt": Query(sp_equals_wkt, SP_EQUALS_WKT_SQL, "P3 st_equals, exact kernel"),
+    "sp_crosses_wkt": Query(sp_crosses_wkt, SP_CROSSES_WKT_SQL, "P3 st_crosses, line/polygon kernel"),
+    "sp_join_boxes_str": Query(sp_join_boxes_str, SP_JOIN_BOXES_SQL, "J1 via STR tiles + distinct dedup"),
+    "sp_join_boxes_slc": Query(sp_join_boxes_slc, SP_JOIN_BOXES_SQL, "J1 via slc strips"),
+    "sp_join_boxes_bos": Query(sp_join_boxes_bos, SP_JOIN_BOXES_SQL, "J1 via bos strips"),
+    "sp_knn_tile": Query(sp_knn_tile, SP_KNN_TILE_SQL, "J4 kNN tile mode (single-tile ≡ exact)"),
+    "sp_knn_capped": Query(sp_knn_capped, SP_KNN_CAPPED_SQL, "J4 st_nearest distance cap"),
+    "sim_ann_lsh": Query(sim_ann_lsh, SIM_ANN_LSH_SQL, "ANN scale path: hyperplane-LSH top-k"),
+    "sp_loaded_containment": Query(sp_loaded_containment, SP_LOADED_CONTAINMENT_SQL, "loader roundtrip + pruned window"),
+    "op_uniqpart": Query(op_uniqpart, OP_UNIQPART_SQL, "O5 uniqpart dedup"),
+    "op_discretize": Query(op_discretize, OP_DISCRETIZE_SQL, "T3 coordinate discretization"),
 }

@@ -139,6 +139,30 @@ def test_expand_to_cover():
     assert inside.sum() == 1
 
 
+def test_bos_duplicate_centers_cover_extent():
+    """Regression: fit_bos's early-return (no center survives the cut —
+    guaranteed by duplicate-center data at the extent's high end) used to
+    leave the region beyond the last cut covered by no tile, silently
+    dropping refpoint-deduped pairs there."""
+    dups = np.tile(np.array([90.0, 90.0, 94.0, 94.0]), (20, 1))
+    spread = make_mbbs(n=20, seed=3, extent=80.0, size=4.0)
+    mbbs = np.vstack([spread, dups])
+    tiles = partition_tiles(mbbs, bucket_size=6, algorithm="bos")
+    t = np.asarray([r[1:] for r in tiles])
+    x0, y0 = mbbs[:, 0].min(), mbbs[:, 1].min()
+    x1, y1 = mbbs[:, 2].max(), mbbs[:, 3].max()
+    gx, gy = np.meshgrid(np.linspace(x0, x1, 40), np.linspace(y0, y1, 40))
+    px, py = gx.ravel(), gy.ravel()
+    inside = (
+        (px[:, None] >= t[None, :, 0])
+        & (px[:, None] <= t[None, :, 2])
+        & (py[:, None] >= t[None, :, 1])
+        & (py[:, None] <= t[None, :, 3])
+    )
+    misses = int((~inside.any(axis=1)).sum())
+    assert misses == 0, f"bos left {misses} extent probe points uncovered"
+
+
 def test_bad_inputs():
     with pytest.raises(ValueError):
         partition_tiles(np.zeros((3, 3)), 10, "fg")

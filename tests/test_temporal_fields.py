@@ -53,6 +53,24 @@ class TestIntervalJoin:
         }
         assert got == expected and len(expected) > 100
 
+    def test_ns_precision_exact(self, spark):
+        """Nanosecond epochs (~1.7e18) exceed 2^53: the double cast rounds
+        by ~256 ns, which without the long-column refine merges a 1 ns gap
+        into a false overlap and can drop a boundary touch."""
+        S = 1_700_000_000_000_000_000
+        rows = [
+            (1, S, S + 1000),
+            (2, S + 1000, S + 2000),   # touches id 1 exactly (closed ⇒ overlap)
+            (3, S + 2001, S + 3000),   # 1 ns gap after id 2 ⇒ NO overlap
+            (4, S + 100, S + 200),     # strictly inside id 1
+        ]
+        df = spark.createDataFrame(rows, "id long, start long, end long")
+        got = {
+            (r.id_1, r.id_2)
+            for r in interval_join(df, None, bucket_size=2).select("id_1", "id_2").collect()
+        }
+        assert got == {(1, 2), (1, 4)}
+
 
 class TestFieldsGrammar:
     @pytest.fixture(scope="class")
