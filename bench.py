@@ -57,6 +57,22 @@ BENCH_QUERIES = [
     "txt_tfidf_topterms",
     "rel_pivot",
     "rel_percentiles",
+    # round 3: boundary predicates, partitioner zoo, kNN modes, ANN scale
+    # path, loader roundtrip, transform gates
+    "sp_touches_wkt",
+    "sp_within_wkt",
+    "sp_overlaps_wkt",
+    "sp_equals_wkt",
+    "sp_crosses_wkt",
+    "sp_join_boxes_str",
+    "sp_join_boxes_slc",
+    "sp_join_boxes_bos",
+    "sp_knn_tile",
+    "sp_knn_capped",
+    "sim_ann_lsh",
+    "sp_loaded_containment",
+    "op_uniqpart",
+    "op_discretize",
 ]
 
 

@@ -189,7 +189,10 @@ def char_shingles(col, n: int = 5) -> Column:
     )
 
 
-def md5_hash32(col) -> Column:
-    """First 8 hex chars of md5 as a non-negative 32-bit int — the
-    cross-engine (Spark ⇄ DuckDB) deterministic hash primitive."""
-    return F.conv(F.substring(F.md5(_c(col)), 1, 8), 16, 10).cast("long")
+def md5_hash32(col, offset: int = 1) -> Column:
+    """8 hex chars of md5 (starting at 1-based ``offset``) as a
+    non-negative 32-bit int — the cross-engine (Spark ⇄ DuckDB)
+    deterministic hash primitive. Independent 32-bit values come from
+    different offsets of the SAME digest (one md5 evaluation feeds up to
+    four hashes)."""
+    return F.conv(F.substring(F.md5(_c(col)), offset, 8), 16, 10).cast("long")

@@ -66,7 +66,7 @@ MI_TO_M = 1609.00
 class Geometry:
     """Parsed geometry with lazily computed bbox / area / triangulation."""
 
-    __slots__ = ("kind", "payload", "_bbox", "_area", "_tris")
+    __slots__ = ("kind", "payload", "_bbox", "_area", "_tris", "_rect")
 
     def __init__(self, kind: str, payload):
         self.kind = kind
@@ -74,6 +74,7 @@ class Geometry:
         self._bbox = None
         self._area = None
         self._tris = None
+        self._rect = None
 
     @classmethod
     def from_wkt(cls, text: str) -> "Geometry":
@@ -156,6 +157,27 @@ class Geometry:
                 parts.append((shell_tris, hole_tris))
             self._tris = parts
         return self._tris
+
+    @property
+    def is_rect(self) -> bool:
+        """True when the geometry is a hole-free axis-aligned rectangle
+        (its bbox IS the geometry) — the dominant case for tile tables,
+        windows, and raster-derived data. Predicates/measures then reduce
+        to O(1) box arithmetic instead of segment loops / clipping."""
+        if self._rect is None:
+            r = False
+            if self.kind == "POLYGON" and len(self.payload) == 1:
+                ring = self.payload[0]
+                if len(ring) == 5:
+                    x0, y0, x1, y1 = self.bbox
+                    pts = {(float(p[0]), float(p[1])) for p in ring[:-1]}
+                    r = (
+                        pts == {(x0, y0), (x1, y0), (x1, y1), (x0, y1)}
+                        and x1 > x0
+                        and y1 > y0
+                    )
+            self._rect = r
+        return self._rect
 
     def rings(self):
         """All boundary rings/linestrings as (N,2) arrays."""
@@ -244,6 +266,17 @@ def _point_in_ring(x: float, y: float, ring: np.ndarray) -> int:
 
 def _point_in_polygon(x: float, y: float, geom: Geometry) -> int:
     """2 inside, 1 boundary, 0 outside — honoring holes."""
+    if geom.kind == "POLYGON" and geom.is_rect:
+        # O(1) rect fast path, same eps-distance-to-outline semantics as
+        # the segment-based boundary test below
+        x0, y0, x1, y1 = geom.bbox
+        dx = max(x0 - x, 0.0, x - x1)
+        dy = max(y0 - y, 0.0, y - y1)
+        if dx > 0.0 or dy > 0.0:
+            return 1 if dx * dx + dy * dy <= _EPS * _EPS else 0
+        if min(x - x0, x1 - x, y - y0, y1 - y) <= _EPS:
+            return 1
+        return 2
     if geom.kind == "POLYGON":
         groups = [geom.payload]
     elif geom.kind == "MULTIPOLYGON":
@@ -318,6 +351,10 @@ def intersects(g1, g2) -> bool:
         return _point_touches_or_in(a, b)
     if b.kind == "POINT":
         return _point_touches_or_in(b, a)
+    # rect×rect: closed-set intersection ⇔ bbox overlap, and the
+    # eps-padded prefilter above just passed — O(1) fast path
+    if a.is_rect and b.is_rect:
+        return True
     # segment-pair intersection
     segs_b = list(_boundary_segments(b))
     for s1, s2 in _boundary_segments(a):
@@ -372,6 +409,13 @@ def intersection_area(g1, g2) -> float:
         return 0.0
     if not _bbox_intersects(a.bbox, b.bbox):
         return 0.0
+    if a.is_rect and b.is_rect:
+        # exact box intersection — identical value to triangulated
+        # clipping of the two rectangles, at O(1)
+        ab, bb = a.bbox, b.bbox
+        iw = min(ab[2], bb[2]) - max(ab[0], bb[0])
+        ih = min(ab[3], bb[3]) - max(ab[1], bb[1])
+        return max(0.0, iw) * max(0.0, ih)
     total = 0.0
     for sa, ha in a.triangles:
         for sb, hb in b.triangles:
@@ -481,6 +525,12 @@ def distance(g1, g2) -> float:
         return math.hypot(x1 - x2, y1 - y2)
     if intersects(a, b):
         return 0.0
+    if a.is_rect and b.is_rect:
+        # corner/edge gap — same expression shape as functions.boxes.box_distance
+        ab, bb = a.bbox, b.bbox
+        dx = max(0.0, max(bb[0] - ab[2], ab[0] - bb[2]))
+        dy = max(0.0, max(bb[1] - ab[3], ab[1] - bb[3]))
+        return math.sqrt(dx * dx + dy * dy)
     best = math.inf
     if a.kind == "POINT":
         x, y = a.payload

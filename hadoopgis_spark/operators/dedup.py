@@ -144,8 +144,10 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         df.select(F.col(id_col).alias("id"), F.explode(words).alias("t"))
         .select(
             "id",
+            # both 32-bit halves come from ONE md5 digest (offsets 1 and 9)
+            # — codegen subexpression elimination evaluates md5 once/token
             md5_hash32(F.col("t")).alias("h1"),
-            md5_hash32(F.concat(F.lit("s:"), F.col("t"))).alias("h2"),
+            md5_hash32(F.col("t"), offset=9).alias("h2"),
         )
     )
     votes = [

@@ -138,8 +138,12 @@ def spatial_join(
         # mirror the reference's join-side size check
         # (query_spjoin.hpp:74-95): broadcast a small side, tile otherwise.
         # The limit() probe costs one cheap job and avoids a full count.
+        # Default calibrated at sf0.1 (|A|=20k): tile is flat ~0.95 s while
+        # BroadcastNestedLoopJoin grows linearly in |B| (0.38 s @1k,
+        # 1.44 s @8k, 2.62 s @15k) — crossover ≈ 5k rows, and the NLJ's
+        # |A|·|B| probe cost only gets worse as the big side scales up.
         threshold = int(
-            a.sparkSession.conf.get("hgs.broadcastRowThreshold", "100000")
+            a.sparkSession.conf.get("hgs.broadcastRowThreshold", "5000")
         )
         small_b = b.limit(threshold + 1).count() <= threshold
         strategy = "broadcast" if (small_b and not self_join) else "tile"

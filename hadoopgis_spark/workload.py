@@ -1016,7 +1016,7 @@ def _simhash_sql() -> str:
   ), h AS (
     SELECT id,
            LIST_TRANSFORM(w, x -> ('0x' || SUBSTR(MD5(x), 1, 8))::BIGINT) AS h1,
-           LIST_TRANSFORM(w, x -> ('0x' || SUBSTR(MD5('s:' || x), 1, 8))::BIGINT) AS h2
+           LIST_TRANSFORM(w, x -> ('0x' || SUBSTR(MD5(x), 9, 8))::BIGINT) AS h2
     FROM t WHERE LEN(w) > 0
   ), sig AS (
     SELECT id, {sim} AS simhash FROM h
