@@ -73,6 +73,15 @@ BENCH_QUERIES = [
     "sp_loaded_containment",
     "op_uniqpart",
     "op_discretize",
+    # round 3b: multimodal plumbing, malformed skip, containfile, SQL
+    # surface, IVF ANN, BPE token budget
+    "mm_decode_meta",
+    "mm_frame_sample",
+    "sp_malformed_filter",
+    "sp_containment_file",
+    "sp_sql_surface",
+    "sim_ann_ivf",
+    "txt_token_bpe",
 ]
 
 

@@ -29,8 +29,18 @@ __all__ = [
     "fingerprint",
     "char_shingles",
     "md5_hash32",
+    "bpe_tokens",
+    "bpe_token_count",
+    "BPE_PATTERN",
     "STOPWORDS",
 ]
+
+# GPT-2-style pre-tokenization pattern, restricted to constructs RE2 and
+# Java regex match identically (no lookahead, no unicode classes): an
+# optional leading space glued to a letter / digit / punctuation run,
+# else a whitespace run. Token counts from this are the standard cheap
+# proxy for BPE token budgets in training-data pipelines.
+BPE_PATTERN = r"'(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
 
 # small public stopword lists per language for the n-gram/stopword
 # language heuristic (public knowledge; any basic list works)
@@ -62,6 +72,18 @@ def tokens(col) -> Column:
 
 def token_count(col) -> Column:
     return F.size(tokens(col))
+
+
+def bpe_tokens(col) -> Column:
+    """BPE-ish pre-tokens of the raw text (``BPE_PATTERN`` matches, in
+    order). Unlike ``tokens`` this is NOT normalized — whitespace runs
+    and punctuation count, like a real tokenizer's input segmentation."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col) -> Column:
+    """Proxy token budget of a document (JVM regex, no Python)."""
+    return F.size(bpe_tokens(col))
 
 
 def char_count(col) -> Column:

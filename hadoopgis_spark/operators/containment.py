@@ -29,10 +29,15 @@ __all__ = ["containment", "parse_window"]
 
 
 def parse_window(window: str) -> tuple[str | None, tuple[float, float, float, float]]:
-    """Accept WKT or the reference's bare-MBB form ``"x0,y0,x1,y1"``
-    (``--containrange``, ``queryprocessor_aux.h:20-44``).
+    """Accept WKT, the reference's bare-MBB form ``"x0,y0,x1,y1"``
+    (``--containrange``, ``queryprocessor_aux.h:20-44``), or ``"@path"``
+    — read the window spec from the first line of a file, the
+    ``--containfile`` mode (``query_containment.hpp:98-105``).
     Returns (wkt_or_None, mbb)."""
     s = window.strip()
+    if s.startswith("@"):
+        with open(s[1:]) as fh:
+            s = fh.readline().strip()
     if "(" in s:
         g = Geometry.from_wkt(s)
         return s, g.bbox

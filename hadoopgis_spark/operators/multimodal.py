@@ -88,18 +88,18 @@ def frame_sample(
     bytes_col: str = "data",
     id_col: str = "media_id",
     every_n: int = 10,
+    window: int = 256,
 ) -> DataFrame:
     """Deterministic frame sampling stub for video blobs: emits one row
-    per sampled 'frame' (byte-window), keyed (media_id, frame_idx) —
-    the explode-shaped stage a video pipeline needs, with the codec
-    stubbed to fixed-size byte windows."""
+    per sampled 'frame' (byte-window of ``window`` bytes), keyed
+    (media_id, frame_idx) — the explode-shaped stage a video pipeline
+    needs, with the codec stubbed to fixed-size byte windows."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mid, blob in zip(pdf[id_col], pdf[bytes_col]):
                 b = bytes(blob) if blob is not None else b""
-                window = 256
                 n_frames = max(1, len(b) // window)
                 for fi in range(0, n_frames, every_n):
                     chunk = b[fi * window : (fi + 1) * window]

@@ -21,7 +21,14 @@ from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions.vector import cosine
 
-__all__ = ["brute_force_topk", "hyperplane_buckets", "lsh_topk"]
+__all__ = [
+    "brute_force_topk",
+    "hyperplane_buckets",
+    "lsh_topk",
+    "centroid",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def brute_force_topk(
@@ -93,6 +100,111 @@ def hyperplane_buckets(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.concat(*bits).alias("bucket"),
+    )
+
+
+def centroid(c: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random IVF centroid (md5-derived components
+    in [-1, 1), same scheme as ``_plane_coeff``). A production deployment
+    would swap in k-means centroids fitted on a sample; the assignment /
+    probe / rank dataflow below is identical either way."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"ivf:{c}:{d}".encode()).hexdigest()[:8], 16)
+        out.append(h / 2147483648.0 - 1.0)
+    return out
+
+
+def _centroid_scores(vec, n_centroids: int, dim: int):
+    """array<struct(s, cid)>: one score per centroid. argmin of L2
+    distance == argmax of (v·c − |c|²/2), so each centroid costs one
+    linear ``zip_with``+``aggregate`` fold plus a driver-side constant.
+    The whole table is ONE ``transform`` over a constant struct array —
+    a single lambda body in codegen instead of n_centroids unrolled
+    copies (CLAUDE.md's nested-expression trap)."""
+    entries = []
+    for c in range(n_centroids):
+        comps = centroid(c, dim)
+        entries.append(
+            F.struct(
+                F.array(*[F.lit(x) for x in comps]).alias("c"),
+                F.lit(sum(x * x for x in comps) / 2.0).alias("h"),
+                F.lit(c).alias("cid"),
+            )
+        )
+    table = F.array(*entries)
+
+    def score(s):
+        dot = F.aggregate(
+            F.zip_with(vec, s["c"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        return F.struct((dot - s["h"]).alias("s"), s["cid"].alias("cid"))
+
+    return F.transform(table, score)
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_centroids: int = 16,
+    dim: int,
+) -> DataFrame:
+    """(id, vec, cid): each vector assigned to its nearest centroid —
+    the IVF build side. One narrow projection, no shuffle; the inverted
+    'lists' are just a cid column a downstream join equi-partitions on."""
+    v = F.col(vec_col).cast("array<double>")
+    best = F.array_max(_centroid_scores(v, n_centroids, dim))
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), best["cid"].alias("cid")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in nearest-centroid
+    lists; each query probes its ``n_probe`` nearest lists and ranks
+    candidates by exact cosine. The 100 TB shape: the corpus scan is
+    embarrassingly parallel, the candidate join is cid-equi (shuffle
+    keyed on ≤ n_centroids values — broadcast the probe side when small),
+    and no all-pairs product ever forms. Recall < 1 by construction;
+    raise n_probe toward n_centroids to trade cost for recall."""
+    asg = ivf_assign(corpus, vec_col, id_col, n_centroids=n_centroids, dim=dim)
+    qv = F.col(q_vec_col).cast("array<double>")
+    probes = queries.select(
+        F.col(q_id_col).alias("qid"),
+        F.col(q_vec_col).alias("qvec"),
+        F.explode(_centroid_scores(qv, n_centroids, dim)).alias("z"),
+    ).select("qid", "qvec", F.col("z.s").alias("s"), F.col("z.cid").alias("cid"))
+    wp = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("cid").desc())
+    probes = (
+        probes.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("qid", "qvec", "cid")
+    )
+    cand = asg.join(F.broadcast(probes), "cid").filter(F.col("qid") != F.col("id"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        cand.withColumn("cosine", cosine(F.col("qvec"), F.col("vec")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("qid").alias(q_id_col), F.col("id").alias(id_col), "cosine")
     )
 
 

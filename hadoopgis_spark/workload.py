@@ -44,11 +44,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # read as raw long (runtime-settable, works on any session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "documents":
-        # the documents table arrives as one small parquet split; text
-        # pipelines (regex + per-shingle hashing) are CPU-bound, so spread
-        # them across cores (a no-op concern at real input sizes, which
-        # come pre-split)
+    if name in ("documents", "embeddings"):
+        # these tables arrive as one small parquet split; text pipelines
+        # (regex + per-shingle hashing) and embedding folds (per-dim
+        # higher-order functions) are CPU-bound, so spread them across
+        # cores (a no-op concern at real input sizes, which come
+        # pre-split)
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
@@ -1862,6 +1863,225 @@ SP_CONTAINMENT_WKT_SQL = f"""
 
 
 # ---------------------------------------------------------------------------
+# Multimodal column gates: the Arrow mapInPandas plumbing under the
+# driver's hard signal (the codec itself stays a documented stub; the
+# deterministic fake derives every output from md5 of the blob, which
+# DuckDB can replicate exactly — documents.text is pure ASCII, so
+# VARCHAR-side md5/substring equal the Python byte-side ones)
+# ---------------------------------------------------------------------------
+
+def mm_decode_meta(spark, sf):
+    """Decode stage over mapInPandas: blob → (dims, checksum) metadata
+    (operators/multimodal.py; fake decode, real batched execution)."""
+    from hadoopgis_spark.operators.multimodal import decode_image
+
+    d = _t(spark, sf, "documents")
+    blobs = d.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    return decode_image(blobs)
+
+
+MM_DECODE_SQL = """
+  SELECT doc_id AS media_id,
+         CAST(LENGTH(text) AS INT) AS n_bytes,
+         MD5(text) AS checksum,
+         CAST(64 + ('0x' || SUBSTR(MD5(text), 1, 4))::INT % 1920 AS INT) AS width,
+         CAST(64 + ('0x' || SUBSTR(MD5(text), 5, 4))::INT % 1080 AS INT) AS height,
+         CAST(1 + ('0x' || SUBSTR(MD5(text), 9, 1))::INT % 4 AS INT) AS channels
+  FROM documents
+"""
+
+
+def mm_frame_sample(spark, sf):
+    """Frame-sampling stage (explode-shaped mapInPandas): every 2nd
+    64-byte window of each blob, keyed (media_id, frame_idx)."""
+    from hadoopgis_spark.operators.multimodal import frame_sample
+
+    d = _t(spark, sf, "documents")
+    blobs = d.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    return frame_sample(blobs, every_n=2, window=64)
+
+
+MM_FRAME_SAMPLE_SQL = """
+  WITH f AS (
+    SELECT doc_id AS media_id, text,
+           GREATEST(1, LENGTH(text) // 64) AS nf
+    FROM documents
+  ), x AS (
+    SELECT media_id, text, UNNEST(range(0, nf, 2)) AS fi FROM f
+  )
+  SELECT media_id,
+         CAST(fi AS INT) AS frame_idx,
+         CAST(LENGTH(SUBSTR(text, CAST(fi * 64 + 1 AS INT), 64)) AS INT) AS n_bytes,
+         MD5(SUBSTR(text, CAST(fi * 64 + 1 AS INT), 64)) AS checksum
+  FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
+# P2: malformed-geometry skip gate (manipulate_2d.cpp:182-189)
+# ---------------------------------------------------------------------------
+
+def sp_malformed_filter(spark, sf):
+    """Every 7th event gets a deliberately broken WKT (three flavors:
+    truncated, odd-coordinate ring, non-WKT garbage); with_mbb's
+    drop_invalid path must drop exactly those rows and parse the rest."""
+    from hadoopgis_spark.operators.mbb import with_mbb
+
+    e = _t(spark, sf, "events")
+    x = F.col("value") * 2.0
+    y = (F.col("user_id") % 499) * 2.0
+    good = F.concat(F.lit("POINT ("), x, F.lit(" "), y, F.lit(")"))
+    bad = (
+        F.when(F.col("event_id") % 21 == 0, F.lit("POINT ("))
+        .when(F.col("event_id") % 21 == 7, F.lit("POLYGON ((1 2, 3))"))
+        .otherwise(F.lit("GARBAGE 1 2"))
+    )
+    pts = e.select(
+        F.col("event_id").alias("id"),
+        F.when(F.col("event_id") % 7 == 0, bad).otherwise(good).alias("geom"),
+    )
+    return with_mbb(pts).select("id", "xmin", "ymin")
+
+
+SP_MALFORMED_SQL = """
+  SELECT event_id AS id,
+         value * CAST(2.0 AS DOUBLE) AS xmin,
+         (user_id % 499) * CAST(2.0 AS DOUBLE) AS ymin
+  FROM events WHERE event_id % 7 <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 --containfile mode: window read from a file
+# (query_containment.hpp:98-105; same result as the literal window)
+# ---------------------------------------------------------------------------
+
+def sp_containment_file(spark, sf):
+    path = "/tmp/hgs_gate_window.txt"
+    with open(path, "w") as fh:
+        fh.write("200,150,600,500\n")
+    return containment(part_boxes(spark, sf), "@" + path)
+
+
+# ---------------------------------------------------------------------------
+# §2.9 SQL surface: the registered st_ UDFs driven from spark.sql text
+# (functions/register.py) — the filter+refine idiom SQL users write
+# ---------------------------------------------------------------------------
+
+def sp_sql_surface(spark, sf):
+    """Same semantics as sp_containment_wkt, but expressed as SQL text
+    over a temp view with the registered st_intersects UDF; shares that
+    query's oracle."""
+    from hadoopgis_spark.functions.register import register_all
+
+    register_all(spark)
+    e = _t(spark, sf, "events")
+    x = F.col("value") * 2.0
+    y = (F.col("user_id") % 499) * 2.0
+    pts = e.select(
+        F.col("event_id").alias("id"),
+        x.alias("x"),
+        y.alias("y"),
+        F.concat(F.lit("POINT ("), x, F.lit(" "), y, F.lit(")")).alias("geom"),
+    )
+    pts.createOrReplaceTempView("hgs_sql_pts")
+    return spark.sql(
+        "SELECT id FROM hgs_sql_pts "
+        "WHERE x >= 13.3 AND x <= 911.7 AND y >= 7.1 AND y <= 876.1 "
+        f"AND st_intersects(geom, '{_TRI_WKT}')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN IVF variant: nearest-centroid inverted lists + n_probe pruning
+# (second scale path next to hyperplane LSH; deterministic centroids
+# make the oracle exact)
+# ---------------------------------------------------------------------------
+
+def sim_ann_ivf(spark, sf):
+    from hadoopgis_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    j = ivf_topk(e, q, k=5, n_centroids=16, n_probe=4, dim=64)
+    return j.select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, dim: int = 64, k: int = 5) -> str:
+    from hadoopgis_spark.operators.similarity import centroid
+
+    structs = []
+    for c in range(n_centroids):
+        comps = centroid(c, dim)
+        dot = " + ".join(f"ce[{d + 1}] * ({comps[d]!r})" for d in range(dim))
+        half = sum(x * x for x in comps) / 2.0
+        structs.append(f"struct_pack(cid := {c}, s := {dot} - ({half!r}))")
+    lst = ", ".join(structs)
+    return f"""
+  WITH e AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+  ), u AS (
+    SELECT id, ce, UNNEST([{lst}]) AS z FROM e
+  ), r AS (
+    SELECT id, ce, z['cid'] AS cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY z['s'] DESC, z['cid'] DESC) AS rn
+    FROM u
+  ), asg AS (
+    SELECT id, ce, cid FROM r WHERE rn = 1
+  ), probe AS (
+    SELECT id AS qid, ce AS qce, cid FROM r WHERE rn <= {n_probe} AND id % 50 = 0
+  ), v AS (
+    SELECT p.qid AS q_id, a.id AS vec_id,
+           LIST_DOT_PRODUCT(p.qce, a.ce)
+             / (SQRT(LIST_DOT_PRODUCT(p.qce, p.qce)) * SQRT(LIST_DOT_PRODUCT(a.ce, a.ce))) AS cos
+    FROM probe p JOIN asg a ON a.cid = p.cid AND a.id <> p.qid
+  ), rk AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM v
+  )
+  SELECT q_id, vec_id, ROUND(cos, 6) AS cosine FROM rk WHERE rn <= {k}
+"""
+
+
+SIM_ANN_IVF_SQL = _ann_ivf_sql()
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token budget (training-pipeline token counting; JVM regex)
+# ---------------------------------------------------------------------------
+
+def txt_token_bpe(spark, sf):
+    d = _t(spark, sf, "documents")
+    t = TXT.bpe_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_bpe"),
+        F.aggregate(
+            F.transform(t, lambda s: F.length(s)), F.lit(0), lambda a, b: a + b
+        ).alias("sum_len"),
+    )
+
+
+# the pattern inline (single quotes doubled); \s stays literal in a
+# DuckDB standard string and means the same class in RE2 and Java regex
+TXT_TOKEN_BPE_SQL = r"""
+  SELECT doc_id,
+         CAST(LEN(tk) AS INT) AS n_bpe,
+         CAST(LIST_SUM(LIST_TRANSFORM(tk, x -> LENGTH(x))) AS INT) AS sum_len
+  FROM (
+    SELECT doc_id,
+           REGEXP_EXTRACT_ALL(text, '''(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+') AS tk
+    FROM documents
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1924,4 +2144,11 @@ REGISTRY: dict[str, Query] = {
     "sp_loaded_containment": Query(sp_loaded_containment, SP_LOADED_CONTAINMENT_SQL, "loader roundtrip + pruned window"),
     "op_uniqpart": Query(op_uniqpart, OP_UNIQPART_SQL, "O5 uniqpart dedup"),
     "op_discretize": Query(op_discretize, OP_DISCRETIZE_SQL, "T3 coordinate discretization"),
+    "mm_decode_meta": Query(mm_decode_meta, MM_DECODE_SQL, "multimodal decode metadata (mapInPandas)"),
+    "mm_frame_sample": Query(mm_frame_sample, MM_FRAME_SAMPLE_SQL, "multimodal frame sampling (mapInPandas)"),
+    "sp_malformed_filter": Query(sp_malformed_filter, SP_MALFORMED_SQL, "P2 malformed-geometry skip"),
+    "sp_containment_file": Query(sp_containment_file, SP_CONTAINMENT_SQL, "J3 --containfile window"),
+    "sp_sql_surface": Query(sp_sql_surface, SP_CONTAINMENT_WKT_SQL, "registered st_ UDFs from spark.sql"),
+    "sim_ann_ivf": Query(sim_ann_ivf, SIM_ANN_IVF_SQL, "ANN IVF: centroid lists + n_probe"),
+    "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),
 }

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hadoopgis_spark.operators import containment
+from hadoopgis_spark.operators.containment import parse_window
 from hadoopgis_spark.operators.dedup import (
     embedding_dup_pairs,
     exact_dedup,
@@ -19,7 +20,12 @@ from hadoopgis_spark.operators.dedup import (
     simhash_pairs,
 )
 from hadoopgis_spark.operators.multimodal import attach_media_meta, decode_image, frame_sample
-from hadoopgis_spark.operators.similarity import brute_force_topk, lsh_topk
+from hadoopgis_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    lsh_topk,
+)
 from hadoopgis_spark.operators.transforms import (
     bernoulli_sample,
     denormalize_mbb,
@@ -129,6 +135,39 @@ class TestSimilarity:
         total = sum(len(v) for v in exact_sets.values())
         assert hits / total >= 0.5, f"LSH recall {hits}/{total}"
 
+    def test_ivf_assign_total(self, spark, emb):
+        # every vector lands in exactly one centroid list
+        asg = ivf_assign(emb, n_centroids=4, dim=16)
+        rows = asg.collect()
+        assert len(rows) == emb.count()
+        assert all(0 <= r.cid < 4 for r in rows)
+        # deterministic: re-running assigns identically
+        again = {r.id: r.cid for r in ivf_assign(emb, n_centroids=4, dim=16).collect()}
+        assert {r.id: r.cid for r in rows} == again
+
+    def test_ivf_topk_recall_and_exactness_at_full_probe(self, spark, emb):
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        exact = brute_force_topk(emb, q, k=3).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
+        # n_probe == n_centroids probes every list → must equal brute force
+        full = ivf_topk(emb, q, k=3, n_centroids=4, n_probe=4, dim=16).collect()
+        full_sets = {}
+        for r in full:
+            full_sets.setdefault(r.q_id, set()).add(r.vec_id)
+        assert full_sets == exact_sets
+        # partial probe: recall < 1 allowed but must stay useful
+        part = ivf_topk(emb, q, k=3, n_centroids=4, n_probe=2, dim=16).collect()
+        part_sets = {}
+        for r in part:
+            part_sets.setdefault(r.q_id, set()).add(r.vec_id)
+        hits = sum(len(exact_sets[q] & part_sets.get(q, set())) for q in exact_sets)
+        total = sum(len(v) for v in exact_sets.values())
+        assert hits / total >= 0.4, f"IVF recall {hits}/{total}"
+
 
 class TestMultimodal:
     @pytest.fixture(scope="class")
@@ -164,6 +203,45 @@ class TestMultimodal:
         for frames in by_media.values():
             assert frames == sorted(frames)
             assert all(f % 2 == 0 for f in frames)
+
+    def test_frame_sample_window(self, spark, media):
+        # window controls the frame size: media 0 has 500 bytes →
+        # 500//100 = 5 frames, sampled every 2nd → idx 0, 2, 4
+        got = frame_sample(media.filter(F.col("media_id") == 0), every_n=2, window=100).collect()
+        assert sorted(r.frame_idx for r in got) == [0, 2, 4]
+        assert all(r.n_bytes == 100 for r in got)
+
+
+class TestBpeTokens:
+    def test_matches_python_re(self, spark):
+        import re
+
+        from hadoopgis_spark.functions.text import BPE_PATTERN, bpe_tokens
+
+        texts = [
+            "Hello, world!  It's 2026...",
+            "don't stop-me_now: 42cats  \t tabs",
+            "",
+            "   ",
+            "a",
+        ]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+        got = {r.id: r.tk for r in df.select("id", bpe_tokens("text").alias("tk")).collect()}
+        rx = re.compile(BPE_PATTERN)
+        for i, t in enumerate(texts):
+            assert got[i] == rx.findall(t), (i, t)
+
+
+class TestWindowFile:
+    def test_parse_window_from_file(self, tmp_path):
+        p = tmp_path / "win.txt"
+        p.write_text("10,20,30,40\nignored second line\n")
+        wkt, mbb = parse_window(f"@{p}")
+        assert wkt is None and mbb == (10.0, 20.0, 30.0, 40.0)
+        p2 = tmp_path / "win_wkt.txt"
+        p2.write_text("POLYGON ((0 0, 5 0, 5 5, 0 5, 0 0))\n")
+        wkt2, mbb2 = parse_window(f"@{p2}")
+        assert wkt2 is not None and mbb2 == (0.0, 0.0, 5.0, 5.0)
 
 
 class TestTransforms:
