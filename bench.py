@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "sp_sql_surface",
     "sim_ann_ivf",
     "txt_token_bpe",
+    "stream_dedup_batch",
 ]
 
 

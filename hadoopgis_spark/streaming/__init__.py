@@ -10,7 +10,13 @@ declarative plan, so the batch oracle validates the streaming logic.
 from hadoopgis_spark.streaming.events import (
     hourly_event_rollup,
     streaming_containment,
+    streaming_dedup,
     windowed_event_counts,
 )
 
-__all__ = ["windowed_event_counts", "hourly_event_rollup", "streaming_containment"]
+__all__ = [
+    "windowed_event_counts",
+    "hourly_event_rollup",
+    "streaming_containment",
+    "streaming_dedup",
+]

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["windowed_event_counts", "hourly_event_rollup", "streaming_containment"]
+__all__ = [
+    "windowed_event_counts",
+    "hourly_event_rollup",
+    "streaming_containment",
+    "streaming_dedup",
+]
 
 
 def _event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -60,6 +65,30 @@ def windowed_event_counts(
 def hourly_event_rollup(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Batch rollup equivalent of :func:`windowed_event_counts` at 1 hour."""
     return windowed_event_counts(events, window="1 hour", ts_col=ts_col)
+
+
+def streaming_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """First-occurrence dedup by key — the streaming face of exact
+    dedup (a training-data ingest pipeline drops repeated documents /
+    events as they arrive, instead of re-scanning the corpus).
+
+    On a stream: ``dropDuplicatesWithinWatermark`` after a watermark, so
+    per-key state is bounded — a duplicate arriving within ``watermark``
+    of the kept row is dropped, older state is evicted (unbounded
+    ``dropDuplicates`` state would OOM an unbounded stream). On batch:
+    plain ``dropDuplicates`` over the same keys — identical keep-one
+    semantics, which is the oracle-checkable form (`stream_dedup_batch`).
+    """
+    e = _event_time(df, ts_col)
+    if e.isStreaming:
+        e = e.withWatermark("event_time", watermark)
+        return e.dropDuplicatesWithinWatermark(list(key_cols))
+    return e.dropDuplicates(list(key_cols))
 
 
 def streaming_containment(

@@ -2082,6 +2082,23 @@ TXT_TOKEN_BPE_SQL = r"""
 
 
 # ---------------------------------------------------------------------------
+# Streaming dedup (batch form — keep-one-per-key; the stream form with
+# bounded watermark state is pinned by TestStreaming)
+# ---------------------------------------------------------------------------
+
+def stream_dedup_batch(spark, sf):
+    from hadoopgis_spark.streaming import streaming_dedup
+
+    e = _t(spark, sf, "events")
+    return streaming_dedup(e, ["user_id", "event_type"]).select("user_id", "event_type")
+
+
+STREAM_DEDUP_SQL = """
+  SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2151,4 +2168,5 @@ REGISTRY: dict[str, Query] = {
     "sp_sql_surface": Query(sp_sql_surface, SP_CONTAINMENT_WKT_SQL, "registered st_ UDFs from spark.sql"),
     "sim_ann_ivf": Query(sim_ann_ivf, SIM_ANN_IVF_SQL, "ANN IVF: centroid lists + n_probe"),
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),
+    "stream_dedup_batch": Query(stream_dedup_batch, STREAM_DEDUP_SQL, "streaming dedup (batch form)"),
 }

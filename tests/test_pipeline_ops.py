@@ -390,6 +390,47 @@ class TestStreaming:
         }
         assert got == batch and len(got) > 0
 
+    def test_streaming_dedup_across_microbatches(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark must drop a duplicate key that
+        arrives in a LATER micro-batch (within the watermark)."""
+        from hadoopgis_spark.streaming import streaming_dedup
+
+        src = str(tmp_path / "dedup_src")
+        base = 1_700_000_000_000_000_000  # ns epoch
+        schema = "user_id long, ts long, event_type string, value double"
+        spark.createDataFrame(
+            [(1, base, "click", 1.0), (2, base + 10**9, "view", 2.0)], schema
+        ).repartition(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(1, base + 2 * 10**9, "click", 3.0), (3, base + 3 * 10**9, "buy", 4.0)],
+            schema,
+        ).repartition(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        out = streaming_dedup(stream, ["user_id", "event_type"], watermark="1 hour")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        keys = sorted(
+            (r.user_id, r.event_type)
+            for r in spark.sql("SELECT user_id, event_type FROM dedup_out").collect()
+        )
+        assert keys == [(1, "click"), (2, "view"), (3, "buy")]
+        # batch form: same keep-one-per-key semantics
+        batch = spark.read.parquet(src)
+        got = sorted(
+            (r.user_id, r.event_type)
+            for r in streaming_dedup(batch, ["user_id", "event_type"]).collect()
+        )
+        assert got == keys
+
     def test_streaming_containment(self, spark):
         from hadoopgis_spark.streaming import streaming_containment
 

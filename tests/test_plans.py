@@ -110,6 +110,55 @@ class TestJoinShape:
         assert arrow_nodes == 3, plan[:1500]
 
 
+class TestPipelinePlans:
+    """Scale contracts for the LLM-pipeline operators added in round 3."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    def test_ivf_corpus_never_all_pairs(self, spark, emb):
+        from hadoopgis_spark.operators.similarity import ivf_topk
+
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        j = ivf_topk(emb, q, k=3, n_centroids=4, n_probe=2, dim=8)
+        plan = formatted_plan(j)
+        # probe side broadcasts onto the corpus: the corpus is scanned
+        # once, assigned in place, and never shuffled for the join
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        # shuffles: probe-ranking window (tiny query side) + final
+        # top-k window over candidates — never more
+        assert count_exchanges(j) <= 2, plan[:2000]
+
+    def test_mm_decode_is_one_python_stage(self, spark):
+        from hadoopgis_spark.operators.multimodal import decode_image
+
+        df = spark.createDataFrame(
+            [(i, bytes([i]) * 100) for i in range(10)], "media_id long, data binary"
+        )
+        d = decode_image(df)
+        plan = formatted_plan(d)
+        import re
+
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan[:1500]
+        assert count_exchanges(d) == 0  # embarrassingly parallel
+
+    def test_bpe_tokens_stay_jvm_side(self, spark):
+        from hadoopgis_spark.functions.text import bpe_token_count
+
+        df = spark.createDataFrame([(1, "hello world")], "id long, text string")
+        q = df.select("id", bpe_token_count("text").alias("n"))
+        plan = formatted_plan(q)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 class TestAggPushdown:
     def test_extent_agg_is_partial(self, spark, boxes_parquet):
         df = spark.read.parquet(boxes_parquet)
