@@ -182,16 +182,24 @@ def quality_score(col) -> Column:
         )
 
     packed = F.aggregate(t, F.lit(0).cast("long"), lambda acc, tok: acc + tok_acc(tok))
-    n_tok = F.shiftright(packed, 40)
-    sum_len = F.shiftright(packed, 14).bitwiseAND(F.lit((1 << 26) - 1))
-    hits = packed.bitwiseAND(F.lit((1 << 14) - 1))
 
+    # HOFs are CodegenFallback (no codegen CSE), so referencing `packed`
+    # three times would re-tokenize and re-fold per reference. transform
+    # over a 1-element array is a let-binding: the lambda variable `p`
+    # is the evaluated-once packed value.
+    def unpack(p):
+        n_tok = F.shiftright(p, 40)
+        sum_len = F.shiftright(p, 14).bitwiseAND(F.lit((1 << 26) - 1))
+        hits = p.bitwiseAND(F.lit((1 << 14) - 1))
+        awl = F.when(n_tok > 0, sum_len.cast("double") / n_tok).otherwise(F.lit(0.0))
+        wl_score = F.when((awl >= 3.0) & (awl <= 10.0), 1.0).otherwise(0.5)
+        swr = F.when(n_tok > 0, hits.cast("double") / n_tok).otherwise(F.lit(0.0))
+        sw_score = F.least(swr * 5.0, F.lit(1.0))
+        return wl_score + sw_score
+
+    tok_scores = F.transform(F.array(packed), unpack)[0]
     len_score = F.least(F.length(c).cast("double") / 500.0, F.lit(1.0))
-    awl = F.when(n_tok > 0, sum_len.cast("double") / n_tok).otherwise(F.lit(0.0))
-    wl_score = F.when((awl >= 3.0) & (awl <= 10.0), 1.0).otherwise(0.5)
-    swr = F.when(n_tok > 0, hits.cast("double") / n_tok).otherwise(F.lit(0.0))
-    sw_score = F.least(swr * 5.0, F.lit(1.0))
-    return (len_score + alpha_ratio(c) + wl_score + sw_score) / 4.0
+    return (len_score + alpha_ratio(c) + tok_scores) / 4.0
 
 
 def fingerprint(col) -> Column:

@@ -38,20 +38,36 @@ class Query:
     doc: str
 
 
+# tables the driver ships as ONE parquet split but that feed CPU-bound
+# per-row work (regex/shingle/per-dim folds, WKT refine). A single split
+# means a single scan task — and Catalyst correctly pushes filters and
+# partial aggregates below any repartition() we add, so the expensive
+# expression would run single-threaded anyway. The honest fix is the
+# operational one: pre-split the input once (real 100 TB inputs arrive
+# as many files), then every downstream filter/agg both pushes down AND
+# parallelizes. Memoized per Spark application, same pattern as the S8
+# loader memoization.
+_SPREAD_TABLES = ("documents", "embeddings", "events")
+_spread_memo: dict[tuple[str, str], str] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): Spark 4 rejects it unless
         # read as raw long (runtime-settable, works on any session)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "embeddings"):
-        # these tables arrive as one small parquet split; text pipelines
-        # (regex + per-shingle hashing) and embedding folds (per-dim
-        # higher-order functions) are CPU-bound, so spread them across
-        # cores (a no-op concern at real input sizes, which come
-        # pre-split)
-        df = df.repartition(spark.sparkContext.defaultParallelism)
-    return df
+    src = f"{sf_dir}/{name}.parquet"
+    if name in _SPREAD_TABLES:
+        key = (spark.sparkContext.applicationId, src)
+        dst = _spread_memo.get(key)
+        if dst is None:
+            tag = os.path.basename(os.path.normpath(sf_dir))
+            dst = f"/tmp/hgs_spread/{tag}/{name}"
+            n = spark.sparkContext.defaultParallelism
+            spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+            _spread_memo[key] = dst
+        return spark.read.parquet(dst)
+    return spark.read.parquet(src)
 
 
 # ---------------------------------------------------------------------------
@@ -1101,12 +1117,12 @@ TXT_QUALITY_SQL = f"""
   )
   SELECT doc_id,
          ROUND((len_score + alpha
-                + CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END
-                + LEAST(swr * 5.0, 1.0)) / 4.0, 6) AS quality
+                + (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END
+                   + LEAST(swr * 5.0, 1.0))) / 4.0, 6) AS quality
   FROM q
   WHERE ROUND((len_score + alpha
-               + CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END
-               + LEAST(swr * 5.0, 1.0)) / 4.0, 6) >= 0.7
+               + (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END
+                  + LEAST(swr * 5.0, 1.0))) / 4.0, 6) >= 0.7
 """
 
 

@@ -196,6 +196,85 @@ def _rand_triangle(rng, extent=100.0, size=20.0):
     return "POLYGON ((" + ", ".join(f"{a} {b}" for a, b in ring) + "))"
 
 
+class TestRectFastPathEquivalence:
+    """The is_rect O(1) fast paths must agree bit-for-bit with the
+    segment/clipping general path. Forcing the slow path: insert a
+    collinear midpoint on one edge — the shape is identical, but the
+    6-point ring defeats rect detection."""
+
+    @staticmethod
+    def _rect_pair(rng):
+        x0 = rng.uniform(-50, 50)
+        y0 = rng.uniform(-50, 50)
+        w = rng.uniform(0.5, 30)
+        h = rng.uniform(0.5, 30)
+        return x0, y0, x0 + w, y0 + h
+
+    @staticmethod
+    def _fast(x0, y0, x1, y1):
+        return Geometry.from_wkt(
+            f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+        )
+
+    @staticmethod
+    def _slow(x0, y0, x1, y1):
+        xm = (x0 + x1) / 2.0
+        return Geometry.from_wkt(
+            f"POLYGON (({x0} {y0}, {xm} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+        )
+
+    def test_detection(self):
+        f = self._fast(0, 0, 10, 10)
+        s = self._slow(0, 0, 10, 10)
+        assert f.is_rect and not s.is_rect
+        assert not Geometry.from_wkt(TRI).is_rect
+        assert not Geometry.from_wkt(DONUT).is_rect
+
+    def test_random_rect_pairs_agree(self):
+        from hadoopgis_spark.geometry.kernel import _point_in_polygon
+
+        rng = random.Random(13)
+        pairs = []
+        for _ in range(120):
+            a = self._rect_pair(rng)
+            # mix: independent, touching-edge, shared-corner, nested
+            kind = rng.randrange(4)
+            if kind == 0:
+                b = self._rect_pair(rng)
+            elif kind == 1:  # share the right edge exactly
+                b = (a[2], a[1] + rng.uniform(-5, 5), a[2] + 7, a[3] + 5)
+            elif kind == 2:  # exact corner contact
+                b = (a[2], a[3], a[2] + 3, a[3] + 4)
+            else:  # nested
+                b = (a[0] + 0.25, a[1] + 0.25, a[2] - 0.25, a[3] - 0.25)
+                if b[0] >= b[2] or b[1] >= b[3]:
+                    b = self._rect_pair(rng)
+            pairs.append((a, b))
+        for a, b in pairs:
+            fa, fb = self._fast(*a), self._fast(*b)
+            sa, sb = self._slow(*a), self._slow(*b)
+            assert fa.is_rect and fb.is_rect and not sa.is_rect and not sb.is_rect
+            assert intersects(fa, fb) == intersects(sa, sb), (a, b)
+            assert intersection_area(fa, fb) == pytest.approx(
+                intersection_area(sa, sb), abs=1e-9
+            ), (a, b)
+            assert distance(fa, fb) == pytest.approx(distance(sa, sb), abs=1e-9), (a, b)
+            # point-in-polygon tri-state on probe points incl. boundary
+            probes = [
+                ((a[0] + a[2]) / 2, (a[1] + a[3]) / 2),
+                (a[0], a[1]),
+                (a[2], (a[1] + a[3]) / 2),
+                (a[0] - 1e-9, a[1]),
+                (a[2] + 5.0, a[3] + 5.0),
+            ]
+            for x, y in probes:
+                assert _point_in_polygon(x, y, fa) == _point_in_polygon(x, y, sa), (
+                    x,
+                    y,
+                    a,
+                )
+
+
 class TestMonteCarloCrossCheck:
     """intersection_area vs. a hit-count estimator on random triangles."""
 
