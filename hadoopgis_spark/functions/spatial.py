@@ -27,6 +27,7 @@ __all__ = [
     "st_as_wkb",
     "st_as_wkt",
     "st_predicate",
+    "st_window_hit",
     "st_intersects",
     "st_contains",
     "st_within",
@@ -300,6 +301,151 @@ st_intersection_area = _binary_measure_udf(K.intersection_area)
 st_union_area = _binary_measure_udf(K.union_area)
 st_jaccard = _binary_measure_udf(K.jaccard)
 st_dice = _binary_measure_udf(K.dice)
+
+
+_KERNEL_PREDS: dict[str, Callable] = {
+    "st_intersects": K.intersects,
+    "st_touches": K.touches,
+    "st_crosses": K.crosses,
+    "st_contains": K.contains,
+    "st_within": K.within,
+    "st_equals": K.equals,
+    "st_overlaps": K.overlaps,
+    "st_disjoint": K.disjoint,
+    "st_adjacent": K.intersects,  # ≡ !disjoint (spjoin_2d.hpp:155-157)
+}
+
+
+def st_window_hit(
+    window_wkt: str,
+    predicate: str = "st_intersects",
+    distance: float | None = None,
+    geography: bool = False,
+) -> Callable:
+    """Fused containment kernel: bbox extraction + window-MBB prune +
+    exact refine against a CONSTANT window, in ONE Arrow stage.
+
+    Replaces the two-stage ``with_mbb`` → predicate-UDF pipeline inside
+    :func:`operators.containment.containment` for WKT data (the
+    reference's filter+refine containment pass,
+    ``query_containment.hpp:62-163`` + ``resque_2d.cpp:127-273``) — the
+    per-row work is identical, but geometry text crosses the Arrow
+    boundary once instead of twice, and only bbox-surviving rows reach
+    the exact kernel inside the same batch.
+
+    Returns a pandas UDF producing a struct ``{xmin,ymin,xmax,ymax,hit}``
+    — ``hit`` null for malformed rows (the caller drops them, matching
+    ``manipulate_2d.cpp:182-189``); bbox columns preserved so callers
+    keep the ``with_mbb`` output schema.
+
+    Prune/refine parity: the prune replicates ``boxes.box_intersects``
+    (closed comparisons, ``pad=distance``) exactly as the two-stage
+    pipeline applies it, and the refine replicates the per-predicate
+    dispatch of :func:`st_predicate` / :func:`st_dwithin` — results are
+    bit-identical to the unfused path.
+    """
+    pad = float(distance or 0.0)
+    if predicate == "st_dwithin":
+        if distance is None:
+            raise ValueError("st_dwithin requires distance=")
+    elif predicate not in _KERNEL_PREDS:
+        raise ValueError(f"unknown predicate {predicate!r}")
+    state: dict = {}
+
+    @F.pandas_udf(_WINDOW_HIT_SCHEMA)
+    def _udf(wkt: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        from hadoopgis_spark.geometry.vectorized import (
+            MAX_VECTOR_VERTS,
+            batch_points_in_single_ring,
+            batch_single_ring_intersects,
+        )
+
+        win = state.get("g")
+        if win is None:
+            win = state["g"] = Geometry.from_wkt(window_wkt)
+        wx0, wy0, wx1, wy1 = win.bbox
+        bbox = _mbb_batch(wkt)
+        arr = bbox.to_numpy(dtype=np.float64, na_value=np.nan)
+        valid = ~np.isnan(arr[:, 0])
+        # closed-box overlap, pad-expanded — boxes.box_intersects verbatim
+        cand = (
+            valid
+            & (arr[:, 0] - pad <= wx1)
+            & (wx0 <= arr[:, 2] + pad)
+            & (arr[:, 1] - pad <= wy1)
+            & (wy0 <= arr[:, 3] + pad)
+        )
+        # non-candidates stay False — the unfused pipeline's box prefilter
+        # drops them before any predicate runs (even st_disjoint), and the
+        # fused path preserves that behavior exactly
+        n = len(wkt)
+        hit = np.full(n, False, dtype=object)
+        hit[~valid] = None
+        idx = np.nonzero(cand)[0]
+        if len(idx):
+            cache: dict = {}
+            geoms = _parse_cache(wkt.iloc[idx], cache)
+            win_ring = (
+                win.payload[0]
+                if win.kind == "POLYGON"
+                and len(win.payload) == 1
+                and len(win.payload[0]) <= MAX_VECTOR_VERTS
+                else None
+            )
+            rest: list[tuple[int, object]] = []
+            pt_i: list[int] = []
+            pt_g: list = []
+            ring_i: list[int] = []
+            ring_g: list = []
+            for i, g in zip(idx, geoms):
+                if g is None:
+                    hit[i] = None
+                elif predicate == "st_intersects" and win_ring is not None and g.kind == "POINT":
+                    pt_i.append(i)
+                    pt_g.append(g.payload)
+                elif (
+                    predicate == "st_intersects"
+                    and win_ring is not None
+                    and g.kind == "POLYGON"
+                    and len(g.payload) == 1
+                    and len(g.payload[0]) <= MAX_VECTOR_VERTS
+                ):
+                    ring_i.append(i)
+                    ring_g.append(g.payload[0])
+                else:
+                    rest.append((i, g))
+            CHUNK = 4096
+            for s in range(0, len(pt_i), CHUNK):
+                part = slice(s, s + CHUNK)
+                res = batch_points_in_single_ring(
+                    np.array(pt_g[part]), [win_ring] * len(pt_i[part])
+                )
+                for j, i in enumerate(pt_i[part]):
+                    hit[i] = bool(res[j])
+            for s in range(0, len(ring_i), CHUNK):
+                part = slice(s, s + CHUNK)
+                res = batch_single_ring_intersects(
+                    ring_g[part], [win_ring] * len(ring_i[part])
+                )
+                for j, i in enumerate(ring_i[part]):
+                    hit[i] = bool(res[j])
+            for i, g in rest:
+                if predicate == "st_dwithin":
+                    hit[i] = bool(K.dwithin(g, win, distance, geography=geography))
+                else:
+                    hit[i] = bool(_KERNEL_PREDS[predicate](g, win))
+        out = bbox.copy()
+        out["hit"] = hit
+        return out
+
+    return _udf
+
+
+_WINDOW_HIT_SCHEMA = T.StructType(
+    list(_MBB_SCHEMA.fields) + [T.StructField("hit", T.BooleanType())]
+)
 
 
 def st_dwithin(w1: Column, w2: Column, d: float, geography: bool = False) -> Column:

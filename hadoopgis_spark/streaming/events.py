@@ -7,8 +7,11 @@
 * ``streaming_containment`` — spatial window filter applied to a stream
   (stateless: identical plan on batch and stream)
 
-Event time arrives as raw nanosecond longs (driver testdata uses parquet
-TIMESTAMP(NANOS)); ``_event_time`` converts once.
+Event time arrives either as raw nanosecond longs (parquet
+TIMESTAMP(NANOS) read with ``nanosAsLong``) or as a real timestamp
+column (parquet TIMESTAMP(MICROS) → TIMESTAMP_NTZ); ``normalize_event_ts``
+canonicalizes to epoch-nanos BIGINT once at ingestion and ``_event_time``
+converts to TimestampType for windowing.
 """
 
 from __future__ import annotations
@@ -17,11 +20,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "normalize_event_ts",
     "windowed_event_counts",
     "hourly_event_rollup",
     "streaming_containment",
     "streaming_dedup",
 ]
+
+
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Canonicalize the event-time column to epoch-nanos BIGINT.
+
+    The driver's testdata has shipped events.ts both as parquet
+    TIMESTAMP(NANOS) — which Spark 4 reads as a raw long under
+    ``spark.sql.legacy.parquet.nanosAsLong`` — and as TIMESTAMP(MICROS),
+    which arrives as TIMESTAMP_NTZ. Every downstream consumer does exact
+    integer arithmetic on nanos, so convert the timestamp form here.
+    ``unix_micros`` needs TIMESTAMP_LTZ; the NTZ→LTZ cast uses the
+    session timezone, which the workload pins to UTC (matching DuckDB's
+    tz-free ``epoch_us`` on naive timestamps).
+    """
+    dtype = dict(df.dtypes).get(ts_col, "")
+    if dtype.startswith("timestamp"):
+        nanos = F.unix_micros(F.col(ts_col).cast("timestamp_ltz")) * 1000
+        df = df.withColumn(ts_col, nanos.cast("long"))
+    return df
 
 
 def _event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -31,6 +54,7 @@ def _event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     the low bits (double has 53-bit mantissa) and can shift events
     across window boundaries.
     """
+    df = normalize_event_ts(df, ts_col)
     return df.withColumn("event_time", F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
 
 

@@ -29,6 +29,7 @@ from hadoopgis_spark.functions import text as TXT
 from hadoopgis_spark.functions import vector as V
 from hadoopgis_spark.functions.text import md5_hash32, normalize_text, tokens
 from hadoopgis_spark.operators import containment, knn_join, spatial_join
+from hadoopgis_spark.streaming.events import normalize_event_ts
 
 
 @dataclass
@@ -53,9 +54,13 @@ _spread_memo: dict[tuple[str, str], str] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): Spark 4 rejects it unless
-        # read as raw long (runtime-settable, works on any session)
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (readable only
+        # as a raw long under nanosAsLong) and as TIMESTAMP(MICROS)
+        # (TIMESTAMP_NTZ). Enable the nanos escape hatch, pin session tz
+        # to UTC (DuckDB's epoch_us on naive timestamps is tz-free), and
+        # normalize whatever arrives to epoch-nanos BIGINT below.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = f"{sf_dir}/{name}.parquet"
     if name in _SPREAD_TABLES:
         key = (spark.sparkContext.applicationId, src)
@@ -64,10 +69,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             tag = os.path.basename(os.path.normpath(sf_dir))
             dst = f"/tmp/hgs_spread/{tag}/{name}"
             n = spark.sparkContext.defaultParallelism
-            spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+            df = spark.read.parquet(src)
+            if name == "events":
+                df = normalize_event_ts(df)
+            df.repartition(n).write.mode("overwrite").parquet(dst)
             _spread_memo[key] = dst
         return spark.read.parquet(dst)
-    return spark.read.parquet(src)
+    df = spark.read.parquet(src)
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -341,11 +341,40 @@ class TestSources:
 
 
 class TestStreaming:
+    def test_normalize_event_ts_both_physical_forms(self, spark):
+        """The driver's events.ts has shipped as TIMESTAMP(NANOS) (read
+        as raw long) AND as TIMESTAMP(MICROS) (TIMESTAMP_NTZ). The
+        normalizer must canonicalize both to the same epoch-nanos longs
+        — this pins the round-3 regression (3 gate queries failed when
+        the testdata switched physical type)."""
+        import datetime
+
+        from hadoopgis_spark.streaming.events import normalize_event_ts
+
+        micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+        long_df = spark.createDataFrame([(m * 1000,) for m in micros], "ts long")
+        assert normalize_event_ts(long_df).collect() == [
+            (m * 1000,) for m in micros
+        ]  # long input passes through untouched
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tstamps = [
+            (datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=m),)
+            for m in micros
+        ]
+        ts_df = spark.createDataFrame(tstamps, "ts timestamp_ntz")
+        got = normalize_event_ts(ts_df)
+        assert dict(got.dtypes)["ts"] == "bigint"
+        assert sorted(r.ts for r in got.collect()) == [m * 1000 for m in micros]
+
     def test_windowed_counts_batch_parity(self, spark):
         from hadoopgis_spark.streaming import hourly_event_rollup
+        from hadoopgis_spark.streaming.events import normalize_event_ts
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ev = normalize_event_ts(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        )
         got = hourly_event_rollup(ev)
         rows = got.collect()
         assert len(rows) > 0
@@ -363,10 +392,13 @@ class TestStreaming:
         """Real streaming: file source → windowed agg with watermark →
         memory sink; compare with the batch run of the same frame."""
         from hadoopgis_spark.streaming import windowed_event_counts
+        from hadoopgis_spark.streaming.events import normalize_event_ts
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         src = str(tmp_path / "stream_src")
-        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ev = normalize_event_ts(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        )
         ev.write.mode("overwrite").parquet(src)
         schema = ev.schema
         stream = spark.readStream.schema(schema).parquet(src)
@@ -433,9 +465,12 @@ class TestStreaming:
 
     def test_streaming_containment(self, spark):
         from hadoopgis_spark.streaming import streaming_containment
+        from hadoopgis_spark.streaming.events import normalize_event_ts
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ev = normalize_event_ts(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        )
         got = streaming_containment(ev, (0.0, 0.0, 100.0, 50.0))
         rows = got.collect()
         assert all(0 <= r.value <= 100 and 0 <= r.user_id <= 50 for r in rows)

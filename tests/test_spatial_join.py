@@ -205,6 +205,64 @@ class TestContainment:
     def test_empty_window(self, spark, tri_a):
         assert containment(tri_a, "2000,2000,3000,3000").count() == 0
 
+    def test_fused_window_kernel_parity(self, spark):
+        """Non-rectangular window → the fused one-Arrow-stage path.
+        Must equal the brute-force prefilter+refine over mixed POINT /
+        POLYGON / malformed rows, for several predicates."""
+        win = "POLYGON ((100 100, 450 120, 300 450, 100 100))"
+        wg = Geometry.from_wkt(win)
+        rows = []
+        for i, (w, _) in enumerate(r[1:] for r in _triangles(120, 5)):
+            rows.append((i, w))
+        for i in range(120, 320):
+            x, y = (i * 37) % 520, (i * 59) % 520
+            rows.append((i, f"POINT ({x} {y})"))
+        rows.append((900, "POINT ("))       # malformed: dropped
+        rows.append((901, "GARBAGE 1 2"))   # malformed: dropped
+        df = spark.createDataFrame(rows, "id long, geom string")
+
+        def box_overlap(b, w, pad=0.0):
+            return (
+                b[0] - pad <= w[2] and w[0] <= b[2] + pad
+                and b[1] - pad <= w[3] and w[1] <= b[3] + pad
+            )
+
+        for pred, fn in [
+            ("st_intersects", K.intersects),
+            ("st_within", K.within),
+            ("st_touches", K.touches),
+        ]:
+            expected = set()
+            for i, w in rows:
+                try:
+                    g = Geometry.from_wkt(w)
+                except (ValueError, IndexError):
+                    continue
+                if box_overlap(g.bbox, wg.bbox) and fn(g, wg):
+                    expected.add(i)
+            got = {r.id for r in containment(df, win, pred).select("id").collect()}
+            assert got == expected, pred
+            # fused output keeps the with_mbb schema (bbox columns present)
+        out_cols = containment(df, win).columns
+        assert [c in out_cols for c in ("xmin", "ymin", "xmax", "ymax")] == [True] * 4
+
+        d = 25.0
+        expected = set()
+        for i, w in rows:
+            try:
+                g = Geometry.from_wkt(w)
+            except (ValueError, IndexError):
+                continue
+            if box_overlap(g.bbox, wg.bbox, d) and K.dwithin(g, wg, d):
+                expected.add(i)
+        got = {
+            r.id
+            for r in containment(df, win, "st_dwithin", distance=d)
+            .select("id")
+            .collect()
+        }
+        assert got == expected
+
 
 class TestTwoLevelJoin:
     def test_two_level_matches_single_level(self, spark, tri_a, tri_b):
