@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "sim_ann_ivf",
     "txt_token_bpe",
     "stream_dedup_batch",
+    # round 4: co-bucketed storage join (zero-shuffle repeated joins)
+    "sp_join_bucketed",
 ]
 
 

@@ -2,9 +2,18 @@
 
 * :mod:`tsv` — the reference's native tab-separated format (S1/S2)
 * :mod:`loader` — partitioned data loading (§3.2) + metadata (info.cfg)
+* :mod:`bucketed` — tile-bucketed tables for zero-shuffle repeated joins
 """
 
+from hadoopgis_spark.sources.bucketed import save_bucketed, spatial_join_bucketed
 from hadoopgis_spark.sources.loader import load_partitioned, save_partitioned
 from hadoopgis_spark.sources.tsv import read_tsv, write_tsv
 
-__all__ = ["read_tsv", "write_tsv", "save_partitioned", "load_partitioned"]
+__all__ = [
+    "read_tsv",
+    "write_tsv",
+    "save_partitioned",
+    "load_partitioned",
+    "save_bucketed",
+    "spatial_join_bucketed",
+]

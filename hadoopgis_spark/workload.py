@@ -39,15 +39,18 @@ class Query:
     doc: str
 
 
-# tables the driver ships as ONE parquet split but that feed CPU-bound
-# per-row work (regex/shingle/per-dim folds, WKT refine). A single split
-# means a single scan task — and Catalyst correctly pushes filters and
-# partial aggregates below any repartition() we add, so the expensive
-# expression would run single-threaded anyway. The honest fix is the
-# operational one: pre-split the input once (real 100 TB inputs arrive
-# as many files), then every downstream filter/agg both pushes down AND
-# parallelizes. Memoized per Spark application, same pattern as the S8
-# loader memoization.
+# tables the driver ships as ONE parquet file with ONE row group —
+# unsplittable by spark.sql.files.maxPartitionBytes, so every scan (and
+# any filter/partial-agg Catalyst correctly pushes into it) runs as a
+# single task no matter what repartition() we add downstream. The honest
+# fix is the operational one: pre-split the input once (real 100 TB
+# inputs arrive as many files), then every downstream filter/agg both
+# pushes down AND parallelizes. Memoized per Spark application, same
+# pattern as the S8 loader memoization. ONLY the CPU-bound per-row
+# tables are worth it (regex/shingle/per-dim folds, WKT refine): an A/B
+# at sf0.1 showed spreading the natively-decoded relational tables
+# (lineitem/orders/part/customer) costs more in one-time writes than the
+# scan parallelism returns.
 _SPREAD_TABLES = ("documents", "embeddings", "events")
 _spread_memo: dict[tuple[str, str], str] = {}
 
@@ -2129,6 +2132,40 @@ STREAM_DEDUP_SQL = """
 # Registry
 # ---------------------------------------------------------------------------
 
+def sp_join_bucketed(spark, sf):
+    """Co-bucketed spatial join (§3.2's scale path): both sides written
+    ONCE with bucketBy(tile_id) over one shared tile table, then joined
+    with zero Exchange — the write-once shuffle amortizes across every
+    later join (plan contract pinned in tests/test_plans.py). Tables are
+    rebuilt once per Spark application (same S8 memoization as the
+    loader); result is storage-invariant, so the oracle is the plain
+    pair join."""
+    from hadoopgis_spark.sources import save_bucketed, spatial_join_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    ta, tb = f"hgs_bkt_part_{tag}", f"hgs_bkt_cust_{tag}"
+
+    def _build():
+        a = part_boxes(spark, sf)
+        b = customer_boxes(spark, sf)
+        tiles = save_bucketed(a, ta, bucket_size=400)
+        save_bucketed(b, tb, tiles_table=tiles)
+        return (ta, tb)
+
+    _memo(("bucketed", spark.sparkContext.applicationId, sf), _build)
+    j = spatial_join_bucketed(spark, ta, tb)
+    return j.select("id_1", "id_2")
+
+
+SP_JOIN_BUCKETED_SQL = f"""
+  WITH a AS ({PART_BOXES_SQL}), b AS ({CUSTOMER_BOXES_SQL})
+  SELECT a.id AS id_1, b.id AS id_2
+  FROM a JOIN b
+    ON a.xmin <= b.xmax AND b.xmin <= a.xmax
+   AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+"""
+
+
 REGISTRY: dict[str, Query] = {
     "rel_q1_pricing": Query(rel_q1_pricing, REL_Q1_SQL, "scan+filter+agg (S1/P1/A*)"),
     "rel_q3_top_orders": Query(rel_q3_top_orders, REL_Q3_SQL, "3-way join + agg + top-k"),
@@ -2196,4 +2233,5 @@ REGISTRY: dict[str, Query] = {
     "sim_ann_ivf": Query(sim_ann_ivf, SIM_ANN_IVF_SQL, "ANN IVF: centroid lists + n_probe"),
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),
     "stream_dedup_batch": Query(stream_dedup_batch, STREAM_DEDUP_SQL, "streaming dedup (batch form)"),
+    "sp_join_bucketed": Query(sp_join_bucketed, SP_JOIN_BUCKETED_SQL, "J1 over co-bucketed storage: zero-shuffle join"),
 }

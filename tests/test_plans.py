@@ -61,6 +61,21 @@ class TestContainmentPushdown:
         assert all("ymax" in s and "id" in s for s in schemas)
 
 
+class TestContainmentFused:
+    def test_wkt_window_refine_is_one_arrow_stage(self, spark):
+        """Non-rectangular window over WKT data: the fused kernel must
+        appear as exactly ONE ArrowEvalPython node (bbox + prune + exact
+        refine in a single batch) — the unfused pipeline's two Python
+        stages doubled the geometry-text IPC."""
+        import re
+
+        rows = [(i, f"POINT ({i % 50} {i % 40})") for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, geom string")
+        q = containment(df, "POLYGON ((0 0, 40 5, 20 45, 0 0))")
+        plan = formatted_plan(q)
+        assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan[:1500]
+
+
 class TestJoinShape:
     def test_spatial_join_single_shuffle_pair(self, spark, boxes_parquet):
         df = spark.read.parquet(boxes_parquet)
@@ -108,6 +123,40 @@ class TestJoinShape:
         # refine — nothing else leaves the JVM
         arrow_nodes = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
         assert arrow_nodes == 3, plan[:1500]
+
+
+class TestBucketedJoin:
+    def test_cobucketed_join_has_zero_exchange(self, spark, boxes_parquet):
+        """Two tables written by save_bucketed over one tile table join
+        on tile_id with NO Exchange on either side — the write-once
+        shuffle is amortized across every subsequent join (the 100 TB
+        bucketed-warehouse contract)."""
+        from hadoopgis_spark.sources import save_bucketed, spatial_join_bucketed
+
+        df = spark.read.parquet(boxes_parquet)
+        a = df.filter(F.col("id") % 2 == 0)
+        b = df.filter(F.col("id") % 2 == 1)
+        tiles = save_bucketed(a, "plans_bkt_a", bucket_size=500, n_buckets=8)
+        save_bucketed(b, "plans_bkt_b", tiles_table=tiles, n_buckets=8)
+        # disable auto-broadcast: at test scale Spark would broadcast the
+        # small side and the zero-exchange assertion would prove nothing —
+        # force the co-located sort-merge path the layout exists for
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spatial_join_bucketed(spark, "plans_bkt_a", "plans_bkt_b")
+            plan = formatted_plan(j)
+            assert "SortMergeJoin" in plan, plan[:2000]
+            assert count_exchanges(j) == 0, plan[:2000]
+            # and the result matches the runtime tile join exactly
+            got = {(r.id_1, r.id_2) for r in j.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        expect = {
+            (r.id_1, r.id_2)
+            for r in spatial_join(a, b, "st_intersects", bucket_size=500).collect()
+        }
+        assert got == expect and len(got) > 0
 
 
 class TestPipelinePlans:
