@@ -30,7 +30,15 @@ def get_spark(app_name: str = "hadoopgis_spark", **extra_conf: str) -> SparkSess
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("HGS_DRIVER_MEM", "8g"))
+        # local mode runs every executor thread inside the driver JVM: an
+        # 8g heap thrashes GC once localCheckpoint blocks from dozens of
+        # bench/gate queries accumulate (the container has 128 GiB)
+        .config("spark.driver.memory", os.environ.get("HGS_DRIVER_MEM", "32g"))
+        # reclaim shuffle/checkpoint state of finished queries during
+        # long multi-query sessions instead of waiting for a driver GC
+        # (5min: never fires inside a single bench query, but bounds
+        # block accumulation across an hour-long session)
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)

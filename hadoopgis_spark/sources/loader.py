@@ -88,7 +88,11 @@ def save_partitioned(
         F.max(F.col("ymax") - F.col("ymin")).alias("h"),
     ).collect()[0]
 
-    owned.write.partitionBy("tile_id").mode("overwrite").parquet(path)
+    # co-locate each tile's rows before the write: one parquet file per
+    # tile directory instead of (writer tasks × tiles) shards — the
+    # at-scale small-files fix, and the write shuffle is bounded by
+    # bucket_size per task
+    owned.repartition("tile_id").write.partitionBy("tile_id").mode("overwrite").parquet(path)
     meta = {
         "extent": [x0, y0, x1, y1],
         "count": n,
