@@ -83,8 +83,10 @@ BENCH_QUERIES = [
     "sim_ann_ivf",
     "txt_token_bpe",
     "stream_dedup_batch",
-    # round 4: co-bucketed storage join (zero-shuffle repeated joins)
+    # round 4: co-bucketed storage join (zero-shuffle repeated joins) +
+    # streaming spatial filter parity
     "sp_join_bucketed",
+    "stream_containment_batch",
 ]
 
 

@@ -2166,6 +2166,25 @@ SP_JOIN_BUCKETED_SQL = f"""
 """
 
 
+def stream_containment_batch(spark, sf):
+    """Stateless spatial filter on a stream (batch-parity form): the
+    identical column-predicate plan runs on a readStream frame unchanged
+    — the real-stream run is pinned by pytest
+    (TestStreaming::test_streaming_containment)."""
+    from hadoopgis_spark.streaming import streaming_containment
+
+    e = _t(spark, sf, "events")
+    out = streaming_containment(e, (0.0, 0.0, 100.0, 50.0))
+    return out.select("event_id", "user_id", "value")
+
+
+STREAM_CONTAINMENT_SQL = """
+  SELECT event_id, user_id, value FROM events
+  WHERE value >= 0.0 AND value <= 100.0
+    AND user_id >= 0.0 AND user_id <= 50.0
+"""
+
+
 REGISTRY: dict[str, Query] = {
     "rel_q1_pricing": Query(rel_q1_pricing, REL_Q1_SQL, "scan+filter+agg (S1/P1/A*)"),
     "rel_q3_top_orders": Query(rel_q3_top_orders, REL_Q3_SQL, "3-way join + agg + top-k"),
@@ -2234,4 +2253,5 @@ REGISTRY: dict[str, Query] = {
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),
     "stream_dedup_batch": Query(stream_dedup_batch, STREAM_DEDUP_SQL, "streaming dedup (batch form)"),
     "sp_join_bucketed": Query(sp_join_bucketed, SP_JOIN_BUCKETED_SQL, "J1 over co-bucketed storage: zero-shuffle join"),
+    "stream_containment_batch": Query(stream_containment_batch, STREAM_CONTAINMENT_SQL, "streaming spatial filter (batch parity)"),
 }
