@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     # streaming spatial filter parity
     "sp_join_bucketed",
     "stream_containment_batch",
+    "stream_zone_tag_batch",
 ]
 
 

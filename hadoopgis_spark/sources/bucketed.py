@@ -87,8 +87,12 @@ def save_bucketed(
     # boundary replication) — keeps per-tile candidate sets complete, and
     # the tile bounds ride along for the query-time refpoint dedup
     assigned = assign_tiles(df, tiles_df)
+    # co-locate rows by the bucket hash before the write: bucketBy makes
+    # each task emit one file PER BUCKET it sees (tasks × buckets shards
+    # otherwise); with the pre-shuffle each bucket is one task → one file
     (
-        assigned.write.bucketBy(n_buckets, "tile_id")
+        assigned.repartition(n_buckets, F.col("tile_id"))
+        .write.bucketBy(n_buckets, "tile_id")
         .sortBy("tile_id")
         .mode("overwrite")
         .format("parquet")

@@ -11,6 +11,7 @@ from hadoopgis_spark.streaming.events import (
     hourly_event_rollup,
     streaming_containment,
     streaming_dedup,
+    streaming_zone_tag,
     windowed_event_counts,
 )
 
@@ -18,5 +19,6 @@ __all__ = [
     "windowed_event_counts",
     "hourly_event_rollup",
     "streaming_containment",
+    "streaming_zone_tag",
     "streaming_dedup",
 ]

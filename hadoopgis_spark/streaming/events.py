@@ -24,6 +24,7 @@ __all__ = [
     "windowed_event_counts",
     "hourly_event_rollup",
     "streaming_containment",
+    "streaming_zone_tag",
     "streaming_dedup",
 ]
 
@@ -113,6 +114,31 @@ def streaming_dedup(
         e = e.withWatermark("event_time", watermark)
         return e.dropDuplicatesWithinWatermark(list(key_cols))
     return e.dropDuplicates(list(key_cols))
+
+
+def streaming_zone_tag(
+    events: DataFrame,
+    zones: DataFrame,
+    x_col: str = "value",
+    y_col: str = "user_id",
+) -> DataFrame:
+    """Stream-static spatial enrichment: tag each event with the zone
+    whose box contains the event's derived point.
+
+    ``zones`` is a STATIC bounded frame (id + z_xmin/z_ymin/z_xmax/
+    z_ymax, half-open on the max edges so grid zones tag each point at
+    most once) and is broadcast — the join is stateless, needs no
+    watermark, and builds the identical plan on a batch or readStream
+    ``events`` frame (Structured Streaming's stream-static inner join).
+    The batch form is the oracle-checkable face (`stream_zone_tag_batch`).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    cond = (
+        (x >= F.col("z_xmin")) & (x < F.col("z_xmax"))
+        & (y >= F.col("z_ymin")) & (y < F.col("z_ymax"))
+    )
+    return events.join(F.broadcast(zones), cond, "inner")
 
 
 def streaming_containment(

@@ -2185,6 +2185,45 @@ STREAM_CONTAINMENT_SQL = """
 """
 
 
+def _zone_grid(spark):
+    """5×5 disjoint half-open grid over x∈[0,200), y∈[0,500) — the
+    static side of the stream-static enrichment join."""
+    rows = [
+        (i * 5 + j, i * 40.0, j * 100.0, (i + 1) * 40.0, (j + 1) * 100.0)
+        for i in range(5)
+        for j in range(5)
+    ]
+    return spark.createDataFrame(
+        rows, "zone_id long, z_xmin double, z_ymin double, z_xmax double, z_ymax double"
+    )
+
+
+def stream_zone_tag_batch(spark, sf):
+    """Stream-static spatial enrichment (batch-parity form): each event's
+    derived point tagged with its containing grid zone via a broadcast
+    stateless join — identical plan on a readStream frame (pytest drives
+    the real stream; TestStreaming::test_streaming_zone_tag)."""
+    from hadoopgis_spark.streaming import streaming_zone_tag
+
+    e = _t(spark, sf, "events").withColumn("value", F.col("value") * 2.0)
+    out = streaming_zone_tag(e, _zone_grid(spark))
+    return out.select("event_id", "zone_id")
+
+
+STREAM_ZONE_TAG_SQL = """
+  WITH zones AS (
+    SELECT i * 5 + j AS zone_id,
+           i * CAST(40.0 AS DOUBLE) AS z_xmin, j * CAST(100.0 AS DOUBLE) AS z_ymin,
+           (i + 1) * CAST(40.0 AS DOUBLE) AS z_xmax, (j + 1) * CAST(100.0 AS DOUBLE) AS z_ymax
+    FROM RANGE(5) r1(i) CROSS JOIN RANGE(5) r2(j)
+  )
+  SELECT e.event_id, z.zone_id
+  FROM events e JOIN zones z
+    ON e.value * 2.0 >= z.z_xmin AND e.value * 2.0 < z.z_xmax
+   AND e.user_id >= z.z_ymin AND e.user_id < z.z_ymax
+"""
+
+
 REGISTRY: dict[str, Query] = {
     "rel_q1_pricing": Query(rel_q1_pricing, REL_Q1_SQL, "scan+filter+agg (S1/P1/A*)"),
     "rel_q3_top_orders": Query(rel_q3_top_orders, REL_Q3_SQL, "3-way join + agg + top-k"),
@@ -2254,4 +2293,5 @@ REGISTRY: dict[str, Query] = {
     "stream_dedup_batch": Query(stream_dedup_batch, STREAM_DEDUP_SQL, "streaming dedup (batch form)"),
     "sp_join_bucketed": Query(sp_join_bucketed, SP_JOIN_BUCKETED_SQL, "J1 over co-bucketed storage: zero-shuffle join"),
     "stream_containment_batch": Query(stream_containment_batch, STREAM_CONTAINMENT_SQL, "streaming spatial filter (batch parity)"),
+    "stream_zone_tag_batch": Query(stream_zone_tag_batch, STREAM_ZONE_TAG_SQL, "stream-static spatial enrichment join (batch parity)"),
 }

@@ -463,6 +463,43 @@ class TestStreaming:
         )
         assert got == keys
 
+    def test_streaming_zone_tag(self, spark, tmp_path):
+        """Stream-static enrichment join on a REAL stream: file source →
+        broadcast zone join → memory sink must equal the batch run."""
+        from hadoopgis_spark.streaming import streaming_zone_tag
+        from hadoopgis_spark.streaming.events import normalize_event_ts
+
+        zones = spark.createDataFrame(
+            [(z, z * 25.0, 0.0, (z + 1) * 25.0, 100.0) for z in range(4)],
+            "zone_id long, z_xmin double, z_ymin double, z_xmax double, z_ymax double",
+        )
+        src = str(tmp_path / "zone_src")
+        ev = normalize_event_ts(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        )
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = streaming_zone_tag(stream, zones)
+        assert out.isStreaming
+        q = (
+            out.select("event_id", "zone_id")
+            .writeStream.format("memory")
+            .queryName("zone_tag")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.event_id, r.zone_id)
+            for r in spark.sql("SELECT * FROM zone_tag").collect()
+        }
+        batch = {
+            (r.event_id, r.zone_id)
+            for r in streaming_zone_tag(ev, zones).select("event_id", "zone_id").collect()
+        }
+        assert got == batch and len(got) > 0
+
     def test_streaming_containment(self, spark):
         from hadoopgis_spark.streaming import streaming_containment
         from hadoopgis_spark.streaming.events import normalize_event_ts
