@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "sp_join_bucketed",
     "stream_containment_batch",
     "stream_zone_tag_batch",
+    "txt_line_dedup",
+    "txt_repetition",
 ]
 
 

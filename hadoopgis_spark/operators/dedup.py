@@ -25,6 +25,7 @@ from hadoopgis_spark.functions.text import md5_hash32, normalize_text, tokens
 
 __all__ = [
     "exact_dedup",
+    "line_dedup",
     "shingle_sets",
     "minhash_signature",
     "minhash_lsh_pairs",
@@ -49,6 +50,29 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_k", "_rn")
+    )
+
+
+def line_dedup(df: DataFrame, lines_col: str = "lines", id_col: str = "doc_id") -> DataFrame:
+    """Corpus-GLOBAL exact line dedup (the C4 cleanup step: a line that
+    appears anywhere else in the corpus survives only at its first
+    occurrence). Keeps each distinct line's first copy by (id, position),
+    drops every other copy, and reassembles documents preserving line
+    order. Returns (id, lines) — documents whose every line was a
+    repeat disappear.
+
+    Scale shape: explode → window partitioned BY LINE (one shuffle; a
+    line's copies are tiny groups, no skew beyond the corpus's most
+    common line) → re-group by id (second shuffle). No driver data.
+    """
+    e = df.select(id_col, F.posexplode(F.col(lines_col)).alias("pos", "line"))
+    w = Window.partitionBy("line").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    kept = e.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return kept.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))),
+            lambda s: s["line"],
+        ).alias(lines_col)
     )
 
 

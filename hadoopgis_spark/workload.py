@@ -2224,6 +2224,91 @@ STREAM_ZONE_TAG_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-cleanup gates: global line dedup (the C4 step) + intra-document
+# repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+_LINE_WORDS = 10  # documents.text is flat words; derive 10-word "lines"
+
+
+def txt_line_dedup(spark, sf):
+    """C4-style corpus-global line dedup: every distinct 10-word line
+    survives only at its first (doc_id, position) occurrence; documents
+    are reassembled in original line order."""
+    from hadoopgis_spark.operators.dedup import line_dedup
+
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(_LINE_WORDS))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * _LINE_WORDS + 1, _LINE_WORDS), " "),
+    )
+    lines = d.select("doc_id", chunks.alias("lines"))
+    out = line_dedup(lines)
+    return out.select("doc_id", F.array_join("lines", " ").alias("text"))
+
+
+TXT_LINE_DEDUP_SQL = f"""
+  WITH w AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents),
+  c AS (
+    SELECT doc_id,
+           LIST_TRANSFORM(
+             RANGE(0, CAST(CEIL(LEN(words) / CAST({_LINE_WORDS}.0 AS DOUBLE)) AS INT)),
+             i -> ARRAY_TO_STRING(words[i*{_LINE_WORDS}+1 : i*{_LINE_WORDS}+{_LINE_WORDS}], ' ')
+           ) AS chunks
+    FROM w
+  ),
+  e AS (
+    SELECT doc_id, UNNEST(chunks) AS line, GENERATE_SUBSCRIPTS(chunks, 1) AS pos
+    FROM c
+  ),
+  k AS (
+    SELECT doc_id, pos, line,
+           ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM e
+  )
+  SELECT doc_id, STRING_AGG(line, ' ' ORDER BY pos) AS text
+  FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+def txt_repetition(spark, sf):
+    """Gopher-style intra-document repetition signals: fraction of
+    duplicate words and duplicate word-bigrams (high values flag
+    low-quality/repetitive documents for the corpus filter)."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    n1 = F.greatest(F.size(words) - 1, F.lit(0))
+    bigr = F.slice(
+        F.zip_with(words, F.slice(words, 2, n1), lambda x, y: F.concat_ws(" ", x, y)),
+        1,
+        n1,
+    )
+    d = d.select("doc_id", words.alias("w"), bigr.alias("b")).filter(F.size("w") >= 2)
+    return d.select(
+        "doc_id",
+        (F.lit(1.0) - F.size(F.array_distinct("w")) / F.size("w").cast("double")).alias("dup_word_frac"),
+        (F.lit(1.0) - F.size(F.array_distinct("b")) / F.size("b").cast("double")).alias("dup_bigram_frac"),
+    )
+
+
+TXT_REPETITION_SQL = """
+  WITH w AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS words FROM documents
+  ), b AS (
+    SELECT doc_id, words,
+           LIST_TRANSFORM(RANGE(1, LEN(words)), i -> words[i] || ' ' || words[i+1]) AS bg
+    FROM w WHERE LEN(words) >= 2
+  )
+  SELECT doc_id,
+         CAST(1.0 AS DOUBLE) - LEN(LIST_DISTINCT(words)) / CAST(LEN(words) AS DOUBLE) AS dup_word_frac,
+         CAST(1.0 AS DOUBLE) - LEN(LIST_DISTINCT(bg)) / CAST(LEN(bg) AS DOUBLE) AS dup_bigram_frac
+  FROM b
+"""
+
+
 REGISTRY: dict[str, Query] = {
     "rel_q1_pricing": Query(rel_q1_pricing, REL_Q1_SQL, "scan+filter+agg (S1/P1/A*)"),
     "rel_q3_top_orders": Query(rel_q3_top_orders, REL_Q3_SQL, "3-way join + agg + top-k"),
@@ -2294,4 +2379,6 @@ REGISTRY: dict[str, Query] = {
     "sp_join_bucketed": Query(sp_join_bucketed, SP_JOIN_BUCKETED_SQL, "J1 over co-bucketed storage: zero-shuffle join"),
     "stream_containment_batch": Query(stream_containment_batch, STREAM_CONTAINMENT_SQL, "streaming spatial filter (batch parity)"),
     "stream_zone_tag_batch": Query(stream_zone_tag_batch, STREAM_ZONE_TAG_SQL, "stream-static spatial enrichment join (batch parity)"),
+    "txt_line_dedup": Query(txt_line_dedup, TXT_LINE_DEDUP_SQL, "C4-style corpus-global line dedup"),
+    "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
 }

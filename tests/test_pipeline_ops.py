@@ -14,6 +14,7 @@ from hadoopgis_spark.operators.dedup import (
     embedding_dup_pairs,
     exact_dedup,
     jaccard_verify,
+    line_dedup,
     minhash_lsh_pairs,
     shingle_sets,
     simhash64,
@@ -55,6 +56,24 @@ def docs(spark):
 
 
 class TestDedup:
+    def test_line_dedup_global_keep_first(self, spark):
+        """A line repeated anywhere in the corpus survives only at its
+        first (doc_id, pos) occurrence; documents reassemble in order;
+        all-repeat documents vanish."""
+        rows = [
+            (1, ["alpha", "beta", "gamma"]),
+            (2, ["beta", "delta"]),        # beta dies (doc 1 has it)
+            (3, ["alpha", "gamma"]),       # wholly duplicate → vanishes
+            (4, ["epsilon", "epsilon"]),   # intra-doc repeat → keep first
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+        got = {r.doc_id: list(r.lines) for r in line_dedup(df).collect()}
+        assert got == {
+            1: ["alpha", "beta", "gamma"],
+            2: ["delta"],
+            4: ["epsilon"],
+        }
+
     def test_exact_dedup(self, spark, docs):
         kept = {r.doc_id for r in exact_dedup(docs).collect()}
         assert kept == {1, 3, 4, 5, 6, 7}  # 2 removed (identical to 1)
