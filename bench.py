@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "stream_zone_tag_batch",
     "txt_line_dedup",
     "txt_repetition",
+    "mm_resize",
+    "mm_features",
 ]
 
 

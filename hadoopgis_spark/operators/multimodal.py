@@ -22,7 +22,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_media_meta", "decode_image", "frame_sample", "MEDIA_META_SCHEMA"]
+__all__ = [
+    "attach_media_meta",
+    "decode_image",
+    "resize_image",
+    "extract_features",
+    "frame_sample",
+    "MEDIA_META_SCHEMA",
+]
 
 MEDIA_META_SCHEMA = (
     "media_id long, n_bytes int, checksum string, width int, height int, channels int"
@@ -81,6 +88,96 @@ def decode_image(
                 )
 
     return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(decode, MEDIA_META_SCHEMA)
+
+
+def resize_image(
+    df: DataFrame,
+    target_w: int = 160,
+    target_h: int = 120,
+    bytes_col: str = "data",
+    id_col: str = "media_id",
+    real_resize: bool = False,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Aspect-preserving resize stage over ``mapInPandas``.
+
+    ``real_resize=True`` marks the PIL/libvips hook (unavailable here —
+    raises). The fake path derives source dims exactly like
+    :func:`decode_image`, fits them into (target_w, target_h) with
+    ``scale = min(tw/w, th/h)`` (plain IEEE ops, so the DuckDB oracle can
+    replicate bit-exactly), and emits a 16-byte digest as the stub
+    thumbnail so the output schema carries a real binary column.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for mid, blob in zip(chunk[id_col], chunk[bytes_col]):
+                    if real_resize:
+                        raise NotImplementedError(
+                            "image codec not available in this container; "
+                            "plug PIL/libvips here"
+                        )
+                    b = bytes(blob) if blob is not None else b""
+                    h = hashlib.md5(b).hexdigest()
+                    w = 64 + int(h[:4], 16) % 1920
+                    ht = 64 + int(h[4:8], 16) % 1080
+                    scale = min(float(target_w) / w, float(target_h) / ht)
+                    out_w = max(1, int(w * scale))
+                    out_h = max(1, int(ht * scale))
+                    rows.append((mid, out_w, out_h, hashlib.md5(b).digest()))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "width", "height", "data"]
+                )
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        resize, "media_id long, width int, height int, data binary"
+    )
+
+
+def extract_features(
+    df: DataFrame,
+    dim: int = 16,
+    bytes_col: str = "data",
+    id_col: str = "media_id",
+    real_extract: bool = False,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Feature-extraction stage: blob → ``array<double>`` embedding.
+
+    The real path (CLIP/CNN inference) is the documented stub; the fake
+    path derives each component from ``md5(checksum:i)`` scaled to
+    [0, 1) — deterministic, oracle-replicable, and shaped exactly like a
+    model-embedding column, so the output feeds the ANN/similarity
+    operators unchanged (decode → features → ann_topk composes).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for mid, blob in zip(chunk[id_col], chunk[bytes_col]):
+                    if real_extract:
+                        raise NotImplementedError(
+                            "no inference runtime in this container; "
+                            "plug the vision/audio encoder here"
+                        )
+                    b = bytes(blob) if blob is not None else b""
+                    cs = hashlib.md5(b).hexdigest()
+                    vec = [
+                        int(hashlib.md5(f"{cs}:{i}".encode()).hexdigest()[:8], 16)
+                        / 4294967296.0
+                        for i in range(dim)
+                    ]
+                    rows.append((mid, vec))
+                yield pd.DataFrame(rows, columns=["media_id", "embedding"])
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        extract, "media_id long, embedding array<double>"
+    )
 
 
 def frame_sample(

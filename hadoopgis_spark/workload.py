@@ -1935,6 +1935,71 @@ def mm_frame_sample(spark, sf):
     return frame_sample(blobs, every_n=2, window=64)
 
 
+def mm_resize(spark, sf):
+    """Resize stage (mapInPandas): fake-decoded dims fit into 160×120
+    preserving aspect ratio; IEEE scale arithmetic mirrored in the
+    oracle. The binary thumbnail column stays internal (pytest asserts
+    it); the gate checks ids + output dims."""
+    from hadoopgis_spark.operators.multimodal import resize_image
+
+    d = _t(spark, sf, "documents")
+    blobs = d.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    return resize_image(blobs).select("media_id", "width", "height")
+
+
+MM_RESIZE_SQL = """
+  WITH m AS (
+    SELECT doc_id AS media_id,
+           64 + ('0x' || SUBSTR(MD5(text), 1, 4))::INT % 1920 AS w,
+           64 + ('0x' || SUBSTR(MD5(text), 5, 4))::INT % 1080 AS h
+    FROM documents
+  ), s AS (
+    SELECT media_id, w, h,
+           LEAST(CAST(160.0 AS DOUBLE) / w, CAST(120.0 AS DOUBLE) / h) AS sc
+    FROM m
+  )
+  SELECT media_id,
+         CAST(GREATEST(1, CAST(FLOOR(w * sc) AS INT)) AS INT) AS width,
+         CAST(GREATEST(1, CAST(FLOOR(h * sc) AS INT)) AS INT) AS height
+  FROM s
+"""
+
+
+def mm_features(spark, sf):
+    """Feature-extraction stage (mapInPandas): blob → md5-derived
+    array<double> embedding (the model-inference stub with the real
+    Arrow/batching shape). The gate pins exact component values at three
+    positions — float-array columns don't hash stably across engines, so
+    scalars are projected out."""
+    from hadoopgis_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf, "documents")
+    blobs = d.select(
+        F.col("doc_id").alias("media_id"), F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    f = extract_features(blobs, dim=16)
+    return f.select(
+        "media_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("f0"),
+        F.element_at("embedding", 9).alias("f8"),
+        F.element_at("embedding", 16).alias("f15"),
+    )
+
+
+MM_FEATURES_SQL = """
+  WITH m AS (SELECT doc_id AS media_id, MD5(text) AS cs FROM documents)
+  SELECT media_id,
+         16 AS dim,
+         ('0x' || SUBSTR(MD5(cs || ':0'), 1, 8))::BIGINT / CAST(4294967296.0 AS DOUBLE) AS f0,
+         ('0x' || SUBSTR(MD5(cs || ':8'), 1, 8))::BIGINT / CAST(4294967296.0 AS DOUBLE) AS f8,
+         ('0x' || SUBSTR(MD5(cs || ':15'), 1, 8))::BIGINT / CAST(4294967296.0 AS DOUBLE) AS f15
+  FROM m
+"""
+
+
 MM_FRAME_SAMPLE_SQL = """
   WITH f AS (
     SELECT doc_id AS media_id, text,
@@ -2381,4 +2446,6 @@ REGISTRY: dict[str, Query] = {
     "stream_zone_tag_batch": Query(stream_zone_tag_batch, STREAM_ZONE_TAG_SQL, "stream-static spatial enrichment join (batch parity)"),
     "txt_line_dedup": Query(txt_line_dedup, TXT_LINE_DEDUP_SQL, "C4-style corpus-global line dedup"),
     "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
+    "mm_resize": Query(mm_resize, MM_RESIZE_SQL, "multimodal resize stage (mapInPandas)"),
+    "mm_features": Query(mm_features, MM_FEATURES_SQL, "multimodal feature-extraction stage (mapInPandas)"),
 }

@@ -213,6 +213,37 @@ class TestMultimodal:
             decode_image(media, real_decode=True).collect()
         assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
 
+    def test_resize_stub(self, spark, media):
+        from hadoopgis_spark.operators.multimodal import decode_image, resize_image
+
+        dims = {r.media_id: (r.width, r.height) for r in decode_image(media).collect()}
+        got = resize_image(media, target_w=160, target_h=120).collect()
+        assert len(got) == 20
+        for r in got:
+            w, h = dims[r.media_id]
+            scale = min(160.0 / w, 120.0 / h)
+            assert (r.width, r.height) == (max(1, int(w * scale)), max(1, int(h * scale)))
+            assert r.width <= 160 and r.height <= 120
+            assert isinstance(bytes(r.data), bytes) and len(bytes(r.data)) == 16
+
+    def test_extract_features_feeds_ann(self, spark, media):
+        """decode → features → brute-force top-k composes: the fake
+        embedding column has the exact shape the similarity operators
+        expect."""
+        from hadoopgis_spark.operators.multimodal import extract_features
+        from hadoopgis_spark.operators.similarity import brute_force_topk
+
+        f = extract_features(media, dim=8)
+        rows = f.collect()
+        assert all(len(r.embedding) == 8 for r in rows)
+        assert all(0.0 <= v < 1.0 for r in rows for v in r.embedding)
+        corpus = f.select(F.col("media_id").alias("vec_id"), "embedding")
+        q = corpus.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        top = brute_force_topk(corpus, q, k=3).collect()
+        assert len(top) == 6  # 2 queries × k=3
+
     def test_frame_sample(self, spark, media):
         got = frame_sample(media, every_n=2).collect()
         by_media = {}
