@@ -74,6 +74,31 @@ class TestDedup:
             4: ["epsilon"],
         }
 
+    def test_line_dedup_matches_bruteforce(self, spark):
+        """Randomized corpus (small line vocabulary → heavy cross-doc
+        repetition) vs a driver-side brute force of the same rule."""
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"line{v}" for v in range(12)]
+        rows = [
+            (d, [rng.choice(vocab) for _ in range(rng.randint(0, 6))])
+            for d in range(40)
+        ]
+        seen: set[str] = set()
+        expect: dict[int, list[str]] = {}
+        for d, lines in sorted(rows):
+            kept = []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            if kept:
+                expect[d] = kept
+        df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+        got = {r.doc_id: list(r.lines) for r in line_dedup(df).collect()}
+        assert got == expect
+
     def test_exact_dedup(self, spark, docs):
         kept = {r.doc_id for r in exact_dedup(docs).collect()}
         assert kept == {1, 3, 4, 5, 6, 7}  # 2 removed (identical to 1)

@@ -208,6 +208,21 @@ class TestPipelinePlans:
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+class TestLineDedupPlan:
+    def test_exactly_two_exchanges(self, spark):
+        """Global line dedup = one shuffle to group copies of a line +
+        one shuffle to reassemble documents — anything more is a scale
+        regression (no global sort, no broadcast of the corpus)."""
+        from hadoopgis_spark.operators.dedup import line_dedup
+
+        df = spark.createDataFrame(
+            [(i, [f"l{i % 7}", f"l{i}"]) for i in range(50)],
+            "doc_id long, lines array<string>",
+        )
+        out = line_dedup(df)
+        assert count_exchanges(out) == 2, formatted_plan(out)[:1500]
+
+
 class TestAggPushdown:
     def test_extent_agg_is_partial(self, spark, boxes_parquet):
         df = spark.read.parquet(boxes_parquet)
