@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "txt_repetition",
     "mm_resize",
     "mm_features",
+    "txt_winnow",
 ]
 
 

@@ -27,6 +27,7 @@ __all__ = [
     "lang_guess",
     "quality_score",
     "fingerprint",
+    "winnow_fingerprints",
     "char_shingles",
     "md5_hash32",
     "bpe_tokens",
@@ -206,6 +207,34 @@ def fingerprint(col) -> Column:
     """Normalization fingerprint: md5 of the normalized text — identical
     docs modulo case/punct/whitespace collide (rolling-hash analogue)."""
     return F.md5(normalize_text(col))
+
+
+def winnow_fingerprints(col, k: int = 5, w: int = 8) -> Column:
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD '03):
+    hash every character k-gram of the normalized text, slide a window
+    of ``w`` consecutive hashes, keep each window's minimum, dedup and
+    sort. Any shared substring of length ≥ w+k-1 between two documents
+    GUARANTEES a shared fingerprint — the partial-overlap detector the
+    whole-doc :func:`fingerprint` can't provide.
+
+    Pure Column expression. The k-gram hash array is let-bound via
+    ``transform(array(x), f)[0]`` (HOFs are CodegenFallback — a repeated
+    reference would re-hash every k-gram per window otherwise).
+    """
+    hs = F.transform(char_shingles(col, k), lambda s: md5_hash32(s))
+
+    def windows(h):
+        n = F.size(h)
+        mins = F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(0), n - w),
+                lambda j: F.array_min(F.slice(h, j + 1, w)),
+            ),
+        ).otherwise(F.array(F.array_min(h)))
+        return F.array_sort(F.array_distinct(mins))
+
+    return F.transform(F.array(hs), windows)[0]
 
 
 def char_shingles(col, n: int = 5) -> Column:

@@ -1935,6 +1935,49 @@ def mm_frame_sample(spark, sf):
     return frame_sample(blobs, every_n=2, window=64)
 
 
+def txt_winnow(spark, sf):
+    """Winnowing document fingerprints (the rolling-hash family,
+    Schleimer et al. '03): per-doc sorted set of window-min k-gram
+    hashes, emitted as a comma string so the full set is value-checked."""
+    from hadoopgis_spark.functions.text import winnow_fingerprints
+
+    d = _t(spark, sf, "documents")
+    fps = winnow_fingerprints(F.col("text"), k=5, w=8)
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(fps, lambda x: x.cast("string")), ","
+        ).alias("fps"),
+    )
+
+
+TXT_WINNOW_SQL = f"""
+  WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+  s AS (
+    SELECT doc_id,
+           CASE WHEN LEN(t) < 5 THEN [t]
+                ELSE LIST_TRANSFORM(RANGE(1, LEN(t) - 3), i -> SUBSTR(t, i, 5))
+           END AS sh
+    FROM n
+  ),
+  h AS (
+    SELECT doc_id,
+           LIST_TRANSFORM(sh, x -> ('0x' || SUBSTR(MD5(x), 1, 8))::BIGINT) AS hs
+    FROM s
+  ),
+  m AS (
+    SELECT doc_id,
+           CASE WHEN LEN(hs) >= 8
+                THEN LIST_TRANSFORM(RANGE(0, LEN(hs) - 7), j -> LIST_MIN(hs[j+1 : j+8]))
+                ELSE [LIST_MIN(hs)]
+           END AS mins
+    FROM h
+  )
+  SELECT doc_id, ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(mins)), ',') AS fps
+  FROM m
+"""
+
+
 def mm_resize(spark, sf):
     """Resize stage (mapInPandas): fake-decoded dims fit into 160×120
     preserving aspect ratio; IEEE scale arithmetic mirrored in the
@@ -2448,4 +2491,5 @@ REGISTRY: dict[str, Query] = {
     "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
     "mm_resize": Query(mm_resize, MM_RESIZE_SQL, "multimodal resize stage (mapInPandas)"),
     "mm_features": Query(mm_features, MM_FEATURES_SQL, "multimodal feature-extraction stage (mapInPandas)"),
+    "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
 }

@@ -287,6 +287,34 @@ class TestMultimodal:
         assert all(r.n_bytes == 100 for r in got)
 
 
+class TestWinnowing:
+    def test_shared_block_guarantees_shared_fingerprint(self, spark):
+        """Winnowing property (Schleimer '03): a shared substring of
+        length ≥ w+k-1 normalized chars must produce at least one common
+        fingerprint; fully unrelated alphabets share none."""
+        import random
+
+        from hadoopgis_spark.functions.text import winnow_fingerprints
+
+        rng = random.Random(3)
+        block = " ".join(rng.choice("abcdef") * 3 for _ in range(12))  # ≥ 12 chars
+        pre = " ".join(rng.choice("ghij") * 4 for _ in range(20))
+        post = " ".join(rng.choice("klmn") * 4 for _ in range(20))
+        other = " ".join(rng.choice("uvwxyz") * 5 for _ in range(30))
+        df = spark.createDataFrame(
+            [(1, f"{pre} {block}"), (2, f"{block} {post}"), (3, other)],
+            "doc_id long, text string",
+        )
+        fps = {
+            r.doc_id: set(r.f)
+            for r in df.select(
+                "doc_id", winnow_fingerprints(F.col("text"), k=5, w=8).alias("f")
+            ).collect()
+        }
+        assert fps[1] & fps[2], "shared block must share a fingerprint"
+        assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
 class TestBpeTokens:
     def test_matches_python_re(self, spark):
         import re
