@@ -1280,6 +1280,20 @@ REL_PERCENTILES_SQL = """
 """
 
 
+def rel_percentiles_approx(spark, sf):
+    """The 100 TB percentile path: t-digest sketch (approx_percentile)
+    — mergeable partial aggregates, bounded memory per group, no global
+    sort. Sketches aren't cross-engine reproducible, so the driver
+    records a rows-only check; the accuracy bound vs the exact operator
+    is pinned by TestApproxPercentiles."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90"),
+        F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("p99"),
+    )
+
+
 def rel_semi_join(spark, sf):
     """EXISTS via left-semi join: orders with a >90k-value line item."""
     o = _t(spark, sf, "orders")
@@ -1383,8 +1397,9 @@ SP_JOIN_FIELDS_SQL = f"""
 
 def stream_sessionize(spark, sf):
     """Gap-based sessionization (batch form of the stateful streaming
-    operator; 30-minute gap). Timestamps are truncated to microseconds
-    because DuckDB reads parquet TIMESTAMP(NANOS) at µs precision."""
+    operator; 30-minute gap). Timestamps are truncated to microseconds —
+    DuckDB's epoch_us works at µs precision whichever physical parquet
+    type (NANOS or MICROS) the testdata ships."""
     from hadoopgis_spark.streaming.sessions import sessionize
 
     e = _t(spark, sf, "events").withColumn("ts", F.expr("ts div 1000"))
@@ -2492,4 +2507,10 @@ REGISTRY: dict[str, Query] = {
     "mm_resize": Query(mm_resize, MM_RESIZE_SQL, "multimodal resize stage (mapInPandas)"),
     "mm_features": Query(mm_features, MM_FEATURES_SQL, "multimodal feature-extraction stage (mapInPandas)"),
     "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
+    "rel_percentiles_approx": Query(
+        rel_percentiles_approx,
+        None,  # t-digest sketches differ across engines — rows-only check;
+        # the error-vs-exact bound is pinned by TestApproxPercentiles
+        "approx percentiles (t-digest sketch, the 100 TB path)",
+    ),
 }

@@ -315,6 +315,19 @@ class TestWinnowing:
         assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
 
 
+class TestApproxPercentiles:
+    def test_within_relative_error_of_exact(self, spark):
+        from hadoopgis_spark.workload import rel_percentiles, rel_percentiles_approx
+
+        sf = "/root/testdata/sf0.001"
+        exact = {r.l_returnflag: (r.p50, r.p90, r.p99) for r in rel_percentiles(spark, sf).collect()}
+        approx = {r.l_returnflag: (r.p50, r.p90, r.p99) for r in rel_percentiles_approx(spark, sf).collect()}
+        assert set(exact) == set(approx)
+        for k in exact:
+            for e, a in zip(exact[k], approx[k]):
+                assert abs(a - e) / e < 0.02, (k, e, a)
+
+
 class TestBpeTokens:
     def test_matches_python_re(self, spark):
         import re
