@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "mm_resize",
     "mm_features",
     "txt_winnow",
+    "src_jsonl_roundtrip",
     "rel_percentiles_approx",
 ]
 

@@ -6,12 +6,15 @@
 """
 
 from hadoopgis_spark.sources.bucketed import save_bucketed, spatial_join_bucketed
+from hadoopgis_spark.sources.jsonl import read_jsonl, write_jsonl
 from hadoopgis_spark.sources.loader import load_partitioned, save_partitioned
 from hadoopgis_spark.sources.tsv import read_tsv, write_tsv
 
 __all__ = [
     "read_tsv",
     "write_tsv",
+    "read_jsonl",
+    "write_jsonl",
     "save_partitioned",
     "load_partitioned",
     "save_bucketed",

@@ -1950,6 +1950,33 @@ def mm_frame_sample(spark, sf):
     return frame_sample(blobs, every_n=2, window=64)
 
 
+def src_jsonl_roundtrip(spark, sf):
+    """JSONL source roundtrip with malformed-line skip: documents →
+    write_jsonl (native to_json sink) + a deliberately broken shard →
+    read_jsonl(DROPMALFORMED) must recover exactly the original rows —
+    so the oracle is plain SQL over the source table (no file
+    dependency). Write happens once per application (S8 memoization)."""
+    from hadoopgis_spark.sources import read_jsonl, write_jsonl
+
+    tag = os.path.basename(os.path.normpath(sf))
+    out = f"/tmp/hgs_gate_jsonl/{tag}"
+
+    def _build():
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        write_jsonl(d, out, n_files=8)
+        # a shard of garbage lines: DROPMALFORMED must skip all of them
+        with open(f"{out}/part-zz-bad.json", "w") as fh:
+            fh.write("NOT JSON\n{broken: \n,,,\n")
+        return out
+
+    _memo(("jsonl_gate", spark.sparkContext.applicationId, sf), _build)
+    back = read_jsonl(spark, out, schema="doc_id bigint, text string")
+    return back.select("doc_id", F.md5("text").alias("h"))
+
+
+SRC_JSONL_SQL = "SELECT doc_id, MD5(text) AS h FROM documents"
+
+
 def txt_winnow(spark, sf):
     """Winnowing document fingerprints (the rolling-hash family,
     Schleimer et al. '03): per-doc sorted set of window-min k-gram
@@ -2507,6 +2534,7 @@ REGISTRY: dict[str, Query] = {
     "mm_resize": Query(mm_resize, MM_RESIZE_SQL, "multimodal resize stage (mapInPandas)"),
     "mm_features": Query(mm_features, MM_FEATURES_SQL, "multimodal feature-extraction stage (mapInPandas)"),
     "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
+    "src_jsonl_roundtrip": Query(src_jsonl_roundtrip, SRC_JSONL_SQL, "JSONL source roundtrip + malformed-line skip"),
     "rel_percentiles_approx": Query(
         rel_percentiles_approx,
         None,  # t-digest sketches differ across engines — rows-only check;

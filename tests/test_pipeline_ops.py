@@ -315,6 +315,28 @@ class TestWinnowing:
         assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
 
 
+class TestJsonlSource:
+    def test_roundtrip_and_malformed_skip(self, spark, tmp_path):
+        from hadoopgis_spark.sources import read_jsonl, write_jsonl
+
+        df = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(50)], "doc_id long, text string"
+        )
+        out = str(tmp_path / "jl")
+        write_jsonl(df, out, n_files=4)
+        with open(f"{out}/part-zz-bad.json", "w") as fh:
+            fh.write("GARBAGE\n{half: \n")
+        got = read_jsonl(spark, out, schema="doc_id bigint, text string")
+        assert {(r.doc_id, r.text) for r in got.collect()} == {
+            (i, f"text {i}") for i in range(50)
+        }
+        # PERMISSIVE keeps malformed lines as null rows instead
+        perm = read_jsonl(
+            spark, out, schema="doc_id bigint, text string", drop_malformed=False
+        )
+        assert perm.filter(F.col("doc_id").isNull()).count() == 2
+
+
 class TestApproxPercentiles:
     def test_within_relative_error_of_exact(self, spark):
         from hadoopgis_spark.workload import rel_percentiles, rel_percentiles_approx
