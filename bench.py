@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "mm_features",
     "txt_winnow",
     "src_jsonl_roundtrip",
+    "sp_geojson_parse",
     "rel_percentiles_approx",
 ]
 

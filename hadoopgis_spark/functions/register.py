@@ -40,6 +40,8 @@ REGISTERED_FUNCTIONS = {
     "st_is_valid": S.st_is_valid,
     "st_as_wkb": S.st_as_wkb,
     "st_as_wkt": S.st_as_wkt,
+    "st_from_geojson": S.st_from_geojson,
+    "st_as_geojson": S.st_as_geojson,
     "st_mbb": S.st_mbb,
 }
 

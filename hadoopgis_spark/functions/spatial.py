@@ -26,6 +26,8 @@ __all__ = [
     "st_is_valid",
     "st_as_wkb",
     "st_as_wkt",
+    "st_from_geojson",
+    "st_as_geojson",
     "st_predicate",
     "st_window_hit",
     "st_intersects",
@@ -183,6 +185,34 @@ def st_as_wkt(geom: pd.Series) -> pd.Series:
     cache: dict = {}
     return pd.Series(
         [to_wkt((g.kind, g.payload)) if g is not None else None
+         for g in _parse_cache(geom, cache)]
+    )
+
+
+@F.pandas_udf(T.StringType())
+def st_from_geojson(js: pd.Series) -> pd.Series:
+    """GeoJSON geometry/Feature string → canonical WKT (null when
+    malformed — the engine's skip semantics)."""
+    from hadoopgis_spark.geometry.geojson import parse_geojson
+    from hadoopgis_spark.geometry.wkt import to_wkt
+
+    out = []
+    for t in js:
+        try:
+            out.append(to_wkt(parse_geojson(t)) if t is not None else None)
+        except ValueError:
+            out.append(None)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def st_as_geojson(geom: pd.Series) -> pd.Series:
+    """WKT (or WKB) → compact GeoJSON string; null when malformed."""
+    from hadoopgis_spark.geometry.geojson import to_geojson
+
+    cache: dict = {}
+    return pd.Series(
+        [to_geojson((g.kind, g.payload)) if g is not None else None
          for g in _parse_cache(geom, cache)]
     )
 

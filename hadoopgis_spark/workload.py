@@ -2135,6 +2135,35 @@ SP_MALFORMED_SQL = """
 """
 
 
+def sp_geojson_parse(spark, sf):
+    """GeoJSON ingest: point Features built JVM-side, parsed by
+    st_from_geojson (malformed every 7th row → skipped), then through
+    the standard MBB path — same derivation and oracle as the WKT
+    malformed gate, proving WKT/GeoJSON parse parity."""
+    from hadoopgis_spark.functions.spatial import st_from_geojson
+    from hadoopgis_spark.operators.mbb import with_mbb
+
+    e = _t(spark, sf, "events")
+    x = F.col("value") * 2.0
+    y = (F.col("user_id") % 499) * 2.0
+    good = F.concat(
+        F.lit('{"type":"Feature","geometry":{"type":"Point","coordinates":['),
+        x, F.lit(","), y, F.lit("]}}"),
+    )
+    bad = (
+        F.when(F.col("event_id") % 21 == 0, F.lit('{"type":"Point"}'))
+        .when(F.col("event_id") % 21 == 7, F.lit('{"type":"Polygon","coordinates":[[[1,2]]]}'))
+        .otherwise(F.lit("NOT GEOJSON"))
+    )
+    pts = e.select(
+        F.col("event_id").alias("id"),
+        st_from_geojson(
+            F.when(F.col("event_id") % 7 == 0, bad).otherwise(good)
+        ).alias("geom"),
+    )
+    return with_mbb(pts).select("id", "xmin", "ymin")
+
+
 # ---------------------------------------------------------------------------
 # J3 --containfile mode: window read from a file
 # (query_containment.hpp:98-105; same result as the literal window)
@@ -2535,6 +2564,7 @@ REGISTRY: dict[str, Query] = {
     "mm_features": Query(mm_features, MM_FEATURES_SQL, "multimodal feature-extraction stage (mapInPandas)"),
     "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
     "src_jsonl_roundtrip": Query(src_jsonl_roundtrip, SRC_JSONL_SQL, "JSONL source roundtrip + malformed-line skip"),
+    "sp_geojson_parse": Query(sp_geojson_parse, SP_MALFORMED_SQL, "GeoJSON ingest + malformed skip (WKT-parity oracle)"),
     "rel_percentiles_approx": Query(
         rel_percentiles_approx,
         None,  # t-digest sketches differ across engines — rows-only check;

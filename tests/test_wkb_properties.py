@@ -29,6 +29,57 @@ def points(draw):
     return ("POINT", (draw(coord), draw(coord)))
 
 
+class TestGeoJsonRoundtrip:
+    @given(g=st.one_of(points(), triangles()))
+    @settings(max_examples=200, deadline=None)
+    def test_roundtrip_exact(self, g):
+        from hadoopgis_spark.geometry.geojson import parse_geojson, to_geojson
+
+        back = parse_geojson(to_geojson(g))
+        assert back[0] == g[0]
+        if g[0] == "POINT":
+            assert back[1] == g[1]  # bit-exact via json shortest repr
+        else:
+            for r1, r2 in zip(g[1], back[1]):
+                assert (r1 == r2).all()
+
+    def test_feature_wrapper_and_open_ring(self):
+        from hadoopgis_spark.geometry.geojson import parse_geojson
+
+        k, p = parse_geojson(
+            '{"type":"Feature","properties":{},"geometry":'
+            '{"type":"Polygon","coordinates":[[[0,0],[4,0],[0,4]]]}}'
+        )
+        assert k == "POLYGON" and (p[0][0] == p[0][-1]).all() and len(p[0]) == 4
+
+    def test_multipolygon_and_hole(self):
+        from hadoopgis_spark.geometry.geojson import parse_geojson, to_geojson
+
+        wkt_g = parse_wkt(
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"
+        )
+        back = parse_geojson(to_geojson(wkt_g))
+        assert K.area(Geometry(*back)) == pytest.approx(100 - 4)
+        mp = parse_wkt("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))")
+        back = parse_geojson(to_geojson(mp))
+        assert back[0] == "MULTIPOLYGON" and len(back[1]) == 2
+
+    def test_malformed(self):
+        from hadoopgis_spark.geometry.geojson import parse_geojson
+
+        for bad in [
+            "NOT JSON",
+            "{}",
+            '{"type":"Point"}',
+            '{"type":"Polygon","coordinates":[[[1,2]]]}',
+            '{"type":"Circle","coordinates":[0,0]}',
+            '{"type":"Feature"}',
+            "[1,2]",
+        ]:
+            with pytest.raises(ValueError):
+                parse_geojson(bad)
+
+
 class TestWkbRoundtrip:
     @given(g=st.one_of(points(), triangles()))
     @settings(max_examples=200, deadline=None)
