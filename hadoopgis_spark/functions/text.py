@@ -238,14 +238,24 @@ def winnow_fingerprints(col, k: int = 5, w: int = 8) -> Column:
 
 
 def char_shingles(col, n: int = 5) -> Column:
-    """Array of overlapping character n-grams of the normalized text."""
-    norm = normalize_text(col)
-    return F.when(F.length(norm) < n, F.array(norm)).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length(norm) - (n - 1)),
-            lambda i: norm.substr(i, F.lit(n)),
+    """Array of overlapping character n-grams of the normalized text.
+
+    The normalization (three regex passes) is let-bound via
+    ``transform(array(x), f)[0]`` so the per-element ``substr`` reads the
+    materialized string — referencing the regex expression inside the
+    lambda would re-run it once PER SHINGLE (O(len²) regex work; this
+    took txt_winnow from ~3 s to 60 s at sf0.1 before the binding).
+    """
+
+    def sh(t):
+        return F.when(F.length(t) < n, F.array(t)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                lambda i: t.substr(i, F.lit(n)),
+            )
         )
-    )
+
+    return F.transform(F.array(normalize_text(col)), sh)[0]
 
 
 def md5_hash32(col, offset: int = 1) -> Column:
