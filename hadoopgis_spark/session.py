@@ -30,10 +30,12 @@ def get_spark(app_name: str = "hadoopgis_spark", **extra_conf: str) -> SparkSess
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        # local mode runs every executor thread inside the driver JVM: an
-        # 8g heap thrashes GC once localCheckpoint blocks from dozens of
-        # bench/gate queries accumulate (the container has 128 GiB)
-        .config("spark.driver.memory", os.environ.get("HGS_DRIVER_MEM", "32g"))
+        # local mode runs every executor thread inside the driver JVM.
+        # Measured on the reference-scale workloads: 8g and 16g both run
+        # ~14 s, 32g runs 19-22 s (bigger young gen, worse locality) —
+        # 16g keeps the fast-GC profile plus headroom for localCheckpoint
+        # blocks accumulating across a 70-query bench session
+        .config("spark.driver.memory", os.environ.get("HGS_DRIVER_MEM", "16g"))
         # reclaim shuffle/checkpoint state of finished queries during
         # long multi-query sessions instead of waiting for a driver GC
         # (5min: never fires inside a single bench query, but bounds
