@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions import boxes as B
-from hadoopgis_spark.functions.spatial import st_dwithin, st_predicate
+from hadoopgis_spark.functions.spatial import st_predicate
 from hadoopgis_spark.operators.mbb import MBB_COLS, space_extent, with_mbb
 from hadoopgis_spark.operators.spatial_join import default_bucket_size
 from hadoopgis_spark.operators.tile import assign_tiles, sample_mbbs, tiles_dataframe
@@ -124,6 +124,17 @@ def spatial_join_bucketed(
     zero-exchange contract.
     """
     pad = float(distance or 0.0)
+    if pad > 0.0 and predicate != "st_dwithin":
+        raise ValueError("distance= is only meaningful with st_dwithin")
+    if predicate == "st_dwithin":
+        # the stored layout assigned tiles with pad=0: two objects within
+        # distance d but in disjoint tiles would never meet, silently
+        # dropping pairs — padded joins must re-assign at runtime
+        raise ValueError(
+            "st_dwithin needs pad-expanded tile assignment; the bucketed "
+            "layout was written unpadded — use spatial_join(strategy='tile') "
+            "for distance joins"
+        )
     sfx1, sfx2 = suffixes
     a = spark.table(table_a)
     b = spark.table(table_b)
@@ -145,27 +156,22 @@ def spatial_join_bucketed(
 
     g1, g2 = f"{geom_col}{sfx1}", f"{geom_col}{sfx2}"
     if wkt_mode:
-        if predicate == "st_dwithin":
-            if distance is None:
-                raise ValueError("st_dwithin requires distance=")
-            joined = joined.filter(st_dwithin(F.col(g1), F.col(g2), pad, geography=geography))
-        else:
-            joined = joined.filter(st_predicate(predicate)(F.col(g1), F.col(g2)))
+        joined = joined.filter(st_predicate(predicate)(F.col(g1), F.col(g2)))
     else:
         from hadoopgis_spark.operators.spatial_join import _box_predicate
 
         joined = joined.filter(_box_predicate(predicate, m1, m2, pad))
 
     # reference-point dedup on the stored tile bounds (side A carries them)
-    rx = F.greatest(F.col(m1[0]) - F.lit(pad), F.col(m2[0]))
-    ry = F.greatest(F.col(m1[1]) - F.lit(pad), F.col(m2[1]))
+    rx = F.greatest(F.col(m1[0]), F.col(m2[0]))
+    ry = F.greatest(F.col(m1[1]), F.col(m2[1]))
     t1 = [f"{c}{sfx1}" for c in tb]
     joined = joined.filter(
         (rx >= F.col(t1[0])) & (rx < F.col(t1[2]))
         & (ry >= F.col(t1[1])) & (ry < F.col(t1[3]))
     )
-    drop = [c for c in joined.columns if c.startswith("t_")]
+    # drop exactly the engine-added columns, never same-prefixed user ones
+    drop = [f"{c}{s}" for c in tb for s in suffixes]
     if not keep_mbb:
-        drop += [c for c in joined.columns
-                 if any(c == f"{m}{s}" for m in MBB_COLS for s in suffixes)]
-    return joined.drop("tile_id", *drop)
+        drop += [f"{m}{s}" for m in MBB_COLS for s in suffixes]
+    return joined.drop("tile_id", *[c for c in drop if c in joined.columns])

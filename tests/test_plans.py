@@ -158,6 +158,19 @@ class TestBucketedJoin:
         }
         assert got == expect and len(got) > 0
 
+    def test_dwithin_refused(self, spark, boxes_parquet):
+        """The stored layout assigned tiles unpadded: a distance join
+        over it would silently miss cross-tile pairs, so it must refuse
+        instead of returning incomplete results."""
+        import pytest as _pytest
+
+        from hadoopgis_spark.sources import spatial_join_bucketed
+
+        with _pytest.raises(ValueError, match="dwithin"):
+            spatial_join_bucketed(
+                spark, "plans_bkt_a", "plans_bkt_b", "st_dwithin", distance=5.0
+            )
+
 
 class TestPipelinePlans:
     """Scale contracts for the LLM-pipeline operators added in round 3."""
