@@ -61,13 +61,20 @@ def line_dedup(df: DataFrame, lines_col: str = "lines", id_col: str = "doc_id") 
     order. Returns (id, lines) — documents whose every line was a
     repeat disappear.
 
-    Scale shape: explode → window partitioned BY LINE (one shuffle; a
-    line's copies are tiny groups, no skew beyond the corpus's most
-    common line) → re-group by id (second shuffle). No driver data.
+    Scale shape: explode → ``groupBy(line).agg(min(struct(id, pos)))`` →
+    re-group by id. Deliberately an aggregation, NOT a window: min() gets
+    map-side partial aggregation, so a pathologically hot line (empty
+    string, boilerplate — guaranteed at corpus scale) collapses to one
+    row per map task before the shuffle, where a window partitioned by
+    line would funnel every copy into a single straggler task that AQE
+    cannot split. Two shuffles total, no driver data.
     """
     e = df.select(id_col, F.posexplode(F.col(lines_col)).alias("pos", "line"))
-    w = Window.partitionBy("line").orderBy(F.col(id_col).asc(), F.col("pos").asc())
-    kept = e.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    kept = (
+        e.groupBy("line")
+        .agg(F.min(F.struct(id_col, "pos")).alias("_w"))
+        .select(F.col(f"_w.{id_col}").alias(id_col), F.col("_w.pos").alias("pos"), "line")
+    )
     return kept.groupBy(id_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "line"))),

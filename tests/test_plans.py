@@ -222,10 +222,13 @@ class TestPipelinePlans:
 
 
 class TestLineDedupPlan:
-    def test_exactly_two_exchanges(self, spark):
+    def test_exactly_two_exchanges_and_partial_agg(self, spark):
         """Global line dedup = one shuffle to group copies of a line +
         one shuffle to reassemble documents — anything more is a scale
-        regression (no global sort, no broadcast of the corpus)."""
+        regression (no global sort, no broadcast of the corpus). The
+        keep-first must be a partial-aggregated min, NOT a window: hot
+        lines (boilerplate at corpus scale) must combine map-side rather
+        than funnel into one straggler task."""
         from hadoopgis_spark.operators.dedup import line_dedup
 
         df = spark.createDataFrame(
@@ -233,7 +236,10 @@ class TestLineDedupPlan:
             "doc_id long, lines array<string>",
         )
         out = line_dedup(df)
-        assert count_exchanges(out) == 2, formatted_plan(out)[:1500]
+        plan = formatted_plan(out)
+        assert count_exchanges(out) == 2, plan[:1500]
+        assert "partial_min" in plan, plan[:1500]
+        assert "Window" not in plan, plan[:1500]
 
 
 class TestAggPushdown:
