@@ -18,7 +18,7 @@ simhash, banding from Leskovec et al. MMDS):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions.text import md5_hash32, normalize_text, tokens
@@ -42,15 +42,18 @@ MH_PRIME = 4294967311  # prime > 2^32; (a·h+b) products stay < 2^63
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 normalized: bool = False) -> DataFrame:
     """Keep the lowest-id row per identical (optionally normalized) text.
-    Distributed: hash-partitioned window, no driver data."""
+
+    Skew-proof shape: ``groupBy(hash).agg(min(id))`` (map-side partial
+    aggregation — a document duplicated millions of times collapses to
+    one row per map task) followed by a LEFT SEMI join on the UNIFORM id
+    key. A window partitioned by the content hash would funnel every
+    copy of a hot document into one task AQE cannot split. Ids are
+    unique, so "id is some group's minimum" ⟺ "row is kept".
+    """
     key = F.md5(normalize_text(F.col(text_col))) if normalized else F.md5(F.col(text_col))
-    w = Window.partitionBy("_k").orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("_k", key)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_k", "_rn")
-    )
+    keyed = df.withColumn("_k", key)
+    winners = keyed.groupBy("_k").agg(F.min(F.col(id_col)).alias(id_col)).drop("_k")
+    return keyed.join(winners, on=id_col, how="left_semi").drop("_k")
 
 
 def line_dedup(df: DataFrame, lines_col: str = "lines", id_col: str = "doc_id") -> DataFrame:
