@@ -241,6 +241,21 @@ class TestLineDedupPlan:
         assert "partial_min" in plan, plan[:1500]
         assert "Window" not in plan, plan[:1500]
 
+    def test_exact_dedup_no_window(self, spark):
+        """exact_dedup carries the same contract: winners via partial-
+        aggregated min + semi join on the uniform id key, never a window
+        over the content-hash (hot-document straggler)."""
+        from hadoopgis_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(i, f"text {i % 5}") for i in range(50)], "doc_id long, text string"
+        )
+        out = exact_dedup(df)
+        plan = formatted_plan(out)
+        assert "partial_min" in plan, plan[:1500]
+        assert "Window" not in plan, plan[:1500]
+        assert "LeftSemi" in plan, plan[:1500]
+
 
 class TestAggPushdown:
     def test_extent_agg_is_partial(self, spark, boxes_parquet):
