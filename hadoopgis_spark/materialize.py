@@ -1,0 +1,37 @@
+"""Cluster-durable mid-plan materialization.
+
+Iterative operators (connected-components rounds, distance-bounded kNN
+rounds) and frames shared by several downstream jobs (shingle sets,
+minhash signatures) must be materialized once so every consumer reads
+the same bytes instead of recomputing the lineage. ``localCheckpoint``
+does that fastest — but it stores blocks on executors, so on a real
+cluster one executor loss (near-guaranteed mid-job under dynamic
+allocation) kills every consumer of the checkpointed frame.
+
+``durable_checkpoint`` keeps both deployments correct with one switch:
+when the session sets ``hgs.checkpointDir`` (any shared filesystem —
+HDFS, S3A, NFS) it uses Spark's reliable ``checkpoint()``, which
+survives executor loss; otherwise it falls back to ``localCheckpoint``,
+the right default for single-JVM ``local[N]`` runs where executor loss
+means the whole process died anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["durable_checkpoint"]
+
+
+def durable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialize ``df`` — reliably under ``hgs.checkpointDir``, else
+    via executor-local blocks. Both modes cut lineage and return a frame
+    whose consumers never recompute upstream stages."""
+    spark = df.sparkSession
+    target = spark.conf.get("hgs.checkpointDir", None)
+    if target:
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() != target:
+            sc.setCheckpointDir(target)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions.text import md5_hash32, normalize_text, tokens
+from hadoopgis_spark.materialize import durable_checkpoint
 
 __all__ = [
     "exact_dedup",
@@ -107,7 +108,7 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         df.select(F.col(id_col).alias("id"), sh.alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("hs", F.transform(F.col("sh"), lambda t: md5_hash32(t)))
-        .localCheckpoint(eager=True)
+        .transform(durable_checkpoint)
     )
 
 
@@ -126,7 +127,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       shingle_n: int = 2, n_hashes: int = 16, n_bands: int = 4) -> DataFrame:
     """Candidate near-dup pairs (id_1 < id_2) via banded minhash."""
     r = n_hashes // n_bands
-    sig = minhash_signature(shingle_sets(df, text_col, id_col, shingle_n), n_hashes).localCheckpoint(eager=True)
+    sig = minhash_signature(shingle_sets(df, text_col, id_col, shingle_n), n_hashes).transform(durable_checkpoint)
     bands = sig.select(
         "id",
         F.explode(F.array(*[
@@ -260,7 +261,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        .transform(durable_checkpoint)
     )
     for _ in range(max_iters):
         neighbor_min = (
@@ -276,7 +277,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(durable_checkpoint)
         )
         changed = (
             new_labels.alias("n")
@@ -292,11 +293,11 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
 
 def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
                         threshold: float = 0.95, n_planes: int = 8,
-                        dim: int | None = None) -> DataFrame:
+                        *, dim: int) -> DataFrame:
     """Embedding near-dup pairs: cosine ≥ threshold, with random-
     hyperplane LSH bucketing as the candidate generator (see
-    operators.similarity.hyperplane_buckets). Pass ``dim`` when known to
-    skip the schema-probe job."""
+    operators.similarity.hyperplane_buckets). ``dim`` is required so
+    no schema-probe job ever runs."""
     from hadoopgis_spark.functions.vector import cosine
     from hadoopgis_spark.operators.similarity import hyperplane_buckets
 

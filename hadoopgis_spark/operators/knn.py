@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions import boxes as B
 from hadoopgis_spark.functions import spatial as S
+from hadoopgis_spark.materialize import durable_checkpoint
 from hadoopgis_spark.operators.mbb import MBB_COLS, space_extent, with_mbb
 from hadoopgis_spark.operators.spatial_join import _suffix_all, default_bucket_size
 from hadoopgis_spark.operators.tile import assign_tiles, sample_mbbs, tiles_dataframe
@@ -227,7 +228,7 @@ def knn_join(
         # lower bound ≤ r is a superset of the true ≤ r matches; an object
         # is provably satisfied once ≥ k candidates have UPPER bound ≤ r
         cand = cand.withColumn("_lo", lo).filter(F.col("_lo") <= r)
-        cand = cand.withColumn("_hi", _box_maxdist(m1, m2)).localCheckpoint(eager=True)
+        cand = cand.withColumn("_hi", _box_maxdist(m1, m2)).transform(durable_checkpoint)
         counts = cand.filter(F.col("_hi") <= r).groupBy(idc1).agg(
             F.count(F.lit(1)).alias("_n")
         )
@@ -236,7 +237,7 @@ def knn_join(
         collected = done if collected is None else collected.unionByName(done)
         # checkpoint: without it the anti-join lineage accumulates and
         # every round recomputes all previous rounds' candidate joins
-        remaining = remaining.join(sat_ids, idc1, "left_anti").localCheckpoint(eager=True)
+        remaining = remaining.join(sat_ids, idc1, "left_anti").transform(durable_checkpoint)
         if max_distance is not None or r >= diag:
             # capped search (st_nearest) or whole space covered: remaining
             # objects keep whatever neighbors exist within the cap

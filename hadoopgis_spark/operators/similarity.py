@@ -26,6 +26,8 @@ __all__ = [
     "hyperplane_buckets",
     "lsh_topk",
     "centroid",
+    "lloyd_fit",
+    "fit_centroids",
     "ivf_assign",
     "ivf_topk",
 ]
@@ -71,7 +73,7 @@ def hyperplane_buckets(
     *,
     n_planes: int = 8,
     table: int = 0,
-    dim: int | None = None,
+    dim: int,
 ) -> DataFrame:
     """(id, vec, bucket): sign-sketch bucket string of each vector.
 
@@ -80,12 +82,12 @@ def hyperplane_buckets(
     per-dimension sum makes Janino compile seconds of generated code
     per plane; the array form is milliseconds to plan and the per-row
     fold matches the oracle's left-to-right summation order).
+
+    ``dim`` is required: it sizes the hyperplane literals at plan time,
+    so building the bucket column never runs a schema-probe job (the
+    old ``limit(1).collect()`` default launched one Spark job per LSH
+    table before any real work started).
     """
-    if dim is None:
-        first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
-        if not first:
-            return df.sparkSession.createDataFrame([], "id long, vec array<float>, bucket string")
-        dim = first[0].d
     v = F.col(vec_col).cast("array<double>")
     bits = []
     for p in range(n_planes):
@@ -105,9 +107,11 @@ def hyperplane_buckets(
 
 def centroid(c: int, dim: int) -> list[float]:
     """Deterministic pseudo-random IVF centroid (md5-derived components
-    in [-1, 1), same scheme as ``_plane_coeff``). A production deployment
-    would swap in k-means centroids fitted on a sample; the assignment /
-    probe / rank dataflow below is identical either way."""
+    in [-1, 1), same scheme as ``_plane_coeff``). The data-free fallback:
+    recall on clustered real embeddings is poor because nothing pulls
+    these toward the data's density — fit real centroids with
+    ``fit_centroids`` / ``lloyd_fit`` and pass them to ``ivf_assign`` /
+    ``ivf_topk``; the assignment / probe / rank dataflow is identical."""
     import hashlib
 
     out = []
@@ -117,7 +121,80 @@ def centroid(c: int, dim: int) -> list[float]:
     return out
 
 
-def _centroid_scores(vec, n_centroids: int, dim: int):
+def lloyd_fit(
+    vectors,
+    n_centroids: int,
+    *,
+    iters: int = 8,
+    seed: int = 0,
+) -> list[list[float]]:
+    """Deterministic k-means (k-means++ init, fixed Lloyd iterations)
+    over an in-memory sample. Pure numpy, seeded RNG, no Spark — the
+    output is a plain list of lists ready to inline as plan literals
+    (and, for the gates, as oracle-SQL constants: both engines embed
+    the same driver-side numbers, so parity is automatic).
+
+    Empty clusters reseed to the point farthest from its assigned
+    centroid, so the fit always returns exactly ``n_centroids`` rows.
+    """
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    if x.ndim != 2 or len(x) < n_centroids:
+        raise ValueError(f"need >= {n_centroids} sample vectors, got shape {x.shape}")
+    rng = np.random.default_rng(seed)
+    # k-means++: spread the initial centroids by squared-distance weight
+    idx = [int(rng.integers(len(x)))]
+    d2 = np.full(len(x), np.inf)
+    for _ in range(1, n_centroids):
+        d2 = np.minimum(d2, ((x - x[idx[-1]]) ** 2).sum(axis=1))
+        tot = d2.sum()
+        if tot <= 0:
+            idx.append(int(rng.integers(len(x))))
+        else:
+            r = np.searchsorted(np.cumsum(d2 / tot), rng.random())
+            idx.append(int(min(r, len(x) - 1)))
+    c = x[idx].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=-1)
+        a = d.argmin(axis=1)
+        for j in range(n_centroids):
+            members = x[a == j]
+            c[j] = members.mean(axis=0) if len(members) else x[d.min(axis=1).argmax()]
+    return [[float(v) for v in row] for row in c]
+
+
+def fit_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 0,
+) -> list[list[float]]:
+    """Fit IVF centroids on a bounded deterministic sample of ``df``.
+
+    Sampling is ``ORDER BY xxhash64(id) LIMIT sample`` — Spark plans it
+    as TakeOrderedAndProject (per-partition top-N, driver merge), so the
+    scan stays embarrassingly parallel and the driver never holds more
+    than ``sample`` vectors: the same bounded-sample/broadcast-result
+    pattern as the tile partitioners. The fit itself is ``lloyd_fit``.
+    """
+    rows = (
+        df.select(
+            F.xxhash64(F.col(id_col)).alias("_h"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy("_h")
+        .limit(sample)
+        .collect()
+    )
+    return lloyd_fit([r._v for r in rows], n_centroids, iters=iters, seed=seed)
+
+
+def _centroid_scores(vec, n_centroids: int, dim: int, centroids=None):
     """array<struct(s, cid)>: one score per centroid. argmin of L2
     distance == argmax of (v·c − |c|²/2), so each centroid costs one
     linear ``zip_with``+``aggregate`` fold plus a driver-side constant.
@@ -126,7 +203,7 @@ def _centroid_scores(vec, n_centroids: int, dim: int):
     copies (CLAUDE.md's nested-expression trap)."""
     entries = []
     for c in range(n_centroids):
-        comps = centroid(c, dim)
+        comps = list(centroids[c]) if centroids is not None else centroid(c, dim)
         entries.append(
             F.struct(
                 F.array(*[F.lit(x) for x in comps]).alias("c"),
@@ -154,12 +231,16 @@ def ivf_assign(
     *,
     n_centroids: int = 16,
     dim: int,
+    centroids=None,
 ) -> DataFrame:
     """(id, vec, cid): each vector assigned to its nearest centroid —
     the IVF build side. One narrow projection, no shuffle; the inverted
-    'lists' are just a cid column a downstream join equi-partitions on."""
+    'lists' are just a cid column a downstream join equi-partitions on.
+
+    ``centroids`` (list of ``n_centroids`` × ``dim`` floats, e.g. from
+    ``fit_centroids``) overrides the md5 pseudo-random fallback."""
     v = F.col(vec_col).cast("array<double>")
-    best = F.array_max(_centroid_scores(v, n_centroids, dim))
+    best = F.array_max(_centroid_scores(v, n_centroids, dim, centroids))
     return df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), best["cid"].alias("cid")
     )
@@ -177,6 +258,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     dim: int,
+    centroids=None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in nearest-centroid
     lists; each query probes its ``n_probe`` nearest lists and ranks
@@ -184,13 +266,19 @@ def ivf_topk(
     embarrassingly parallel, the candidate join is cid-equi (shuffle
     keyed on ≤ n_centroids values — broadcast the probe side when small),
     and no all-pairs product ever forms. Recall < 1 by construction;
-    raise n_probe toward n_centroids to trade cost for recall."""
-    asg = ivf_assign(corpus, vec_col, id_col, n_centroids=n_centroids, dim=dim)
+    raise n_probe toward n_centroids to trade cost for recall.
+
+    Pass fitted ``centroids`` (``fit_centroids`` over a bounded sample,
+    the standard offline IVF train step) for real recall on clustered
+    data; the md5 fallback keeps the dataflow runnable without a fit."""
+    asg = ivf_assign(
+        corpus, vec_col, id_col, n_centroids=n_centroids, dim=dim, centroids=centroids
+    )
     qv = F.col(q_vec_col).cast("array<double>")
     probes = queries.select(
         F.col(q_id_col).alias("qid"),
         F.col(q_vec_col).alias("qvec"),
-        F.explode(_centroid_scores(qv, n_centroids, dim)).alias("z"),
+        F.explode(_centroid_scores(qv, n_centroids, dim, centroids)).alias("z"),
     ).select("qid", "qvec", F.col("z.s").alias("s"), F.col("z.cid").alias("cid"))
     wp = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("cid").desc())
     probes = (
@@ -219,11 +307,12 @@ def lsh_topk(
     q_vec_col: str = "q_emb",
     n_planes: int = 8,
     n_tables: int = 2,
-    dim: int | None = None,
+    dim: int,
 ) -> DataFrame:
     """Approximate top-k: union of per-table bucket joins, exact cosine
-    rank within candidates. Increasing n_tables raises recall. Pass
-    ``dim`` when known — it avoids a schema-probe job per table."""
+    rank within candidates. Increasing n_tables raises recall. ``dim``
+    is required (see ``hyperplane_buckets``) so no schema-probe job
+    ever runs."""
     cand = None
     for t in range(n_tables):
         cb = hyperplane_buckets(corpus, vec_col, id_col, n_planes=n_planes, table=t, dim=dim)

@@ -28,6 +28,7 @@ from hadoopgis_spark.functions import boxes as B
 from hadoopgis_spark.functions import text as TXT
 from hadoopgis_spark.functions import vector as V
 from hadoopgis_spark.functions.text import md5_hash32, normalize_text, tokens
+from hadoopgis_spark.materialize import durable_checkpoint
 from hadoopgis_spark.operators import containment, knn_join, spatial_join
 from hadoopgis_spark.streaming.events import normalize_event_ts
 
@@ -749,7 +750,7 @@ def _bigram_sets_build(spark, sf):
         d.select(F.col("doc_id"), F.array_distinct(bigr).alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("hs", F.transform(F.col("sh"), lambda t: md5_hash32(t)))
-        .localCheckpoint(eager=True)
+        .transform(durable_checkpoint)
     )
 
 
@@ -806,7 +807,7 @@ def _minhash_bands_build(spark, sf, base=None):
             )
         ),
     )
-    sig = base.select("doc_id", sig_arr.alias("mh")).localCheckpoint(eager=True)
+    sig = base.select("doc_id", sig_arr.alias("mh")).transform(durable_checkpoint)
     r = _ROWS_PER_BAND
     return sig.select(
         "doc_id",
@@ -2207,9 +2208,37 @@ def sp_sql_surface(spark, sf):
 
 # ---------------------------------------------------------------------------
 # ANN IVF variant: nearest-centroid inverted lists + n_probe pruning
-# (second scale path next to hyperplane LSH; deterministic centroids
-# make the oracle exact)
+# (second scale path next to hyperplane LSH). Centroids are FITTED —
+# deterministic Lloyd's over the gate-scale embeddings file, computed
+# once driver-side (the standard offline IVF train step). Both the Spark
+# plan and the DuckDB oracle inline the same fitted constants, so the
+# oracle stays exact; the md5 scheme remains as the no-data fallback.
 # ---------------------------------------------------------------------------
+
+_IVF_FIT_CACHE: list[list[float]] | None = None
+
+
+def _ivf_gate_centroids(n_centroids: int = 16, dim: int = 64) -> list[list[float]]:
+    """Fitted centroids for the sim_ann_ivf gate: seeded k-means over the
+    sf0.01 embeddings parquet (the driver's gate scale), read directly —
+    no Spark session needed at oracle-build time. Falls back to the md5
+    pseudo-random scheme when the testdata file is absent."""
+    global _IVF_FIT_CACHE
+    if _IVF_FIT_CACHE is None:
+        from hadoopgis_spark.operators.similarity import centroid, lloyd_fit
+
+        try:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+            )
+            pdf = t.to_pandas().sort_values("vec_id").head(2048)
+            _IVF_FIT_CACHE = lloyd_fit(pdf["embedding"].tolist(), n_centroids, iters=8, seed=0)
+        except Exception:
+            _IVF_FIT_CACHE = [centroid(c, dim) for c in range(n_centroids)]
+    return _IVF_FIT_CACHE
+
 
 def sim_ann_ivf(spark, sf):
     from hadoopgis_spark.operators.similarity import ivf_topk
@@ -2218,16 +2247,18 @@ def sim_ann_ivf(spark, sf):
     q = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
-    j = ivf_topk(e, q, k=5, n_centroids=16, n_probe=4, dim=64)
+    j = ivf_topk(
+        e, q, k=5, n_centroids=16, n_probe=4, dim=64, centroids=_ivf_gate_centroids()
+    )
     return j.select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
 def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, dim: int = 64, k: int = 5) -> str:
-    from hadoopgis_spark.operators.similarity import centroid
+    fitted = _ivf_gate_centroids(n_centroids, dim)
 
     structs = []
     for c in range(n_centroids):
-        comps = centroid(c, dim)
+        comps = fitted[c]
         dot = " + ".join(f"ce[{d + 1}] * ({comps[d]!r})" for d in range(dim))
         half = sum(x * x for x in comps) / 2.0
         structs.append(f"struct_pack(cid := {c}, s := {dot} - ({half!r}))")
@@ -2334,6 +2365,44 @@ def sp_join_bucketed(spark, sf):
     _memo(("bucketed", spark.sparkContext.applicationId, sf), _build)
     j = spatial_join_bucketed(spark, ta, tb)
     return j.select("id_1", "id_2")
+
+
+def sp_join_bucketed_dwithin(spark, sf):
+    """Distance join over a PADDED bucketed layout: both sides written
+    once with pad=2 (each row replicated into every tile within 2 of its
+    box), so st_dwithin(distance ≤ pad_a+pad_b = 4) runs with zero
+    Exchange — the write-once shuffle serves distance joins too. The
+    layout declares its margin in TBLPROPERTIES; the join refuses larger
+    distances instead of dropping pairs."""
+    from hadoopgis_spark.sources import save_bucketed, spatial_join_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    ta, tb = f"hgs_bktd_part_{tag}", f"hgs_bktd_cust_{tag}"
+
+    def _build():
+        a = part_boxes(spark, sf)
+        b = customer_boxes(spark, sf)
+        tiles = save_bucketed(a, ta, bucket_size=400, pad=2.0)
+        save_bucketed(b, tb, tiles_table=tiles, pad=2.0)
+        return (ta, tb)
+
+    _memo(("bucketed_dwithin", spark.sparkContext.applicationId, sf), _build)
+    j = spatial_join_bucketed(spark, ta, tb, "st_dwithin", distance=4.0)
+    return j.select("id_1", "id_2")
+
+
+SP_JOIN_BUCKETED_DWITHIN_SQL = f"""
+  WITH a AS ({PART_BOXES_SQL}), b AS ({CUSTOMER_BOXES_SQL}),
+  g AS (
+    SELECT a.id AS id_1, b.id AS id_2,
+           GREATEST(CAST(0.0 AS DOUBLE), GREATEST(a.xmin - b.xmax, b.xmin - a.xmax)) AS dx,
+           GREATEST(CAST(0.0 AS DOUBLE), GREATEST(a.ymin - b.ymax, b.ymin - a.ymax)) AS dy
+    FROM a JOIN b
+      ON a.xmin <= b.xmax + 4.0 AND b.xmin <= a.xmax + 4.0
+     AND a.ymin <= b.ymax + 4.0 AND b.ymin <= a.ymax + 4.0
+  )
+  SELECT id_1, id_2 FROM g WHERE SQRT(dx*dx + dy*dy) <= CAST(4.0 AS DOUBLE)
+"""
 
 
 SP_JOIN_BUCKETED_SQL = f"""
@@ -2501,6 +2570,7 @@ TXT_REPETITION_SQL = """
 REGISTRY: dict[str, Query] = {
     # -- block 1: the 27 queries with no driver CORRECTNESS row yet --------
     "sp_join_bucketed": Query(sp_join_bucketed, SP_JOIN_BUCKETED_SQL, "J1 over co-bucketed storage: zero-shuffle join"),
+    "sp_join_bucketed_dwithin": Query(sp_join_bucketed_dwithin, SP_JOIN_BUCKETED_DWITHIN_SQL, "J5 distance join over padded bucketed layout, zero-shuffle"),
     "sp_knn_tile": Query(sp_knn_tile, SP_KNN_TILE_SQL, "J4 kNN tile mode (single-tile ≡ exact)"),
     "sp_knn_capped": Query(sp_knn_capped, SP_KNN_CAPPED_SQL, "J4 st_nearest distance cap"),
     "sim_ann_lsh": Query(sim_ann_lsh, SIM_ANN_LSH_SQL, "ANN scale path: hyperplane-LSH top-k"),

@@ -55,6 +55,39 @@ def docs(spark):
     return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
 
 
+class TestDurableCheckpoint:
+    def test_modes_identical_and_reliable_files_written(self, spark, docs, tmp_path):
+        """hgs.checkpointDir switches the iterative/shared materializations
+        from executor-local blocks to reliable checkpoint files; results
+        must be identical either way (the files are what survive executor
+        loss on a real cluster)."""
+        from hadoopgis_spark.operators.dedup import minhash_lsh_pairs
+
+        local = sorted(map(tuple, minhash_lsh_pairs(docs).collect()))
+        ckpt = tmp_path / "ckpt"
+        spark.conf.set("hgs.checkpointDir", str(ckpt))
+        try:
+            durable = sorted(map(tuple, minhash_lsh_pairs(docs).collect()))
+        finally:
+            spark.conf.unset("hgs.checkpointDir")
+        assert local == durable
+        written = list(ckpt.rglob("*"))
+        assert any(p.is_file() for p in written), "no reliable checkpoint files"
+
+    def test_helper_cuts_lineage_in_both_modes(self, spark, tmp_path):
+        from hadoopgis_spark.materialize import durable_checkpoint
+
+        df = spark.range(10).withColumn("v", F.col("id") * 2)
+        lc = durable_checkpoint(df)
+        assert lc.collect() == df.collect()
+        spark.conf.set("hgs.checkpointDir", str(tmp_path / "c2"))
+        try:
+            rc = durable_checkpoint(df)
+            assert rc.collect() == df.collect()
+        finally:
+            spark.conf.unset("hgs.checkpointDir")
+
+
 class TestDedup:
     def test_line_dedup_global_keep_first(self, spark):
         """A line repeated anywhere in the corpus survives only at its
@@ -135,7 +168,7 @@ class TestDedup:
             (4, [float(v) for v in -base]),               # opposite
         ]
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-        got = {(r.id_1, r.id_2): r.cosine for r in embedding_dup_pairs(df, threshold=0.99).collect()}
+        got = {(r.id_1, r.id_2): r.cosine for r in embedding_dup_pairs(df, threshold=0.99, dim=8).collect()}
         assert (1, 2) in got and got[(1, 2)] > 0.999
         assert (1, 4) not in got
 
@@ -167,7 +200,7 @@ class TestSimilarity:
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
         )
         exact = brute_force_topk(emb, q, k=3).collect()
-        approx = lsh_topk(emb, q, k=3, n_planes=4, n_tables=4).collect()
+        approx = lsh_topk(emb, q, k=3, n_planes=4, n_tables=4, dim=16).collect()
         exact_sets = {}
         for r in exact:
             exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
@@ -211,6 +244,63 @@ class TestSimilarity:
         hits = sum(len(exact_sets[q] & part_sets.get(q, set())) for q in exact_sets)
         total = sum(len(v) for v in exact_sets.values())
         assert hits / total >= 0.4, f"IVF recall {hits}/{total}"
+
+    def test_lloyd_fit_deterministic_shape(self):
+        from hadoopgis_spark.operators.similarity import lloyd_fit
+
+        rng = np.random.default_rng(3)
+        pts = rng.normal(size=(50, 8)).tolist()
+        a = lloyd_fit(pts, 4, iters=6, seed=0)
+        b = lloyd_fit(pts, 4, iters=6, seed=0)
+        assert a == b
+        assert len(a) == 4 and all(len(row) == 8 for row in a)
+        with pytest.raises(ValueError):
+            lloyd_fit(pts[:3], 4)
+
+    def test_fit_centroids_deterministic(self, spark, emb):
+        from hadoopgis_spark.operators.similarity import fit_centroids
+
+        a = fit_centroids(emb, n_centroids=4, sample=100, seed=1)
+        b = fit_centroids(emb, n_centroids=4, sample=100, seed=1)
+        assert a == b and len(a) == 4
+
+    def test_ivf_fitted_centroids_beat_md5_on_clustered_data(self, spark):
+        """4 wide clusters far from the origin: the md5 pseudo-random
+        centroids (components in [-1,1), so all near the origin) split
+        every cluster across lists and n_probe=1 misses true neighbors;
+        fitted centroids land on the cluster means and recover them."""
+        from hadoopgis_spark.operators.similarity import fit_centroids
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(4, 8)) * 10
+        pts = np.vstack([c + rng.normal(size=(20, 8)) * 3.0 for c in centers])
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in pts[i]]) for i in range(len(pts))],
+            "vec_id long, embedding array<float>",
+        ).cache()
+        q = df.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        exact_sets = {}
+        for r in brute_force_topk(df, q, k=3).collect():
+            exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
+
+        def recall(centroids):
+            got = ivf_topk(
+                df, q, k=3, n_centroids=4, n_probe=1, dim=8, centroids=centroids
+            ).collect()
+            sets = {}
+            for r in got:
+                sets.setdefault(r.q_id, set()).add(r.vec_id)
+            hits = sum(len(exact_sets[k_] & sets.get(k_, set())) for k_ in exact_sets)
+            return hits / sum(len(v) for v in exact_sets.values())
+
+        fitted = fit_centroids(df, n_centroids=4, sample=100)
+        r_fit = recall(fitted)
+        r_md5 = recall(None)
+        assert r_fit >= 0.9, f"fitted recall {r_fit}"
+        assert r_md5 <= 0.85, f"md5 recall unexpectedly high {r_md5} — fixture degenerate"
+        assert r_fit > r_md5
 
 
 class TestMultimodal:

@@ -171,6 +171,68 @@ class TestBucketedJoin:
                 spark, "plans_bkt_a", "plans_bkt_b", "st_dwithin", distance=5.0
             )
 
+    def test_padded_layout_serves_dwithin_zero_exchange(self, spark, boxes_parquet):
+        """A layout written with pad=3 per side serves st_dwithin up to
+        distance 6 with zero Exchange, matching the runtime tile join
+        exactly; beyond the declared margin it refuses."""
+        import pytest as _pytest
+
+        from hadoopgis_spark.sources import save_bucketed, spatial_join_bucketed
+
+        df = spark.read.parquet(boxes_parquet)
+        a = df.filter(F.col("id") % 2 == 0)
+        b = df.filter(F.col("id") % 2 == 1)
+        tiles = save_bucketed(a, "plans_bktp_a", bucket_size=500, n_buckets=8, pad=3.0)
+        save_bucketed(b, "plans_bktp_b", tiles_table=tiles, n_buckets=8, pad=3.0)
+        thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spatial_join_bucketed(
+                spark, "plans_bktp_a", "plans_bktp_b", "st_dwithin", distance=5.0
+            )
+            assert count_exchanges(j) == 0, formatted_plan(j)[:2000]
+            got = {(r.id_1, r.id_2) for r in j.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        expect = {
+            (r.id_1, r.id_2)
+            for r in spatial_join(
+                a, b, "st_dwithin", distance=5.0, bucket_size=500
+            ).collect()
+        }
+        assert got == expect and len(got) > 0
+        # intersecting predicates still exact over the padded layout
+        # (assignment is a superset; refpoint dedup stays exactly-once)
+        got_i = {
+            (r.id_1, r.id_2)
+            for r in spatial_join_bucketed(spark, "plans_bktp_a", "plans_bktp_b").collect()
+        }
+        expect_i = {
+            (r.id_1, r.id_2)
+            for r in spatial_join(a, b, "st_intersects", bucket_size=500).collect()
+        }
+        assert got_i == expect_i
+        with _pytest.raises(ValueError, match="exceeds the stored layout margin"):
+            spatial_join_bucketed(
+                spark, "plans_bktp_a", "plans_bktp_b", "st_dwithin", distance=7.0
+            )
+
+    def test_mismatched_tilings_refused(self, spark, boxes_parquet):
+        """Saving the second side without tiles_table= fits its own
+        tiling: the tile_id equi-join would silently drop pairs, so the
+        fingerprint guard must raise."""
+        import pytest as _pytest
+
+        from hadoopgis_spark.sources import save_bucketed, spatial_join_bucketed
+
+        df = spark.read.parquet(boxes_parquet)
+        a = df.filter(F.col("id") % 2 == 0)
+        b = df.filter(F.col("id") % 3 == 1)
+        save_bucketed(a, "plans_bktm_a", bucket_size=500, n_buckets=8)
+        save_bucketed(b, "plans_bktm_b", bucket_size=200, n_buckets=8)  # own tiling
+        with _pytest.raises(ValueError, match="same tiling"):
+            spatial_join_bucketed(spark, "plans_bktm_a", "plans_bktm_b")
+
 
 class TestPipelinePlans:
     """Scale contracts for the LLM-pipeline operators added in round 3."""
