@@ -80,7 +80,16 @@ def _parse_cache(series: pd.Series, cache: dict):
 
 
 _NUM_RE = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
-_MIN_NUMS = {"POINT": 2, "LINESTRING": 4, "POLYGON": 6, "MULTIPOLYGON": 6}
+_MIN_NUMS = {
+    "POINT": 2,
+    "LINESTRING": 4,
+    "POLYGON": 6,
+    "MULTIPOLYGON": 6,
+    "MULTIPOINT": 2,
+    "MULTILINESTRING": 4,
+    # GEOMETRYCOLLECTION is absent on purpose: nested type names leave
+    # alphabetic residue, so it always takes the structured-parser path
+}
 
 
 def _mbb_batch(wkt: pd.Series) -> pd.DataFrame:
@@ -104,7 +113,10 @@ def _mbb_batch(wkt: pd.Series) -> pd.DataFrame:
         df = pd.DataFrame(out, columns=["xmin", "ymin", "xmax", "ymax"])
         return df.where(pd.notna(df), None)
     s = wkt.fillna("")
-    kind = s.str.extract(r"^\s*(POINT|LINESTRING|POLYGON|MULTIPOLYGON)\s*\(", expand=False)
+    kind = s.str.extract(
+        r"^\s*(MULTIPOINT|MULTILINESTRING|MULTIPOLYGON|POINT|LINESTRING|POLYGON)\s*\(",
+        expand=False,
+    )
     stripped = s.str.replace(r"^\s*[A-Za-z]+", " ", regex=True).str.replace(
         r"[(),]", " ", regex=True
     )

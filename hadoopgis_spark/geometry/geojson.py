@@ -43,6 +43,13 @@ def parse_geojson(text: str):
         if not isinstance(obj, dict):
             raise ValueError("Feature without geometry")
     t = obj.get("type")
+    if t == "GeometryCollection":
+        members = obj.get("geometries")
+        if not isinstance(members, list) or not members:
+            raise ValueError("GeometryCollection without geometries")
+        return "GEOMETRYCOLLECTION", [
+            parse_geojson(json.dumps(m)) for m in members
+        ]
     c = obj.get("coordinates")
     if c is None:
         raise ValueError("missing coordinates")
@@ -63,6 +70,21 @@ def parse_geojson(text: str):
         if not c:
             raise ValueError("MultiPolygon without polygons")
         return "MULTIPOLYGON", [[_ring(r) for r in poly] for poly in c]
+    if t == "MultiPoint":
+        a = np.asarray(c, dtype=np.float64)
+        if a.ndim != 2 or a.shape[1] < 2 or len(a) < 1:
+            raise ValueError("MultiPoint needs >= 1 pair")
+        return "MULTIPOINT", a[:, :2]
+    if t == "MultiLineString":
+        if not c:
+            raise ValueError("MultiLineString without lines")
+        lines = []
+        for ln in c:
+            a = np.asarray(ln, dtype=np.float64)
+            if a.ndim != 2 or a.shape[1] < 2 or len(a) < 2:
+                raise ValueError("MultiLineString member needs >= 2 pairs")
+            lines.append(a[:, :2])
+        return "MULTILINESTRING", lines
     raise ValueError(f"unsupported GeoJSON type {t!r}")
 
 
@@ -83,6 +105,20 @@ def to_geojson(geom) -> str:
             [np.asarray(r, dtype=np.float64).tolist() for r in poly] for poly in payload
         ]
         t = "MultiPolygon"
+    elif kind == "MULTIPOINT":
+        coords = np.asarray(payload, dtype=np.float64).tolist()
+        t = "MultiPoint"
+    elif kind == "MULTILINESTRING":
+        coords = [np.asarray(ln, dtype=np.float64).tolist() for ln in payload]
+        t = "MultiLineString"
+    elif kind == "GEOMETRYCOLLECTION":
+        return json.dumps(
+            {
+                "type": "GeometryCollection",
+                "geometries": [json.loads(to_geojson(m)) for m in payload],
+            },
+            separators=(",", ":"),
+        )
     else:
         raise ValueError(f"unsupported kind {kind!r}")
     return json.dumps(

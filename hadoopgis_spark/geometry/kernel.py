@@ -102,7 +102,7 @@ class Geometry:
             if self.kind == "POINT":
                 x, y = self.payload
                 self._bbox = (x, y, x, y)
-            elif self.kind == "LINESTRING":
+            elif self.kind in ("LINESTRING", "MULTIPOINT"):
                 a = self.payload
                 self._bbox = (a[:, 0].min(), a[:, 1].min(), a[:, 0].max(), a[:, 1].max())
             elif self.kind == "POLYGON":
@@ -112,6 +112,21 @@ class Geometry:
                     float(shell[:, 1].min()),
                     float(shell[:, 0].max()),
                     float(shell[:, 1].max()),
+                )
+            elif self.kind == "MULTILINESTRING":
+                self._bbox = (
+                    float(min(ln[:, 0].min() for ln in self.payload)),
+                    float(min(ln[:, 1].min() for ln in self.payload)),
+                    float(max(ln[:, 0].max() for ln in self.payload)),
+                    float(max(ln[:, 1].max() for ln in self.payload)),
+                )
+            elif self.kind == "GEOMETRYCOLLECTION":
+                boxes = [p.bbox for p in _parts(self)]
+                self._bbox = (
+                    min(b[0] for b in boxes),
+                    min(b[1] for b in boxes),
+                    max(b[2] for b in boxes),
+                    max(b[3] for b in boxes),
                 )
             else:  # MULTIPOLYGON
                 xs0 = min(r[0][:, 0].min() for r in self.payload)
@@ -124,13 +139,17 @@ class Geometry:
     @property
     def area(self) -> float:
         if self._area is None:
-            if self.kind in ("POINT", "LINESTRING"):
+            if self.kind in ("POINT", "LINESTRING", "MULTIPOINT", "MULTILINESTRING"):
                 self._area = 0.0
             elif self.kind == "POLYGON":
                 a = abs(ring_area(self.payload[0]))
                 for hole in self.payload[1:]:
                     a -= abs(ring_area(hole))
                 self._area = a
+            elif self.kind == "GEOMETRYCOLLECTION":
+                # valid collections have interior-disjoint members (the
+                # same validity premise GEOS area assumes) — areas add
+                self._area = sum(p.area for p in _parts(self))
             else:
                 a = 0.0
                 for rings in self.payload:
@@ -181,12 +200,16 @@ class Geometry:
 
     def rings(self):
         """All boundary rings/linestrings as (N,2) arrays."""
-        if self.kind == "POINT":
+        if self.kind in ("POINT", "MULTIPOINT"):
             return []
         if self.kind == "LINESTRING":
             return [self.payload]
         if self.kind == "POLYGON":
             return list(self.payload)
+        if self.kind == "MULTILINESTRING":
+            return list(self.payload)
+        if self.kind == "GEOMETRYCOLLECTION":
+            return [r for p in _parts(self) for r in p.rings()]
         return [r for rings in self.payload for r in rings]
 
 
@@ -197,6 +220,34 @@ def _as_geom(g) -> Geometry:
         return Geometry.from_wkt(g)
     kind, payload = g
     return Geometry(kind, payload)
+
+
+# kinds the predicate bodies below don't evaluate directly: they are
+# decomposed into primitive parts and combined (any-pair for
+# intersection-flavored tests, min for distance, sums for areas) —
+# exactly the member-wise semantics GEOS applies to homogeneous multis,
+# with the usual validity premise that members are interior-disjoint
+_COMPOSITE_KINDS = ("MULTIPOINT", "MULTILINESTRING", "GEOMETRYCOLLECTION")
+_POLYGONAL_KINDS = ("POLYGON", "MULTIPOLYGON")
+
+
+def _parts(g: Geometry) -> list[Geometry]:
+    """Decompose into primitive POINT/LINESTRING/POLYGON/MULTIPOLYGON
+    parts; primitives return themselves."""
+    if g.kind == "MULTIPOINT":
+        return [Geometry("POINT", (float(x), float(y))) for x, y in g.payload]
+    if g.kind == "MULTILINESTRING":
+        return [Geometry("LINESTRING", ln) for ln in g.payload]
+    if g.kind == "GEOMETRYCOLLECTION":
+        out: list[Geometry] = []
+        for kind, payload in g.payload:
+            out.extend(_parts(Geometry(kind, payload)))
+        return out
+    return [g]
+
+
+def _is_composite(*geoms: Geometry) -> bool:
+    return any(g.kind in _COMPOSITE_KINDS for g in geoms)
 
 
 # -- low-level primitives -------------------------------------------------
@@ -265,7 +316,18 @@ def _point_in_ring(x: float, y: float, ring: np.ndarray) -> int:
 
 
 def _point_in_polygon(x: float, y: float, geom: Geometry) -> int:
-    """2 inside, 1 boundary, 0 outside — honoring holes."""
+    """2 inside, 1 boundary, 0 outside — honoring holes. For a
+    GEOMETRYCOLLECTION the classification is against the union of its
+    polygonal members (interior of any member wins over boundary)."""
+    if geom.kind == "GEOMETRYCOLLECTION":
+        best = 0
+        for p in _parts(geom):
+            if p.kind in _POLYGONAL_KINDS:
+                r = _point_in_polygon(x, y, p)
+                if r == 2:
+                    return 2
+                best = max(best, r)
+        return best
     if geom.kind == "POLYGON" and geom.is_rect:
         # O(1) rect fast path, same eps-distance-to-outline semantics as
         # the segment-based boundary test below
@@ -344,6 +406,8 @@ def intersects(g1, g2) -> bool:
     # distance() still reports as 0.0 (predicate/measure consistency).
     if not _bbox_intersects(a.bbox, b.bbox, pad=_EPS):
         return False
+    if _is_composite(a, b):
+        return any(intersects(pa, pb) for pa in _parts(a) for pb in _parts(b))
     if a.kind == "POINT" and b.kind == "POINT":
         (x1, y1), (x2, y2) = a.payload, b.payload
         return abs(x1 - x2) <= _EPS and abs(y1 - y2) <= _EPS
@@ -405,6 +469,13 @@ def intersection_area(g1, g2) -> float:
     area(P∩Q) = a(Sp,Sq) − Σa(Sp,Hq) − Σa(Hp,Sq) + ΣΣa(Hp,Hq).
     """
     a, b = _as_geom(g1), _as_geom(g2)
+    if _is_composite(a, b):
+        if not _bbox_intersects(a.bbox, b.bbox):
+            return 0.0
+        pa = [p for p in _parts(a) if p.kind in _POLYGONAL_KINDS]
+        pb = [p for p in _parts(b) if p.kind in _POLYGONAL_KINDS]
+        # interior-disjoint members (validity premise): pairwise areas add
+        return sum(intersection_area(x, y) for x in pa for y in pb)
     if a.kind not in ("POLYGON", "MULTIPOLYGON") or b.kind not in ("POLYGON", "MULTIPOLYGON"):
         return 0.0
     if not _bbox_intersects(a.bbox, b.bbox):
@@ -430,6 +501,10 @@ def intersection_area(g1, g2) -> float:
 
 
 def _interiors_intersect(a: Geometry, b: Geometry) -> bool:
+    if _is_composite(a, b):
+        return any(
+            _interiors_intersect(x, y) for x in _parts(a) for y in _parts(b)
+        )
     if a.kind in ("POLYGON", "MULTIPOLYGON") and b.kind in ("POLYGON", "MULTIPOLYGON"):
         scale = max(abs(v) for v in (*a.bbox, *b.bbox, 1.0))
         return intersection_area(a, b) > _EPS * scale * scale
@@ -453,27 +528,77 @@ def touches(g1, g2) -> bool:
 
 def crosses(g1, g2) -> bool:
     """GEOS crosses — only meaningful for mixed-dimension pairs; two
-    areas never cross. Reference delegates to GEOS (``spjoin_2d.hpp:147-149``)."""
+    areas never cross. Reference delegates to GEOS (``spjoin_2d.hpp:147-149``).
+
+    Vertex-based line/area semantics (see module docstring); for
+    multi/collection inputs the in/out evidence is pooled across every
+    line part, so a MULTILINESTRING with one part inside and another
+    outside correctly crosses even though no single part does."""
     a, b = _as_geom(g1), _as_geom(g2)
-    if a.kind == "LINESTRING" and b.kind in ("POLYGON", "MULTIPOLYGON"):
-        return _line_crosses_polygon(a, b)
-    if b.kind == "LINESTRING" and a.kind in ("POLYGON", "MULTIPOLYGON"):
-        return _line_crosses_polygon(b, a)
+    la, lb = _line_seqs(a), _line_seqs(b)
+    if la and _polygonal_content(b):
+        return _lines_cross_polygon(la, b)
+    if lb and _polygonal_content(a):
+        return _lines_cross_polygon(lb, a)
     return False
 
 
+def _line_seqs(g: Geometry) -> list:
+    """Vertex sequences of every line part (LINESTRING /
+    MULTILINESTRING / line members of a collection)."""
+    if g.kind == "LINESTRING":
+        return [g.payload]
+    if g.kind == "MULTILINESTRING":
+        return list(g.payload)
+    if g.kind == "GEOMETRYCOLLECTION":
+        return [seq for p in _parts(g) for seq in _line_seqs(p)]
+    return []
+
+
+def _polygonal_content(g: Geometry) -> bool:
+    if g.kind in _POLYGONAL_KINDS:
+        return True
+    if g.kind == "GEOMETRYCOLLECTION":
+        return any(p.kind in _POLYGONAL_KINDS for p in _parts(g))
+    return False
+
+
+def _lines_cross_polygon(seqs: list, poly: Geometry) -> bool:
+    has_in = any(
+        _point_in_polygon(float(x), float(y), poly) == 2 for seq in seqs for x, y in seq
+    )
+    if not has_in:
+        return False
+    return any(
+        _point_in_polygon(float(x), float(y), poly) == 0 for seq in seqs for x, y in seq
+    )
+
+
 def _line_crosses_polygon(line: Geometry, poly: Geometry) -> bool:
-    seq = line.payload
-    has_in = any(_point_in_polygon(float(x), float(y), poly) == 2 for x, y in seq)
-    has_out = any(_point_in_polygon(float(x), float(y), poly) == 0 for x, y in seq)
-    return has_in and has_out
+    return _lines_cross_polygon(_line_seqs(line), poly)
 
 
 def contains(g1, g2) -> bool:
-    """g1 contains g2. Envelope short-circuit mirrors ``spjoin_2d.hpp:151-153``."""
+    """g1 contains g2. Envelope short-circuit mirrors ``spjoin_2d.hpp:151-153``.
+
+    Composite ``g2`` decomposes: every part must be contained (the
+    union-aware point-in / summed intersection-area helpers make the
+    per-part tests correct even when a part straddles two members of a
+    composite ``g1``)."""
     a, b = _as_geom(g1), _as_geom(g2)
     ab, bb = a.bbox, b.bbox
     if not (ab[0] <= bb[0] + _EPS and ab[1] <= bb[1] + _EPS and ab[2] >= bb[2] - _EPS and ab[3] >= bb[3] - _EPS):
+        return False
+    if b.kind in _COMPOSITE_KINDS:
+        parts_b = _parts(b)
+        return bool(parts_b) and all(contains(a, p) for p in parts_b)
+    if a.kind == "MULTIPOINT":
+        if b.kind == "POINT":
+            x, y = b.payload
+            return any(
+                abs(float(px) - x) <= _EPS and abs(float(py) - y) <= _EPS
+                for px, py in a.payload
+            )
         return False
     if b.kind == "POINT":
         x, y = b.payload
@@ -507,9 +632,11 @@ def equals(g1, g2) -> bool:
 
 
 def overlaps(g1, g2) -> bool:
-    """Same-dimension partial overlap (``spjoin_2d.hpp:211-213``)."""
+    """Same-dimension partial overlap (``spjoin_2d.hpp:211-213``) —
+    evaluated for area-bearing inputs (including collections with
+    polygonal members) through the area model."""
     a, b = _as_geom(g1), _as_geom(g2)
-    if a.kind in ("POLYGON", "MULTIPOLYGON") and b.kind in ("POLYGON", "MULTIPOLYGON"):
+    if _polygonal_content(a) and _polygonal_content(b):
         ia = intersection_area(a, b)
         scale = max(abs(v) for v in (*a.bbox, *b.bbox, 1.0))
         tol = _EPS * scale * scale
@@ -520,6 +647,16 @@ def overlaps(g1, g2) -> bool:
 def distance(g1, g2) -> float:
     """Euclidean min distance (GEOS ``DistanceOp``, ``spjoin_2d.hpp:252-263``)."""
     a, b = _as_geom(g1), _as_geom(g2)
+    if _is_composite(a, b):
+        best = math.inf
+        for pa in _parts(a):
+            for pb in _parts(b):
+                d = distance(pa, pb)
+                if d < best:
+                    best = d
+                    if best == 0.0:
+                        return 0.0
+        return best
     if a.kind == "POINT" and b.kind == "POINT":
         (x1, y1), (x2, y2) = a.payload, b.payload
         return math.hypot(x1 - x2, y1 - y2)

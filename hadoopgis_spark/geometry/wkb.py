@@ -19,7 +19,10 @@ __all__ = ["to_wkb", "from_wkb"]
 _POINT = 1
 _LINESTRING = 2
 _POLYGON = 3
+_MULTIPOINT = 4
+_MULTILINESTRING = 5
 _MULTIPOLYGON = 6
+_GEOMETRYCOLLECTION = 7
 
 
 def _ring_bytes(ring: np.ndarray) -> bytes:
@@ -44,6 +47,21 @@ def to_wkb(geom) -> bytes:
             out += struct.pack("<BII", 1, _POLYGON, len(rings))
             for ring in rings:
                 out += _ring_bytes(ring)
+        return out
+    if kind == "MULTIPOINT":
+        out = struct.pack("<BII", 1, _MULTIPOINT, len(payload))
+        for x, y in payload:
+            out += struct.pack("<BIdd", 1, _POINT, x, y)
+        return out
+    if kind == "MULTILINESTRING":
+        out = struct.pack("<BII", 1, _MULTILINESTRING, len(payload))
+        for line in payload:
+            out += struct.pack("<BI", 1, _LINESTRING) + _ring_bytes(line)
+        return out
+    if kind == "GEOMETRYCOLLECTION":
+        out = struct.pack("<BII", 1, _GEOMETRYCOLLECTION, len(payload))
+        for member in payload:
+            out += to_wkb(member)
         return out
     raise ValueError(f"unsupported geometry kind for WKB: {kind}")
 
@@ -99,4 +117,32 @@ def _decode_one(buf: memoryview, off: int):
             polys.append(poly[1])
             off = off2
         return ("MULTIPOLYGON", polys), off
+    if gtype == _MULTIPOINT:
+        (npts,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        pts = []
+        for _ in range(npts):
+            (pt, off) = _decode_one(buf, off)
+            if pt[0] != "POINT":
+                raise ValueError("MULTIPOINT member is not a POINT")
+            pts.append(pt[1])
+        return ("MULTIPOINT", np.asarray(pts, dtype=np.float64)), off
+    if gtype == _MULTILINESTRING:
+        (nlines,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        lines = []
+        for _ in range(nlines):
+            (ln, off) = _decode_one(buf, off)
+            if ln[0] != "LINESTRING":
+                raise ValueError("MULTILINESTRING member is not a LINESTRING")
+            lines.append(ln[1])
+        return ("MULTILINESTRING", lines), off
+    if gtype == _GEOMETRYCOLLECTION:
+        (nmembers,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        members = []
+        for _ in range(nmembers):
+            (member, off) = _decode_one(buf, off)
+            members.append(member)
+        return ("GEOMETRYCOLLECTION", members), off
     raise ValueError(f"unsupported WKB geometry type {gtype}")

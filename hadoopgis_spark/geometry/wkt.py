@@ -1,17 +1,21 @@
 """WKT parser / serializer.
 
-Supported types mirror what the reference engine actually exercises
-(``/root/reference/src/resque/resque_2d.cpp:331-338`` parses arbitrary WKT
-via GEOS but the pipeline only ever produces POINT and POLYGON —
-``test/datagenerator/generatePolygons.py:26-41``): POINT, POLYGON (with
-holes), MULTIPOLYGON, LINESTRING.
+The reference accepts anything GEOS parses
+(``/root/reference/src/resque/resque_2d.cpp:331-338``), so ingest must
+too: POINT, LINESTRING, POLYGON (with holes), MULTIPOINT,
+MULTILINESTRING, MULTIPOLYGON, and GEOMETRYCOLLECTION (its own pipeline
+only ever produces POINT and POLYGON —
+``test/datagenerator/generatePolygons.py:26-41``).
 
 Parse result is a ``(kind, payload)`` tuple:
 
 * ``("POINT", (x, y))``
 * ``("LINESTRING", ndarray[N,2])``
 * ``("POLYGON", [shell_ndarray, hole_ndarray, ...])``
+* ``("MULTIPOINT", ndarray[N,2])``
+* ``("MULTILINESTRING", [ndarray[N,2], ...])``
 * ``("MULTIPOLYGON", [rings_list, rings_list, ...])``
+* ``("GEOMETRYCOLLECTION", [(kind, payload), ...])``
 
 Malformed input raises ``ValueError`` — callers decide skip-vs-fail
 (the reference silently skips bad rows, ``manipulate_2d.cpp:182-189``).
@@ -88,6 +92,37 @@ def parse_wkt(text: str):
         inner = s[s.index("(") + 1 : s.rindex(")")]
         rings = [_close_ring(_parse_coord_seq(r)) for r in _split_rings(inner)]
         return ("POLYGON", rings)
+    if upper.startswith("MULTIPOINT"):
+        inner = s[s.index("(") + 1 : s.rindex(")")]
+        if "(" in inner:
+            # canonical form: MULTIPOINT ((1 2), (3 4))
+            pts = [_parse_coord_seq(p) for p in _split_rings(inner)]
+            if any(len(p) != 1 for p in pts):
+                raise ValueError(f"bad MULTIPOINT member: {s[:60]!r}")
+            return ("MULTIPOINT", np.vstack(pts))
+        # bare form: MULTIPOINT (1 2, 3 4)
+        return ("MULTIPOINT", _parse_coord_seq(inner))
+    if upper.startswith("MULTILINESTRING"):
+        inner = s[s.index("(") + 1 : s.rindex(")")]
+        lines = [_parse_coord_seq(r) for r in _split_rings(inner)]
+        if any(len(ln) < 2 for ln in lines):
+            raise ValueError(f"MULTILINESTRING member with <2 points: {s[:60]!r}")
+        return ("MULTILINESTRING", lines)
+    if upper.startswith("GEOMETRYCOLLECTION"):
+        inner = s[s.index("(") + 1 : s.rindex(")")].strip()
+        if not inner:
+            raise ValueError(f"empty GEOMETRYCOLLECTION: {s[:60]!r}")
+        members, depth, start = [], 0, 0
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                members.append(inner[start:i])
+                start = i + 1
+        members.append(inner[start:])
+        return ("GEOMETRYCOLLECTION", [parse_wkt(m) for m in members])
     if upper.startswith("MULTIPOLYGON"):
         inner = s[s.index("(") + 1 : s.rindex(")")]
         polys = []
@@ -139,4 +174,12 @@ def to_wkt(geom) -> str:
         return "MULTIPOLYGON (" + ", ".join(
             "(" + ", ".join(_ring_to_wkt(r) for r in rings) + ")" for rings in payload
         ) + ")"
+    if kind == "MULTIPOINT":
+        return "MULTIPOINT (" + ", ".join(
+            f"({_num(x)} {_num(y)})" for x, y in payload
+        ) + ")"
+    if kind == "MULTILINESTRING":
+        return "MULTILINESTRING (" + ", ".join(_ring_to_wkt(ln) for ln in payload) + ")"
+    if kind == "GEOMETRYCOLLECTION":
+        return "GEOMETRYCOLLECTION (" + ", ".join(to_wkt(m) for m in payload) + ")"
     raise ValueError(f"unsupported geometry kind: {kind}")

@@ -41,16 +41,31 @@ MH_PRIME = 4294967311  # prime > 2^32; (a·h+b) products stay < 2^63
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                normalized: bool = False) -> DataFrame:
+                normalized: bool = False, check_unique: bool = False) -> DataFrame:
     """Keep the lowest-id row per identical (optionally normalized) text.
 
     Skew-proof shape: ``groupBy(hash).agg(min(id))`` (map-side partial
     aggregation — a document duplicated millions of times collapses to
     one row per map task) followed by a LEFT SEMI join on the UNIFORM id
     key. A window partitioned by the content hash would funnel every
-    copy of a hot document into one task AQE cannot split. Ids are
-    unique, so "id is some group's minimum" ⟺ "row is kept".
+    copy of a hot document into one task AQE cannot split.
+
+    PRECONDITION: ``id_col`` must be globally unique — the semi join
+    keeps every row carrying a winning id, so a duplicated id would
+    retain all its copies where the window form kept one. Pass
+    ``check_unique=True`` to verify (one extra aggregation job) and fail
+    loudly instead of silently returning duplicates.
     """
+    if check_unique:
+        dup = (
+            df.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"exact_dedup requires unique {id_col!r}: id {dup[0][0]!r} "
+                f"appears {dup[0]['_n']} times"
+            )
     key = F.md5(normalize_text(F.col(text_col))) if normalized else F.md5(F.col(text_col))
     keyed = df.withColumn("_k", key)
     winners = keyed.groupBy("_k").agg(F.min(F.col(id_col)).alias(id_col)).drop("_k")

@@ -6,21 +6,36 @@ groups the bytes; decode and feature extraction run as Arrow-batched
 ``mapInPandas`` stages so each Python batch touches a bounded number of
 rows regardless of blob size.
 
-The container has no image/audio codecs, so the decode kernel is STUBBED:
-``decode_image(real_decode=True)`` raises NotImplementedError where
-PIL/libvips would be called, and the default deterministic fake derives
-(width, height, channels, checksum) from the bytes so the Spark-side
-plumbing — schema, batching, partition sizing — is real and tested.
+``real_decode=True`` / ``real_resize=True`` use PIL when it is
+importable; without PIL (this container ships no codecs) they raise
+NotImplementedError at the first row. The default deterministic fake
+derives (width, height, channels, checksum) from the bytes so the
+Spark-side plumbing — schema, batching, partition sizing — is real and
+tested either way. ``extract_features(real_extract=True)`` stays a
+documented stub: its real path is model inference, not a codec.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pil_image_module():
+    """PIL's Image module, or None when no codec library is installed.
+    Resolved lazily inside the executor-side kernels so the driver never
+    needs PIL to build the plan."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
 
 __all__ = [
     "attach_media_meta",
@@ -52,26 +67,34 @@ def decode_image(
 ) -> DataFrame:
     """Decode stage over ``mapInPandas``.
 
-    ``real_decode=True`` marks where an actual codec (PIL / torchvision /
-    libvips) plugs in — unavailable in this container, so it raises.
-    The default path emits deterministic fake dimensions derived from the
-    blob hash, preserving the real execution shape (Arrow batches,
-    bounded ``batch_rows`` so huge blobs don't blow executor memory).
+    ``real_decode=True`` decodes with PIL when installed (width/height
+    from the image header, channels from the band count); without PIL it
+    raises NotImplementedError. The default path emits deterministic
+    fake dimensions derived from the blob hash, preserving the real
+    execution shape (Arrow batches, bounded ``batch_rows`` so huge blobs
+    don't blow executor memory).
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _pil_image_module() if real_decode else None
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
                 rows = []
                 for mid, blob in zip(chunk[id_col], chunk[bytes_col]):
-                    if real_decode:
-                        raise NotImplementedError(
-                            "image codec not available in this container; "
-                            "plug PIL/libvips here"
-                        )
                     b = bytes(blob) if blob is not None else b""
                     h = hashlib.md5(b).hexdigest()
+                    if real_decode:
+                        if pil is None:
+                            raise NotImplementedError(
+                                "real_decode=True needs PIL (pip install pillow); "
+                                "not available in this environment"
+                            )
+                        with pil.open(io.BytesIO(b)) as img:
+                            rows.append(
+                                (mid, len(b), h, img.width, img.height, len(img.getbands()))
+                            )
+                        continue
                     rows.append(
                         (
                             mid,
@@ -101,26 +124,39 @@ def resize_image(
 ) -> DataFrame:
     """Aspect-preserving resize stage over ``mapInPandas``.
 
-    ``real_resize=True`` marks the PIL/libvips hook (unavailable here —
-    raises). The fake path derives source dims exactly like
-    :func:`decode_image`, fits them into (target_w, target_h) with
-    ``scale = min(tw/w, th/h)`` (plain IEEE ops, so the DuckDB oracle can
-    replicate bit-exactly), and emits a 16-byte digest as the stub
-    thumbnail so the output schema carries a real binary column.
+    ``real_resize=True`` decodes, fits into (target_w, target_h) with
+    the same ``scale = min(tw/w, th/h)`` rule, resizes with PIL, and
+    re-encodes PNG; without PIL it raises. The fake path derives source
+    dims exactly like :func:`decode_image`, applies the identical scale
+    rule (plain IEEE ops, so the DuckDB oracle can replicate
+    bit-exactly), and emits a 16-byte digest as the stub thumbnail so
+    the output schema carries a real binary column.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pil = _pil_image_module() if real_resize else None
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
                 rows = []
                 for mid, blob in zip(chunk[id_col], chunk[bytes_col]):
-                    if real_resize:
-                        raise NotImplementedError(
-                            "image codec not available in this container; "
-                            "plug PIL/libvips here"
-                        )
                     b = bytes(blob) if blob is not None else b""
+                    if real_resize:
+                        if pil is None:
+                            raise NotImplementedError(
+                                "real_resize=True needs PIL (pip install pillow); "
+                                "not available in this environment"
+                            )
+                        with pil.open(io.BytesIO(b)) as img:
+                            scale = min(
+                                float(target_w) / img.width, float(target_h) / img.height
+                            )
+                            out_w = max(1, int(img.width * scale))
+                            out_h = max(1, int(img.height * scale))
+                            buf = io.BytesIO()
+                            img.resize((out_w, out_h)).save(buf, format="PNG")
+                        rows.append((mid, out_w, out_h, buf.getvalue()))
+                        continue
                     h = hashlib.md5(b).hexdigest()
                     w = 64 + int(h[:4], 16) % 1920
                     ht = 64 + int(h[4:8], 16) % 1080

@@ -1891,6 +1891,73 @@ def sp_containment_wkt(spark, sf):
     return containment(pts, _TRI_WKT).select("id")
 
 
+def sp_mixed_types(spark, sf):
+    """Mixed-geometry ingest through the exact kernel: MULTIPOINT and
+    GEOMETRYCOLLECTION rows (the reference accepts anything GEOS parses,
+    resque_2d.cpp:331-338) filtered st_within a rectangular window. The
+    non-intersects predicate forces the Arrow refine stage, so the
+    kernel's composite decomposition runs under the driver's signal."""
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 2000)
+    x1 = F.col("c_custkey") % 137
+    y1 = F.col("c_custkey") % 131
+    x2 = x1 + F.col("c_custkey") % 11
+    y2 = y1 + F.col("c_custkey") % 13
+    mp = c.select(
+        F.col("c_custkey").alias("id"),
+        F.concat(
+            F.lit("MULTIPOINT (("), x1, F.lit(" "), y1,
+            F.lit("), ("), x2, F.lit(" "), y2, F.lit("))"),
+        ).alias("geom"),
+    )
+    p = _t(spark, sf, "part").filter(F.col("p_partkey") <= 1500)
+    u = F.col("p_partkey") % 149
+    v = F.col("p_partkey") % 139
+    rx0 = F.col("p_partkey") % 127
+    ry0 = F.col("p_partkey") % 113
+    gc = p.select(
+        (F.col("p_partkey") + 100000).alias("id"),
+        F.concat(
+            F.lit("GEOMETRYCOLLECTION (POINT ("), u, F.lit(" "), v,
+            F.lit("), POLYGON (("),
+            rx0, F.lit(" "), ry0, F.lit(", "),
+            rx0 + 4, F.lit(" "), ry0, F.lit(", "),
+            rx0 + 4, F.lit(" "), ry0 + 4, F.lit(", "),
+            rx0, F.lit(" "), ry0 + 4, F.lit(", "),
+            rx0, F.lit(" "), ry0,
+            F.lit(")))"),
+        ).alias("geom"),
+    )
+    win = "POLYGON ((20 20, 120 20, 120 120, 20 120, 20 20))"
+    return containment(mp.unionByName(gc), win, "st_within").select("id")
+
+
+# within semantics per the kernel's area/closure model: POINT members
+# need the window's strict interior; the polygon member is contained
+# when its box lies inside the window's closure (intersection area ==
+# its own area)
+SP_MIXED_TYPES_SQL = """
+  WITH mp AS (
+    SELECT c_custkey AS id,
+           c_custkey % 137 AS x1, c_custkey % 131 AS y1,
+           c_custkey % 137 + c_custkey % 11 AS x2,
+           c_custkey % 131 + c_custkey % 13 AS y2
+    FROM customer WHERE c_custkey <= 2000
+  ), gc AS (
+    SELECT p_partkey + 100000 AS id,
+           p_partkey % 149 AS u, p_partkey % 139 AS v,
+           p_partkey % 127 AS rx0, p_partkey % 113 AS ry0
+    FROM part WHERE p_partkey <= 1500
+  )
+  SELECT id FROM mp
+  WHERE x1 > 20 AND x1 < 120 AND y1 > 20 AND y1 < 120
+    AND x2 > 20 AND x2 < 120 AND y2 > 20 AND y2 < 120
+  UNION ALL
+  SELECT id FROM gc
+  WHERE u > 20 AND u < 120 AND v > 20 AND v < 120
+    AND rx0 >= 20 AND rx0 + 4 <= 120 AND ry0 >= 20 AND ry0 + 4 <= 120
+"""
+
+
 def _tri_side_sql(p1, p2) -> str:
     (x1, y1), (x2, y2) = p1, p2
     return (
@@ -2562,7 +2629,7 @@ TXT_REPETITION_SQL = """
 # queries at the tail, so 27 of them never received the driver's independent
 # hard signal even though the repo oracle (tools/check_oracle.py, identical
 # DuckDB method) passes all of them.  Round 5 therefore leads with exactly
-# those 27 (riskiest first), then new round-5 gates, then a 23-slot core of
+# those 27 (riskiest first), then new round-5 gates, then a core of
 # previously driver-green queries chosen for overlap with this round's code
 # changes (the exact-kernel predicates, flagship joins, dedup, streams).
 # Everything else — driver-green in CORRECTNESS_r0{1..4} and still green
@@ -2589,6 +2656,7 @@ REGISTRY: dict[str, Query] = {
     "mm_resize": Query(mm_resize, MM_RESIZE_SQL, "multimodal resize stage (mapInPandas)"),
     "mm_features": Query(mm_features, MM_FEATURES_SQL, "multimodal feature-extraction stage (mapInPandas)"),
     "sp_malformed_filter": Query(sp_malformed_filter, SP_MALFORMED_SQL, "P2 malformed-geometry skip"),
+    "sp_mixed_types": Query(sp_mixed_types, SP_MIXED_TYPES_SQL, "MULTIPOINT/GEOMETRYCOLLECTION ingest through the exact kernel"),
     "sp_containment_file": Query(sp_containment_file, SP_CONTAINMENT_SQL, "J3 --containfile window"),
     "sp_sql_surface": Query(sp_sql_surface, SP_CONTAINMENT_WKT_SQL, "registered st_ UDFs from spark.sql"),
     "stream_dedup_batch": Query(stream_dedup_batch, STREAM_DEDUP_SQL, "streaming dedup (batch form)"),
@@ -2602,7 +2670,7 @@ REGISTRY: dict[str, Query] = {
         # the error-vs-exact bound is pinned by TestApproxPercentiles
         "approx percentiles (t-digest sketch, the 100 TB path)",
     ),
-    # -- block 2: 23 driver-green keepers overlapping round-5 code churn ---
+    # -- block 2: driver-green keepers overlapping round-5 code churn ------
     "sp_join_boxes": Query(sp_join_boxes, SP_JOIN_BOXES_SQL, "J1 partitioned spatial join"),
     "sp_join_self": Query(sp_join_self, SP_JOIN_SELF_SQL, "J2 self-join"),
     "sp_dwithin_points": Query(sp_dwithin_points, SP_DWITHIN_SQL, "J5 distance join"),

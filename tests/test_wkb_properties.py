@@ -29,6 +29,29 @@ def points(draw):
     return ("POINT", (draw(coord), draw(coord)))
 
 
+@st.composite
+def multipoints(draw):
+    pts = draw(st.lists(st.tuples(coord, coord), min_size=1, max_size=6))
+    return ("MULTIPOINT", np.asarray(pts, dtype=np.float64))
+
+
+@st.composite
+def multilines(draw):
+    lines = []
+    for _ in range(draw(st.integers(min_value=1, max_value=3))):
+        pts = draw(st.lists(st.tuples(coord, coord), min_size=2, max_size=5))
+        lines.append(np.asarray(pts, dtype=np.float64))
+    return ("MULTILINESTRING", lines)
+
+
+@st.composite
+def collections(draw):
+    members = draw(
+        st.lists(st.one_of(points(), triangles(), multipoints()), min_size=1, max_size=3)
+    )
+    return ("GEOMETRYCOLLECTION", members)
+
+
 class TestGeoJsonRoundtrip:
     @given(g=st.one_of(points(), triangles()))
     @settings(max_examples=200, deadline=None)
@@ -113,6 +136,130 @@ class TestWkbRoundtrip:
         assert g.kind == "POINT"
         g2 = Geometry.parse(to_wkb(("POINT", (1.0, 2.0))))
         assert g2.kind == "POINT" and g2.payload == (1.0, 2.0)
+
+
+def _assert_same_geom(a, b):
+    assert a[0] == b[0]
+    if a[0] == "POINT":
+        assert a[1] == b[1]
+    elif a[0] in ("MULTIPOINT", "LINESTRING"):
+        assert (np.asarray(a[1]) == np.asarray(b[1])).all()
+    elif a[0] in ("MULTILINESTRING", "POLYGON"):
+        assert len(a[1]) == len(b[1])
+        for r1, r2 in zip(a[1], b[1]):
+            assert (r1 == r2).all()
+    elif a[0] == "GEOMETRYCOLLECTION":
+        assert len(a[1]) == len(b[1])
+        for m1, m2 in zip(a[1], b[1]):
+            _assert_same_geom(m1, m2)
+    else:  # MULTIPOLYGON
+        for p1, p2 in zip(a[1], b[1]):
+            for r1, r2 in zip(p1, p2):
+                assert (r1 == r2).all()
+
+
+class TestCompositeKindRoundtrips:
+    """MULTIPOINT / MULTILINESTRING / GEOMETRYCOLLECTION through every
+    codec (the reference accepts anything GEOS parses,
+    resque_2d.cpp:331-338 — so ingest must too)."""
+
+    @given(g=st.one_of(multipoints(), multilines(), collections()))
+    @settings(max_examples=150, deadline=None)
+    def test_wkt_roundtrip_exact(self, g):
+        _assert_same_geom(parse_wkt(to_wkt(g)), g)
+
+    @given(g=st.one_of(multipoints(), multilines(), collections()))
+    @settings(max_examples=150, deadline=None)
+    def test_wkb_roundtrip_exact(self, g):
+        _assert_same_geom(from_wkb(to_wkb(g)), g)
+
+    @given(g=st.one_of(multipoints(), multilines(), collections()))
+    @settings(max_examples=100, deadline=None)
+    def test_geojson_roundtrip_exact(self, g):
+        from hadoopgis_spark.geometry.geojson import parse_geojson, to_geojson
+
+        _assert_same_geom(parse_geojson(to_geojson(g)), g)
+
+    def test_bare_multipoint_form(self):
+        a = parse_wkt("MULTIPOINT (1 2, 3 4)")
+        b = parse_wkt("MULTIPOINT ((1 2), (3 4))")
+        _assert_same_geom(a, b)
+
+
+class TestCompositeKindPredicates:
+    SQ = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+
+    def test_multipoint_membership(self):
+        assert K.intersects("MULTIPOINT ((1 1), (9 9))", self.SQ)
+        assert not K.contains(self.SQ, "MULTIPOINT ((1 1), (9 9))")
+        assert K.contains(self.SQ, "MULTIPOINT ((1 1), (3 3))")
+        # multipoint contains its member point (membership semantics)
+        assert K.contains("MULTIPOINT ((1 1), (9 9))", "POINT (9 9)")
+        assert not K.contains("MULTIPOINT ((1 1), (9 9))", "POINT (2 2)")
+
+    def test_multipoint_boundary_point_not_interior(self):
+        # (4, 2) lies ON the square's boundary: intersects but the
+        # closure-containment rule requires strict interior
+        assert K.intersects("MULTIPOINT ((4 2), (1 1))", self.SQ)
+        assert not K.contains(self.SQ, "MULTIPOINT ((4 2), (1 1))")
+
+    def test_multilinestring_pooled_crossing(self):
+        # neither part crosses alone: one fully inside, one fully
+        # outside — the union does cross (GEOS semantics)
+        ml = "MULTILINESTRING ((1 1, 2 2), (10 10, 12 12))"
+        assert K.crosses(ml, self.SQ)
+        inside_only = "MULTILINESTRING ((1 1, 2 2), (1 3, 3 3))"
+        assert not K.crosses(inside_only, self.SQ)
+
+    def test_collection_area_and_measures(self):
+        gc = (
+            "GEOMETRYCOLLECTION (POINT (1 1), "
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
+            "POLYGON ((10 0, 14 0, 14 4, 10 4, 10 0)))"
+        )
+        assert K.area(gc) == pytest.approx(32.0)
+        assert K.intersection_area(gc, self.SQ) == pytest.approx(16.0)
+        assert K.jaccard(gc, self.SQ) == pytest.approx(16.0 / 32.0)
+
+    def test_collection_straddling_containment(self):
+        # window straddles the two adjacent members of the collection:
+        # per-member containment would say no; the union contains it
+        gc = (
+            "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
+            "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0)))"
+        )
+        straddler = "POLYGON ((2 1, 6 1, 6 3, 2 3, 2 1))"
+        assert K.contains(gc, straddler)
+        assert K.within(straddler, gc)
+
+    def test_collection_touches_and_overlaps(self):
+        gc = "GEOMETRYCOLLECTION (POINT (1 1), POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)))"
+        assert K.touches(gc, "POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))")
+        assert K.overlaps(gc, "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))")
+
+    def test_composite_distance_and_dwithin(self):
+        mp = "MULTIPOINT ((1 1), (5 5))"
+        assert K.distance(mp, "POINT (5 9)") == pytest.approx(4.0)
+        assert K.dwithin(mp, "POINT (7 5)", 2.0)
+        assert not K.dwithin(mp, "POINT (8 5)", 2.0)
+        ml = "MULTILINESTRING ((0 0, 2 0), (10 0, 12 0))"
+        assert K.distance(ml, "POINT (6 0)") == pytest.approx(4.0)
+
+    def test_mbb_extraction_in_spark(self, spark):
+        from hadoopgis_spark.operators.mbb import with_mbb
+
+        rows = [
+            (1, "MULTIPOINT ((1 2), (7 9))"),
+            (2, "MULTILINESTRING ((0 0, 3 4), (-2 1, 0 0))"),
+            (3, "GEOMETRYCOLLECTION (POINT (5 5), POLYGON ((0 0, 2 0, 0 2, 0 0)))"),
+            (4, "GEOMETRYCOLLECTION garbage"),
+        ]
+        df = spark.createDataFrame(rows, "id long, geom string")
+        got = {r.id: (r.xmin, r.ymin, r.xmax, r.ymax) for r in with_mbb(df, "geom").collect()}
+        assert got[1] == (1.0, 2.0, 7.0, 9.0)
+        assert got[2] == (-2.0, 0.0, 3.0, 4.0)
+        assert got[3] == (0.0, 0.0, 5.0, 5.0)
+        assert 4 not in got or got[4] == (None, None, None, None)
 
 
 class TestKernelProperties:
