@@ -96,6 +96,10 @@ BENCH_QUERIES = [
     "src_jsonl_roundtrip",
     "sp_geojson_parse",
     "rel_percentiles_approx",
+    # round 5: padded bucketed distance join (zero-shuffle dwithin) +
+    # composite geometry kinds through the exact kernel
+    "sp_join_bucketed_dwithin",
+    "sp_mixed_types",
 ]
 
 

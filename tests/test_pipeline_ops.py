@@ -259,6 +259,23 @@ class TestSimilarity:
         total = sum(len(v) for v in exact_sets.values())
         assert hits / total >= 0.4, f"IVF recall {hits}/{total}"
 
+    def test_dim_is_required_no_probe_jobs(self, spark, emb):
+        """dim is a required keyword everywhere a hyperplane/centroid
+        literal is built: omitting it must fail at plan-build time, not
+        silently launch a limit(1).collect() schema-probe job per table."""
+        from hadoopgis_spark.operators.dedup import embedding_dup_pairs
+        from hadoopgis_spark.operators.similarity import hyperplane_buckets
+
+        q = emb.limit(2).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        with pytest.raises(TypeError):
+            hyperplane_buckets(emb)
+        with pytest.raises(TypeError):
+            lsh_topk(emb, q, k=3)
+        with pytest.raises(TypeError):
+            embedding_dup_pairs(emb)
+
     def test_lloyd_fit_deterministic_shape(self):
         from hadoopgis_spark.operators.similarity import lloyd_fit
 
