@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     # composite geometry kinds through the exact kernel
     "sp_join_bucketed_dwithin",
     "sp_mixed_types",
+    "dedup_jaccard_prefix",
 ]
 
 

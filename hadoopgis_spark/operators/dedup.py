@@ -13,6 +13,7 @@ simhash, banding from Leskovec et al. MMDS):
 * ``simhash64``/``simhash_pairs`` — 64-bit sign fingerprint, near-dup =
   small Hamming distance (banded by 16-bit chunks for candidates)
 * ``jaccard_verify``     — exact set-jaccard verification of candidates
+* ``jaccard_prefix_pairs`` — COMPLETE jaccard join (prefix filtering)
 * ``embedding_dup_pairs`` — cosine ≥ τ pairs via ANN candidates
 """
 
@@ -31,6 +32,7 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "jaccard_verify",
+    "jaccard_prefix_pairs",
     "simhash64",
     "simhash_pairs",
     "embedding_dup_pairs",
@@ -106,24 +108,46 @@ def shingle_sets(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  n: int = 2) -> DataFrame:
     """(id, sh, hs): distinct word n-gram shingles + one 32-bit hash per
     shingle. n-grams built with zip_with chains — never element_at(expr)
-    inside a lambda (that inlines the tokenize expression per element)."""
+    inside a lambda (that inlines the tokenize expression per element).
+
+    The token array and the gram array are LET-BOUND via
+    ``transform(array(x), f)[0]``: higher-order functions are
+    CodegenFallback (no common-subexpression elimination), so the gram
+    chain's ~2(n+1) references to the bare ``tokens()`` expression would
+    each re-run the two normalization regexes over the whole document —
+    measured 3x on the trigram build. The packed (sh, hs) struct is
+    checkpointed BEFORE the empty-set filter and the column fan-out:
+    projection collapse would otherwise substitute the whole shingle
+    expression once per consumer (filter + sh + hs = 3 evaluations)."""
     words = tokens(F.col(text_col))
-    if n == 1:
-        sh = F.array_distinct(words)
-    else:
-        nk = F.greatest(F.size(words) - (n - 1), F.lit(0))
-        grams = words
+
+    def grams_of(w):
+        if n == 1:
+            return F.array_distinct(w)
+        nk = F.greatest(F.size(w) - (n - 1), F.lit(0))
+        grams = w
         for k in range(1, n):
             grams = F.zip_with(
-                grams, F.slice(words, k + 1, F.greatest(F.size(words) - k, F.lit(0))),
+                grams, F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(0))),
                 lambda x, y: F.concat_ws(" ", x, y),
             )
-        sh = F.array_distinct(F.slice(grams, 1, nk))
+        return F.array_distinct(F.slice(grams, 1, nk))
+
+    def pack(w):
+        return F.transform(
+            F.array(grams_of(w)),
+            lambda g: F.struct(
+                g.alias("sh"),
+                F.transform(g, lambda t: md5_hash32(t)).alias("hs"),
+            ),
+        )[0]
+
+    packed = F.transform(F.array(words), pack)[0]
     return (
-        df.select(F.col(id_col).alias("id"), sh.alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("hs", F.transform(F.col("sh"), lambda t: md5_hash32(t)))
+        df.select(F.col(id_col).alias("id"), packed.alias("p"))
         .transform(durable_checkpoint)
+        .filter(F.size("p.sh") > 0)
+        .select("id", "p.sh", "p.hs")
     )
 
 
@@ -174,6 +198,90 @@ def jaccard_verify(candidates: DataFrame, shingled: DataFrame, threshold: float)
         .filter(F.col("jaccard") >= threshold)
         .drop("_sh1", "_sh2")
     )
+
+
+def jaccard_prefix_pairs(df: DataFrame | None, text_col: str = "text",
+                         id_col: str = "doc_id", shingle_n: int = 2,
+                         threshold: float = 0.5,
+                         shingled: DataFrame | None = None) -> DataFrame:
+    """EXACT all-pairs set-jaccard ≥ ``threshold`` via prefix filtering.
+
+    The AllPairs/PPJoin family (Bayardo et al. WWW'07; Xiao et al.
+    WWW'08; parallel dataflow from Vernica, Carey & Li SIGMOD'10 — all
+    public knowledge). Complements :func:`minhash_lsh_pairs`: LSH recall
+    is probabilistic, this join is COMPLETE — every pair whose shingle
+    jaccard meets the threshold is returned, with its exact similarity.
+
+    Dataflow (the SIGMOD'10 parallel shape, Spark-native):
+
+    1. global shingle document-frequency — a vocab-sized aggregate;
+    2. each doc orders its shingles rarest-first (total order: (df,
+       shingle) ascending) and emits two prefixes: the PROBE prefix
+       (first ``s - ceil(t*s) + 1`` shingles) and the shorter INDEX
+       prefix (first ``s - ceil(2t/(1+t)*s) + 1``). Completeness
+       (textbook PPJoin): with the length filter ``|B| ≥ t·|A|`` and
+       ``|B| ≤ |A|``, J(A,B) ≥ t implies overlap ≥ α_req =
+       ``ceil(t/(1+t)·(|A|+|B|))``, α_req ≥ ceil(t·|A|) and ≥
+       ceil(2t/(1+t)·|B|), and two sets with overlap ≥ a share a token
+       among the first ``s - a + 1`` tokens of each under ANY common
+       total order — so the earliest common token of a qualifying pair
+       sits in the larger doc's probe prefix AND the smaller doc's
+       index prefix;
+    3. equi-join probe(larger) × index(smaller) on the prefix shingle —
+       never all-pairs — with the length filter and PPJoin's positional
+       filter: a match at 1-based positions (pa, pb) bounds the overlap
+       by ``1 + min(sz_a - pa, sz_b - pb)``; rows whose bound < α_req
+       cannot come from the earliest common token of a qualifying pair;
+    4. :func:`jaccard_verify` on the surviving candidates.
+
+    100 TB notes: the frequency join keys both sides on the shingle, so
+    it shares one shuffle partitioning (AQE broadcasts when the vocab is
+    small); rarest-first ordering keeps prefix-bucket sizes small — the
+    corpus's hottest shingles are never prefix members at useful
+    thresholds, which is exactly the skew that would otherwise melt the
+    candidate join. All ceils carry a 1e-9 slack so float rounding can
+    only LENGTHEN a prefix or LOOSEN a filter (the safe directions for
+    completeness); exactness of the output comes from the verify step.
+    """
+    base = shingled if shingled is not None else shingle_sets(df, text_col, id_col, shingle_n)
+    t = float(threshold)
+    eps = F.lit(1e-9)
+    ex = base.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    ordered = (
+        ex.join(freq, "tok")
+        .groupBy("id", "sz")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("cnt"), F.col("tok")))).alias("ord"))
+    )
+
+    def prefix(frame, length_factor, names):
+        plen = (F.col("sz") - F.ceil(F.lit(length_factor) * F.col("sz") - eps) + 1).cast("int")
+        return frame.select(
+            F.col("id").alias(names[0]),
+            F.col("sz").alias(names[1]),
+            F.posexplode(F.slice(F.col("ord"), F.lit(1), plen)).alias("p0", "p"),
+        ).select(names[0], names[1], (F.col("p0") + 1).alias(names[2]), F.col("p.tok").alias("tok"))
+
+    probe = prefix(ordered, t, ("id_p", "sz_p", "pos_p"))
+    index = prefix(ordered, 2 * t / (1 + t), ("id_i", "sz_i", "pos_i"))
+    alpha_req = F.ceil(F.lit(t / (1 + t)) * (F.col("sz_p") + F.col("sz_i")) - eps)
+    overlap_ub = 1 + F.least(F.col("sz_p") - F.col("pos_p"), F.col("sz_i") - F.col("pos_i"))
+    cand = (
+        probe.join(index, "tok")
+        .filter(
+            # probe the larger record against the smaller's index prefix
+            ((F.col("sz_p") > F.col("sz_i"))
+             | ((F.col("sz_p") == F.col("sz_i")) & (F.col("id_p") < F.col("id_i"))))
+            & (F.col("sz_i").cast("double") >= F.lit(t) * F.col("sz_p") - eps)
+            & (overlap_ub >= alpha_req)
+        )
+        .select(
+            F.least("id_p", "id_i").alias("id_1"),
+            F.greatest("id_p", "id_i").alias("id_2"),
+        )
+        .distinct()
+    )
+    return jaccard_verify(cand, base, threshold)
 
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

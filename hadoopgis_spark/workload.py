@@ -27,7 +27,7 @@ from pyspark.sql import Window
 from hadoopgis_spark.functions import boxes as B
 from hadoopgis_spark.functions import text as TXT
 from hadoopgis_spark.functions import vector as V
-from hadoopgis_spark.functions.text import md5_hash32, normalize_text, tokens
+from hadoopgis_spark.functions.text import normalize_text, tokens
 from hadoopgis_spark.materialize import durable_checkpoint
 from hadoopgis_spark.operators import containment, knn_join, spatial_join
 from hadoopgis_spark.streaming.events import normalize_event_ts
@@ -725,33 +725,21 @@ def _bigram_sets(spark, sf):
 
 def _bigram_sets_build(spark, sf):
     """doc_id + distinct word-bigram shingle set (empty-shingle docs
-    dropped in both engines so null minhash signatures can't diverge)."""
+    dropped in both engines so null minhash signatures can't diverge).
+
+    Delegates to :func:`shingle_sets`, which let-binds the token and
+    gram arrays and checkpoints the packed (sh, hs) struct before any
+    fan-out — one normalize→split→shingle→md5 pass per document total
+    (HOFs are CodegenFallback: every bare re-reference would re-run the
+    normalization regexes). ``hs`` is one md5-derived 32-bit hash per
+    shingle; the 16 minhash rows mix it with linear (a·h+b) mod p
+    transforms — the standard construction, one expensive hash per
+    shingle instead of 16. The checkpoint boundary also makes the frame
+    shareable across the minhash / jaccard / clusters queries."""
+    from hadoopgis_spark.operators.dedup import shingle_sets
+
     d = _t(spark, sf, "documents")
-    words = tokens(F.col("text"))
-    # bigrams via zip_with(words, tail(words)) — NOT element_at(words, i)
-    # inside a transform lambda: a lambda-indexed reference inlines the
-    # whole normalize+split expression per element (O(n²) regex per doc)
-    n1 = F.greatest(F.size(words) - 1, F.lit(0))
-    bigr = F.slice(
-        F.zip_with(words, F.slice(words, 2, n1), lambda x, y: F.concat_ws(" ", x, y)),
-        1,
-        n1,
-    )
-    # hs = one md5-derived 32-bit hash per shingle; the 16 minhash rows mix
-    # it with linear (a·h+b) mod p transforms — the standard construction,
-    # one expensive hash per shingle instead of 16.
-    # persist: downstream plans fan `sh`/`hs` out into 16 minhash columns —
-    # without a materialization boundary, projection collapse would
-    # re-evaluate normalize→split→shingle per column
-    # localCheckpoint, not persist: building the in-memory columnar cache
-    # for array<string> columns costs seconds; checkpointed row batches
-    # materialize in milliseconds (single-session scope is fine here)
-    return (
-        d.select(F.col("doc_id"), F.array_distinct(bigr).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .withColumn("hs", F.transform(F.col("sh"), lambda t: md5_hash32(t)))
-        .transform(durable_checkpoint)
-    )
+    return shingle_sets(d, "text", "doc_id", n=2).withColumnRenamed("id", "doc_id")
 
 
 _BIGRAMS_SQL = f"""
@@ -906,6 +894,58 @@ DEDUP_JACCARD_SQL = _LSH_CANDIDATES_SQL + """
   JOIN s2 b ON b.doc_id = c.id_2
   WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
           / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.5
+"""
+
+
+def _trigram_sets(spark, sf):
+    """doc_id + distinct word-trigram shingle set, memoized per
+    (session, sf) like the bigram frame. Trigrams + a high threshold are
+    the production near-dup parameterization (C4/RefinedWeb-style
+    pipelines verify at jaccard ~0.8): the larger shingle vocabulary is
+    also exactly what prefix filtering needs — prefix-bucket join volume
+    scales as prefix²/vocab."""
+    from hadoopgis_spark.operators.dedup import shingle_sets
+
+    def build():
+        d = _t(spark, sf, "documents")
+        return shingle_sets(d, "text", "doc_id", n=3)
+
+    return _memo(("trigrams", spark.sparkContext.applicationId, sf), build)
+
+
+def dedup_jaccard_prefix(spark, sf):
+    """COMPLETE trigram-jaccard join ≥ 0.8 via prefix filtering
+    (AllPairs/PPJoin: Bayardo WWW'07, Xiao WWW'08, Vernica SIGMOD'10).
+    The oracle is brute-force all-pairs — passing it proves the prefix
+    join drops no qualifying pair, the guarantee minhash LSH cannot
+    make."""
+    from hadoopgis_spark.operators.dedup import jaccard_prefix_pairs
+
+    return (
+        jaccard_prefix_pairs(None, shingled=_trigram_sets(spark, sf), threshold=0.8)
+        .select("id_1", "id_2", F.col("jaccard").alias("jac"))
+    )
+
+
+_TRIGRAMS_SQL = f"""
+    SELECT doc_id, sh FROM (
+      SELECT doc_id,
+             CASE WHEN LEN(words) < 3 THEN CAST([] AS VARCHAR[])
+                  ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(words) - 1),
+                                                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+             END AS sh
+      FROM (SELECT doc_id, STRING_SPLIT({_NORM_SQL}, ' ') AS words FROM documents)
+    ) WHERE LEN(sh) > 0
+"""
+
+DEDUP_JACCARD_PREFIX_SQL = f"""
+  WITH s AS ({_TRIGRAMS_SQL}), s2 AS (SELECT * FROM s)
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+           / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) AS jac
+  FROM s a JOIN s2 b ON a.doc_id < b.doc_id
+  WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+          / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= CAST(0.8 AS DOUBLE)
 """
 
 
@@ -2646,6 +2686,7 @@ REGISTRY: dict[str, Query] = {
     "sp_join_boxes_slc": Query(sp_join_boxes_slc, SP_JOIN_BOXES_SQL, "J1 via slc strips"),
     "sp_join_boxes_bos": Query(sp_join_boxes_bos, SP_JOIN_BOXES_SQL, "J1 via bos strips"),
     "txt_line_dedup": Query(txt_line_dedup, TXT_LINE_DEDUP_SQL, "C4-style corpus-global line dedup"),
+    "dedup_jaccard_prefix": Query(dedup_jaccard_prefix, DEDUP_JACCARD_PREFIX_SQL, "COMPLETE jaccard join via prefix filtering (brute-force oracle)"),
     "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
     "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),

@@ -13,6 +13,7 @@ from hadoopgis_spark.operators.containment import parse_window
 from hadoopgis_spark.operators.dedup import (
     embedding_dup_pairs,
     exact_dedup,
+    jaccard_prefix_pairs,
     jaccard_verify,
     line_dedup,
     minhash_lsh_pairs,
@@ -145,6 +146,42 @@ class TestDedup:
         df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
         got = {r.doc_id: list(r.lines) for r in line_dedup(df).collect()}
         assert got == expect
+
+    @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.7])
+    def test_jaccard_prefix_matches_bruteforce(self, spark, threshold):
+        """Prefix-filtered join vs driver-side all-pairs brute force on a
+        randomized small-vocab corpus (heavy shingle overlap). Equality
+        proves COMPLETENESS — the claim that separates this operator
+        from minhash LSH — across thresholds whose t*s products exercise
+        the ceil slack (0.3/0.7 are inexact doubles)."""
+        import itertools
+        import random
+
+        rng = random.Random(11)
+        vocab = [f"w{v}" for v in range(10)]
+        rows = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12))))
+            for d in range(60)
+        ]
+
+        def sh(text):
+            w = text.split()
+            return {f"{a} {b}" for a, b in zip(w, w[1:])}
+
+        sets = {d: sh(t) for d, t in rows}
+        expect = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= threshold:
+                expect[(a, b)] = j
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id_1, r.id_2): r.jaccard
+            for r in jaccard_prefix_pairs(df, threshold=threshold).collect()
+        }
+        assert set(got) == set(expect)
+        for k in got:
+            assert got[k] == pytest.approx(expect[k], abs=1e-12)
 
     def test_exact_dedup(self, spark, docs):
         kept = {r.doc_id for r in exact_dedup(docs).collect()}

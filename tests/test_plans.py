@@ -303,6 +303,22 @@ class TestLineDedupPlan:
         assert "partial_min" in plan, plan[:1500]
         assert "Window" not in plan, plan[:1500]
 
+    def test_jaccard_prefix_never_all_pairs(self, spark):
+        """The COMPLETE jaccard join must get its completeness from the
+        prefix-token equi-join, never from a physical cross product —
+        at corpus scale a CartesianProduct/BNLJ is the difference
+        between a join and an outage."""
+        from hadoopgis_spark.operators.dedup import jaccard_prefix_pairs
+
+        df = spark.createDataFrame(
+            [(i, f"w{i % 4} w{i % 7} w{i % 3} w{i % 5}") for i in range(60)],
+            "doc_id long, text string",
+        )
+        out = jaccard_prefix_pairs(df, threshold=0.5)
+        plan = formatted_plan(out)
+        assert "CartesianProduct" not in plan, plan[:2000]
+        assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
     def test_exact_dedup_no_window(self, spark):
         """exact_dedup carries the same contract: winners via partial-
         aggregated min + semi join on the uniform id key, never a window
