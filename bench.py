@@ -101,6 +101,11 @@ BENCH_QUERIES = [
     "sp_join_bucketed_dwithin",
     "sp_mixed_types",
     "dedup_jaccard_prefix",
+    # round 5b: deterministic curation ops (split/sample/pack/decontam)
+    "cur_split_assign",
+    "cur_stratified_sample",
+    "cur_pack_sequences",
+    "cur_contamination",
 ]
 
 

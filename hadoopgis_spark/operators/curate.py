@@ -1,0 +1,151 @@
+"""Training-data curation operators: reproducible splits, stratified
+downsampling, sequence packing, benchmark decontamination.
+
+Everything here is DETERMINISTIC — splits and samples key off
+md5-derived hashes of stable ids, never ``rand()``: re-running the
+pipeline (or re-running one failed partition, which Spark does
+transparently) must select the same rows, and an auditor must be able
+to reproduce the selection from the id alone. That determinism is also
+what makes every operator exactly oracle-checkable in DuckDB.
+
+Scale shapes:
+
+* ``split_assign`` / ``stratified_sample`` — pure Column expressions,
+  map-side only, zero shuffles: the 100 TB curation filter runs inside
+  the parquet scan stage.
+* ``pack_sequences`` — the greedy "pack documents into <= budget-token
+  sequences" step of LLM pretraining. A single global cumsum would be
+  one total sort + one partition holding the running sum; instead docs
+  are salted into ``n_streams`` independent streams and packed per
+  stream (window over the salt), so packing parallelizes and the only
+  shuffle is the hash partition by salt. Bins are globally unique via
+  (salt, per-stream bin index).
+* ``contamination_flags`` — the eval side (benchmarks are small) is the
+  BUILD side of a broadcast semi/anti join on shared n-grams; the
+  training corpus is never shuffled, only flat-mapped to n-grams and
+  probed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.functions.text import bpe_token_count, md5_hash32, tokens
+
+__all__ = [
+    "split_assign",
+    "stratified_sample",
+    "pack_sequences",
+    "contamination_flags",
+]
+
+
+def split_assign(df: DataFrame, id_col: str = "doc_id",
+                 weights: tuple[float, float, float] = (0.9, 0.05, 0.05),
+                 salt: str = "split") -> DataFrame:
+    """Append a reproducible ``split`` column (train/val/test).
+
+    Buckets ``md5(salt || id)`` into 10000 slots and cuts at the weight
+    boundaries — content-stable (adding rows never moves an existing row
+    between splits) and exactly reproducible in any engine with md5.
+    """
+    w_train, w_val, _ = weights
+    b = md5_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 10000
+    cut1 = int(round(w_train * 10000))
+    cut2 = cut1 + int(round(w_val * 10000))
+    split = (
+        F.when(b < cut1, F.lit("train"))
+        .when(b < cut2, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      stratum_col: str = "source", id_col: str = "doc_id",
+                      default_rate: float = 1.0, salt: str = "sample") -> DataFrame:
+    """Deterministic per-stratum downsampling (e.g. cap a crawl dump at
+    10% while keeping all curated sources).
+
+    Keeps a row iff ``md5(salt || id) % 10000 < rate(stratum) * 10000``
+    — a map-side filter with no shuffle and no RNG state, unlike
+    ``DataFrame.sampleBy`` whose Bernoulli draw is neither re-runnable
+    nor cross-engine checkable. Rates are compiled into one CASE
+    expression (plan-side literal, nothing broadcast).
+    """
+    b = md5_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 10000
+    rate = F.lit(int(round(default_rate * 10000)))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(int(round(r * 10000)))).otherwise(rate)
+    return df.filter(b < rate)
+
+
+def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
+                   text_col: str = "text", n_streams: int = 64) -> DataFrame:
+    """GPT-style sequence packing metadata: concatenate documents in a
+    deterministic order and chunk the token stream into ``budget``-sized
+    training sequences. For each document, emit the sequence (``bin``)
+    and token offset (``offset``) where it STARTS — a long document
+    simply spans into the following sequences, exactly like the
+    concatenate-and-chunk packing used for LLM pretraining.
+
+    A literal global concatenation is one total sort plus a single task
+    holding the running sum, so documents are salted into ``n_streams``
+    independent streams by id hash and each stream is its own token
+    stream (window cumsum ordered by id within the stream) — streams
+    pack in parallel, the only shuffle is the hash partition by salt,
+    and the waste is at most one partial tail sequence per stream.
+    Output bins are globally identified by the (stream, bin) pair.
+    """
+    nt = F.greatest(bpe_token_count(F.col(text_col)), F.lit(1))
+    stream = md5_hash32(F.col(id_col).cast("string"), offset=9) % n_streams
+    d = df.select(F.col(id_col).alias("id"), nt.alias("n_tokens"), stream.alias("stream"))
+    w = Window.partitionBy("stream").orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return d.select(
+        "id",
+        "n_tokens",
+        "stream",
+        F.floor(start / budget).cast("long").alias("bin"),
+        (start % budget).cast("long").alias("tok_offset"),
+    )
+
+
+def contamination_flags(train: DataFrame, eval_df: DataFrame, n: int = 8,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one word ``n``-gram with the (small) eval set.
+
+    The standard published recipe (GPT-3 appendix / Dolma / FineWeb use
+    8-13-gram overlap). Eval n-grams are deduplicated and become the
+    build side of a broadcast LEFT SEMI join against the exploded
+    training n-grams — the corpus is scanned once, flat-mapped, probed
+    in place, and never shuffled. Returns (id, contaminated).
+    """
+
+    def ngrams(frame, idc):
+        words = tokens(F.col(text_col))
+
+        def grams_of(w):
+            g = w
+            for k in range(1, n):
+                g = F.zip_with(
+                    g, F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(0))),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                )
+            return F.array_distinct(F.slice(g, 1, F.greatest(F.size(w) - (n - 1), F.lit(0))))
+
+        # let-bind words: HOFs are CodegenFallback (no CSE) — see
+        # operators.dedup.shingle_sets
+        sh = F.transform(F.array(words), grams_of)[0]
+        return frame.select(F.col(idc).alias("id"), F.explode(sh).alias("g"))
+
+    bad = ngrams(eval_df, id_col).select("g").distinct()
+    tg = ngrams(train, id_col)
+    hits = tg.join(F.broadcast(bad), "g", "left_semi").select("id").distinct()
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits.withColumn("contaminated", F.lit(True)), "id", "left")
+        .select("id", F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
+    )

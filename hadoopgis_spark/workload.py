@@ -949,6 +949,105 @@ DEDUP_JACCARD_PREFIX_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data curation: reproducible splits, stratified downsampling,
+# sequence packing, benchmark decontamination (operators/curate.py). All
+# deterministic (md5-keyed, no rand()) — hence exactly oracle-checkable.
+
+_MD5_BUCKET_SQL = "('0x' || SUBSTR(MD5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000"
+
+
+def cur_split_assign(spark, sf):
+    """Reproducible 90/5/5 train/val/test assignment — content-stable
+    hash buckets, not rand(): re-runs and failed-partition retries pick
+    identical splits, and adding rows never moves existing ones."""
+    from hadoopgis_spark.operators.curate import split_assign
+
+    d = _t(spark, sf, "documents")
+    return split_assign(d).select("doc_id", "split")
+
+
+CUR_SPLIT_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN {_MD5_BUCKET_SQL.format(salt='split')} < 9000 THEN 'train'
+              WHEN {_MD5_BUCKET_SQL.format(salt='split')} < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+"""
+
+
+def cur_stratified_sample(spark, sf):
+    """Deterministic per-source downsampling (cap src0 at 10%, src1 at
+    50%, keep the rest) — a map-side hash filter, zero shuffles."""
+    from hadoopgis_spark.operators.curate import stratified_sample
+
+    d = _t(spark, sf, "documents")
+    return stratified_sample(d, {"src0": 0.1, "src1": 0.5}).select("doc_id", "source")
+
+
+CUR_SAMPLE_SQL = f"""
+  SELECT doc_id, source FROM documents
+  WHERE {_MD5_BUCKET_SQL.format(salt='sample')} <
+        CASE WHEN source = 'src0' THEN 1000
+             WHEN source = 'src1' THEN 5000
+             ELSE 10000 END
+"""
+
+
+def cur_pack_sequences(spark, sf):
+    """GPT-style concatenate-and-chunk packing metadata: each document's
+    (stream, bin, tok_offset) start position in 512-token training
+    sequences, packed over 8 parallel salted streams."""
+    from hadoopgis_spark.operators.curate import pack_sequences
+
+    d = _t(spark, sf, "documents")
+    return pack_sequences(d, budget=512, n_streams=8).withColumnRenamed("id", "doc_id")
+
+
+CUR_PACK_SQL = r"""
+  WITH d AS (
+    SELECT doc_id,
+           GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '''(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')), 1) AS n_tokens,
+           ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 8 AS stream
+    FROM documents
+  )
+  SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, stream,
+         (SUM(n_tokens) OVER w - n_tokens) // 512 AS bin,
+         (SUM(n_tokens) OVER w - n_tokens) % 512 AS tok_offset
+  FROM d WINDOW w AS (PARTITION BY stream ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def cur_contamination(spark, sf):
+    """Benchmark decontamination (GPT-3 appendix / Dolma recipe): flag
+    every training doc sharing a word 8-gram with the eval subset
+    (doc_id % 97 == 0). Eval n-grams broadcast; corpus never shuffled."""
+    from hadoopgis_spark.operators.curate import contamination_flags
+
+    d = _t(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags(train, ev, n=8).withColumnRenamed("id", "doc_id")
+
+
+CUR_CONTAM_SQL = f"""
+  WITH w AS (
+    SELECT doc_id, STRING_SPLIT({_NORM_SQL}, ' ') AS words FROM documents
+  ),
+  g AS (
+    SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(words) - 6),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+          || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7]))) AS gram
+    FROM w WHERE LEN(words) >= 8
+  ),
+  ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+  hit AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0)
+  SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+  FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+  WHERE d.doc_id % 97 <> 0
+"""
+
+
 def dedup_clusters(spark, sf):
     """Near-dup clustering: LSH candidates → exact jaccard ≥ 0.5 →
     connected components (cluster = min doc_id, the canonical survivor)."""
@@ -2687,6 +2786,10 @@ REGISTRY: dict[str, Query] = {
     "sp_join_boxes_bos": Query(sp_join_boxes_bos, SP_JOIN_BOXES_SQL, "J1 via bos strips"),
     "txt_line_dedup": Query(txt_line_dedup, TXT_LINE_DEDUP_SQL, "C4-style corpus-global line dedup"),
     "dedup_jaccard_prefix": Query(dedup_jaccard_prefix, DEDUP_JACCARD_PREFIX_SQL, "COMPLETE jaccard join via prefix filtering (brute-force oracle)"),
+    "cur_split_assign": Query(cur_split_assign, CUR_SPLIT_SQL, "reproducible hash-bucket train/val/test split"),
+    "cur_stratified_sample": Query(cur_stratified_sample, CUR_SAMPLE_SQL, "deterministic per-source downsampling, map-side"),
+    "cur_pack_sequences": Query(cur_pack_sequences, CUR_PACK_SQL, "GPT-style sequence packing over salted parallel streams"),
+    "cur_contamination": Query(cur_contamination, CUR_CONTAM_SQL, "8-gram benchmark decontamination, broadcast eval side"),
     "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
     "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),

@@ -89,6 +89,81 @@ class TestDurableCheckpoint:
             spark.conf.unset("hgs.checkpointDir")
 
 
+class TestCurate:
+    """Training-data curation: determinism is the contract under test —
+    every operator must pick identical rows on re-run (splits, samples)
+    and be reproducible from ids alone."""
+
+    def test_split_stable_and_weighted(self, spark):
+        from hadoopgis_spark.operators.curate import split_assign
+
+        df = spark.createDataFrame([(i, f"t{i}") for i in range(2000)], "doc_id long, text string")
+        a = {r.doc_id: r.split for r in split_assign(df).collect()}
+        b = {r.doc_id: r.split for r in split_assign(df).collect()}
+        assert a == b  # deterministic
+        # content-stable: a subset sees the same assignments
+        sub = {r.doc_id: r.split for r in split_assign(df.filter(F.col("doc_id") < 500)).collect()}
+        assert all(a[k] == v for k, v in sub.items())
+        from collections import Counter
+
+        c = Counter(a.values())
+        assert 0.85 < c["train"] / 2000 < 0.95
+        assert c["val"] > 0 and c["test"] > 0
+
+    def test_stratified_sample_rates_and_determinism(self, spark):
+        from hadoopgis_spark.operators.curate import stratified_sample
+
+        rows = [(i, f"t{i}", f"src{i % 3}") for i in range(3000)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = stratified_sample(df, {"src0": 0.1, "src1": 0.5})
+        got = [(r.doc_id, r.source) for r in out.collect()]
+        assert got == [(r.doc_id, r.source) for r in out.collect()]
+        frac = {s: sum(1 for _, x in got if x == s) / 1000 for s in ("src0", "src1", "src2")}
+        assert 0.05 < frac["src0"] < 0.15
+        assert 0.4 < frac["src1"] < 0.6
+        assert frac["src2"] == 1.0  # default rate keeps everything
+
+    def test_pack_sequences_chunking_invariants(self, spark):
+        from hadoopgis_spark.operators.curate import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, "word " * (5 + i % 40)) for i in range(400)], "doc_id long, text string"
+        )
+        budget = 64
+        out = pack_sequences(df, budget=budget, n_streams=4).collect()
+        assert len(out) == 400
+        by_stream: dict[int, list] = {}
+        for r in out:
+            assert 0 <= r.tok_offset < budget
+            by_stream.setdefault(r.stream, []).append(r)
+        for rows in by_stream.values():
+            rows.sort(key=lambda r: r.id)
+            # concatenate-and-chunk: each doc starts exactly where the
+            # previous one ended (start = bin*budget + tok_offset)
+            cum = 0
+            for r in rows:
+                assert r.bin * budget + r.tok_offset == cum
+                cum += r.n_tokens
+
+    def test_contamination_flags(self, spark):
+        from hadoopgis_spark.operators.curate import contamination_flags
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+        train = spark.createDataFrame(
+            [
+                (1, f"prefix words here {shared} suffix tail"),
+                (2, "totally different content with no overlap at all present"),
+                (3, shared),
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, f"intro {shared} outro closing words")], "doc_id long, text string"
+        )
+        got = {r.id: r.contaminated for r in contamination_flags(train, ev, n=8).collect()}
+        assert got == {1: True, 2: False, 3: True}
+
+
 class TestDedup:
     def test_exact_dedup_check_unique_guard(self, spark):
         from hadoopgis_spark.operators.dedup import exact_dedup

@@ -303,6 +303,46 @@ class TestLineDedupPlan:
         assert "partial_min" in plan, plan[:1500]
         assert "Window" not in plan, plan[:1500]
 
+    def test_curation_filters_are_map_side(self, spark):
+        """split_assign and stratified_sample must stay inside the scan
+        stage: at 100 TB the curation filter IS the read — any exchange
+        here would shuffle the corpus to do per-row arithmetic."""
+        from hadoopgis_spark.operators.curate import split_assign, stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}", f"src{i % 3}") for i in range(100)],
+            "doc_id long, text string, source string",
+        )
+        assert count_exchanges(split_assign(df)) == 0
+        assert count_exchanges(stratified_sample(df, {"src0": 0.5})) == 0
+
+    def test_pack_sequences_single_salt_shuffle(self, spark):
+        """Packing = one hash partition by the stream salt; the window
+        runs per-stream. No global sort, no single-task cumsum."""
+        from hadoopgis_spark.operators.curate import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, "word " * 10) for i in range(100)], "doc_id long, text string"
+        )
+        out = pack_sequences(df, budget=64, n_streams=8)
+        plan = formatted_plan(out)
+        assert count_exchanges(out) == 1, plan[:1500]
+        assert "partitioning=[SinglePartition]" not in plan.replace(" ", ""), plan[:1500]
+
+    def test_contamination_broadcasts_eval_not_corpus(self, spark):
+        """The corpus side must reach the semi join without an exchange:
+        eval n-grams (benchmarks are small) broadcast onto the scan."""
+        from hadoopgis_spark.operators.curate import contamination_flags
+
+        train = spark.createDataFrame(
+            [(i, "some words " * 10) for i in range(100)], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame([(0, "eval text " * 8)], "doc_id long, text string")
+        out = contamination_flags(train, ev, n=8)
+        plan = formatted_plan(out)
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
     def test_jaccard_prefix_never_all_pairs(self, spark):
         """The COMPLETE jaccard join must get its completeness from the
         prefix-token equi-join, never from a physical cross product —
