@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "cur_stratified_sample",
     "cur_pack_sequences",
     "cur_contamination",
+    "stream_near_dedup_batch",
 ]
 
 

@@ -14,6 +14,11 @@ from hadoopgis_spark.streaming.events import (
     streaming_zone_tag,
     windowed_event_counts,
 )
+from hadoopgis_spark.streaming.neardedup import (
+    minhash_band_rows,
+    near_dedup_keep,
+    streaming_near_dedup,
+)
 
 __all__ = [
     "windowed_event_counts",
@@ -21,4 +26,7 @@ __all__ = [
     "streaming_containment",
     "streaming_zone_tag",
     "streaming_dedup",
+    "minhash_band_rows",
+    "near_dedup_keep",
+    "streaming_near_dedup",
 ]

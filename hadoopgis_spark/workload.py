@@ -949,6 +949,32 @@ DEDUP_JACCARD_PREFIX_SQL = f"""
 """
 
 
+def stream_near_dedup_batch(spark, sf):
+    """LSH near-dup suppression at ingestion (batch face): a doc is kept
+    iff it is the min-id owner of EVERY one of its minhash band keys —
+    the deterministic stand-in for the streaming rule "first arrival
+    wins a band bucket, any collision suppresses". Same 16-hash/4-band
+    construction as dedup_minhash_lsh, built as one stream-safe nested
+    let-bound expression (no checkpoint boundary)."""
+    from hadoopgis_spark.streaming import near_dedup_keep
+
+    d = _t(spark, sf, "documents")
+    return near_dedup_keep(d).withColumnRenamed("id", "doc_id")
+
+
+# winner of a band bucket = MIN(doc_id); kept iff the doc wins all its
+# bands. Shares the bigram/minhash/band construction of the LSH oracle.
+STREAM_NEAR_DEDUP_SQL = f"""
+  WITH s AS ({_BIGRAMS_SQL}),
+  sig AS (SELECT doc_id, {_MH_SQL} FROM s),
+  bands AS ({_BAND_SQL}),
+  w AS (SELECT band_idx, key, MIN(doc_id) AS wid FROM bands GROUP BY 1, 2)
+  SELECT b.doc_id FROM bands b
+  JOIN w ON b.band_idx = w.band_idx AND b.key = w.key
+  GROUP BY b.doc_id HAVING BOOL_AND(b.doc_id = w.wid)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data curation: reproducible splits, stratified downsampling,
 # sequence packing, benchmark decontamination (operators/curate.py). All
@@ -2790,6 +2816,7 @@ REGISTRY: dict[str, Query] = {
     "cur_stratified_sample": Query(cur_stratified_sample, CUR_SAMPLE_SQL, "deterministic per-source downsampling, map-side"),
     "cur_pack_sequences": Query(cur_pack_sequences, CUR_PACK_SQL, "GPT-style sequence packing over salted parallel streams"),
     "cur_contamination": Query(cur_contamination, CUR_CONTAM_SQL, "8-gram benchmark decontamination, broadcast eval side"),
+    "stream_near_dedup_batch": Query(stream_near_dedup_batch, STREAM_NEAR_DEDUP_SQL, "LSH near-dup suppression at ingestion (batch face)"),
     "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
     "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),

@@ -865,6 +865,45 @@ class TestStreaming:
         )
         assert got == keys
 
+    def test_streaming_near_dedup_suppresses_later_dup(self, spark, tmp_path):
+        """LSH near-dup suppression on a REAL stream: an exact duplicate
+        arriving in a LATER micro-batch collides on every band and is
+        suppressed; a distinct doc is kept. Batch face agrees on the
+        id-ordered arrival."""
+        from hadoopgis_spark.streaming import near_dedup_keep, streaming_near_dedup
+
+        src = str(tmp_path / "neardedup_src")
+        base = 1_700_000_000_000_000_000  # ns epoch
+        schema = "doc_id long, ts long, text string"
+        a = "the quick brown fox jumps over the lazy dog again and again"
+        c = "entirely different content about spark structured streaming state"
+        spark.createDataFrame([(1, base, a)], schema).repartition(1) \
+            .write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(2, base + 10**9, a), (3, base + 2 * 10**9, c)], schema
+        ).repartition(1).write.mode("append").parquet(src)
+        # flush batch: advances the watermark past the 1-minute window so
+        # the append-mode windowed count emits; itself a dup of 1, so it
+        # is suppressed and leaves no half-open window behind
+        spark.createDataFrame(
+            [(4, base + 7200 * 10**9, a)], schema
+        ).repartition(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        out = streaming_near_dedup(stream, watermark="1 hour", window="1 minute")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("near_dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        kept = sorted(r.id for r in spark.sql("SELECT id FROM near_dedup_out").collect())
+        assert kept == [1, 3]  # 2 is an exact dup of 1 → every band collides
+        batch_kept = sorted(r.id for r in near_dedup_keep(spark.read.parquet(src)).collect())
+        assert batch_kept == kept
+
     def test_streaming_zone_tag(self, spark, tmp_path):
         """Stream-static enrichment join on a REAL stream: file source →
         broadcast zone join → memory sink must equal the batch run."""
