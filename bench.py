@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "cur_pack_sequences",
     "cur_contamination",
     "stream_near_dedup_batch",
+    "txt_dup_passages",
 ]
 
 

@@ -2253,6 +2253,63 @@ TXT_WINNOW_SQL = f"""
 """
 
 
+def txt_dup_passages(spark, sf):
+    """Passage-level duplication signal (the Lee et al. '22 "dedup
+    training data" family, done with winnowing instead of suffix
+    arrays): for each document, the fraction of its winnow fingerprints
+    shared with at least one OTHER document — a shared fingerprint
+    certifies a shared substring of length ≥ w+k-1, so a high fraction
+    means the doc is mostly corpus-boilerplate. Scale shape: explode →
+    fingerprint doc-frequency (partial-agg) → rejoin → per-doc ratio;
+    the fingerprint frame is checkpointed once for its two consumers."""
+    from hadoopgis_spark.functions.text import winnow_fingerprints
+
+    d = _t(spark, sf, "documents")
+    fps = winnow_fingerprints(F.col("text"), k=5, w=8)
+    e = durable_checkpoint(d.select("doc_id", F.explode(fps).alias("fp")))
+    counts = e.groupBy("fp").agg(F.count(F.lit(1)).alias("ndocs"))
+    return (
+        e.join(counts, "fp")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum((F.col("ndocs") > 1).cast("int"))
+             / F.count(F.lit(1))).cast("double").alias("dup_passage_frac"),
+            F.count(F.lit(1)).alias("n_fp"),
+        )
+    )
+
+
+TXT_DUP_PASSAGES_SQL = f"""
+  WITH n AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+  s AS (
+    SELECT doc_id,
+           CASE WHEN LEN(t) < 5 THEN [t]
+                ELSE LIST_TRANSFORM(RANGE(1, LEN(t) - 3), i -> SUBSTR(t, i, 5))
+           END AS sh
+    FROM n
+  ),
+  h AS (
+    SELECT doc_id,
+           LIST_TRANSFORM(sh, x -> ('0x' || SUBSTR(MD5(x), 1, 8))::BIGINT) AS hs
+    FROM s
+  ),
+  m AS (
+    SELECT doc_id,
+           CASE WHEN LEN(hs) >= 8
+                THEN LIST_TRANSFORM(RANGE(0, LEN(hs) - 7), j -> LIST_MIN(hs[j+1 : j+8]))
+                ELSE [LIST_MIN(hs)]
+           END AS mins
+    FROM h
+  ),
+  f AS (SELECT doc_id, UNNEST(LIST_DISTINCT(mins)) AS fp FROM m),
+  c AS (SELECT fp, COUNT(*) AS ndocs FROM f GROUP BY 1)
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_passage_frac,
+         COUNT(*) AS n_fp
+  FROM f JOIN c USING (fp) GROUP BY doc_id
+"""
+
+
 def mm_resize(spark, sf):
     """Resize stage (mapInPandas): fake-decoded dims fit into 160×120
     preserving aspect ratio; IEEE scale arithmetic mirrored in the
@@ -2817,6 +2874,7 @@ REGISTRY: dict[str, Query] = {
     "cur_pack_sequences": Query(cur_pack_sequences, CUR_PACK_SQL, "GPT-style sequence packing over salted parallel streams"),
     "cur_contamination": Query(cur_contamination, CUR_CONTAM_SQL, "8-gram benchmark decontamination, broadcast eval side"),
     "stream_near_dedup_batch": Query(stream_near_dedup_batch, STREAM_NEAR_DEDUP_SQL, "LSH near-dup suppression at ingestion (batch face)"),
+    "txt_dup_passages": Query(txt_dup_passages, TXT_DUP_PASSAGES_SQL, "passage-level duplication fraction via winnow fingerprints"),
     "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
     "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),
