@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "cur_contamination",
     "stream_near_dedup_batch",
     "txt_dup_passages",
+    "sim_ann_ivf_indexed",
 ]
 
 

@@ -30,6 +30,7 @@ __all__ = [
     "fit_centroids",
     "ivf_assign",
     "ivf_topk",
+    "ivf_probe_rank",
 ]
 
 
@@ -274,6 +275,32 @@ def ivf_topk(
     asg = ivf_assign(
         corpus, vec_col, id_col, n_centroids=n_centroids, dim=dim, centroids=centroids
     )
+    return ivf_probe_rank(
+        asg, queries, k=k, n_probe=n_probe, n_centroids=n_centroids, dim=dim,
+        centroids=centroids, q_id_col=q_id_col, q_vec_col=q_vec_col, id_col=id_col,
+    )
+
+
+def ivf_probe_rank(
+    asg: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    n_probe: int,
+    n_centroids: int,
+    dim: int,
+    centroids=None,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query side of IVF over an already-assigned corpus (``asg`` =
+    (id, vec, cid), from :func:`ivf_assign` or loaded from a saved
+    index): probe the ``n_probe`` best lists per query, broadcast the
+    probes onto the cid-keyed corpus, rank candidates by exact cosine.
+    When ``asg`` is read from cid-PARTITIONED storage, the broadcast
+    equi-join triggers dynamic partition pruning — only the probed
+    lists are read at all."""
     qv = F.col(q_vec_col).cast("array<double>")
     probes = queries.select(
         F.col(q_id_col).alias("qid"),

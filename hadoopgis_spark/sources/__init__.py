@@ -9,6 +9,11 @@ from hadoopgis_spark.sources.bucketed import save_bucketed, spatial_join_buckete
 from hadoopgis_spark.sources.jsonl import read_jsonl, write_jsonl
 from hadoopgis_spark.sources.loader import load_partitioned, save_partitioned
 from hadoopgis_spark.sources.tsv import read_tsv, write_tsv
+from hadoopgis_spark.sources.vector_index import (
+    ivf_topk_indexed,
+    load_ivf_index,
+    save_ivf_index,
+)
 
 __all__ = [
     "read_tsv",
@@ -19,4 +24,7 @@ __all__ = [
     "load_partitioned",
     "save_bucketed",
     "spatial_join_bucketed",
+    "save_ivf_index",
+    "load_ivf_index",
+    "ivf_topk_indexed",
 ]

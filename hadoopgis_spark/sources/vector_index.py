@@ -1,0 +1,108 @@
+"""Persistent IVF vector index: fit/assign ONCE, serve top-k forever.
+
+``ivf_topk`` refits-or-reassigns the corpus per query run; at serving
+scale the index is an artifact, not a subexpression. ``save_ivf_index``
+fits centroids on a bounded sample (deterministic seed), assigns every
+vector to its nearest list, and writes the corpus PARTITIONED BY the
+list id (``cid``) next to a small centroids table. ``ivf_topk_indexed``
+then answers queries with NO refit and — the point of the layout —
+dynamic partition pruning: the probe side is broadcast onto the
+cid-partitioned scan, so Spark prunes the unprobed lists at the file
+level and a query touching ``n_probe`` of ``n_centroids`` lists reads
+~``n_probe/n_centroids`` of the corpus bytes (plan contract pinned in
+tests/test_plans.py).
+
+Roots follow the bucketed-storage convention: ``hgs.indexRoot`` points
+a cluster at a shared filesystem; the default is applicationId-keyed so
+concurrent sessions never clobber each other.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.operators.similarity import fit_centroids, ivf_assign, ivf_probe_rank
+
+__all__ = ["save_ivf_index", "load_ivf_index", "ivf_topk_indexed"]
+
+
+def _index_root(spark: SparkSession) -> str:
+    configured = spark.conf.get("hgs.indexRoot", None)
+    return configured or f"/tmp/hgs_ivf_{spark.sparkContext.applicationId}"
+
+
+def save_ivf_index(
+    df: DataFrame,
+    name: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    dim: int,
+    sample: int = 4096,
+    centroids=None,
+    root: str | None = None,
+) -> list[list[float]]:
+    """Build and persist the index; returns the fitted centroids.
+
+    Layout: ``{root}/{name}/vectors`` — (id, vec, cid) parquet
+    partitioned by cid (one inverted list per partition directory);
+    ``{root}/{name}/centroids`` — (cid, c, meta) with the JSON meta
+    (dim, n_centroids) repeated per row so a load needs one small scan.
+    Vectors are stored verbatim (original float array) — the exact
+    cosine refine is bit-identical to querying the live frame.
+    """
+    spark = df.sparkSession
+    base = f"{root or _index_root(spark)}/{name}"
+    if centroids is None:
+        centroids = fit_centroids(
+            df, vec_col, id_col, n_centroids=n_centroids, sample=sample
+        )
+    asg = ivf_assign(df, vec_col, id_col, n_centroids=n_centroids, dim=dim, centroids=centroids)
+    asg.write.mode("overwrite").partitionBy("cid").parquet(f"{base}/vectors")
+    meta = json.dumps({"dim": dim, "n_centroids": n_centroids})
+    cdf = spark.createDataFrame(
+        [(i, list(map(float, c)), meta) for i, c in enumerate(centroids)],
+        "cid int, c array<double>, meta string",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{base}/centroids")
+    return centroids
+
+
+def load_ivf_index(spark: SparkSession, name: str, root: str | None = None):
+    """(corpus(id, vec, cid), centroids, meta) — centroids are collected
+    (n_centroids rows, bounded by construction) so the probe expressions
+    inline them as literals, same as the live path."""
+    base = f"{root or _index_root(spark)}/{name}"
+    crows = spark.read.parquet(f"{base}/centroids").collect()
+    crows.sort(key=lambda r: r.cid)
+    meta = json.loads(crows[0].meta)
+    centroids = [list(r.c) for r in crows]
+    corpus = spark.read.parquet(f"{base}/vectors")
+    return corpus, centroids, meta
+
+
+def ivf_topk_indexed(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_probe: int = 4,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    id_col: str = "vec_id",
+    root: str | None = None,
+) -> DataFrame:
+    """IVF top-k against a saved index — no refit, no reassignment, and
+    the broadcast probe join dynamically prunes unprobed cid partitions
+    out of the scan."""
+    corpus, centroids, meta = load_ivf_index(spark, name, root)
+    return ivf_probe_rank(
+        corpus, queries, k=k, n_probe=n_probe,
+        n_centroids=meta["n_centroids"], dim=meta["dim"], centroids=centroids,
+        q_id_col=q_id_col, q_vec_col=q_vec_col, id_col=id_col,
+    )

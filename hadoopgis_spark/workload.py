@@ -2580,6 +2580,32 @@ def _ann_ivf_sql(n_centroids: int = 16, n_probe: int = 4, dim: int = 64, k: int 
 SIM_ANN_IVF_SQL = _ann_ivf_sql()
 
 
+def sim_ann_ivf_indexed(spark, sf):
+    """IVF top-k served from the PERSISTED index (sources/vector_index):
+    centroids fitted + corpus assigned + written cid-PARTITIONED once per
+    (session, sf); queries then run with no refit and dynamic partition
+    pruning of unprobed lists (plan contract in tests/test_plans.py).
+    Same centroids as sim_ann_ivf, so the identical inlined-centroid
+    oracle also pins storage-roundtrip exactness."""
+    from hadoopgis_spark.sources import ivf_topk_indexed, save_ivf_index
+
+    tag = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    name = f"ivfidx_{tag}"
+
+    def _build():
+        e = _t(spark, sf, "embeddings")
+        save_ivf_index(e, name, n_centroids=16, dim=64, centroids=_ivf_gate_centroids())
+        return name
+
+    _memo(("ivfidx", spark.sparkContext.applicationId, sf), _build)
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    j = ivf_topk_indexed(spark, name, q, k=5, n_probe=4)
+    return j.select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # BPE-ish token budget (training-pipeline token counting; JVM regex)
 # ---------------------------------------------------------------------------
@@ -2875,6 +2901,7 @@ REGISTRY: dict[str, Query] = {
     "cur_contamination": Query(cur_contamination, CUR_CONTAM_SQL, "8-gram benchmark decontamination, broadcast eval side"),
     "stream_near_dedup_batch": Query(stream_near_dedup_batch, STREAM_NEAR_DEDUP_SQL, "LSH near-dup suppression at ingestion (batch face)"),
     "txt_dup_passages": Query(txt_dup_passages, TXT_DUP_PASSAGES_SQL, "passage-level duplication fraction via winnow fingerprints"),
+    "sim_ann_ivf_indexed": Query(sim_ann_ivf_indexed, SIM_ANN_IVF_SQL, "IVF top-k from the persisted index (DPP on cid partitions)"),
     "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
     "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),

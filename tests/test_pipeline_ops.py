@@ -371,6 +371,27 @@ class TestSimilarity:
         total = sum(len(v) for v in exact_sets.values())
         assert hits / total >= 0.4, f"IVF recall {hits}/{total}"
 
+    def test_ivf_index_roundtrip_matches_live(self, spark, emb, tmp_path):
+        """save_ivf_index → ivf_topk_indexed must be bit-identical to the
+        live ivf_topk with the same centroids (vectors stored verbatim;
+        probe/rank code shared)."""
+        from hadoopgis_spark.sources import ivf_topk_indexed, save_ivf_index
+
+        root = str(tmp_path / "ivf")
+        cents = save_ivf_index(emb, "rt", n_centroids=4, dim=16, root=root)
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        live = sorted(
+            (r.q_id, r.vec_id, r.cosine)
+            for r in ivf_topk(emb, q, k=3, n_centroids=4, n_probe=2, dim=16, centroids=cents).collect()
+        )
+        idx = sorted(
+            (r.q_id, r.vec_id, r.cosine)
+            for r in ivf_topk_indexed(spark, "rt", q, k=3, n_probe=2, root=root).collect()
+        )
+        assert idx == live and len(idx) > 0
+
     def test_dim_is_required_no_probe_jobs(self, spark, emb):
         """dim is a required keyword everywhere a hyperplane/centroid
         literal is built: omitting it must fail at plan-build time, not

@@ -261,6 +261,25 @@ class TestPipelinePlans:
         # top-k window over candidates — never more
         assert count_exchanges(j) <= 2, plan[:2000]
 
+    def test_ivf_indexed_prunes_partitions_dynamically(self, spark, emb, tmp_path):
+        """The persisted-index query must show dynamic partition pruning
+        on the cid partition column: at serving scale the whole point of
+        the cid-partitioned layout is that unprobed inverted lists are
+        pruned at the FILE level, so a query reads ~n_probe/n_centroids
+        of the corpus bytes."""
+        from hadoopgis_spark.sources import ivf_topk_indexed, save_ivf_index
+
+        root = str(tmp_path / "ivf")
+        save_ivf_index(emb, "plans_ivfidx", n_centroids=4, dim=8, root=root)
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        j = ivf_topk_indexed(spark, "plans_ivfidx", q, k=3, n_probe=2, root=root)
+        plan = formatted_plan(j)
+        assert "dynamicpruning#" in plan, plan[:2000]
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
     def test_mm_decode_is_one_python_stage(self, spark):
         from hadoopgis_spark.operators.multimodal import decode_image
 
