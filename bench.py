@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "stream_near_dedup_batch",
     "txt_dup_passages",
     "sim_ann_ivf_indexed",
+    "dedup_incremental",
 ]
 
 

@@ -9,6 +9,7 @@ from hadoopgis_spark.sources.bucketed import save_bucketed, spatial_join_buckete
 from hadoopgis_spark.sources.jsonl import read_jsonl, write_jsonl
 from hadoopgis_spark.sources.loader import load_partitioned, save_partitioned
 from hadoopgis_spark.sources.tsv import read_tsv, write_tsv
+from hadoopgis_spark.sources.dedup_index import dedup_against_index, save_dedup_index
 from hadoopgis_spark.sources.vector_index import (
     ivf_topk_indexed,
     load_ivf_index,
@@ -27,4 +28,6 @@ __all__ = [
     "save_ivf_index",
     "load_ivf_index",
     "ivf_topk_indexed",
+    "save_dedup_index",
+    "dedup_against_index",
 ]

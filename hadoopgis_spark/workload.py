@@ -975,6 +975,54 @@ STREAM_NEAR_DEDUP_SQL = f"""
 """
 
 
+def dedup_incremental(spark, sf):
+    """Incremental near-dup: the corpus (doc_id % 5 != 0) is indexed
+    ONCE (banded minhash keys persisted, partitioned by band); the
+    incoming batch (doc_id % 5 == 0) is flagged by a semi join of its
+    band keys against the index — the corpus text is never rescanned.
+    Any-band-collision rule, same construction as the LSH pipeline."""
+    from hadoopgis_spark.sources import dedup_against_index, save_dedup_index
+
+    tag = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    name = f"dedupidx_{tag}"
+    d = _t(spark, sf, "documents")
+    # the corpus's band keys are already materialized once per session
+    # for the LSH self-dedup pipeline — the index build and the probe
+    # reuse that shared frame instead of re-deriving the expression
+    shared = _minhash_bands(spark, sf).select(
+        F.col("doc_id").alias("id"), "band_idx", "key"
+    )
+
+    def _build():
+        save_dedup_index(
+            d.filter(F.col("doc_id") % 5 != 0), name,
+            bands=shared.filter(F.col("id") % 5 != 0),
+        )
+        return name
+
+    _memo(("dedupidx", spark.sparkContext.applicationId, sf), _build)
+    return (
+        dedup_against_index(
+            d.filter(F.col("doc_id") % 5 == 0), name,
+            bands=shared.filter(F.col("id") % 5 == 0),
+        )
+        .withColumnRenamed("id", "doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+  WITH s AS ({_BIGRAMS_SQL}),
+  sig AS (SELECT doc_id, {_MH_SQL} FROM s),
+  bands AS ({_BAND_SQL}),
+  corp AS (SELECT DISTINCT band_idx, key FROM bands WHERE doc_id % 5 <> 0),
+  newb AS (SELECT doc_id, band_idx, key FROM bands WHERE doc_id % 5 = 0),
+  hit AS (SELECT DISTINCT doc_id FROM newb JOIN corp USING (band_idx, key))
+  SELECT n.doc_id, (h.doc_id IS NOT NULL) AS is_dup
+  FROM (SELECT DISTINCT doc_id FROM newb) n
+  LEFT JOIN hit h ON n.doc_id = h.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data curation: reproducible splits, stratified downsampling,
 # sequence packing, benchmark decontamination (operators/curate.py). All
@@ -2902,6 +2950,7 @@ REGISTRY: dict[str, Query] = {
     "stream_near_dedup_batch": Query(stream_near_dedup_batch, STREAM_NEAR_DEDUP_SQL, "LSH near-dup suppression at ingestion (batch face)"),
     "txt_dup_passages": Query(txt_dup_passages, TXT_DUP_PASSAGES_SQL, "passage-level duplication fraction via winnow fingerprints"),
     "sim_ann_ivf_indexed": Query(sim_ann_ivf_indexed, SIM_ANN_IVF_SQL, "IVF top-k from the persisted index (DPP on cid partitions)"),
+    "dedup_incremental": Query(dedup_incremental, DEDUP_INCREMENTAL_SQL, "incremental near-dup vs a persisted band index"),
     "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
     "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),

@@ -258,6 +258,32 @@ class TestDedup:
         for k in got:
             assert got[k] == pytest.approx(expect[k], abs=1e-12)
 
+    def test_dedup_index_incremental(self, spark, tmp_path):
+        """save_dedup_index → dedup_against_index: an incoming exact
+        copy of an indexed doc collides on every band (is_dup); a doc
+        sharing no shingle with the corpus cannot collide. The corpus
+        frame is never re-read during the probe."""
+        from hadoopgis_spark.sources import dedup_against_index, save_dedup_index
+
+        a = "the quick brown fox jumps over the lazy dog again"
+        b = "completely separate subject matter with its own vocabulary"
+        c = "unrelated third document about streaming state eviction rules"
+        corpus = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+        new = spark.createDataFrame([(10, a), (11, c)], "doc_id long, text string")
+        root = str(tmp_path / "didx")
+        save_dedup_index(corpus, "t", root=root)
+        got = {r.id: r.is_dup for r in dedup_against_index(new, "t", root=root).collect()}
+        assert got == {10: True, 11: False}
+        # precomputed-bands path must agree
+        from hadoopgis_spark.streaming import minhash_band_rows
+
+        pre = minhash_band_rows(new)
+        got2 = {
+            r.id: r.is_dup
+            for r in dedup_against_index(new, "t", root=root, bands=pre).collect()
+        }
+        assert got2 == got
+
     def test_exact_dedup(self, spark, docs):
         kept = {r.doc_id for r in exact_dedup(docs).collect()}
         assert kept == {1, 3, 4, 5, 6, 7}  # 2 removed (identical to 1)
