@@ -62,7 +62,11 @@ def save_ivf_index(
             df, vec_col, id_col, n_centroids=n_centroids, sample=sample
         )
     asg = ivf_assign(df, vec_col, id_col, n_centroids=n_centroids, dim=dim, centroids=centroids)
-    asg.write.mode("overwrite").partitionBy("cid").parquet(f"{base}/vectors")
+    # cluster output by the partition column: one writer task per list
+    # instead of every input task emitting a sliver into every cid dir
+    asg.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
+        f"{base}/vectors"
+    )
     meta = json.dumps({"dim": dim, "n_centroids": n_centroids})
     cdf = spark.createDataFrame(
         [(i, list(map(float, c)), meta) for i, c in enumerate(centroids)],
