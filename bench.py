@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "txt_dup_passages",
     "sim_ann_ivf_indexed",
     "dedup_incremental",
+    "cur_quality_cut",
 ]
 
 

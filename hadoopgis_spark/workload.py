@@ -1330,7 +1330,9 @@ def txt_quality_filter(spark, sf):
 
 
 _SW_EN = ", ".join(f"'{w}'" for w in TXT.STOPWORDS["en"])
-TXT_QUALITY_SQL = f"""
+# (doc_id, quality) for every document — shared by the fixed-threshold
+# filter gate and the corpus-relative percentile cut
+_QUALITY_SCORED_SQL = f"""
   WITH q AS (
     SELECT doc_id,
            LEAST(LENGTH(text) / CAST(500.0 AS DOUBLE), 1.0) AS len_score,
@@ -1348,9 +1350,38 @@ TXT_QUALITY_SQL = f"""
                 + (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END
                    + LEAST(swr * 5.0, 1.0))) / 4.0, 6) AS quality
   FROM q
-  WHERE ROUND((len_score + alpha
-               + (CASE WHEN awl >= 3.0 AND awl <= 10.0 THEN 1.0 ELSE 0.5 END
-                  + LEAST(swr * 5.0, 1.0))) / 4.0, 6) >= 0.7
+"""
+
+TXT_QUALITY_SQL = f"""
+  SELECT doc_id, quality FROM ({_QUALITY_SCORED_SQL}) WHERE quality >= 0.7
+"""
+
+
+def cur_quality_cut(spark, sf):
+    """Corpus-RELATIVE quality curation (FineWeb-style "keep the best
+    75%"): the cut point is the exact 25th percentile of the corpus's
+    own quality distribution, not a fixed constant — re-running on a
+    different corpus adapts the threshold automatically. The threshold
+    is one scalar (broadcast, 1-row build side); at 100 TB the same
+    shape runs off the mergeable sketch percentile instead
+    (`rel_percentiles_approx`). Threshold rounded to 4 decimals so the
+    boundary comparison is cross-engine reproducible."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "doc_id", F.round(TXT.quality_score(F.col("text")), 6).alias("quality")
+    )
+    thr = scored.agg(F.round(F.expr("percentile(quality, 0.25)"), 4).alias("_thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("_thr"))
+        .select("doc_id", "quality")
+    )
+
+
+CUR_QUALITY_CUT_SQL = f"""
+  WITH scored AS ({_QUALITY_SCORED_SQL})
+  SELECT doc_id, quality FROM scored
+  WHERE quality >= (SELECT ROUND(QUANTILE_CONT(quality, 0.25), 4) FROM scored)
 """
 
 
@@ -2951,6 +2982,7 @@ REGISTRY: dict[str, Query] = {
     "txt_dup_passages": Query(txt_dup_passages, TXT_DUP_PASSAGES_SQL, "passage-level duplication fraction via winnow fingerprints"),
     "sim_ann_ivf_indexed": Query(sim_ann_ivf_indexed, SIM_ANN_IVF_SQL, "IVF top-k from the persisted index (DPP on cid partitions)"),
     "dedup_incremental": Query(dedup_incremental, DEDUP_INCREMENTAL_SQL, "incremental near-dup vs a persisted band index"),
+    "cur_quality_cut": Query(cur_quality_cut, CUR_QUALITY_CUT_SQL, "corpus-relative percentile quality cut"),
     "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
     "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),

@@ -145,6 +145,42 @@ class TestCurate:
                 assert r.bin * budget + r.tok_offset == cum
                 cum += r.n_tokens
 
+    def test_pack_sequences_property(self, spark):
+        """Hypothesis: for random corpora, budgets and stream counts the
+        chunking invariants hold — every doc's start equals the previous
+        doc's end within its stream (no gaps, no overlaps, no loss)."""
+        from hypothesis import given, settings, strategies as st
+
+        from hadoopgis_spark.operators.curate import pack_sequences
+
+        @settings(max_examples=10, deadline=None)
+        @given(
+            n_docs=st.integers(1, 60),
+            budget=st.integers(8, 256),
+            n_streams=st.integers(1, 8),
+            seed=st.integers(0, 2**16),
+        )
+        def run(n_docs, budget, n_streams, seed):
+            import random
+
+            rng = random.Random(seed)
+            rows = [(i, "w " * rng.randint(1, 50)) for i in range(n_docs)]
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            out = pack_sequences(df, budget=budget, n_streams=n_streams).collect()
+            assert len(out) == n_docs
+            by_stream: dict[int, list] = {}
+            for r in out:
+                assert 0 <= r.tok_offset < budget and r.bin >= 0
+                by_stream.setdefault(r.stream, []).append(r)
+            for rows_ in by_stream.values():
+                rows_.sort(key=lambda r: r.id)
+                cum = 0
+                for r in rows_:
+                    assert r.bin * budget + r.tok_offset == cum
+                    cum += r.n_tokens
+
+        run()
+
     def test_contamination_flags(self, spark):
         from hadoopgis_spark.operators.curate import contamination_flags
 
