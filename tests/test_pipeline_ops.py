@@ -145,6 +145,39 @@ class TestCurate:
                 assert r.bin * budget + r.tok_offset == cum
                 cum += r.n_tokens
 
+    def test_curation_filters_run_on_streams(self, spark, tmp_path):
+        """split_assign / stratified_sample are pure Column expressions,
+        so the SAME code runs on a readStream frame — selections on the
+        stream must equal the batch run (determinism makes this exact,
+        which rand()-based sampling could never promise)."""
+        from hadoopgis_spark.operators.curate import split_assign, stratified_sample
+
+        src = str(tmp_path / "cur_src")
+        rows = [(i, f"text {i}", f"src{i % 3}") for i in range(200)]
+        schema = "doc_id long, text string, source string"
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+        batch = spark.read.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stratified_sample(split_assign(stream), {"src0": 0.3})
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cur_stream_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.doc_id, r.split)
+            for r in spark.sql("SELECT doc_id, split FROM cur_stream_out").collect()
+        }
+        want = {
+            (r.doc_id, r.split)
+            for r in stratified_sample(split_assign(batch), {"src0": 0.3}).collect()
+        }
+        assert got == want and 0 < len(got) < 200
+
     def test_pack_sequences_property(self, spark):
         """Hypothesis: for random corpora, budgets and stream counts the
         chunking invariants hold — every doc's start equals the previous
@@ -257,6 +290,53 @@ class TestDedup:
         df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
         got = {r.doc_id: list(r.lines) for r in line_dedup(df).collect()}
         assert got == expect
+
+    def test_jaccard_prefix_property(self, spark):
+        """Hypothesis: completeness/precision vs driver brute force over
+        random corpora, vocab sizes, shingle orders and thresholds —
+        the ceil-slack and prefix-length arithmetic must hold for ANY
+        parameterization, not just the gate's."""
+        from hypothesis import given, settings, strategies as st
+
+        from hadoopgis_spark.operators.dedup import jaccard_prefix_pairs
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            n_docs=st.integers(5, 40),
+            vocab=st.integers(3, 15),
+            n=st.integers(1, 3),
+            threshold=st.sampled_from([0.2, 0.35, 0.5, 0.65, 0.8, 0.9]),
+            seed=st.integers(0, 2**16),
+        )
+        def run(n_docs, vocab, n, threshold, seed):
+            import itertools
+            import random
+
+            rng = random.Random(seed)
+            words = [f"w{v}" for v in range(vocab)]
+            rows = [
+                (d, " ".join(rng.choice(words) for _ in range(rng.randint(n, 14))))
+                for d in range(n_docs)
+            ]
+
+            def sh(text):
+                w = text.split()
+                return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+            sets = {d: sh(t) for d, t in rows if sh(t)}
+            expect = {}
+            for a, b in itertools.combinations(sorted(sets), 2):
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= threshold:
+                    expect[(a, b)] = j
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            got = {
+                (r.id_1, r.id_2): r.jaccard
+                for r in jaccard_prefix_pairs(df, shingle_n=n, threshold=threshold).collect()
+            }
+            assert set(got) == set(expect)
+
+        run()
 
     @pytest.mark.parametrize("threshold", [0.3, 0.5, 0.7])
     def test_jaccard_prefix_matches_bruteforce(self, spark, threshold):
