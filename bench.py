@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "sim_ann_ivf_indexed",
     "dedup_incremental",
     "cur_quality_cut",
+    "stream_contamination_batch",
 ]
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "split_assign",
     "stratified_sample",
     "pack_sequences",
+    "ngram_rows",
     "contamination_flags",
 ]
 
@@ -112,6 +113,27 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
     )
 
 
+def ngram_rows(frame: DataFrame, n: int, text_col: str = "text",
+               id_col: str = "doc_id", keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, g [, keep_cols]): one row per distinct word n-gram of each
+    document. Pure Column expressions (stream-safe); the token array is
+    let-bound — HOFs are CodegenFallback (no CSE), see
+    operators.dedup.shingle_sets."""
+    words = tokens(F.col(text_col))
+
+    def grams_of(w):
+        g = w
+        for k in range(1, n):
+            g = F.zip_with(
+                g, F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(0))),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        return F.array_distinct(F.slice(g, 1, F.greatest(F.size(w) - (n - 1), F.lit(0))))
+
+    sh = F.transform(F.array(words), grams_of)[0]
+    return frame.select(F.col(id_col).alias("id"), *keep_cols, F.explode(sh).alias("g"))
+
+
 def contamination_flags(train: DataFrame, eval_df: DataFrame, n: int = 8,
                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Benchmark decontamination: flag every training document sharing
@@ -123,26 +145,8 @@ def contamination_flags(train: DataFrame, eval_df: DataFrame, n: int = 8,
     training n-grams — the corpus is scanned once, flat-mapped, probed
     in place, and never shuffled. Returns (id, contaminated).
     """
-
-    def ngrams(frame, idc):
-        words = tokens(F.col(text_col))
-
-        def grams_of(w):
-            g = w
-            for k in range(1, n):
-                g = F.zip_with(
-                    g, F.slice(w, k + 1, F.greatest(F.size(w) - k, F.lit(0))),
-                    lambda x, y: F.concat_ws(" ", x, y),
-                )
-            return F.array_distinct(F.slice(g, 1, F.greatest(F.size(w) - (n - 1), F.lit(0))))
-
-        # let-bind words: HOFs are CodegenFallback (no CSE) — see
-        # operators.dedup.shingle_sets
-        sh = F.transform(F.array(words), grams_of)[0]
-        return frame.select(F.col(idc).alias("id"), F.explode(sh).alias("g"))
-
-    bad = ngrams(eval_df, id_col).select("g").distinct()
-    tg = ngrams(train, id_col)
+    bad = ngram_rows(eval_df, n, text_col, id_col).select("g").distinct()
+    tg = ngram_rows(train, n, text_col, id_col)
     hits = tg.join(F.broadcast(bad), "g", "left_semi").select("id").distinct()
     return (
         train.select(F.col(id_col).alias("id"))

@@ -17,6 +17,7 @@ from hadoopgis_spark.streaming.events import (
 from hadoopgis_spark.streaming.neardedup import (
     minhash_band_rows,
     near_dedup_keep,
+    streaming_contamination,
     streaming_near_dedup,
 )
 
@@ -29,4 +30,5 @@ __all__ = [
     "minhash_band_rows",
     "near_dedup_keep",
     "streaming_near_dedup",
+    "streaming_contamination",
 ]

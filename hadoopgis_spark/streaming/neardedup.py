@@ -40,7 +40,12 @@ from hadoopgis_spark.materialize import durable_checkpoint
 from hadoopgis_spark.operators.dedup import MH_PRIME
 from hadoopgis_spark.streaming.events import _event_time
 
-__all__ = ["minhash_band_rows", "near_dedup_keep", "streaming_near_dedup"]
+__all__ = [
+    "minhash_band_rows",
+    "near_dedup_keep",
+    "streaming_near_dedup",
+    "streaming_contamination",
+]
 
 
 def _band_array(text_col: str, n_hashes: int, n_bands: int, shingle_n: int):
@@ -151,4 +156,36 @@ def streaming_near_dedup(stream: DataFrame, text_col: str = "text", id_col: str 
         .count()
         .filter(F.col("count") == n_bands)
         .select(F.col("window.start").alias("window_start"), "id")
+    )
+
+
+def streaming_contamination(stream: DataFrame, eval_df: DataFrame, n: int = 8,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            ts_col: str = "ts",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Decontamination at ingestion: emit the id of every arriving
+    document that shares a word ``n``-gram with the STATIC eval set
+    (benchmarks are bounded — their n-grams broadcast), each id once.
+
+    Stream shape: explode the arriving doc's n-grams (stateless), LEFT
+    SEMI against the broadcast eval grams (stateless stream-static
+    join), then one ``dropDuplicatesWithinWatermark`` on the id so a doc
+    matching many grams emits a single row with bounded state. On a
+    batch frame the same plan ends in ``distinct()`` — the
+    oracle-checkable face."""
+    from hadoopgis_spark.operators.curate import ngram_rows
+
+    bad = eval_df.transform(
+        lambda f: ngram_rows(f, n, text_col, id_col)
+    ).select("g").distinct()
+    if not stream.isStreaming:
+        tg = ngram_rows(stream, n, text_col, id_col)
+        return tg.join(F.broadcast(bad), "g", "left_semi").select("id").distinct()
+    e = _event_time(stream, ts_col)
+    tg = ngram_rows(e, n, text_col, id_col, keep_cols=("event_time",))
+    hits = tg.join(F.broadcast(bad), "g", "left_semi")
+    return (
+        hits.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["id"])
+        .select("id")
     )

@@ -975,6 +975,41 @@ STREAM_NEAR_DEDUP_SQL = f"""
 """
 
 
+# shared 5-gram + eval-subset CTEs for the two decontamination gates
+_GRAMS5_SQL = f"""
+  WITH w AS (
+    SELECT doc_id, STRING_SPLIT({_NORM_SQL}, ' ') AS words FROM documents
+  ),
+  g AS (
+    SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(words) - 3),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+          || ' ' || words[i+4]))) AS gram
+    FROM w WHERE LEN(words) >= 5
+  ),
+  ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+"""
+
+
+def stream_contamination_batch(spark, sf):
+    """Decontamination at ingestion (batch face): ids of docs sharing a
+    5-gram with the eval subset — explode → broadcast semi → distinct,
+    the plan the stream face runs with dropDuplicatesWithinWatermark in
+    place of the distinct (5-gram gate choice documented at
+    cur_contamination)."""
+    from hadoopgis_spark.streaming import streaming_contamination
+
+    d = _t(spark, sf, "documents")
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    return streaming_contamination(train, ev, n=5).withColumnRenamed("id", "doc_id")
+
+
+STREAM_CONTAM_SQL = f"""
+  {_GRAMS5_SQL}
+  SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0
+"""
+
+
 def dedup_incremental(spark, sf):
     """Incremental near-dup: the corpus (doc_id % 5 != 0) is indexed
     ONCE (banded minhash keys persisted, partitioned by band); the
@@ -1094,27 +1129,22 @@ CUR_PACK_SQL = r"""
 
 def cur_contamination(spark, sf):
     """Benchmark decontamination (GPT-3 appendix / Dolma recipe): flag
-    every training doc sharing a word 8-gram with the eval subset
-    (doc_id % 97 == 0). Eval n-grams broadcast; corpus never shuffled."""
+    every training doc sharing a word n-gram with the eval subset
+    (doc_id % 97 == 0). Eval n-grams broadcast; corpus never shuffled.
+    The operator default is 8-grams (the published range is 8-13); the
+    GATE uses 5-grams because the driver's synthetic docs are 30-160
+    words of a small vocabulary — at 8 the corpus has zero overlaps and
+    the check would be vacuous."""
     from hadoopgis_spark.operators.curate import contamination_flags
 
     d = _t(spark, sf, "documents")
     train = d.filter(F.col("doc_id") % 97 != 0)
     ev = d.filter(F.col("doc_id") % 97 == 0)
-    return contamination_flags(train, ev, n=8).withColumnRenamed("id", "doc_id")
+    return contamination_flags(train, ev, n=5).withColumnRenamed("id", "doc_id")
 
 
 CUR_CONTAM_SQL = f"""
-  WITH w AS (
-    SELECT doc_id, STRING_SPLIT({_NORM_SQL}, ' ') AS words FROM documents
-  ),
-  g AS (
-    SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(words) - 6),
-        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
-          || ' ' || words[i+4] || ' ' || words[i+5] || ' ' || words[i+6] || ' ' || words[i+7]))) AS gram
-    FROM w WHERE LEN(words) >= 8
-  ),
-  ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+  {_GRAMS5_SQL},
   hit AS (SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0)
   SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
   FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
@@ -2983,6 +3013,7 @@ REGISTRY: dict[str, Query] = {
     "sim_ann_ivf_indexed": Query(sim_ann_ivf_indexed, SIM_ANN_IVF_SQL, "IVF top-k from the persisted index (DPP on cid partitions)"),
     "dedup_incremental": Query(dedup_incremental, DEDUP_INCREMENTAL_SQL, "incremental near-dup vs a persisted band index"),
     "cur_quality_cut": Query(cur_quality_cut, CUR_QUALITY_CUT_SQL, "corpus-relative percentile quality cut"),
+    "stream_contamination_batch": Query(stream_contamination_batch, STREAM_CONTAM_SQL, "decontamination at ingestion (batch face)"),
     "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
     "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),

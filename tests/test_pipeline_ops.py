@@ -1067,6 +1067,45 @@ class TestStreaming:
         batch_kept = sorted(r.id for r in near_dedup_keep(spark.read.parquet(src)).collect())
         assert batch_kept == kept
 
+    def test_streaming_contamination(self, spark, tmp_path):
+        """Decontamination on a REAL stream: a doc sharing an 8-gram
+        with the static eval set is emitted once (even when it matches
+        many grams and arrives in a later micro-batch); clean docs are
+        never emitted. Batch face agrees."""
+        from hadoopgis_spark.streaming import streaming_contamination
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        src = str(tmp_path / "contam_src")
+        base = 1_700_000_000_000_000_000
+        schema = "doc_id long, ts long, text string"
+        spark.createDataFrame(
+            [(1, base, "clean content with nothing shared here at all today")], schema
+        ).repartition(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(2, base + 10**9, f"prefix {shared} suffix")], schema
+        ).repartition(1).write.mode("append").parquet(src)
+
+        ev = spark.createDataFrame(
+            [(100, f"intro {shared} outro")], "doc_id long, text string"
+        )
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        out = streaming_contamination(stream, ev, n=8)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("contam_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r.id for r in spark.sql("SELECT id FROM contam_out").collect())
+        assert got == [2]
+        batch = sorted(
+            r.id
+            for r in streaming_contamination(spark.read.parquet(src), ev, n=8).collect()
+        )
+        assert batch == got
+
     def test_streaming_zone_tag(self, spark, tmp_path):
         """Stream-static enrichment join on a REAL stream: file source →
         broadcast zone join → memory sink must equal the batch run."""
