@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "cur_quality_cut",
     "stream_contamination_batch",
+    "cur_pipeline",
 ]
 
 

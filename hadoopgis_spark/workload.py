@@ -1415,6 +1415,55 @@ CUR_QUALITY_CUT_SQL = f"""
 """
 
 
+def cur_pipeline(spark, sf):
+    """END-TO-END curation pipeline — the composability demonstration:
+    deterministic per-source cap (src0 at 50%) → corpus-relative quality
+    cut (20th percentile of the SURVIVORS' distribution) → exact text
+    dedup (min-id survivor) → reproducible split assignment. Every stage
+    is the already-gated operator, chained; the oracle is the same
+    four-stage SQL, so the hash pins the whole pipeline's row set."""
+    from hadoopgis_spark.operators.curate import split_assign, stratified_sample
+    from hadoopgis_spark.operators.dedup import exact_dedup
+
+    d = stratified_sample(_t(spark, sf, "documents"), {"src0": 0.5})
+    scored = d.select(
+        "doc_id", "text", F.round(TXT.quality_score(F.col("text")), 6).alias("quality")
+    )
+    thr = scored.agg(F.round(F.expr("percentile(quality, 0.2)"), 4).alias("_thr"))
+    kept = (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("_thr"))
+        .select("doc_id", "text", "quality")
+    )
+    return split_assign(exact_dedup(kept)).select("doc_id", "quality", "split")
+
+
+CUR_PIPELINE_SQL = f"""
+  WITH sampled AS (
+    SELECT doc_id, text FROM documents
+    WHERE {_MD5_BUCKET_SQL.format(salt='sample')} <
+          CASE WHEN source = 'src0' THEN 5000 ELSE 10000 END
+  ),
+  scored AS (
+    SELECT s.doc_id, s.text, q.quality
+    FROM sampled s JOIN ({_QUALITY_SCORED_SQL}) q ON s.doc_id = q.doc_id
+  ),
+  kept AS (
+    SELECT * FROM scored
+    WHERE quality >= (SELECT ROUND(QUANTILE_CONT(quality, 0.2), 4) FROM scored)
+  ),
+  dedup AS (
+    SELECT doc_id, quality FROM kept
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM kept GROUP BY MD5(text))
+  )
+  SELECT doc_id, quality,
+         CASE WHEN {_MD5_BUCKET_SQL.format(salt='split')} < 9000 THEN 'train'
+              WHEN {_MD5_BUCKET_SQL.format(salt='split')} < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM dedup
+"""
+
+
 def agg_partition_stats(spark, sf):
     """A3 partition-quality summary over the fg-grid histogram."""
     from hadoopgis_spark.operators.transforms import partition_quality_stats
@@ -3014,6 +3063,7 @@ REGISTRY: dict[str, Query] = {
     "dedup_incremental": Query(dedup_incremental, DEDUP_INCREMENTAL_SQL, "incremental near-dup vs a persisted band index"),
     "cur_quality_cut": Query(cur_quality_cut, CUR_QUALITY_CUT_SQL, "corpus-relative percentile quality cut"),
     "stream_contamination_batch": Query(stream_contamination_batch, STREAM_CONTAM_SQL, "decontamination at ingestion (batch face)"),
+    "cur_pipeline": Query(cur_pipeline, CUR_PIPELINE_SQL, "end-to-end curation: sample -> quality cut -> dedup -> split"),
     "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
     "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),
