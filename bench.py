@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "cur_quality_cut",
     "stream_contamination_batch",
     "cur_pipeline",
+    "sim_ann_lsh_multiprobe",
 ]
 
 

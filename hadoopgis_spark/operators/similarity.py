@@ -334,16 +334,41 @@ def lsh_topk(
     q_vec_col: str = "q_emb",
     n_planes: int = 8,
     n_tables: int = 2,
+    n_flip_probes: int = 0,
     dim: int,
 ) -> DataFrame:
     """Approximate top-k: union of per-table bucket joins, exact cosine
     rank within candidates. Increasing n_tables raises recall. ``dim``
     is required (see ``hyperplane_buckets``) so no schema-probe job
-    ever runs."""
+    ever runs.
+
+    ``n_flip_probes`` > 0 enables MULTI-PROBE (Lv et al., VLDB'07):
+    each query additionally probes the buckets obtained by flipping its
+    first ``n_flip_probes`` sign bits — recall close to doubling
+    n_tables at the cost of (n_flip_probes+1) probe rows per query
+    instead of another full corpus hash pass. The probe fan-out stays
+    on the (small) query side; the corpus is still hashed once per
+    table and joined by bucket equality — never scanned per probe."""
     cand = None
     for t in range(n_tables):
         cb = hyperplane_buckets(corpus, vec_col, id_col, n_planes=n_planes, table=t, dim=dim)
         qb = hyperplane_buckets(queries, q_vec_col, q_id_col, n_planes=n_planes, table=t, dim=dim)
+        if n_flip_probes:
+            b = F.col("bucket")
+            variants = [b]
+            for p in range(min(n_flip_probes, n_planes)):
+                flipped_bit = F.when(
+                    F.substring(b, p + 1, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1"))
+                variants.append(
+                    F.concat(
+                        F.substring(b, 1, p), flipped_bit,
+                        F.substring(b, p + 2, n_planes - p - 1),
+                    )
+                )
+            qb = qb.select(
+                "id", "vec", F.explode(F.array(*variants)).alias("bucket")
+            )
         c = cb.join(
             qb.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "bucket"),
             "bucket",

@@ -2073,7 +2073,25 @@ def sim_ann_lsh(spark, sf):
     return j.select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
-def _ann_lsh_sql(n_planes: int = 8, dim: int = 64, n_tables: int = 2, k: int = 5) -> str:
+def sim_ann_lsh_multiprobe(spark, sf):
+    """Multi-probe LSH (Lv et al. VLDB'07): each query also probes the
+    8 buckets one sign-flip away, so a candidate matches when its
+    bucket is within hamming distance 1 in either table. The oracle
+    states that condition directly (per-bit mismatch count ≤ 1 over the
+    small q×corpus product) — the Spark side must produce the SAME set
+    via flip-explode + equi-join, never a quadratic compare."""
+    from hadoopgis_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    j = lsh_topk(e, q, k=5, n_planes=8, n_tables=2, n_flip_probes=8, dim=64)
+    return j.select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _ann_lsh_sql(n_planes: int = 8, dim: int = 64, n_tables: int = 2, k: int = 5,
+                 hamming: int = 0) -> str:
     import hashlib
 
     def coeff(t, p, dd):
@@ -2088,7 +2106,15 @@ def _ann_lsh_sql(n_planes: int = 8, dim: int = 64, n_tables: int = 2, k: int = 5
             bits.append(f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END")
         buckets.append(" || ".join(bits))
     bucket_cols = ", ".join(f"{b} AS bucket{t}" for t, b in enumerate(buckets))
-    match = " OR ".join(f"q.bucket{t} = c.bucket{t}" for t in range(n_tables))
+    if hamming:
+        def dist(t):
+            return " + ".join(
+                f"CASE WHEN SUBSTR(q.bucket{t}, {p+1}, 1) = SUBSTR(c.bucket{t}, {p+1}, 1) THEN 0 ELSE 1 END"
+                for p in range(n_planes)
+            )
+        match = " OR ".join(f"({dist(t)}) <= {hamming}" for t in range(n_tables))
+    else:
+        match = " OR ".join(f"q.bucket{t} = c.bucket{t}" for t in range(n_tables))
     return f"""
   WITH e AS (
     SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
@@ -2113,6 +2139,7 @@ def _ann_lsh_sql(n_planes: int = 8, dim: int = 64, n_tables: int = 2, k: int = 5
 
 
 SIM_ANN_LSH_SQL = _ann_lsh_sql()
+SIM_ANN_LSH_MULTIPROBE_SQL = _ann_lsh_sql(hamming=1)
 
 
 # ---------------------------------------------------------------------------
@@ -3064,6 +3091,7 @@ REGISTRY: dict[str, Query] = {
     "cur_quality_cut": Query(cur_quality_cut, CUR_QUALITY_CUT_SQL, "corpus-relative percentile quality cut"),
     "stream_contamination_batch": Query(stream_contamination_batch, STREAM_CONTAM_SQL, "decontamination at ingestion (batch face)"),
     "cur_pipeline": Query(cur_pipeline, CUR_PIPELINE_SQL, "end-to-end curation: sample -> quality cut -> dedup -> split"),
+    "sim_ann_lsh_multiprobe": Query(sim_ann_lsh_multiprobe, SIM_ANN_LSH_MULTIPROBE_SQL, "multi-probe LSH: hamming-1 bucket probing"),
     "txt_winnow": Query(txt_winnow, TXT_WINNOW_SQL, "winnowing fingerprints (rolling-hash family)"),
     "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),

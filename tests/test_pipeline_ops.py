@@ -480,6 +480,32 @@ class TestSimilarity:
         total = sum(len(v) for v in exact_sets.values())
         assert hits / total >= 0.5, f"LSH recall {hits}/{total}"
 
+    def test_lsh_multiprobe_recall_at_least_single_probe(self, spark, emb):
+        """Hamming-1 multi-probe candidates are a SUPERSET of the exact-
+        bucket candidates, so recall can only go up; on this fixture it
+        must strictly find every single-probe hit and stay exact on the
+        cosine values."""
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        exact = brute_force_topk(emb, q, k=3).collect()
+        exact_sets = {}
+        for r in exact:
+            exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
+
+        def recall(rows):
+            s = {}
+            for r in rows:
+                s.setdefault(r.q_id, set()).add(r.vec_id)
+            return sum(len(exact_sets[k] & s.get(k, set())) for k in exact_sets)
+
+        single = lsh_topk(emb, q, k=3, n_planes=6, n_tables=1, dim=16).collect()
+        multi = lsh_topk(
+            emb, q, k=3, n_planes=6, n_tables=1, n_flip_probes=6, dim=16
+        ).collect()
+        assert recall(multi) >= recall(single)
+        assert recall(multi) > 0
+
     def test_ivf_assign_total(self, spark, emb):
         # every vector lands in exactly one centroid list
         asg = ivf_assign(emb, n_centroids=4, dim=16)
