@@ -114,6 +114,12 @@ BENCH_QUERIES = [
     "stream_contamination_batch",
     "cur_pipeline",
     "sim_ann_lsh_multiprobe",
+    # round 5c: temporal analytics, k-means surface, PII, DSIR weighting
+    "rel_asof_join",
+    "rel_funnel",
+    "sim_kmeans",
+    "txt_pii_scrub",
+    "cur_dsir_weights",
 ]
 
 

@@ -32,7 +32,10 @@ __all__ = [
     "md5_hash32",
     "bpe_tokens",
     "bpe_token_count",
+    "pii_count",
+    "pii_redact",
     "BPE_PATTERN",
+    "PII_PATTERNS",
     "STOPWORDS",
 ]
 
@@ -256,6 +259,44 @@ def char_shingles(col, n: int = 5) -> Column:
         )
 
     return F.transform(F.array(normalize_text(col)), sh)[0]
+
+
+# PII patterns for training-corpus redaction. Deliberately restricted
+# to regex features with IDENTICAL semantics in Java regex (Spark) and
+# RE2 (DuckDB/Go tooling): character classes, bounded quantifiers,
+# alternation — no lookaround, no backreferences (RE2 has neither).
+# Order matters: emails first (an address contains dots that the IP
+# pattern could otherwise nibble), then IPs, then phone numbers.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    # international-ish: +CC then 2-3 separated digit groups; the last
+    # group is optional so both "+1 555 0107" and "+44 20 7946 0958"
+    # match. Only greedy quantifiers + one optional group — identical
+    # backtracking behavior in Java regex and RE2.
+    "phone": (r"\+\d{1,3}[ -]?\d{2,4}[ -]?\d{3,4}([ -]?\d{3,4})?", "<PHONE>"),
+}
+
+
+def pii_count(col, kind: str) -> Column:
+    """Number of ``kind`` PII matches (email / ipv4 / phone) in the raw
+    text — JVM ``regexp_count``, no Python."""
+    pat, _ = PII_PATTERNS[kind]
+    return F.regexp_count(_c(col), F.lit(pat))
+
+
+def pii_redact(col, kinds: tuple[str, ...] = ("email", "ipv4", "phone")) -> Column:
+    """Replace each PII match with its typed placeholder token.
+
+    Applied in ``PII_PATTERNS`` order so composite strings (an email
+    whose domain resembles an IP) are consumed by the more specific
+    pattern first — counts therefore never double-book a character.
+    """
+    c = _c(col)
+    for kind in kinds:
+        pat, repl = PII_PATTERNS[kind]
+        c = F.regexp_replace(c, pat, repl)
+    return c
 
 
 def md5_hash32(col, offset: int = 1) -> Column:

@@ -39,6 +39,7 @@ __all__ = [
     "pack_sequences",
     "ngram_rows",
     "contamination_flags",
+    "dsir_weights",
 ]
 
 
@@ -152,4 +153,63 @@ def contamination_flags(train: DataFrame, eval_df: DataFrame, n: int = 8,
         train.select(F.col(id_col).alias("id"))
         .join(hits.withColumn("contaminated", F.lit(True)), "id", "left")
         .select("id", F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
+    )
+
+
+def dsir_weights(corpus: DataFrame, target: DataFrame, n_buckets: int = 256,
+                 scale: int = 1_000_000, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """DSIR-style hashed-unigram importance weights (after Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"), engine-exact integer variant.
+
+    DSIR scores documents by ``log p_target(x) / p_corpus(x)`` under
+    hashed bag-of-n-gram models and resamples by weight. A float
+    log-sum is order-dependent (partitioning-dependent in the last
+    ulps), so the estimator here is kept EXACT instead: each token in
+    md5 bucket ``b`` contributes the integer
+
+        (scale * (target_count[b] + 1)) div (corpus_count[b] + 1)
+
+    (add-one smoothing; ``div`` is exact, so the per-document SUM is
+    bit-identical on any engine and any partitioning). The per-bucket
+    contribution is monotone in the target/corpus likelihood ratio, so
+    ranking behavior matches the published estimator bucket-wise.
+
+    Scale shape: tokenize/explode is map-side; the two bucket-count
+    aggregations collapse to ``n_buckets`` rows via map-side partials;
+    the tiny stats table broadcasts back onto the token stream; the only
+    data-sized shuffle is the per-document SUM on the uniform id key.
+
+    Returns ``(id, n_tokens, score)`` for every corpus row (0/0 for
+    token-less documents).
+    """
+    toks = corpus.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).withColumn("b", md5_hash32(F.col("term")) % n_buckets).drop("term")
+    t_toks = target.select(F.explode(tokens(F.col(text_col))).alias("term")).select(
+        (md5_hash32(F.col("term")) % n_buckets).alias("b")
+    )
+    cc = toks.groupBy("b").agg(F.count(F.lit(1)).alias("cc"))
+    tc = t_toks.groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
+    stats = (
+        cc.join(tc, "b", "left")
+        .withColumn("tcp", F.coalesce(F.col("tc"), F.lit(0)) + 1)
+        # integral `div`, NOT `/`: Column `/` is double division and its
+        # rounding can disagree with DuckDB's exact BIGINT `//`
+        .selectExpr("b", f"(CAST({scale} AS BIGINT) * tcp) div (cc + 1) AS contrib")
+    )
+    scored = (
+        toks.join(F.broadcast(stats), "b")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("contrib").alias("score"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("score", F.lit(0)).alias("score"),
+        )
     )

@@ -1,0 +1,230 @@
+"""As-of join: brute-force parity, directions, tolerance, plan shape."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.operators.asof import asof_join
+
+
+def _brute(left, right, direction="backward", tolerance=None):
+    """Reference semantics, row at a time."""
+    out = []
+    for lk, lt, lv in left:
+        best = None
+        for rk, rt, rv in right:
+            if rk != lk:
+                continue
+            if direction == "backward":
+                if rt > lt or (tolerance is not None and rt < lt - tolerance):
+                    continue
+                if best is None or rt > best[0]:
+                    best = (rt, rv)
+            else:
+                if rt < lt or (tolerance is not None and rt > lt + tolerance):
+                    continue
+                if best is None or rt < best[0]:
+                    best = (rt, rv)
+        out.append((lk, lt, lv, best[0] if best else None, best[1] if best else None))
+    return sorted(out)
+
+
+def _frames(spark, seed, n_left=120, n_right=90, n_keys=7):
+    rng = random.Random(seed)
+    left = [(rng.randrange(n_keys), rng.randrange(1000), i) for i in range(n_left)]
+    right = [(rng.randrange(n_keys), rng.randrange(1000), 1000 + i) for i in range(n_right)]
+    # unique (key, t) on the right: as-of is only deterministic then
+    seen = set()
+    right = [r for r in right if not (r[:2] in seen or seen.add(r[:2]))]
+    ldf = spark.createDataFrame(left, "k int, t int, lv int")
+    rdf = spark.createDataFrame(right, "k int, t int, rv int")
+    return left, right, ldf, rdf
+
+
+class TestAsofJoin:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    def test_matches_bruteforce(self, spark, seed, direction):
+        left, right, ldf, rdf = _frames(spark, seed)
+        got = sorted(
+            (r.k, r.t, r.lv, r.t_right, r.rv)
+            for r in asof_join(ldf, rdf, on="t", by="k", direction=direction).collect()
+        )
+        assert got == _brute(left, right, direction)
+
+    @pytest.mark.parametrize("tolerance", [0, 25, 100])
+    def test_tolerance(self, spark, tolerance):
+        left, right, ldf, rdf = _frames(spark, 3)
+        got = sorted(
+            (r.k, r.t, r.lv, r.t_right, r.rv)
+            for r in asof_join(ldf, rdf, on="t", by="k", tolerance=tolerance).collect()
+        )
+        assert got == _brute(left, right, "backward", tolerance)
+
+    def test_tie_matches_equal_time(self, spark):
+        ldf = spark.createDataFrame([(1, 10, 0)], "k int, t int, lv int")
+        rdf = spark.createDataFrame([(1, 10, 5), (1, 9, 4)], "k int, t int, rv int")
+        row = asof_join(ldf, rdf, on="t", by="k").collect()[0]
+        assert (row.t_right, row.rv) == (10, 5)  # <=, not <
+
+    def test_no_match_is_null(self, spark):
+        ldf = spark.createDataFrame([(1, 5, 0)], "k int, t int, lv int")
+        rdf = spark.createDataFrame([(1, 6, 9)], "k int, t int, rv int")
+        row = asof_join(ldf, rdf, on="t", by="k").collect()[0]
+        assert row.t_right is None and row.rv is None
+
+    def test_collision_suffix_and_multi_key(self, spark):
+        ldf = spark.createDataFrame([(1, 2, 10, 7.0)], "k1 int, k2 int, t int, v double")
+        rdf = spark.createDataFrame(
+            [(1, 2, 8, 1.5), (1, 3, 9, 9.9)], "k1 int, k2 int, t int, v double"
+        )
+        out = asof_join(ldf, rdf, on="t", by=["k1", "k2"])
+        assert "v_right" in out.columns
+        row = out.collect()[0]
+        assert (row.v, row.t_right, row.v_right) == (7.0, 8, 1.5)
+
+    def test_single_shuffle_plan(self, spark):
+        """The union-merge shape costs exactly one exchange (plus the
+        window sort) — the 100 TB contract for this operator."""
+        ldf = spark.range(100).select(
+            (F.col("id") % 5).alias("k"), F.col("id").alias("t"), F.lit(1).alias("lv")
+        )
+        rdf = spark.range(50).select(
+            (F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("t"),
+            F.lit(2).alias("rv"),
+        )
+        plan = asof_join(ldf, rdf, on="t", by="k")._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan
+
+
+class TestFunnel:
+    def _events(self, spark):
+        rows = [
+            # u1 completes all three in order
+            (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+            # u2 clicks BEFORE viewing — the click must not count, and
+            # without a qualifying click the purchase can't either: level 1
+            (2, "click", 5), (2, "view", 10), (2, "purchase", 20),
+            # u3 views only
+            (3, "view", 7),
+            # u4 never enters the funnel
+            (4, "purchase", 1), (4, "error", 2),
+            # u5: same-timestamp click is NOT strictly after the view
+            (5, "view", 10), (5, "click", 10), (5, "purchase", 12),
+        ]
+        return spark.createDataFrame(rows, "user_id int, event_type string, t int")
+
+    def test_levels(self, spark):
+        from hadoopgis_spark.operators.funnel import funnel_times
+
+        out = {
+            r.user_id: (r.t1, r.t2, r.t3, r.funnel_level)
+            for r in funnel_times(
+                self._events(spark), ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert out[1] == (10, 20, 30, 3)
+        assert out[2] == (10, None, None, 1)
+        assert out[3] == (7, None, None, 1)
+        assert out[4] == (None, None, None, 0)
+        assert out[5] == (10, None, None, 1)
+
+    def test_single_exchange_plan(self, spark):
+        """All step windows + the final collapse share one hash
+        partitioning on the entity — exactly one exchange."""
+        from hadoopgis_spark.operators.funnel import funnel_times
+
+        plan = (
+            funnel_times(self._events(spark), ["view", "click", "purchase"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+
+
+class TestPiiScrub:
+    def test_redaction_and_counts(self, spark):
+        from hadoopgis_spark.functions.text import pii_count, pii_redact
+
+        rows = [
+            (1, "mail me at jo.doe+x@sub.example.co.uk or 192.168.0.1 now"),
+            (2, "call +1 555 0107 or +44 20 7946 0958 thanks"),
+            (3, "plain text, no pii at all"),
+        ]
+        df = spark.createDataFrame(rows, "id int, text string")
+        out = {
+            r.id: (r.e, r.i, r.p, r.red)
+            for r in df.select(
+                "id",
+                pii_count(F.col("text"), "email").alias("e"),
+                pii_count(F.col("text"), "ipv4").alias("i"),
+                pii_count(F.col("text"), "phone").alias("p"),
+                pii_redact(F.col("text")).alias("red"),
+            ).collect()
+        }
+        assert out[1][:3] == (1, 1, 0)
+        assert out[1][3] == "mail me at <EMAIL> or <IP> now"
+        assert out[2][:3] == (0, 0, 2)
+        assert out[2][3] == "call <PHONE> or <PHONE> thanks"
+        assert out[3] == (0, 0, 0, "plain text, no pii at all")
+
+    def test_map_only_plan(self, spark):
+        from hadoopgis_spark.functions.text import pii_redact
+
+        df = spark.createDataFrame([(1, "x")], "id int, text string")
+        plan = (
+            df.select(pii_redact(F.col("text")).alias("r"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestDsirWeights:
+    def test_target_docs_score_higher(self, spark):
+        """Documents drawn from the target vocabulary must outscore
+        documents from a disjoint vocabulary."""
+        from hadoopgis_spark.operators.curate import dsir_weights
+
+        target_docs = [(i, "alpha beta gamma delta " * 5) for i in range(5)]
+        other_docs = [(10 + i, "omega psi chi phi " * 5) for i in range(5)]
+        corpus = spark.createDataFrame(
+            target_docs + other_docs, "doc_id long, text string"
+        )
+        target = corpus.filter(F.col("doc_id") < 5)
+        scores = {r.id: r.score for r in dsir_weights(corpus, target).collect()}
+        assert min(scores[i] for i in range(5)) > max(scores[10 + i] for i in range(5))
+
+    def test_empty_doc_scores_zero(self, spark):
+        from hadoopgis_spark.operators.curate import dsir_weights
+
+        corpus = spark.createDataFrame(
+            [(1, "words here"), (2, "   ")], "doc_id long, text string"
+        )
+        out = {r.id: (r.n_tokens, r.score) for r in
+               dsir_weights(corpus, corpus.limit(1)).collect()}
+        assert out[2] == (0, 0)
+        assert out[1][0] == 2 and out[1][1] > 0
+
+
+class TestKmeansAssign:
+    def test_matches_numpy_argmin(self, spark):
+        import numpy as np
+
+        from hadoopgis_spark.operators.similarity import ivf_assign
+
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(200, 8).astype("float64")
+        cents = rng.randn(4, 8).tolist()
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(200)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r.id: r.cid
+            for r in ivf_assign(df, n_centroids=4, dim=8, centroids=cents).collect()
+        }
+        c = np.array(cents)
+        want = np.argmin(
+            ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        assert got == {i: int(want[i]) for i in range(200)}
