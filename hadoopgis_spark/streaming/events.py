@@ -64,8 +64,12 @@ def windowed_event_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     ts_col: str = "ts",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Tumbling-window counts + value sums per event_type.
+    """Tumbling (default) or sliding/hopping window counts + value sums
+    per event_type. ``slide`` < ``window`` makes windows overlap (each
+    event lands in window/slide hops — Spark's ``window()`` expands the
+    hops JVM-side, no Python).
 
     On a streaming frame the watermark bounds state and admits late rows
     up to ``watermark``; on a batch frame the same plan is a plain
@@ -74,9 +78,8 @@ def windowed_event_counts(
     e = _event_time(events, ts_col)
     if e.isStreaming:
         e = e.withWatermark("event_time", watermark)
-    return e.groupBy(
-        F.window("event_time", window).alias("win"), "event_type"
-    ).agg(
+    win = F.window("event_time", window, slide) if slide else F.window("event_time", window)
+    return e.groupBy(win.alias("win"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     ).select(

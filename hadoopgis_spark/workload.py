@@ -71,7 +71,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         dst = _spread_memo.get(key)
         if dst is None:
             tag = os.path.basename(os.path.normpath(sf_dir))
-            dst = f"/tmp/hgs_spread/{tag}/{name}"
+            # applicationId-keyed (same rationale as hgs.bucketRoot): a
+            # world-shared path lets a concurrent session overwrite the
+            # files this session is mid-scan on
+            root = spark.conf.get("hgs.spreadRoot", None) or (
+                f"/tmp/hgs_spread_{spark.sparkContext.applicationId}"
+            )
+            dst = f"{root}/{tag}/{name}"
             n = spark.sparkContext.defaultParallelism
             df = spark.read.parquet(src)
             if name == "events":
@@ -3275,6 +3281,128 @@ CUR_DSIR_SQL = f"""
 """
 
 
+def stream_sliding_batch(spark, sf):
+    """Sliding/hopping windows (2-hour windows every 1 hour) from the
+    streaming module on a batch frame — each event lands in exactly two
+    hops, expanded JVM-side by Spark's ``window()``; batch/stream parity
+    means this oracle also validates the stream face."""
+    from hadoopgis_spark.streaming import windowed_event_counts
+
+    return windowed_event_counts(
+        _t(spark, sf, "events"), window="2 hours", slide="1 hour"
+    )
+
+
+STREAM_SLIDING_SQL = """
+  WITH h AS (
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600 * UNNEST([0, 1])
+             AS window_start,
+           event_type, value
+    FROM events
+  )
+  SELECT window_start, event_type, COUNT(*) AS n_events,
+         ROUND(SUM(value), 2) AS sum_value
+  FROM h GROUP BY 1, 2
+"""
+
+
+def cur_chunk_docs(spark, sf):
+    """Overlapping fixed-size document chunking (RAG/context-window
+    prep): 500-char chunks every 400 chars. ``sequence`` + ``transform``
+    + ``explode`` — pure JVM, map-only until the output, no shuffle at
+    all; a long document expands into its chunks inside the scan stage.
+    """
+    d = _t(spark, sf, "documents")
+    size, stride = 500, 400
+    # chunk count: 0 for empty text, else (len-1) div stride + 1 —
+    # guarded explicitly because Spark's `div` truncates toward zero
+    # while DuckDB's `//` floors (they disagree at len = 0)
+    n = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.expr(f"(length(text) - 1) div {stride}") + 1
+    )
+    chunks = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), (n - 1).cast("int"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    chunks,
+                    lambda i: F.struct(
+                        i.alias("chunk_idx"),
+                        F.substring(
+                            F.col("text"), i * stride + 1, size
+                        ).alias("chunk"),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.length("c.chunk").alias("chunk_len"),
+            F.md5("c.chunk").alias("chunk_md5"),
+        )
+    )
+
+
+CUR_CHUNK_SQL = """
+  WITH n AS (
+    SELECT doc_id, text,
+           CASE WHEN LENGTH(text) = 0 THEN 0
+                ELSE (LENGTH(text) - 1) // 400 + 1 END AS n_chunks
+    FROM documents
+  ), x AS (
+    SELECT doc_id, text, UNNEST(RANGE(0, n_chunks)) AS chunk_idx FROM n
+  )
+  SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         LENGTH(SUBSTR(text, CAST(chunk_idx * 400 + 1 AS INT), 500)) AS chunk_len,
+         MD5(SUBSTR(text, CAST(chunk_idx * 400 + 1 AS INT), 500)) AS chunk_md5
+  FROM x
+"""
+
+
+def cur_mixture_alloc(spark, sf):
+    """Training-mixture planning: allocate a global token budget across
+    sources proportionally to declared weights, capped by availability.
+    Integer arithmetic throughout (exact on any engine); the per-source
+    stats table is tiny, so everything after the one count-aggregation
+    is scalar work."""
+    d = _t(spark, sf, "documents")
+    budget = 100_000
+    w = F.when(F.col("source").isin("src0", "src1"), F.lit(2)).otherwise(F.lit(1))
+    stats = d.groupBy("source").agg(
+        F.sum(TXT.token_count(F.col("text"))).alias("avail_tokens"),
+        F.max(w).alias("w"),
+    )
+    total_w = stats.agg(F.sum("w").alias("sum_w"))
+    return (
+        stats.crossJoin(F.broadcast(total_w))
+        .selectExpr(
+            "source",
+            "avail_tokens",
+            f"least(avail_tokens, (CAST({budget} AS BIGINT) * w) div sum_w) AS alloc_tokens",
+        )
+    )
+
+
+CUR_MIXTURE_SQL = f"""
+  WITH stats AS (
+    SELECT source,
+           CAST(SUM(CASE WHEN {_NORM_SQL} = '' THEN 0
+                         ELSE LENGTH({_NORM_SQL})
+                              - LENGTH(REPLACE({_NORM_SQL}, ' ', '')) + 1 END)
+                AS BIGINT) AS avail_tokens,
+           MAX(CASE WHEN source IN ('src0', 'src1') THEN 2 ELSE 1 END) AS w
+    FROM documents GROUP BY 1
+  ), t AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w FROM stats)
+  SELECT source, avail_tokens,
+         CAST(LEAST(avail_tokens, (100000 * w) // sum_w) AS BIGINT) AS alloc_tokens
+  FROM stats, t
+"""
+
+
 # Ordering contract: the driver's CORRECTNESS gate runs a bounded prefix of
 # this registry (observed: first 50 entries).  Rounds 1-4 left the newest
 # queries at the tail, so 27 of them never received the driver's independent
@@ -3334,6 +3462,9 @@ REGISTRY: dict[str, Query] = {
     "sim_kmeans": Query(sim_kmeans, SIM_KMEANS_SQL, "k-means assignment under fitted centroids, map-only"),
     "txt_pii_scrub": Query(txt_pii_scrub, TXT_PII_SQL, "PII redaction + counts (email/IP/phone), JVM regex"),
     "cur_dsir_weights": Query(cur_dsir_weights, CUR_DSIR_SQL, "DSIR hashed-unigram importance weights, exact-integer"),
+    "stream_sliding_batch": Query(stream_sliding_batch, STREAM_SLIDING_SQL, "sliding/hopping windows (2h every 1h), batch parity"),
+    "cur_chunk_docs": Query(cur_chunk_docs, CUR_CHUNK_SQL, "overlapping fixed-size chunking, map-only explode"),
+    "cur_mixture_alloc": Query(cur_mixture_alloc, CUR_MIXTURE_SQL, "token-budget mixture allocation across sources"),
     "rel_percentiles_approx": Query(
         rel_percentiles_approx,
         None,  # t-digest sketches differ across engines — rows-only check;

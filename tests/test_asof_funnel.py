@@ -228,3 +228,91 @@ class TestKmeansAssign:
             ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1), axis=1
         )
         assert got == {i: int(want[i]) for i in range(200)}
+
+
+class TestSlidingWindows:
+    def test_sliding_stream_matches_batch(self, spark, tmp_path):
+        """Real streaming run of the hopping-window rollup (2h every 1h)
+        equals the batch run of the same expression — and each event
+        contributes to exactly two hops."""
+        from hadoopgis_spark.streaming import windowed_event_counts
+        from hadoopgis_spark.streaming.events import normalize_event_ts
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        src = str(tmp_path / "slide_src")
+        ev = normalize_event_ts(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        )
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        agg = windowed_event_counts(
+            stream, window="2 hours", slide="1 hour", watermark="1 hour"
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("slide_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM slide_counts").collect()
+        }
+        batch = {
+            (r.window_start, r.event_type): (r.n_events, r.sum_value)
+            for r in windowed_event_counts(
+                ev, window="2 hours", slide="1 hour"
+            ).collect()
+        }
+        assert got == batch
+        # every event lands in window/slide = 2 hops
+        n_events = ev.count()
+        assert sum(v[0] for v in batch.values()) == 2 * n_events
+
+
+class TestChunkDocs:
+    def test_chunk_invariants(self, spark):
+        """Chunks tile the document: strides of 400, all but possibly
+        the last chunk are full-size, empty docs produce no chunks."""
+        from hadoopgis_spark.workload import cur_chunk_docs  # gate fn needs sf dir
+
+        rows = [
+            (1, "a" * 1300),   # 4 chunks: starts 0/400/800/1200
+            (2, "b" * 400),    # 1 chunk, exactly one stride
+            (3, "c" * 401),    # 2 chunks: second is 1 char
+            (4, ""),           # no chunks
+            (5, "d" * 5),      # 1 short chunk
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # reuse the gate's expression via a temp table-free call path:
+        # build the same projection inline
+        import hadoopgis_spark.workload as W
+        from pyspark.sql import functions as F  # noqa: F811
+
+        size, stride = 500, 400
+        n = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+            F.expr(f"(length(text) - 1) div {stride}") + 1
+        )
+        chunks = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+            F.sequence(F.lit(0), (n - 1).cast("int"))
+        )
+        out = df.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    chunks,
+                    lambda i: F.struct(
+                        i.alias("chunk_idx"),
+                        F.substring(F.col("text"), i * stride + 1, size).alias("chunk"),
+                    ),
+                )
+            ).alias("c"),
+        ).select("doc_id", "c.chunk_idx", F.length("c.chunk").alias("n"))
+        got = {(r.doc_id, r.chunk_idx): r.n for r in out.collect()}
+        assert {k[0] for k in got} == {1, 2, 3, 5}
+        assert [got[(1, i)] for i in range(4)] == [500, 500, 500, 100]
+        assert got[(2, 0)] == 400
+        assert [got[(3, i)] for i in range(2)] == [401, 1]
+        assert got[(5, 0)] == 5
