@@ -120,6 +120,11 @@ BENCH_QUERIES = [
     "sim_kmeans",
     "txt_pii_scrub",
     "cur_dsir_weights",
+    "stream_sliding_batch",
+    "cur_chunk_docs",
+    "cur_mixture_alloc",
+    "stream_asof_batch",
+    "stream_session_native_batch",
 ]
 
 

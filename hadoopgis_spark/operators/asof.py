@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "asof_join_broadcast"]
 
 
 def asof_join(
@@ -134,3 +134,69 @@ def asof_join(
     out.append(_ord(F.col("__m.__rt")).alias(matched_t))
     out.extend(F.col(f"__m.{a}").alias(a) for a in r_cols.values())
     return filled.select(*out)
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    tolerance: int | float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join for a BROADCASTABLE right side — zero shuffle
+    of the left frame.
+
+    The scale rationale: the dominant as-of workload joins a huge fact
+    stream against a small history table (currency rates, config
+    versions, sensor calibrations). :func:`asof_join` shuffles BOTH
+    sides on the key; here the right side is collapsed to one sorted
+    struct array per key (``sort_array(collect_list(...))`` — the only
+    shuffle, over the small side), broadcast, hash-joined, and the match
+    is ``filter(arr, rt <= t)[-1]`` — a per-row JVM array scan. The left
+    frame is never shuffled, so the operator composes with Structured
+    Streaming as a stateless stream-static enrichment (same plan, no
+    watermark needed).
+
+    Per-key history should be modest (the array scan is linear); for
+    big-right workloads use :func:`asof_join`.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    for c in keys + [on]:
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(f"column {c!r} must exist in both frames")
+    payload = [c for c in right.columns if c not in keys and c != on]
+    r_cols = {c: (c + suffix if c in left.columns else c) for c in payload}
+    matched_t = on + suffix
+
+    hist = right.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(on).alias("__rt"),
+                    *[F.col(c).alias(a) for c, a in r_cols.items()],
+                )
+            )
+        ).alias("__hist")
+    )
+    j = left.join(F.broadcast(hist), keys, "left")
+    lo = F.col(on) - F.lit(tolerance) if tolerance is not None else None
+
+    def pick(arr):
+        eligible = F.filter(
+            arr,
+            (lambda s: (s["__rt"] <= F.col(on)) & (s["__rt"] >= lo))
+            if tolerance is not None
+            else (lambda s: s["__rt"] <= F.col(on)),
+        )
+        # try_: ANSI mode (Spark 4 default) makes element_at THROW on an
+        # empty eligible set instead of returning null
+        return F.try_element_at(eligible, F.lit(-1))
+
+    # let-bind via transform-over-singleton: element_at(<filter expr>, -1)
+    # would otherwise inline the filter into every struct-field access
+    m = F.transform(F.array(F.coalesce(F.col("__hist"), F.array())), pick)[0]
+    out = [F.col(c) for c in left.columns]
+    out.append(m["__rt"].alias(matched_t))
+    out.extend(m[a].alias(a) for a in r_cols.values())
+    return j.select(*out)

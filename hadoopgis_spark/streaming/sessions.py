@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["sessionize", "sessionize_stream", "SESSION_SCHEMA"]
+__all__ = ["sessionize", "sessionize_stream", "session_window_rollup", "SESSION_SCHEMA"]
 
 SESSION_SCHEMA = (
     "user_id long, session_no long, session_start long, session_end long, "
@@ -110,4 +110,38 @@ def sessionize_stream(
         stateStructType="session_no long, session_start long, session_end long, n_events long, sum_value double",
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def session_window_rollup(
+    events: DataFrame, gap: str = "30 minutes", ts_col: str = "ts"
+) -> DataFrame:
+    """Gap sessionization through Spark's NATIVE ``session_window`` —
+    the built-in merging-window state store path, complementing the
+    custom ``applyInPandasWithState`` operator above (same semantics,
+    engine-managed state: on a stream the watermark evicts closed
+    sessions; on a batch frame it is a plain aggregation).
+
+    A session extends while consecutive events are < ``gap`` apart
+    (Spark merges an event into a session when its time is strictly
+    before previous_end = previous_time + gap). Returns one row per
+    (user, session): start epoch-seconds, event count, value sum.
+    """
+    from hadoopgis_spark.streaming.events import _event_time
+
+    e = _event_time(events, ts_col)
+    if e.isStreaming:
+        e = e.withWatermark("event_time", gap)
+    return (
+        e.groupBy("user_id", F.session_window("event_time", gap).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp("win.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
     )

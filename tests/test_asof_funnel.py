@@ -316,3 +316,120 @@ class TestChunkDocs:
         assert got[(2, 0)] == 400
         assert [got[(3, i)] for i in range(2)] == [401, 1]
         assert got[(5, 0)] == 5
+
+
+class TestAsofBroadcast:
+    @pytest.mark.parametrize("seed", [0, 4])
+    @pytest.mark.parametrize("tolerance", [None, 50])
+    def test_matches_shuffle_strategy(self, spark, seed, tolerance):
+        from hadoopgis_spark.operators.asof import asof_join_broadcast
+
+        left, right, ldf, rdf = _frames(spark, seed)
+        got = sorted(
+            (r.k, r.t, r.lv, r.t_right, r.rv)
+            for r in asof_join_broadcast(
+                ldf, rdf, on="t", by="k", tolerance=tolerance
+            ).collect()
+        )
+        assert got == _brute(left, right, "backward", tolerance)
+
+    def test_left_never_shuffled(self, spark):
+        """Plan contract: only the SMALL side's history aggregation
+        exchanges; the left frame reaches the broadcast join unshuffled
+        (no SortMergeJoin, no Window)."""
+        from hadoopgis_spark.operators.asof import asof_join_broadcast
+
+        ldf = spark.range(1000).select(
+            (F.col("id") % 5).alias("k"), F.col("id").alias("t"), F.lit(1).alias("lv")
+        )
+        rdf = spark.range(50).select(
+            (F.col("id") % 5).alias("k"), (F.col("id") * 7).alias("t"),
+            F.lit(2).alias("rv"),
+        )
+        plan = (
+            asof_join_broadcast(ldf, rdf, on="t", by="k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" not in plan and "Window" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan  # right agg only
+
+    def test_streaming_left_frame(self, spark, tmp_path):
+        """The broadcast strategy is stateless — a streaming left frame
+        runs through the identical plan; results equal the batch run."""
+        from hadoopgis_spark.operators.asof import asof_join_broadcast
+
+        ldf = spark.range(200).select(
+            (F.col("id") % 3).alias("k"), F.col("id").alias("t"),
+            F.col("id").alias("lv"),
+        )
+        rdf = spark.range(20).select(
+            (F.col("id") % 3).alias("k"), (F.col("id") * 9).alias("t"),
+            (F.col("id") + 100).alias("rv"),
+        )
+        src = str(tmp_path / "asof_left")
+        ldf.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ldf.schema).parquet(src)
+        out = asof_join_broadcast(stream, rdf, on="t", by="k")
+        q = (
+            out.writeStream.format("memory").queryName("asof_stream")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM asof_stream").collect()
+        )
+        want = sorted(
+            tuple(r) for r in asof_join_broadcast(ldf, rdf, on="t", by="k").collect()
+        )
+        assert got == want and len(got) == 200
+
+
+class TestSessionWindowNative:
+    def test_stream_matches_batch(self, spark, tmp_path):
+        from hadoopgis_spark.streaming.events import normalize_event_ts
+        from hadoopgis_spark.streaming.sessions import session_window_rollup
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = normalize_event_ts(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        )
+        src = str(tmp_path / "sess_src")
+        ev.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        agg = session_window_rollup(stream)
+        q = (
+            agg.writeStream.format("memory").queryName("sess_native")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM sess_native").collect()
+        )
+        want = sorted(tuple(r) for r in session_window_rollup(ev).collect())
+        assert got == want and len(got) > 0
+
+    def test_matches_custom_sessionize(self, spark):
+        """The native session_window path and the custom stateful
+        operator agree on (user, session_start, n_events) — two
+        independent implementations of the same gap semantics."""
+        from hadoopgis_spark.streaming.events import normalize_event_ts
+        from hadoopgis_spark.streaming.sessions import (
+            session_window_rollup,
+            sessionize,
+        )
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = normalize_event_ts(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        )
+        native = {
+            (r.user_id, r.session_start): r.n_events
+            for r in session_window_rollup(ev).collect()
+        }
+        custom = {
+            (r.user_id, r.session_start // 1_000_000_000): r.n_events
+            for r in sessionize(ev).collect()
+        }
+        assert native == custom
