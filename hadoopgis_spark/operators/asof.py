@@ -52,6 +52,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: int | float | None = None,
     suffix: str = "_right",
+    strategy: str = "shuffle",
 ) -> DataFrame:
     """Point-in-time join: latest ``right`` row at-or-before each ``left`` row.
 
@@ -66,12 +67,30 @@ def asof_join(
         time are nulled out (same-unit as ``on``).
     suffix: appended to right-side payload column names that collide
         with left-side names.
+    strategy: ``"shuffle"`` (union-merge, scales to any right side),
+        ``"broadcast"`` (delegates to :func:`asof_join_broadcast`; the
+        left frame is never shuffled — requires ``backward``), or
+        ``"auto"`` (broadcast when the right side fits under
+        ``hgs.broadcastRowThreshold`` rows, same probe as the spatial
+        join's auto mode).
 
     Returns the left frame with the matched right payload columns (and
     ``on + suffix`` = the matched right time), null where no match.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if strategy not in ("shuffle", "broadcast", "auto"):
+        raise ValueError("strategy must be 'shuffle', 'broadcast', or 'auto'")
+    if strategy == "auto" and direction == "backward":
+        threshold = int(
+            left.sparkSession.conf.get("hgs.broadcastRowThreshold", "5000")
+        )
+        small = right.limit(threshold + 1).count() <= threshold
+        strategy = "broadcast" if small else "shuffle"
+    if strategy == "broadcast":
+        if direction != "backward":
+            raise ValueError("strategy='broadcast' supports direction='backward' only")
+        return asof_join_broadcast(left, right, on, by, tolerance, suffix)
     keys = [by] if isinstance(by, str) else list(by)
     for c in keys + [on]:
         if c not in left.columns or c not in right.columns:

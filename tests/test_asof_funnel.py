@@ -433,3 +433,32 @@ class TestSessionWindowNative:
             for r in sessionize(ev).collect()
         }
         assert native == custom
+
+
+class TestAsofAutoStrategy:
+    def test_auto_picks_broadcast_for_small_right(self, spark):
+        left, right, ldf, rdf = _frames(spark, 5)
+        spark.conf.set("hgs.broadcastRowThreshold", "5000")
+        out = asof_join(ldf, rdf, on="t", by="k", strategy="auto")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "Window" not in plan
+        got = sorted((r.k, r.t, r.lv, r.t_right, r.rv) for r in out.collect())
+        assert got == _brute(left, right)
+
+    def test_auto_falls_back_to_shuffle(self, spark):
+        left, right, ldf, rdf = _frames(spark, 6)
+        spark.conf.set("hgs.broadcastRowThreshold", "10")
+        try:
+            out = asof_join(ldf, rdf, on="t", by="k", strategy="auto")
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "Window" in plan  # union-merge path
+            got = sorted((r.k, r.t, r.lv, r.t_right, r.rv) for r in out.collect())
+            assert got == _brute(left, right)
+        finally:
+            spark.conf.set("hgs.broadcastRowThreshold", "5000")
+
+    def test_broadcast_forward_refused(self, spark):
+        _, _, ldf, rdf = _frames(spark, 7)
+        with pytest.raises(ValueError, match="backward"):
+            asof_join(ldf, rdf, on="t", by="k", strategy="broadcast",
+                      direction="forward")
