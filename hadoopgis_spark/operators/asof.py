@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "asof_join_broadcast"]
+__all__ = ["asof_join", "asof_join_broadcast", "asof_join_bucketed"]
 
 
 def asof_join(
@@ -69,7 +69,9 @@ def asof_join(
         with left-side names.
     strategy: ``"shuffle"`` (union-merge, scales to any right side),
         ``"broadcast"`` (delegates to :func:`asof_join_broadcast`; the
-        left frame is never shuffled — requires ``backward``), or
+        left frame is never shuffled — requires ``backward``),
+        ``"bucketed"`` (delegates to :func:`asof_join_bucketed`; the
+        skew-proof prefix-scan shape — requires ``backward``), or
         ``"auto"`` (broadcast when the right side fits under
         ``hgs.broadcastRowThreshold`` rows, same probe as the spatial
         join's auto mode).
@@ -79,8 +81,12 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
-    if strategy not in ("shuffle", "broadcast", "auto"):
-        raise ValueError("strategy must be 'shuffle', 'broadcast', or 'auto'")
+    if strategy not in ("shuffle", "broadcast", "bucketed", "auto"):
+        raise ValueError("strategy must be 'shuffle', 'broadcast', 'bucketed', or 'auto'")
+    if strategy == "bucketed":
+        if direction != "backward":
+            raise ValueError("strategy='bucketed' supports direction='backward' only")
+        return asof_join_bucketed(left, right, on, by, tolerance, suffix)
     if strategy == "auto" and direction == "backward":
         threshold = int(
             left.sparkSession.conf.get("hgs.broadcastRowThreshold", "5000")
@@ -219,3 +225,156 @@ def asof_join_broadcast(
     out.append(m["__rt"].alias(matched_t))
     out.extend(m[a].alias(a) for a in r_cols.values())
     return j.select(*out)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    tolerance: int | float | None = None,
+    suffix: str = "_right",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Skew-proof backward as-of join: the union-merge shape with the
+    per-key running ``last`` decomposed as a parallel prefix scan.
+
+    :func:`asof_join` windows over the join key alone, so a key holding
+    30% of a 100 TB fact table serializes into one task. Here time is
+    cut into ``n_buckets`` ranges (bounds from one scalar min/max agg)
+    and the scan splits two-level, the textbook prefix-sum shape:
+
+    1. *Carry rows*: per ``(key, bucket)``, the latest right row —
+       ``max(struct(t, payload))`` with map-side partials, so even the
+       hot key contributes ≤ ``n_buckets`` rows. A tiny window over the
+       (densified) per-bucket table yields ``carry(k, b)`` = latest
+       right in any EARLIER bucket.
+    2. *Injection*: each non-null carry becomes a synthetic right row
+       that sorts FIRST in its bucket (null time + side −1), unioned
+       into the big frame — seeding the scan costs no join and no
+       second sort of the big side.
+    3. *Within bucket*: hash-partition on ``(key, bucket)`` — the hot
+       key now spreads over ``n_buckets`` tasks — and the running
+       ``last`` starts from the injected carry.
+
+    The big side still shuffles and sorts exactly once (same plan shape
+    as :func:`asof_join`, finer partition key). Results are
+    bit-identical to :func:`asof_join` (pinned in tests).
+
+    Requires a NUMERIC time column (epoch numbers — the engine's
+    canonical event time is epoch-nanos BIGINT); use :func:`asof_join`
+    for raw timestamp columns.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    for c in keys + [on]:
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(f"column {c!r} must exist in both frames")
+    payload = [c for c in right.columns if c not in keys and c != on]
+    r_cols = {c: (c + suffix if c in left.columns else c) for c in payload}
+    matched_t = on + suffix
+
+    r_struct = F.struct(
+        F.col(on).alias("__rt"),
+        *[F.col(c).alias(a) for c, a in r_cols.items()],
+    )
+    r_type = right.select(r_struct.alias("s")).schema["s"].dataType
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    l_type = left.select(l_struct.alias("s")).schema["s"].dataType
+
+    # bucket boundaries must span BOTH sides' time ranges: bounds from
+    # one side alone would CLAMP the other side's out-of-range rows into
+    # the edge buckets — correct (clamping is monotone) but it silently
+    # re-concentrates the hot key the whole strategy exists to split
+    lb = left.agg(F.min(on).alias("lo"), F.max(on).alias("hi")).collect()[0]
+    rb = right.agg(F.min(on).alias("lo"), F.max(on).alias("hi")).collect()[0]
+    lo = min((x for x in (lb.lo, rb.lo) if x is not None), default=None)
+    hi = max((x for x in (lb.hi, rb.hi) if x is not None), default=None)
+    if lo is None or lo == hi:
+        return asof_join(left, right, on, by, "backward", tolerance, suffix)
+    span = hi - lo
+
+    def bucket(t):
+        # double arithmetic: int inputs overflow the *n_buckets under
+        # ANSI; correctness only needs bucket(t) monotone in t, which
+        # IEEE rounding preserves
+        raw = (
+            (t.cast("double") - float(lo)) * float(n_buckets) / float(span)
+        ).cast("long")
+        return F.greatest(F.lit(0).cast("long"), F.least(raw, F.lit(n_buckets - 1).cast("long")))
+
+    l_tagged = left.select(
+        *[F.col(c) for c in keys],
+        bucket(F.col(on)).alias("__b"),
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__side"),
+        l_struct.alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"),
+    )
+    r_tagged = right.select(
+        *[F.col(c) for c in keys],
+        bucket(F.col(on)).alias("__b"),
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_type).alias("__l"),
+        r_struct.alias("__r"),
+    )
+
+    # carry: latest right per (k, bucket), then latest over EARLIER
+    # buckets. The grid is DENSIFIED to every (key, bucket) pair — a left
+    # row whose bucket holds no rights must still see the carry from
+    # earlier buckets. Still right-side-sized: n_right_keys × n_buckets.
+    per_bucket = r_tagged.groupBy(*keys, "__b").agg(F.max("__r").alias("__last"))
+    grid = (
+        r_tagged.select(*keys)
+        .distinct()
+        .withColumn(
+            "__b",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_buckets - 1)).cast("array<long>")
+            ),
+        )
+    )
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t_type = left.schema[on].dataType
+    carry_rows = (
+        grid.join(per_bucket, keys + ["__b"], "left")
+        .select(*keys, "__b", F.max("__last").over(wb).alias("__carry"))
+        .filter(F.col("__carry").isNotNull())
+        .select(
+            *keys,
+            "__b",
+            # null time + side -1 sorts FIRST within the bucket (nulls
+            # first under ascending), so the running last() is seeded
+            # before any real row of the bucket
+            F.lit(None).cast(t_type).alias("__t"),
+            F.lit(-1).alias("__side"),
+            F.lit(None).cast(l_type).alias("__l"),
+            F.col("__carry").alias("__r"),
+        )
+    )
+
+    u = l_tagged.unionByName(r_tagged).unionByName(carry_rows)
+    w = (
+        Window.partitionBy(*keys, "__b")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    if tolerance is not None:
+        filled = filled.withColumn(
+            "__m",
+            F.when(
+                F.col("__m.__rt") >= F.col("__t") - F.lit(tolerance), F.col("__m")
+            ),
+        )
+    out = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out.append(F.col("__m.__rt").alias(matched_t))
+    out.extend(F.col(f"__m.{a}").alias(a) for a in r_cols.values())
+    return filled.select(*out)

@@ -462,3 +462,69 @@ class TestAsofAutoStrategy:
         with pytest.raises(ValueError, match="backward"):
             asof_join(ldf, rdf, on="t", by="k", strategy="broadcast",
                       direction="forward")
+
+
+class TestAsofBucketed:
+    @pytest.mark.parametrize("seed", [0, 8])
+    @pytest.mark.parametrize("n_buckets", [1, 4, 32])
+    def test_matches_shuffle_strategy(self, spark, seed, n_buckets):
+        from hadoopgis_spark.operators.asof import asof_join_bucketed
+
+        left, right, ldf, rdf = _frames(spark, seed)
+        got = sorted(
+            (r.k, r.t, r.lv, r.t_right, r.rv)
+            for r in asof_join_bucketed(
+                ldf, rdf, on="t", by="k", n_buckets=n_buckets
+            ).collect()
+        )
+        assert got == _brute(left, right)
+
+    def test_hot_key_with_tolerance(self, spark):
+        """80% of left rows on one key; carry seeding + tolerance filter
+        must still match the brute force exactly."""
+        from hadoopgis_spark.operators.asof import asof_join_bucketed
+
+        rng = random.Random(11)
+        left = [(0 if i % 5 else rng.randrange(1, 4), rng.randrange(1000), i)
+                for i in range(400)]
+        right, seen = [], set()
+        for i in range(60):
+            r = (rng.randrange(4), rng.randrange(1000), 1000 + i)
+            if r[:2] not in seen:
+                seen.add(r[:2]); right.append(r)
+        ldf = spark.createDataFrame(left, "k int, t int, lv int")
+        rdf = spark.createDataFrame(right, "k int, t int, rv int")
+        got = sorted(
+            (r.k, r.t, r.lv, r.t_right, r.rv)
+            for r in asof_join_bucketed(
+                ldf, rdf, on="t", by="k", tolerance=120, n_buckets=8
+            ).collect()
+        )
+        assert got == _brute(left, right, "backward", 120)
+
+    def test_degenerate_right_range_falls_back(self, spark):
+        from hadoopgis_spark.operators.asof import asof_join_bucketed
+
+        ldf = spark.createDataFrame([(1, 5, 0), (1, 3, 1)], "k int, t int, lv int")
+        rdf = spark.createDataFrame([(1, 4, 9)], "k int, t int, rv int")  # lo == hi
+        got = sorted(
+            (r.k, r.t, r.t_right, r.rv)
+            for r in asof_join_bucketed(ldf, rdf, on="t", by="k").collect()
+        )
+        assert got == [(1, 3, None, None), (1, 5, 4, 9)]
+
+    def test_window_partitions_include_bucket(self, spark):
+        """Plan contract: the big window partitions on (key, bucket) —
+        the hot key spreads across n_buckets tasks."""
+        from hadoopgis_spark.operators.asof import asof_join_bucketed
+
+        _, _, ldf, rdf = _frames(spark, 9)
+        plan = (
+            asof_join_bucketed(ldf, rdf, on="t", by="k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "windowspecdefinition(k#" in plan.replace(" ", "")[:0] or "__b" in plan
+        # the union-side exchange keys on (k, __b), not k alone
+        import re
+        ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+        assert any("__b" in l for l in ex), plan

@@ -24,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from hadoopgis_spark.operators.asof import asof_join, asof_join_broadcast
+from hadoopgis_spark.operators.asof import (
+    asof_join,
+    asof_join_broadcast,
+    asof_join_bucketed,
+)
 from hadoopgis_spark.session import get_spark
 
 spark = get_spark("asof-bench")
@@ -32,10 +36,11 @@ spark = get_spark("asof-bench")
 N_LEFT, N_RIGHT, N_KEYS = 20_000_000, 200_000, 100_000
 
 
-def facts(skew=False):
+def facts(skew=0):
+    """``skew``/10 of the rows land on key 0 (0 = uniform)."""
     df = spark.range(N_LEFT)
     k = (
-        F.when(F.col("id") % 10 < 3, F.lit(0)).otherwise(F.col("id") % N_KEYS)
+        F.when(F.col("id") % 10 < skew, F.lit(0)).otherwise(F.col("id") % N_KEYS)
         if skew
         else F.col("id") % N_KEYS
     )
@@ -62,10 +67,15 @@ def main():
     for label, fn in [
         ("shuffle 20M x 200k", lambda: asof_join(facts(), history(), on="t", by="k")),
         ("broadcast 20M x 200k", lambda: asof_join_broadcast(facts(), history(), on="t", by="k")),
-        ("shuffle skewed (30% on one key)", lambda: asof_join(facts(skew=True), history(), on="t", by="k")),
+        ("shuffle skewed (30% on one key)", lambda: asof_join(facts(3), history(), on="t", by="k")),
         # broadcast never shuffles the left side, so the hot key costs
         # nothing extra — the skew-immune path when the right side fits
-        ("broadcast skewed (30% on one key)", lambda: asof_join_broadcast(facts(skew=True), history(), on="t", by="k")),
+        ("broadcast skewed (30% on one key)", lambda: asof_join_broadcast(facts(3), history(), on="t", by="k")),
+        # bucketed splits the hot key across time-range buckets — the
+        # skew-proof path when the right side does NOT fit in a broadcast;
+        # the win over plain shuffle grows with the hot key's share
+        ("shuffle skewed (60% on one key)", lambda: asof_join(facts(6), history(), on="t", by="k")),
+        ("bucketed-128 skewed (60% on one key)", lambda: asof_join_bucketed(facts(6), history(), on="t", by="k", n_buckets=128)),
     ]:
         t0 = time.time()
         # aggregate the MATCHED payload: a bare count() would let the
