@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "cur_mixture_alloc",
     "stream_asof_batch",
     "stream_session_native_batch",
+    "rel_asof_bucketed",
+    "sim_ann_pq",
 ]
 
 
