@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "stream_session_native_batch",
     "rel_asof_bucketed",
     "sim_ann_pq",
+    "sim_ann_ivfpq",
 ]
 
 

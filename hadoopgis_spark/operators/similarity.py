@@ -34,6 +34,7 @@ __all__ = [
     "fit_pq_codebooks",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -507,4 +508,95 @@ def pq_topk(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "id", "pq_dot", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int,
+    centroids=None,
+) -> DataFrame:
+    """Full IVF-PQ (Jégou et al. '11): IVF lists gate WHICH vectors are
+    scored, PQ codes decide HOW cheaply. The corpus is assigned to
+    centroid lists and encoded to subspace codes in ONE map-only
+    projection (the raw vector is dropped before any shuffle — at
+    100 TB the candidate join moves 8-byte codes, not 256-byte floats);
+    each query probes its ``n_probe`` lists and ADC-scores only those
+    candidates via its lookup table.
+
+    Returns (q_id, id, pq_dot, rank) — approximate inner-product top-k
+    within the probed lists.
+    """
+    n_sub = len(codebooks)
+    n_codes = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+
+    best = F.array_max(_centroid_scores(v, n_centroids, dim, centroids))
+    codes = []
+    for m in range(n_sub):
+        sub = F.slice(v, m * d_sub + 1, d_sub)
+        codes.append(
+            F.array_max(_centroid_scores(sub, n_codes, d_sub, codebooks[m]))["cid"]
+        )
+    enc = corpus.select(
+        F.col(id_col).alias("id"),
+        best["cid"].alias("cid"),
+        F.array(*codes).alias("codes"),
+    )
+
+    qv = F.col(q_vec_col).cast("array<double>")
+
+    def q_dot(m, kk):
+        c = codebooks[m][kk]
+        sub = F.slice(qv, m * d_sub + 1, d_sub)
+        return F.aggregate(
+            F.zip_with(sub, F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    lut = F.array(
+        *[F.array(*[q_dot(m, kk) for kk in range(n_codes)]) for m in range(n_sub)]
+    )
+    probes = queries.select(
+        F.col(q_id_col).alias("qid"),
+        lut.alias("__lut"),
+        F.explode(_centroid_scores(qv, n_centroids, dim, centroids)).alias("z"),
+    ).select("qid", "__lut", F.col("z.s").alias("s"), F.col("z.cid").alias("cid"))
+    wp = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("cid").desc())
+    probes = (
+        probes.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= n_probe)
+        .select("qid", "__lut", "cid")
+    )
+
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at(F.col("__lut"), m + 1), F.element_at(F.col("codes"), m + 1) + 1
+        ),
+    )
+    cand = (
+        enc.join(F.broadcast(probes), "cid")
+        .filter(F.col("qid") != F.col("id"))
+        .select("qid", "id", score.alias("pq_dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("pq_dot").desc(), F.col("id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(q_id_col), "id", "pq_dot", "rank")
     )

