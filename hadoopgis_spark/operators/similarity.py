@@ -444,6 +444,22 @@ def pq_encode(
     return df.select(F.col(id_col).alias("id"), F.array(*codes).alias("codes"))
 
 
+def _adc_score(n_sub: int):
+    """Σ_m lut[m][codes[m]]: UNROLLED (n_sub is small and fixed) rather
+    than an F.aggregate fold — higher-order functions are
+    CodegenFallback, so the fold would run interpreted once per
+    candidate pair; the unrolled sum stays inside whole-stage codegen.
+    Left-associated like the fold, so the floats are identical."""
+    score = None
+    for m in range(n_sub):
+        term = F.element_at(
+            F.element_at(F.col("__lut"), m + 1),
+            F.element_at(F.col("codes"), m + 1) + 1,
+        )
+        score = term if score is None else score + term
+    return score
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -490,14 +506,7 @@ def pq_topk(
         F.col(q_id_col).alias("q_id"), lut.alias("__lut")
     )
 
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        F.lit(0.0),
-        lambda acc, m: acc
-        + F.element_at(
-            F.element_at(F.col("__lut"), m + 1), F.element_at(F.col("codes"), m + 1) + 1
-        ),
-    )
+    score = _adc_score(n_sub)
     pairs = (
         enc.crossJoin(F.broadcast(q))
         .filter(F.col("id") != F.col("q_id"))
@@ -581,18 +590,10 @@ def ivfpq_topk(
         .select("qid", "__lut", "cid")
     )
 
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(n_sub - 1)),
-        F.lit(0.0),
-        lambda acc, m: acc
-        + F.element_at(
-            F.element_at(F.col("__lut"), m + 1), F.element_at(F.col("codes"), m + 1) + 1
-        ),
-    )
     cand = (
         enc.join(F.broadcast(probes), "cid")
         .filter(F.col("qid") != F.col("id"))
-        .select("qid", "id", score.alias("pq_dot"))
+        .select("qid", "id", _adc_score(n_sub).alias("pq_dot"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("pq_dot").desc(), F.col("id"))
     return (
