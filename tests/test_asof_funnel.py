@@ -528,3 +528,56 @@ class TestAsofBucketed:
         import re
         ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
         assert any("__b" in l for l in ex), plan
+
+
+class TestAsofHypothesis:
+    def test_all_strategies_agree_property(self, spark):
+        """Hypothesis: for random workloads (duplicate left times, hot
+        keys, negative times, empty sides) the three physical strategies
+        and the brute force all agree row-for-row."""
+        from hypothesis import given, settings, strategies as st
+
+        from hadoopgis_spark.operators.asof import (
+            asof_join,
+            asof_join_broadcast,
+            asof_join_bucketed,
+        )
+
+        @settings(max_examples=8, deadline=None)
+        @given(
+            n_left=st.integers(0, 60),
+            n_right=st.integers(0, 40),
+            n_keys=st.integers(1, 5),
+            t_lo=st.integers(-500, 0),
+            hot=st.booleans(),
+            seed=st.integers(0, 2**16),
+        )
+        def run(n_left, n_right, n_keys, t_lo, hot, seed):
+            import random
+
+            rng = random.Random(seed)
+
+            def key():
+                return 0 if (hot and rng.random() < 0.6) else rng.randrange(n_keys)
+
+            left = [(key(), rng.randint(t_lo, 500), i) for i in range(n_left)]
+            right, seen = [], set()
+            for i in range(n_right):
+                r = (key(), rng.randint(t_lo, 500), 1000 + i)
+                if r[:2] not in seen:
+                    seen.add(r[:2])
+                    right.append(r)
+            ldf = spark.createDataFrame(left, "k int, t int, lv int")
+            rdf = spark.createDataFrame(right, "k int, t int, rv int")
+            want = _brute(left, right)
+            for fn in (
+                lambda: asof_join(ldf, rdf, on="t", by="k"),
+                lambda: asof_join_broadcast(ldf, rdf, on="t", by="k"),
+                lambda: asof_join_bucketed(ldf, rdf, on="t", by="k", n_buckets=4),
+            ):
+                got = sorted(
+                    (r.k, r.t, r.lv, r.t_right, r.rv) for r in fn().collect()
+                )
+                assert got == want
+
+        run()
