@@ -44,6 +44,24 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join", "asof_join_broadcast", "asof_join_bucketed"]
 
 
+def _directed(impl, left, right, on, by, direction, tolerance, suffix):
+    """Run a backward-only strategy in either direction: forward is the
+    time-mirrored backward problem — negate ``on`` on both sides,
+    delegate, un-negate the output times."""
+    if direction == "backward":
+        return impl(left, right, on, by, tolerance, suffix)
+    out = impl(
+        left.withColumn(on, -F.col(on)),
+        right.withColumn(on, -F.col(on)),
+        on,
+        by,
+        tolerance,
+        suffix,
+    )
+    matched_t = on + suffix
+    return out.withColumn(on, -F.col(on)).withColumn(matched_t, -F.col(matched_t))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -69,12 +87,12 @@ def asof_join(
         with left-side names.
     strategy: ``"shuffle"`` (union-merge, scales to any right side),
         ``"broadcast"`` (delegates to :func:`asof_join_broadcast`; the
-        left frame is never shuffled — requires ``backward``),
-        ``"bucketed"`` (delegates to :func:`asof_join_bucketed`; the
-        skew-proof prefix-scan shape — requires ``backward``), or
-        ``"auto"`` (broadcast when the right side fits under
+        left frame is never shuffled), ``"bucketed"`` (delegates to
+        :func:`asof_join_bucketed`; the skew-proof prefix-scan shape),
+        or ``"auto"`` (broadcast when the right side fits under
         ``hgs.broadcastRowThreshold`` rows, same probe as the spatial
-        join's auto mode).
+        join's auto mode). All strategies serve both directions —
+        forward runs as the time-mirrored backward problem.
 
     Returns the left frame with the matched right payload columns (and
     ``on + suffix`` = the matched right time), null where no match.
@@ -84,19 +102,19 @@ def asof_join(
     if strategy not in ("shuffle", "broadcast", "bucketed", "auto"):
         raise ValueError("strategy must be 'shuffle', 'broadcast', 'bucketed', or 'auto'")
     if strategy == "bucketed":
-        if direction != "backward":
-            raise ValueError("strategy='bucketed' supports direction='backward' only")
-        return asof_join_bucketed(left, right, on, by, tolerance, suffix)
-    if strategy == "auto" and direction == "backward":
+        return _directed(
+            asof_join_bucketed, left, right, on, by, direction, tolerance, suffix
+        )
+    if strategy == "auto":
         threshold = int(
             left.sparkSession.conf.get("hgs.broadcastRowThreshold", "5000")
         )
         small = right.limit(threshold + 1).count() <= threshold
         strategy = "broadcast" if small else "shuffle"
     if strategy == "broadcast":
-        if direction != "backward":
-            raise ValueError("strategy='broadcast' supports direction='backward' only")
-        return asof_join_broadcast(left, right, on, by, tolerance, suffix)
+        return _directed(
+            asof_join_broadcast, left, right, on, by, direction, tolerance, suffix
+        )
     keys = [by] if isinstance(by, str) else list(by)
     for c in keys + [on]:
         if c not in left.columns or c not in right.columns:

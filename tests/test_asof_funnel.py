@@ -457,11 +457,17 @@ class TestAsofAutoStrategy:
         finally:
             spark.conf.set("hgs.broadcastRowThreshold", "5000")
 
-    def test_broadcast_forward_refused(self, spark):
-        _, _, ldf, rdf = _frames(spark, 7)
-        with pytest.raises(ValueError, match="backward"):
-            asof_join(ldf, rdf, on="t", by="k", strategy="broadcast",
-                      direction="forward")
+    @pytest.mark.parametrize("strategy", ["broadcast", "bucketed"])
+    def test_forward_via_time_mirror(self, spark, strategy):
+        """forward on the backward-only strategies = negated backward."""
+        left, right, ldf, rdf = _frames(spark, 7)
+        got = sorted(
+            (r.k, r.t, r.lv, r.t_right, r.rv)
+            for r in asof_join(
+                ldf, rdf, on="t", by="k", strategy=strategy, direction="forward"
+            ).collect()
+        )
+        assert got == _brute(left, right, "forward")
 
 
 class TestAsofBucketed:
