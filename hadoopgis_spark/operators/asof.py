@@ -309,6 +309,12 @@ def asof_join_bucketed(
     hi = max((x for x in (lb.hi, rb.hi) if x is not None), default=None)
     if lo is None or lo == hi:
         return asof_join(left, right, on, by, "backward", tolerance, suffix)
+    if not isinstance(lo, (int, float)):
+        raise ValueError(
+            f"asof_join_bucketed requires a numeric time column; {on!r} has "
+            f"values like {lo!r} — convert timestamps to epoch numbers or "
+            "use asof_join (shuffle strategy)"
+        )
     span = hi - lo
 
     def bucket(t):

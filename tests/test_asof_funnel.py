@@ -587,3 +587,15 @@ class TestAsofHypothesis:
                 assert got == want
 
         run()
+
+
+class TestAsofBucketedGuards:
+    def test_timestamp_column_refused_clearly(self, spark):
+        import datetime
+
+        from hadoopgis_spark.operators.asof import asof_join_bucketed
+
+        rows = [(1, datetime.datetime(2024, 1, 1), 0), (1, datetime.datetime(2024, 1, 2), 1)]
+        ldf = spark.createDataFrame(rows, "k int, t timestamp, lv int")
+        with pytest.raises(ValueError, match="numeric time column"):
+            asof_join_bucketed(ldf, ldf.withColumnRenamed("lv", "rv"), on="t", by="k")
