@@ -599,3 +599,56 @@ class TestAsofBucketedGuards:
         ldf = spark.createDataFrame(rows, "k int, t timestamp, lv int")
         with pytest.raises(ValueError, match="numeric time column"):
             asof_join_bucketed(ldf, ldf.withColumnRenamed("lv", "rv"), on="t", by="k")
+
+
+class TestFunnelStream:
+    def test_stream_matches_batch_under_ordered_delivery(self, spark, tmp_path):
+        """Two ordered micro-batches (maxFilesPerTrigger=1): the latest
+        update per user equals the batch funnel, and state carries the
+        funnel across the batch boundary."""
+        import os
+
+        from hadoopgis_spark.operators.funnel import funnel_times
+        from hadoopgis_spark.streaming.funnel import funnel_stream
+
+        early = [
+            (1, "view", 10), (1, "click", 20),
+            (2, "click", 5), (2, "view", 10),
+            (3, "view", 7),
+        ]
+        late = [
+            (1, "purchase", 30),      # completes u1 using state from batch 1
+            (2, "purchase", 20),      # u2 still has no qualifying click
+            (3, "click", 9), (3, "purchase", 11),
+        ]
+        src = str(tmp_path / "funnel_src")
+        os.makedirs(src)
+        schema = "user_id long, event_type string, ts long"
+        spark.createDataFrame(early, schema).coalesce(1).write.mode("overwrite").parquet(src + "/b1")
+        spark.createDataFrame(late, schema).coalesce(1).write.mode("overwrite").parquet(src + "/b2")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/b*")
+        )
+        out = funnel_stream(stream, ["view", "click", "purchase"])
+        q = (
+            out.writeStream.format("memory").queryName("funnel_updates")
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        updates = spark.sql("SELECT * FROM funnel_updates").collect()
+        latest = {}
+        for r in updates:  # update-mode: later rows supersede
+            latest[r.user_id] = (r.t1, r.t2, r.t3, r.funnel_level)
+        batch_events = spark.createDataFrame(early + late, schema)
+        want = {
+            r.user_id: (r.t1, r.t2, r.t3, r.funnel_level)
+            for r in funnel_times(
+                batch_events, ["view", "click", "purchase"], time_col="ts"
+            ).collect()
+            if r.funnel_level > 0
+        }
+        assert latest == want
+        # u1 must have emitted an update in BOTH batches (state advanced twice)
+        assert sum(1 for r in updates if r.user_id == 1) == 2
