@@ -1517,3 +1517,40 @@ class TestProductQuantization:
         if m:  # formatted output lists join output columns
             assert "embedding" not in m.group(1), m.group(1)
         assert "BroadcastHashJoin" in plan
+
+
+class TestCompact:
+    def test_fragmented_dir_collapses(self, spark, tmp_path):
+        from hadoopgis_spark.sources.compact import compact, dir_stats
+
+        src, dst = str(tmp_path / "frag"), str(tmp_path / "compacted")
+        spark.range(10_000).repartition(64).write.parquet(src)
+        assert dir_stats(src)[0] == 64
+        stats = compact(spark, src, dst, target_bytes=10**9)
+        assert stats["files_before"] == 64 and stats["files_after"] == 1
+        assert spark.read.parquet(dst).count() == 10_000
+
+    def test_partitioned_compaction_preserves_layout(self, spark, tmp_path):
+        from hadoopgis_spark.sources.compact import compact
+
+        src, dst = str(tmp_path / "pfrag"), str(tmp_path / "pcompact")
+        df = spark.range(5_000).selectExpr("id", "id % 3 AS p")
+        df.repartition(40).write.partitionBy("p").parquet(src)
+        compact(spark, src, dst, target_bytes=10**9, partition_by="p")
+        out = spark.read.parquet(dst)
+        assert out.count() == 5_000
+        assert sorted(r.p for r in out.select("p").distinct().collect()) == [0, 1, 2]
+        import os
+        assert sorted(
+            d for d in os.listdir(dst) if d.startswith("p=")
+        ) == ["p=0", "p=1", "p=2"]
+
+    def test_refuses_in_place(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from hadoopgis_spark.sources.compact import compact
+
+        src = str(tmp_path / "xx")
+        spark.range(10).write.parquet(src)
+        with _pytest.raises(ValueError, match="in-place"):
+            compact(spark, src, src)
