@@ -12,6 +12,7 @@ from hadoopgis_spark.plans.inspect import (
     count_exchanges,
     formatted_plan,
     has_broadcast,
+    lint_plan,
     pushed_filters,
     scan_read_schema,
 )
@@ -23,4 +24,5 @@ __all__ = [
     "has_broadcast",
     "count_exchanges",
     "count_codegen_nodes",
+    "lint_plan",
 ]
