@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "rel_asof_bucketed",
     "sim_ann_pq",
     "sim_ann_ivfpq",
+    "txt_dup_spans",
 ]
 
 

@@ -19,7 +19,7 @@ simhash, banding from Leskovec et al. MMDS):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions.text import md5_hash32, normalize_text, tokens
@@ -37,6 +37,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_dup_pairs",
     "dup_clusters",
+    "dup_spans",
 ]
 
 MH_PRIME = 4294967311  # prime > 2^32; (a·h+b) products stay < 2^63
@@ -436,4 +437,60 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str =
         cand.withColumn("cosine", cosine(F.col("vec"), F.col("vec2")))
         .filter(F.col("cosine") >= threshold)
         .select("id_1", "id_2", "cosine")
+    )
+
+
+def dup_spans(df: DataFrame, min_tokens: int = 8, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """EXACT duplicated-span detection (the token-level form of Lee et
+    al. '22 "Deduplicating Training Data Makes Language Models Better"):
+    every maximal token span of length >= ``min_tokens`` whose content
+    occurs at least twice in the corpus (across documents or repeated
+    within one).
+
+    Shape: position-stamped ``min_tokens``-gram hashes (one let-bound
+    transform per doc — JVM, no Python), a corpus-wide occurrence count
+    with map-side partials, a semi join back to the positions, then
+    per-doc gaps-and-islands (``pos − row_number``) merges runs of
+    duplicated grams into MAXIMAL spans. Unlike the winnowing-based
+    ``txt_dup_passages`` sampling signal this is exact — and unlike a
+    suffix array it is plain hash aggregation, so it distributes with
+    ordinary shuffles (the gram explode is the honest cost every exact
+    substring-dedup pipeline pays).
+
+    Returns (id, span_start, span_len): 1-based token offset and length
+    in tokens of each maximal duplicated span.
+    """
+    L = min_tokens
+    words = tokens(F.col(text_col))
+
+    def grams(w):
+        return F.when(
+            F.size(w) >= L,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (L - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(w, i, L))).alias("h"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(F.array(words), grams)[0]).alias("z"),
+    ).select("id", F.col("z.pos").alias("pos"), F.col("z.h").alias("h"))
+
+    hot = g.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2)
+    d = g.join(hot.select("h"), "h", "left_semi")
+
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = d.withColumn("isl", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("id", "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + L).cast("long").alias("span_len"),
+        )
+        .select("id", "span_start", "span_len")
     )

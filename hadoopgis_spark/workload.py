@@ -3495,6 +3495,38 @@ def _ann_ivfpq_sql(
 SIM_ANN_IVFPQ_SQL = _ann_ivfpq_sql()
 
 
+def txt_dup_spans(spark, sf):
+    """Exact duplicated-span detection (token-level Lee et al. '22):
+    maximal >= 8-token spans occurring >= 2x in the corpus — the exact
+    operator behind the winnow-sampled `txt_dup_passages` signal."""
+    from hadoopgis_spark.operators.dedup import dup_spans
+
+    d = _t(spark, sf, "documents")
+    return dup_spans(d).select(F.col("id").alias("doc_id"), "span_start", "span_len")
+
+
+TXT_DUP_SPANS_SQL = f"""
+  WITH toks AS (
+    SELECT doc_id, STRING_SPLIT({_NORM_SQL}, ' ') AS w FROM documents
+  ), g AS (
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           MD5(ARRAY_TO_STRING(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')) AS h
+    FROM toks, UNNEST(RANGE(1, GREATEST(LEN(w) - 7, 0) + 1)) AS t(i)
+  ), hot AS (
+    SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+  ), d AS (
+    SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM hot)
+  ), isl AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM d
+  )
+  SELECT doc_id, MIN(pos) AS span_start,
+         CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
+  FROM isl GROUP BY doc_id, grp
+"""
+
+
 def stream_sliding_batch(spark, sf):
     """Sliding/hopping windows (2-hour windows every 1 hour) from the
     streaming module on a batch frame — each event lands in exactly two
@@ -3732,7 +3764,7 @@ REGISTRY: dict[str, Query] = {
     "txt_repetition": Query(txt_repetition, TXT_REPETITION_SQL, "Gopher-style intra-doc repetition signals"),
     "txt_token_bpe": Query(txt_token_bpe, TXT_TOKEN_BPE_SQL, "BPE-ish token budget"),
     "op_uniqpart": Query(op_uniqpart, OP_UNIQPART_SQL, "O5 uniqpart dedup"),
-    "op_discretize": Query(op_discretize, OP_DISCRETIZE_SQL, "T3 coordinate discretization"),
+    "txt_dup_spans": Query(txt_dup_spans, TXT_DUP_SPANS_SQL, "exact duplicated spans (token-level Lee et al. 22)"),
     "mm_decode_meta": Query(mm_decode_meta, MM_DECODE_SQL, "multimodal decode metadata (mapInPandas)"),
     "sim_ann_pq": Query(sim_ann_pq, SIM_ANN_PQ_SQL, "product-quantization ANN: code scan + ADC lookup scoring"),
     "mm_features": Query(mm_features, MM_FEATURES_SQL, "multimodal feature-extraction stage (mapInPandas)"),
@@ -3818,6 +3850,7 @@ REGISTRY: dict[str, Query] = {
     # codec unchanged for two rounds) — both stay repo-oracle-checked
     "mm_frame_sample": Query(mm_frame_sample, MM_FRAME_SAMPLE_SQL, "multimodal frame sampling (mapInPandas)"),
     "mm_resize": Query(mm_resize, MM_RESIZE_SQL, "multimodal resize stage (mapInPandas)"),
+    "op_discretize": Query(op_discretize, OP_DISCRETIZE_SQL, "T3 coordinate discretization"),
     "rel_percentiles_approx": Query(
         rel_percentiles_approx,
         None,  # t-digest sketches differ across engines — rows-only check;

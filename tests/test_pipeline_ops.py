@@ -1554,3 +1554,42 @@ class TestCompact:
         spark.range(10).write.parquet(src)
         with _pytest.raises(ValueError, match="in-place"):
             compact(spark, src, src)
+
+
+class TestDupSpans:
+    def test_known_shared_and_repeated_spans(self, spark):
+        from hadoopgis_spark.operators.dedup import dup_spans
+
+        shared = "one two three four five six seven eight nine ten"  # 10 tokens
+        rows = [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"start {shared} end words here"),
+            (3, "totally unique text with no duplicated content at all x y z"),
+            # within-doc repetition also counts (occurrence >= 2)
+            (4, f"{shared} filler filler2 filler3 {shared}"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.id, r.span_start, r.span_len)
+            for r in dup_spans(df, min_tokens=8).collect()
+        }
+        # doc1: shared at tokens 3..12 -> grams at pos 3,4,5 merge to one
+        # maximal span start=3 len=10; doc2: start=2 len=10
+        assert (1, 3, 10) in got
+        assert (2, 2, 10) in got
+        assert not any(i == 3 for i, _, _ in got)
+        d4 = sorted((s, l) for i, s, l in got if i == 4)
+        assert (1, 10) in d4 and (14, 10) in d4
+
+    def test_short_docs_and_threshold(self, spark):
+        from hadoopgis_spark.operators.dedup import dup_spans
+
+        df = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+        )
+        # under min_tokens: no grams, no spans, no crash
+        assert dup_spans(df, min_tokens=8).count() == 0
+        # at 2 tokens the whole doc is a duplicated span in both docs
+        got = {(r.id, r.span_start, r.span_len)
+               for r in dup_spans(df, min_tokens=2).collect()}
+        assert got == {(1, 1, 2), (2, 1, 2)}
