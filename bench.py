@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "sim_ann_pq",
     "sim_ann_ivfpq",
     "txt_dup_spans",
+    "rel_exists_late_ship",
+    "rel_min_by_group",
+    "rel_supplier_cnt",
 ]
 
 
