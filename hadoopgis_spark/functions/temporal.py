@@ -22,6 +22,16 @@ __all__ = [
     "interval_mindist",
     "with_interval_mbb",
     "interval_join",
+    "parse_temporal",
+    "temporal_n_intervals",
+    "temporal_start",
+    "temporal_end",
+    "temporal_intersects",
+    "temporal_contains",
+    "temporal_mindist",
+    "temporal_mindist_set",
+    "temporal_lit",
+    "multi_interval_join",
 ]
 
 
@@ -46,6 +56,180 @@ def interval_mindist(s1, e1, s2, e2) -> Column:
         F.lit(0).cast("long"),
         F.greatest(_c(s2) - _c(e1), _c(s1) - _c(e2)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-interval TemporalObject (reference src/extensions/spt/temporal.h:13-24:
+# a temporal object is a SET of Time_intervals). All set predicates are pure
+# Column expressions over array<struct<start:long, end:long>>.
+# ---------------------------------------------------------------------------
+
+
+def temporal_lit(intervals) -> Column:
+    """A TemporalObject literal: list of (start, end) pairs →
+    array<struct<start, end>> Column (plan-side constant)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(s)).cast("long").alias("start"),
+                F.lit(int(e)).cast("long").alias("end"),
+            )
+            for s, e in intervals
+        ]
+    )
+
+
+def parse_temporal(col) -> Column:
+    """Parse the reference's TEMPORAL_UNIX TemporalObject string —
+    ``"S E,S E,S"``: comma-separated intervals, space-separated bounds, a
+    bare value V meaning the degenerate interval [V, V]
+    (``temporal.h:13-24`` ctors, ``temporal_functions.hpp`` TEMPORAL_UNIX
+    branch) — into ``array<struct<start:long, end:long>>``.
+
+    Malformed tokens (non-numeric bounds) parse to null starts and are
+    filtered out, mirroring the engine-wide malformed-geometry-skip
+    discipline (P2). ``try_cast`` keeps ANSI mode from throwing. The
+    inner per-token split is let-bound via the transform-over-singleton
+    trick (HOFs are CodegenFallback — no CSE; see CLAUDE.md)."""
+    toks = F.split(F.trim(_c(col)), ",")
+
+    def one_tok(t):
+        def build(p):
+            s = F.try_element_at(p, F.lit(1)).try_cast("long")
+            e = F.coalesce(
+                F.try_element_at(p, F.lit(2)).try_cast("long"), s
+            )
+            return F.struct(s.alias("start"), e.alias("end"))
+
+        return F.transform(F.array(F.split(F.trim(t), " +")), build)[0]
+
+    parsed = F.transform(toks, one_tok)
+    return F.filter(parsed, lambda iv: iv["start"].isNotNull())
+
+
+def temporal_n_intervals(obj) -> Column:
+    """``TemporalObject::getNumIntervals`` (temporal_functions.hpp:63-65)."""
+    return F.size(_c(obj))
+
+
+def temporal_start(obj) -> Column:
+    """``getStart`` = first interval's start (temporal_functions.hpp:67-69)."""
+    return F.try_element_at(_c(obj), F.lit(1))["start"]
+
+
+def temporal_end(obj) -> Column:
+    """``getEnd`` = LAST interval's end (temporal_functions.hpp:71-73) —
+    positional, like the reference (intervals are not re-sorted)."""
+    return F.try_element_at(_c(obj), F.lit(-1))["end"]
+
+
+def temporal_intersects(a, b) -> Column:
+    """Set-level intersects: ANY interval of ``a`` overlaps ANY interval
+    of ``b`` (closed bounds). This is the INTENDED semantics of
+    ``TemporalObject::intersects`` (temporal_functions.hpp:75-86; the
+    reference's inner loop increments ``i`` instead of ``j`` — an obvious
+    typo this engine does not reproduce)."""
+    av, bv = _c(a), _c(b)
+    return F.exists(
+        av,
+        lambda ia: F.exists(
+            bv,
+            lambda ib: (ia["start"] <= ib["end"]) & (ia["end"] >= ib["start"]),
+        ),
+    )
+
+
+def temporal_contains(a, b) -> Column:
+    """``TemporalObject::contains`` parity (temporal_functions.hpp:88-96):
+    implemented ONLY for single-interval objects, false otherwise —
+    exactly the reference's behavior."""
+    av, bv = _c(a), _c(b)
+    a1 = F.try_element_at(av, F.lit(1))
+    b1 = F.try_element_at(bv, F.lit(1))
+    return (
+        (F.size(av) == 1)
+        & (F.size(bv) == 1)
+        & (a1["start"] <= b1["start"])
+        & (b1["end"] <= a1["end"])
+    )
+
+
+def temporal_mindist(a, b) -> Column:
+    """``TemporalObject::mindist`` parity (temporal_functions.hpp:98-110):
+    single-interval objects only — 0 on overlap, else the gap; 0 (the
+    reference's ``return false``) for multi-interval inputs. Note the
+    reference's non-overlap branch takes ``max`` of two expressions that
+    are the same value up to sign-abs (``abs(a.start-b.end)`` twice — a
+    typo for the standard gap); this engine computes the standard gap,
+    which agrees with the reference whenever intervals are well-formed
+    (start <= end). Use :func:`temporal_mindist_set` for the set-level
+    generalization."""
+    av, bv = _c(a), _c(b)
+    a1 = F.try_element_at(av, F.lit(1))
+    b1 = F.try_element_at(bv, F.lit(1))
+    gap = F.greatest(
+        F.lit(0).cast("long"),
+        F.greatest(b1["start"] - a1["end"], a1["start"] - b1["end"]),
+    )
+    return F.when((F.size(av) == 1) & (F.size(bv) == 1), gap).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def temporal_mindist_set(a, b) -> Column:
+    """Set-level mindist (the engine's generalization the reference
+    leaves unimplemented): min over all interval pairs of the closed
+    gap, 0 when any pair overlaps. One ``aggregate`` fold over the
+    pairwise minimum — null (no pairs) for empty objects."""
+    av, bv = _c(a), _c(b)
+
+    def gap_to_b(ia):
+        return F.array_min(
+            F.transform(
+                bv,
+                lambda ib: F.greatest(
+                    F.lit(0).cast("long"),
+                    F.greatest(ib["start"] - ia["end"], ia["start"] - ib["end"]),
+                ),
+            )
+        )
+
+    return F.array_min(F.transform(av, gap_to_b))
+
+
+def multi_interval_join(
+    a: DataFrame,
+    b: DataFrame | None,
+    intervals_col: str = "intervals",
+    **spatial_kwargs,
+) -> DataFrame:
+    """Set-overlap join of two TemporalObject tables: all row pairs where
+    ANY interval of one overlaps ANY interval of the other
+    (``temporal_intersects`` as a JOIN, not a predicate).
+
+    Scale shape: each side EXPLODES its interval set onto the 1-D tile
+    engine (:func:`interval_join` — slc strips over time), so tiling,
+    boundary replication, and reference-point dedup all apply per
+    interval; the final ``distinct`` over the payload columns collapses
+    multiple overlapping interval pairs of the same row pair. Explode
+    fan-out is the interval count per object (bounded, small); no
+    all-pairs product over objects ever forms.
+    """
+    az = a.select(*[c for c in a.columns if c != intervals_col],
+                  F.explode(intervals_col).alias("__iv"))
+    az = az.select(*[c for c in az.columns if c != "__iv"],
+                   F.col("__iv.start").alias("__ms"), F.col("__iv.end").alias("__me"))
+    if b is not None:
+        bz = b.select(*[c for c in b.columns if c != intervals_col],
+                      F.explode(intervals_col).alias("__iv"))
+        bz = bz.select(*[c for c in bz.columns if c != "__iv"],
+                       F.col("__iv.start").alias("__ms"), F.col("__iv.end").alias("__me"))
+    else:
+        bz = None
+    out = interval_join(az, bz, start_col="__ms", end_col="__me", **spatial_kwargs)
+    sfx1, sfx2 = spatial_kwargs.get("suffixes", ("_1", "_2"))
+    drop = [f"__ms{sfx1}", f"__me{sfx1}", f"__ms{sfx2}", f"__me{sfx2}", "__ms", "__me"]
+    return out.drop(*[c for c in drop if c in out.columns]).distinct()
 
 
 def with_interval_mbb(df: DataFrame, start_col: str, end_col: str) -> DataFrame:

@@ -96,6 +96,16 @@ def asof_join(
 
     Returns the left frame with the matched right payload columns (and
     ``on + suffix`` = the matched right time), null where no match.
+
+    Null handling / determinism: right rows with a NULL time are
+    dropped at entry in every strategy (a null ``rt`` can never satisfy
+    ``rt <= t``); left rows with a NULL time are kept and match nothing
+    — identical across strategies. When the right side holds DUPLICATE
+    ``(by, on)`` rows, which row's payload wins the tie is
+    strategy-dependent (the shuffle scan takes the last in partition
+    order, broadcast/bucketed take the max payload struct) —
+    pre-aggregate the right side to unique ``(by, on)`` pairs when
+    cross-strategy bit-parity matters.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
@@ -120,6 +130,10 @@ def asof_join(
         if c not in left.columns or c not in right.columns:
             raise ValueError(f"column {c!r} must exist in both frames")
 
+    # a null right time can never satisfy rt <= t; dropping such rows up
+    # front also keeps the three strategies bit-identical on them (the
+    # window's nulls-first sort would otherwise let one seed last())
+    right = right.filter(F.col(on).isNotNull())
     payload = [c for c in right.columns if c not in keys and c != on]
     # right time travels as payload too, so the caller can see WHICH row matched
     r_cols = {c: (c + suffix if c in left.columns else c) for c in payload}
@@ -208,6 +222,7 @@ def asof_join_broadcast(
     for c in keys + [on]:
         if c not in left.columns or c not in right.columns:
             raise ValueError(f"column {c!r} must exist in both frames")
+    right = right.filter(F.col(on).isNotNull())  # see asof_join null note
     payload = [c for c in right.columns if c not in keys and c != on]
     r_cols = {c: (c + suffix if c in left.columns else c) for c in payload}
     matched_t = on + suffix
@@ -277,7 +292,10 @@ def asof_join_bucketed(
 
     The big side still shuffles and sorts exactly once (same plan shape
     as :func:`asof_join`, finer partition key). Results are
-    bit-identical to :func:`asof_join` (pinned in tests).
+    bit-identical to :func:`asof_join` (pinned in tests) given unique
+    right-side ``(by, on)`` pairs — with duplicates the tie-winning
+    payload is strategy-dependent (see :func:`asof_join`'s null /
+    determinism note); null times are handled identically everywhere.
 
     Requires a NUMERIC time column (epoch numbers — the engine's
     canonical event time is epoch-nanos BIGINT); use :func:`asof_join`
@@ -287,6 +305,7 @@ def asof_join_bucketed(
     for c in keys + [on]:
         if c not in left.columns or c not in right.columns:
             raise ValueError(f"column {c!r} must exist in both frames")
+    right = right.filter(F.col(on).isNotNull())  # see asof_join null note
     payload = [c for c in right.columns if c not in keys and c != on]
     r_cols = {c: (c + suffix if c in left.columns else c) for c in payload}
     matched_t = on + suffix
@@ -326,9 +345,17 @@ def asof_join_bucketed(
         ).cast("long")
         return F.greatest(F.lit(0).cast("long"), F.least(raw, F.lit(n_buckets - 1).cast("long")))
 
+    # NULL left times must match nothing (the shuffle strategy's
+    # behavior): least/greatest SKIP nulls, so bucket(null) would clamp
+    # into the LAST bucket where the row sits after that bucket's carry
+    # seed and wrongly picks it up. Bucket -1 holds no rights and no
+    # carry — the running last() finds nothing there.
+    def l_bucket(t):
+        return F.when(t.isNull(), F.lit(-1).cast("long")).otherwise(bucket(t))
+
     l_tagged = left.select(
         *[F.col(c) for c in keys],
-        bucket(F.col(on)).alias("__b"),
+        l_bucket(F.col(on)).alias("__b"),
         F.col(on).alias("__t"),
         F.lit(1).alias("__side"),
         l_struct.alias("__l"),

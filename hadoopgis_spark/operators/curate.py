@@ -104,13 +104,17 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
     stream = md5_hash32(F.col(id_col).cast("string"), offset=9) % n_streams
     d = df.select(F.col(id_col).alias("id"), nt.alias("n_tokens"), stream.alias("stream"))
     w = Window.partitionBy("stream").orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
-    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    # integer `div`, not floor(double /): the repo's cross-engine float
+    # discipline — starts are non-negative so trunc == floor here
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
     return d.select(
+        "id", "n_tokens", "stream", start.alias("__start")
+    ).select(
         "id",
         "n_tokens",
         "stream",
-        F.floor(start / budget).cast("long").alias("bin"),
-        (start % budget).cast("long").alias("tok_offset"),
+        F.expr(f"__start div {int(budget)}").cast("long").alias("bin"),
+        F.expr(f"__start % {int(budget)}").cast("long").alias("tok_offset"),
     )
 
 

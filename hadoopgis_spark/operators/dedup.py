@@ -422,19 +422,35 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str =
     hyperplane LSH bucketing as the candidate generator (see
     operators.similarity.hyperplane_buckets). ``dim`` is required so
     no schema-probe job ever runs."""
-    from hadoopgis_spark.functions.vector import cosine
+    from hadoopgis_spark.functions.vector import cosine_from, dot, norm
     from hadoopgis_spark.operators.similarity import hyperplane_buckets
 
-    b = hyperplane_buckets(df, vec_col, id_col, n_planes=n_planes, dim=dim)
+    # norm once per row pre-join (the norm fold is CodegenFallback and
+    # would re-run per candidate pair otherwise)
+    b = hyperplane_buckets(df, vec_col, id_col, n_planes=n_planes, dim=dim).withColumn(
+        "nrm", norm(F.col("vec"))
+    )
     cand = (
         b.alias("a")
-        .join(b.select(F.col("id").alias("id2"), F.col("vec").alias("vec2"), "bucket").alias("b"), "bucket")
+        .join(
+            b.select(
+                F.col("id").alias("id2"), F.col("vec").alias("vec2"),
+                F.col("nrm").alias("nrm2"), "bucket",
+            ).alias("b"),
+            "bucket",
+        )
         .filter(F.col("id") < F.col("id2"))
-        .select(F.col("id").alias("id_1"), F.col("id2").alias("id_2"), "vec", "vec2")
+        .select(
+            F.col("id").alias("id_1"), F.col("id2").alias("id_2"),
+            "vec", "vec2", "nrm", "nrm2",
+        )
         .dropDuplicates(["id_1", "id_2"])
     )
     return (
-        cand.withColumn("cosine", cosine(F.col("vec"), F.col("vec2")))
+        cand.withColumn(
+            "cosine",
+            cosine_from(dot(F.col("vec"), F.col("vec2")), F.col("nrm"), F.col("nrm2")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_1", "id_2", "cosine")
     )

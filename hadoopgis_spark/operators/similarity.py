@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hadoopgis_spark.functions.vector import cosine
+from hadoopgis_spark.functions.vector import cosine_from, dot, norm
 
 __all__ = [
     "brute_force_topk",
@@ -48,13 +48,22 @@ def brute_force_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_emb",
 ) -> DataFrame:
-    """Exact top-k by cosine for each query vector (queries broadcast)."""
-    pairs = corpus.crossJoin(F.broadcast(queries)).filter(
+    """Exact top-k by cosine for each query vector (queries broadcast).
+
+    Norms are computed once per ROW on each side before the cross join
+    (the fold behind ``norm`` is CodegenFallback and would otherwise
+    re-run per candidate pair); the per-pair work is the single dot."""
+    c2 = corpus.withColumn("__vn", norm(F.col(vec_col)))
+    q2 = queries.withColumn("__qn", norm(F.col(q_vec_col)))
+    pairs = c2.crossJoin(F.broadcast(q2)).filter(
         F.col(id_col) != F.col(q_id_col)
     )
     w = Window.partitionBy(q_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return (
-        pairs.withColumn("cosine", cosine(F.col(q_vec_col), F.col(vec_col)))
+        pairs.withColumn(
+            "cosine",
+            cosine_from(dot(F.col(q_vec_col), F.col(vec_col)), F.col("__qn"), F.col("__vn")),
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(q_id_col, id_col, "cosine")
@@ -238,16 +247,22 @@ def ivf_assign(
     dim: int,
     centroids=None,
 ) -> DataFrame:
-    """(id, vec, cid): each vector assigned to its nearest centroid —
-    the IVF build side. One narrow projection, no shuffle; the inverted
-    'lists' are just a cid column a downstream join equi-partitions on.
+    """(id, vec, cid, v_norm): each vector assigned to its nearest
+    centroid — the IVF build side. One narrow projection, no shuffle;
+    the inverted 'lists' are just a cid column a downstream join
+    equi-partitions on. ``v_norm`` is the vector's L2 norm, computed
+    HERE (once per corpus row, at build/index time) so the serve-side
+    rank stage never re-evaluates a norm fold per candidate pair.
 
     ``centroids`` (list of ``n_centroids`` × ``dim`` floats, e.g. from
     ``fit_centroids``) overrides the md5 pseudo-random fallback."""
     v = F.col(vec_col).cast("array<double>")
     best = F.array_max(_centroid_scores(v, n_centroids, dim, centroids))
     return df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), best["cid"].alias("cid")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        best["cid"].alias("cid"),
+        norm(F.col(vec_col)).alias("v_norm"),
     )
 
 
@@ -304,23 +319,39 @@ def ivf_probe_rank(
     probes onto the cid-keyed corpus, rank candidates by exact cosine.
     When ``asg`` is read from cid-PARTITIONED storage, the broadcast
     equi-join triggers dynamic partition pruning — only the probed
-    lists are read at all."""
+    lists are read at all.
+
+    Probe selection is an ``array_sort`` + ``slice`` of the per-row
+    centroid-score array (s desc, cid desc — the struct sort order
+    reversed), not a window: no exchange on the query side. The query
+    norm is computed once per query row and the corpus norm rides in
+    from ``ivf_assign``'s ``v_norm`` (projected here once per corpus
+    row for pre-norm ``asg`` frames, e.g. an index saved by an older
+    format) — the per-pair rank work is a single dot."""
     qv = F.col(q_vec_col).cast("array<double>")
+    # array_sort on array<struct<s,cid>> orders by (s asc, cid asc);
+    # reverse gives exactly the probe order (s desc, cid desc)
+    probe_arr = F.slice(
+        F.reverse(F.array_sort(_centroid_scores(qv, n_centroids, dim, centroids))),
+        1, n_probe,
+    )
     probes = queries.select(
         F.col(q_id_col).alias("qid"),
         F.col(q_vec_col).alias("qvec"),
-        F.explode(_centroid_scores(qv, n_centroids, dim, centroids)).alias("z"),
-    ).select("qid", "qvec", F.col("z.s").alias("s"), F.col("z.cid").alias("cid"))
-    wp = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("cid").desc())
-    probes = (
-        probes.withColumn("_pr", F.row_number().over(wp))
-        .filter(F.col("_pr") <= n_probe)
-        .select("qid", "qvec", "cid")
+        norm(F.col(q_vec_col)).alias("__qn"),
+        probe_arr.alias("__pa"),
+    ).select("qid", "qvec", "__qn", F.explode("__pa").alias("z")).select(
+        "qid", "qvec", "__qn", F.col("z.cid").alias("cid")
     )
+    if "v_norm" not in asg.columns:
+        asg = asg.withColumn("v_norm", norm(F.col("vec")))
     cand = asg.join(F.broadcast(probes), "cid").filter(F.col("qid") != F.col("id"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("id"))
     return (
-        cand.withColumn("cosine", cosine(F.col("qvec"), F.col("vec")))
+        cand.withColumn(
+            "cosine",
+            cosine_from(dot(F.col("qvec"), F.col("vec")), F.col("__qn"), F.col("v_norm")),
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(F.col("qid").alias(q_id_col), F.col("id").alias(id_col), "cosine")
@@ -355,8 +386,12 @@ def lsh_topk(
     table and joined by bucket equality — never scanned per probe."""
     cand = None
     for t in range(n_tables):
-        cb = hyperplane_buckets(corpus, vec_col, id_col, n_planes=n_planes, table=t, dim=dim)
-        qb = hyperplane_buckets(queries, q_vec_col, q_id_col, n_planes=n_planes, table=t, dim=dim)
+        cb = hyperplane_buckets(
+            corpus, vec_col, id_col, n_planes=n_planes, table=t, dim=dim
+        ).withColumn("v_norm", norm(F.col("vec")))
+        qb = hyperplane_buckets(
+            queries, q_vec_col, q_id_col, n_planes=n_planes, table=t, dim=dim
+        ).withColumn("q_norm", norm(F.col("vec")))
         if n_flip_probes:
             b = F.col("bucket")
             variants = [b]
@@ -371,17 +406,22 @@ def lsh_topk(
                     )
                 )
             qb = qb.select(
-                "id", "vec", F.explode(F.array(*variants)).alias("bucket")
+                "id", "vec", "q_norm", F.explode(F.array(*variants)).alias("bucket")
             )
         c = cb.join(
-            qb.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "bucket"),
+            qb.select(
+                F.col("id").alias("qid"), F.col("vec").alias("qvec"), "q_norm", "bucket"
+            ),
             "bucket",
-        ).select(F.col("qid"), F.col("id"), F.col("qvec"), F.col("vec"))
+        ).select(F.col("qid"), F.col("id"), F.col("qvec"), F.col("vec"), "q_norm", "v_norm")
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.filter(F.col("qid") != F.col("id")).dropDuplicates(["qid", "id"])
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("id"))
     return (
-        cand.withColumn("cosine", cosine(F.col("qvec"), F.col("vec")))
+        cand.withColumn(
+            "cosine",
+            cosine_from(dot(F.col("qvec"), F.col("vec")), F.col("q_norm"), F.col("v_norm")),
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(F.col("qid").alias(q_id_col), F.col("id").alias(id_col), "cosine")
@@ -578,16 +618,21 @@ def ivfpq_topk(
     lut = F.array(
         *[F.array(*[q_dot(m, kk) for kk in range(n_codes)]) for m in range(n_sub)]
     )
+    # one projection computes the ADC lut ONCE per query row alongside
+    # the sorted-sliced probe list (s desc, cid desc — struct order
+    # reversed); the explode then fans out only n_probe rows per query,
+    # each carrying the precomputed lut values. No per-probe lut
+    # re-evaluation, no window exchange on the query side.
+    probe_arr = F.slice(
+        F.reverse(F.array_sort(_centroid_scores(qv, n_centroids, dim, centroids))),
+        1, n_probe,
+    )
     probes = queries.select(
         F.col(q_id_col).alias("qid"),
         lut.alias("__lut"),
-        F.explode(_centroid_scores(qv, n_centroids, dim, centroids)).alias("z"),
-    ).select("qid", "__lut", F.col("z.s").alias("s"), F.col("z.cid").alias("cid"))
-    wp = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("cid").desc())
-    probes = (
-        probes.withColumn("_pr", F.row_number().over(wp))
-        .filter(F.col("_pr") <= n_probe)
-        .select("qid", "__lut", "cid")
+        probe_arr.alias("__pa"),
+    ).select("qid", "__lut", F.explode("__pa").alias("z")).select(
+        "qid", "__lut", F.col("z.cid").alias("cid")
     )
 
     cand = (

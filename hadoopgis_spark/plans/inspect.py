@@ -71,9 +71,10 @@ def lint_plan(df: DataFrame, big_tables: list[str] | None = None) -> list[str]:
       probe cost is |stream| × |build|; fine for tile tables, fatal for
       two fact tables.
     * ``Exchange SinglePartition`` — a global sort/agg funneling every
-      row through one task (scalar aggregates of tiny frames are the
-      legitimate exception; callers pass ``big_tables`` to scope the
-      check).
+      row through one task. Scalar aggregates of tiny frames are the
+      legitimate exception: pass ``big_tables`` (substrings of the
+      scans that are data-sized, e.g. parquet file/table names) and the
+      warning only fires when such a scan feeds the plan.
     * ``BatchEvalPython`` — row-at-a-time Python UDF in the plan; the
       engine's contract is Arrow-batched or JVM-only.
     * a scan with no ``PushedFilters`` while the query filters — filter
@@ -91,13 +92,18 @@ def lint_plan(df: DataFrame, big_tables: list[str] | None = None) -> list[str]:
         warnings.append(
             "conditionless nested-loop join: |stream| x |build| row blowup"
         )
-    if re.search(r"SinglePartition", plan):
+    if re.search(r"SinglePartition", plan) and (
+        big_tables is None or any(t in plan for t in big_tables)
+    ):
         warnings.append(
             "Exchange SinglePartition: a global single-task stage "
             "(legitimate only for scalar aggregates of tiny frames)"
         )
     if "BatchEvalPython" in plan:
         warnings.append("BatchEvalPython: row-at-a-time Python UDF in the hot path")
-    if "Filter" in plan and re.search(r"PushedFilters: \[\]", plan):
+    # a real Filter operator NODE, not the 'Filter' substring inside
+    # 'PushedFilters:' itself (which made this check vacuously true)
+    has_filter_node = re.search(r"\(\d+\) Filter\b", plan) is not None
+    if has_filter_node and re.search(r"PushedFilters: \[\]", plan):
         warnings.append("scan with empty PushedFilters under a Filter node")
     return warnings

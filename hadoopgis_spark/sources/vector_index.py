@@ -48,12 +48,16 @@ def save_ivf_index(
 ) -> list[list[float]]:
     """Build and persist the index; returns the fitted centroids.
 
-    Layout: ``{root}/{name}/vectors`` — (id, vec, cid) parquet
+    Layout: ``{root}/{name}/vectors`` — (id, vec, v_norm) parquet
     partitioned by cid (one inverted list per partition directory);
     ``{root}/{name}/centroids`` — (cid, c, meta) with the JSON meta
-    (dim, n_centroids) repeated per row so a load needs one small scan.
-    Vectors are stored verbatim (original float array) — the exact
-    cosine refine is bit-identical to querying the live frame.
+    (dim, n_centroids, format) repeated per row so a load needs one
+    small scan. Vectors are stored verbatim (original float array) —
+    the exact cosine refine is bit-identical to querying the live
+    frame. Format 2 adds the precomputed ``v_norm`` column so serving
+    never evaluates a norm fold per candidate pair; format-1 indexes
+    (no ``v_norm``) still load — ``ivf_probe_rank`` projects the norm
+    once per corpus row when the column is absent.
     """
     spark = df.sparkSession
     base = f"{root or _index_root(spark)}/{name}"
@@ -67,7 +71,7 @@ def save_ivf_index(
     asg.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
         f"{base}/vectors"
     )
-    meta = json.dumps({"dim": dim, "n_centroids": n_centroids})
+    meta = json.dumps({"dim": dim, "n_centroids": n_centroids, "format": 2})
     cdf = spark.createDataFrame(
         [(i, list(map(float, c)), meta) for i, c in enumerate(centroids)],
         "cid int, c array<double>, meta string",

@@ -1127,9 +1127,44 @@ CUR_PACK_SQL = r"""
     FROM documents
   )
   SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, stream,
-         (SUM(n_tokens) OVER w - n_tokens) // 512 AS bin,
-         (SUM(n_tokens) OVER w - n_tokens) % 512 AS tok_offset
+         -- CAST: DuckDB window SUM(INT) is HUGEINT -> float64/object in
+         -- pandas -> driver value-hash red (the r5 cur_pack lesson)
+         CAST((SUM(n_tokens) OVER w - n_tokens) // 512 AS BIGINT) AS bin,
+         CAST((SUM(n_tokens) OVER w - n_tokens) % 512 AS BIGINT) AS tok_offset
   FROM d WINDOW w AS (PARTITION BY stream ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def cur_pack_streams(spark, sf):
+    """Micro-gate decomposing cur_pack_sequences: ONLY the stream
+    assignment (the registry's sole md5 offset=9-of-doc_id path). If
+    cur_pack goes red while this stays green, the divergence is in the
+    window/div math, not the hash."""
+    d = _t(spark, sf, "documents")
+    stream = TXT.md5_hash32(F.col("doc_id").cast("string"), offset=9) % 8
+    return d.select("doc_id", stream.alias("stream"))
+
+
+CUR_PACK_STREAMS_SQL = """
+  SELECT doc_id,
+         ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 8 AS stream
+  FROM documents
+"""
+
+
+def cur_pack_tokens(spark, sf):
+    """Micro-gate decomposing cur_pack_sequences: ONLY the clamped
+    per-doc token budget (GREATEST(bpe_count, 1)). Pins the BPE-regex ∩
+    clamp path independently of the window cumsum."""
+    d = _t(spark, sf, "documents")
+    nt = F.greatest(TXT.bpe_token_count(F.col("text")), F.lit(1))
+    return d.select("doc_id", nt.cast("int").alias("n_tokens"))
+
+
+CUR_PACK_TOKENS_SQL = r"""
+  SELECT doc_id,
+         CAST(GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '''(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')), 1) AS INT) AS n_tokens
+  FROM documents
 """
 
 
@@ -1234,12 +1269,15 @@ TXT_TFIDF_SQL = f"""
 def sim_ann_topk(spark, sf):
     """Brute-force cosine top-5 for query vectors (vec_id % 50 = 0) —
     the correctness baseline of the ANN surface."""
-    e = _t(spark, sf, "embeddings")
+    e = _t(spark, sf, "embeddings").withColumn("__vn", V.norm(F.col("embedding")))
     q = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("__vn").alias("__qn"),
     )
     pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_id"))
-    cos = V.cosine(F.col("q_emb"), F.col("embedding"))
+    cos = V.cosine_from(
+        V.dot(F.col("q_emb"), F.col("embedding")), F.col("__qn"), F.col("__vn")
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
         pairs.withColumn("cos", cos)
@@ -1700,6 +1738,137 @@ SP_INTERVAL_SQL = """
          a.s AS start_1, a.e AS end_1, b.s AS start_2, b.e AS end_2
   FROM iv a JOIN iv b
     ON a.id < b.id AND a.s <= b.e AND b.s <= a.e
+"""
+
+
+def sp_temporal_parse(spark, sf):
+    """Multi-interval TemporalObject surface (reference spt extension,
+    temporal.h:13-24): build the reference's TEMPORAL_UNIX string
+    ("S E,S E,S" — bare value = degenerate interval) from event fields,
+    parse it, and evaluate the full set-predicate surface: count /
+    start / end accessors, set-intersects vs a 2-interval literal,
+    single-interval contains and mindist parity, and the set-level
+    mindist generalization. All integer-exact, so the oracle recomputes
+    the same arithmetic directly."""
+    from hadoopgis_spark.functions import temporal as T
+
+    e = _t(spark, sf, "events")
+    s1 = F.col("user_id") % 1000
+    e1 = s1 + F.col("event_id") % 97
+    s2 = s1 + 500 + F.col("event_id") % 31
+    e2 = s2 + F.col("user_id") % 53
+    s3 = s1 + 1200 + F.col("event_id") % 7
+    tstr = F.concat_ws(
+        ",",
+        F.concat_ws(" ", s1.cast("string"), e1.cast("string")),
+        F.concat_ws(" ", s2.cast("string"), e2.cast("string")),
+        s3.cast("string"),
+    )
+    obj = T.parse_temporal(tstr)
+    single = T.parse_temporal(F.concat_ws(" ", s1.cast("string"), e1.cast("string")))
+    q2 = T.temporal_lit([(200, 400), (1500, 1600)])
+    q1 = T.temporal_lit([(100, 150)])
+    qfar = T.temporal_lit([(2000, 2100)])
+    d = e.select(
+        "event_id",
+        obj.alias("__o"),
+        single.alias("__s"),
+    )
+    return d.select(
+        "event_id",
+        T.temporal_n_intervals("__o").alias("n_intervals"),
+        T.temporal_start("__o").alias("t_start"),
+        T.temporal_end("__o").alias("t_end"),
+        T.temporal_intersects("__o", q2).alias("isect"),
+        T.temporal_contains("__s", q1).alias("contains_q"),
+        T.temporal_mindist("__s", qfar).alias("mind_q"),
+        T.temporal_mindist_set("__o", q2).alias("mind_set"),
+    )
+
+
+SP_TEMPORAL_PARSE_SQL = """
+  WITH d AS (
+    SELECT event_id,
+           user_id % 1000 AS s1,
+           user_id % 1000 + event_id % 97 AS e1,
+           user_id % 1000 + 500 + event_id % 31 AS s2,
+           user_id % 1000 + 500 + event_id % 31 + user_id % 53 AS e2,
+           user_id % 1000 + 1200 + event_id % 7 AS s3
+    FROM events
+  )
+  SELECT event_id,
+         3 AS n_intervals,
+         s1 AS t_start,
+         s3 AS t_end,
+         ((s1 <= 400 AND e1 >= 200) OR (s2 <= 400 AND e2 >= 200) OR (s3 <= 400 AND s3 >= 200)
+          OR (s1 <= 1600 AND e1 >= 1500) OR (s2 <= 1600 AND e2 >= 1500) OR (s3 <= 1600 AND s3 >= 1500)
+         ) AS isect,
+         (s1 <= 100 AND 150 <= e1) AS contains_q,
+         GREATEST(CAST(0 AS BIGINT), 2000 - e1, s1 - 2100) AS mind_q,
+         LEAST(
+           GREATEST(CAST(0 AS BIGINT), 200 - e1, s1 - 400),
+           GREATEST(CAST(0 AS BIGINT), 1500 - e1, s1 - 1600),
+           GREATEST(CAST(0 AS BIGINT), 200 - e2, s2 - 400),
+           GREATEST(CAST(0 AS BIGINT), 1500 - e2, s2 - 1600),
+           GREATEST(CAST(0 AS BIGINT), 200 - s3, s3 - 400),
+           GREATEST(CAST(0 AS BIGINT), 1500 - s3, s3 - 1600)
+         ) AS mind_set
+  FROM d
+"""
+
+
+def sp_multi_interval_join(spark, sf):
+    """Set-overlap join of two TemporalObject tables (multi-interval
+    temporal join): rows pair when ANY interval of one overlaps ANY
+    interval of the other. Objects are per-key interval sets collected
+    from event-derived intervals; the operator explodes each set back
+    onto the 1-D tile engine and distinct-collapses object pairs."""
+    from hadoopgis_spark.functions.temporal import multi_interval_join
+
+    e = _t(spark, sf, "events")
+    s_a = (F.col("user_id") * 7 + F.col("event_id")) % 5000
+    a = (
+        e.filter(F.col("event_id") % 3 == 0)
+        .select(
+            (F.col("user_id") % 120).alias("a_id"),
+            F.struct(
+                s_a.alias("start"), (s_a + 1 + F.col("event_id") % 40).alias("end")
+            ).alias("__iv"),
+        )
+        .groupBy("a_id")
+        .agg(F.sort_array(F.collect_list("__iv")).alias("intervals"))
+    )
+    s_b = (F.col("user_id") * 11 + F.col("event_id") * 3) % 5000
+    b = (
+        e.filter(F.col("event_id") % 3 == 1)
+        .select(
+            (F.col("user_id") % 150).alias("b_id"),
+            F.struct(
+                s_b.alias("start"), (s_b + 1 + F.col("event_id") % 25).alias("end")
+            ).alias("__iv"),
+        )
+        .groupBy("b_id")
+        .agg(F.sort_array(F.collect_list("__iv")).alias("intervals"))
+    )
+    j = multi_interval_join(a, b, bucket_size=400)
+    return j.select(F.col("a_id_1").alias("a_id"), F.col("b_id_2").alias("b_id"))
+
+
+SP_MULTI_INTERVAL_SQL = """
+  WITH af AS (
+    SELECT user_id % 120 AS a_id,
+           (user_id * 7 + event_id) % 5000 AS s,
+           (user_id * 7 + event_id) % 5000 + 1 + event_id % 40 AS e
+    FROM events WHERE event_id % 3 = 0
+  ),
+  bf AS (
+    SELECT user_id % 150 AS b_id,
+           (user_id * 11 + event_id * 3) % 5000 AS s,
+           (user_id * 11 + event_id * 3) % 5000 + 1 + event_id % 25 AS e
+    FROM events WHERE event_id % 3 = 1
+  )
+  SELECT DISTINCT a_id, b_id
+  FROM af JOIN bf ON af.s <= bf.e AND bf.s <= af.e
 """
 
 
@@ -3287,20 +3456,29 @@ _PQ_FIT_CACHE = None
 def _pq_gate_codebooks(n_sub: int = 8, n_codes: int = 16, dim: int = 64):
     """Fitted PQ codebooks for the sim_ann_pq gate — same bounded-sample
     pyarrow read as ``_ivf_gate_centroids`` (no Spark session at
-    oracle-build time)."""
+    oracle-build time), and the same no-data fallback: without the
+    testdata file the codebooks degrade to the deterministic md5 scheme
+    instead of breaking ``import workload`` for every query."""
     global _PQ_FIT_CACHE
     if _PQ_FIT_CACHE is None:
-        from hadoopgis_spark.operators.similarity import fit_pq_codebooks
+        from hadoopgis_spark.operators.similarity import centroid, fit_pq_codebooks
 
-        import pyarrow.parquet as pq
+        d_sub = dim // n_sub
+        try:
+            import pyarrow.parquet as pq
 
-        t = pq.read_table(
-            "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
-        pdf = t.to_pandas().sort_values("vec_id").head(2048)
-        _PQ_FIT_CACHE = fit_pq_codebooks(
-            pdf["embedding"].tolist(), dim=dim, n_sub=n_sub, n_codes=n_codes
-        )
+            t = pq.read_table(
+                "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+            )
+            pdf = t.to_pandas().sort_values("vec_id").head(2048)
+            _PQ_FIT_CACHE = fit_pq_codebooks(
+                pdf["embedding"].tolist(), dim=dim, n_sub=n_sub, n_codes=n_codes
+            )
+        except Exception:
+            _PQ_FIT_CACHE = [
+                [centroid(m * n_codes + kk + 7000, d_sub) for kk in range(n_codes)]
+                for m in range(n_sub)
+            ]
     return _PQ_FIT_CACHE
 
 
@@ -3827,6 +4005,8 @@ REGISTRY: dict[str, Query] = {
     "cur_split_assign": Query(cur_split_assign, CUR_SPLIT_SQL, "reproducible hash-bucket train/val/test split"),
     "cur_stratified_sample": Query(cur_stratified_sample, CUR_SAMPLE_SQL, "deterministic per-source downsampling, map-side"),
     "cur_pack_sequences": Query(cur_pack_sequences, CUR_PACK_SQL, "GPT-style sequence packing over salted parallel streams"),
+    "cur_pack_streams": Query(cur_pack_streams, CUR_PACK_STREAMS_SQL, "cur_pack micro-gate: md5 offset=9 stream assignment only"),
+    "cur_pack_tokens": Query(cur_pack_tokens, CUR_PACK_TOKENS_SQL, "cur_pack micro-gate: clamped BPE token budget only"),
     "cur_contamination": Query(cur_contamination, CUR_CONTAM_SQL, "8-gram benchmark decontamination, broadcast eval side"),
     "stream_near_dedup_batch": Query(stream_near_dedup_batch, STREAM_NEAR_DEDUP_SQL, "LSH near-dup suppression at ingestion (batch face)"),
     "txt_dup_passages": Query(txt_dup_passages, TXT_DUP_PASSAGES_SQL, "passage-level duplication fraction via winnow fingerprints"),
@@ -3876,6 +4056,8 @@ REGISTRY: dict[str, Query] = {
     "sp_knn": Query(sp_knn, SP_KNN_SQL, "J4 exact kNN join"),
     "sp_containment_wkt": Query(sp_containment_wkt, SP_CONTAINMENT_WKT_SQL, "J3 exact WKT kernel path"),
     "sp_interval_join": Query(sp_interval_join, SP_INTERVAL_SQL, "temporal interval join (spt ext)"),
+    "sp_temporal_parse": Query(sp_temporal_parse, SP_TEMPORAL_PARSE_SQL, "multi-interval TemporalObject parse + set predicates (spt ext)"),
+    "sp_multi_interval_join": Query(sp_multi_interval_join, SP_MULTI_INTERVAL_SQL, "set-overlap join of multi-interval temporal objects"),
     "sp_touches_wkt": Query(sp_touches_wkt, SP_TOUCHES_WKT_SQL, "P3 st_touches, exact kernel"),
     "sp_within_wkt": Query(sp_within_wkt, SP_WITHIN_WKT_SQL, "P3 st_within, exact kernel"),
     "sp_overlaps_wkt": Query(sp_overlaps_wkt, SP_OVERLAPS_WKT_SQL, "P3 st_overlaps, exact kernel"),

@@ -519,6 +519,38 @@ class TestAsofBucketed:
         )
         assert got == [(1, 3, None, None), (1, 5, 4, 9)]
 
+    def test_null_times_agree_across_strategies(self, spark):
+        """Null right times never match (dropped at entry); null left
+        times match nothing — identical across all three strategies."""
+        from hadoopgis_spark.operators.asof import (
+            asof_join,
+            asof_join_broadcast,
+            asof_join_bucketed,
+        )
+
+        ldf = spark.createDataFrame(
+            [(1, 10, 0), (1, None, 1), (2, 50, 2), (2, None, 3)],
+            "k int, t int, lv int",
+        )
+        rdf = spark.createDataFrame(
+            [(1, 8, 100), (1, None, 666), (2, None, 667), (2, 40, 101)],
+            "k int, t int, rv int",
+        )
+        want = sorted(
+            [(1, 10, 0, 8, 100), (1, None, 1, None, None),
+             (2, 50, 2, 40, 101), (2, None, 3, None, None)],
+            key=repr,
+        )
+        for out in (
+            asof_join(ldf, rdf, on="t", by="k"),
+            asof_join_broadcast(ldf, rdf, on="t", by="k"),
+            asof_join_bucketed(ldf, rdf, on="t", by="k", n_buckets=4),
+        ):
+            got = sorted(
+                ((r.k, r.t, r.lv, r.t_right, r.rv) for r in out.collect()), key=repr
+            )
+            assert got == want
+
     def test_window_partitions_include_bucket(self, spark):
         """Plan contract: the big window partitions on (key, bucket) —
         the hot key spreads across n_buckets tasks."""

@@ -174,3 +174,126 @@ class TestSqlRegistration:
         assert got[(1, 2)] == round(25.0 / 175.0, 6)
         area = spark.sql("SELECT st_area('POLYGON ((0 0, 4 0, 0 4, 0 0))') AS a").collect()[0].a
         assert area == 8.0
+
+
+class TestTemporalObject:
+    """Multi-interval TemporalObject (reference spt ext, temporal.h:13-24)."""
+
+    def test_parse_formats(self, spark):
+        from hadoopgis_spark.functions.temporal import parse_temporal
+
+        rows = [
+            (1, "3 7,10 12,20"),          # two intervals + degenerate
+            (2, "  5   9  "),             # single interval, messy spaces
+            (3, "42"),                    # bare value
+            (4, "1 2,x y,3 4"),           # malformed middle token skipped
+            (5, ""),                      # empty -> no intervals
+        ]
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = {r.id: [(iv.start, iv.end) for iv in r.o]
+               for r in df.select("id", parse_temporal("s").alias("o")).collect()}
+        assert got[1] == [(3, 7), (10, 12), (20, 20)]
+        assert got[2] == [(5, 9)]
+        assert got[3] == [(42, 42)]
+        assert got[4] == [(1, 2), (3, 4)]
+        assert got[5] == []
+
+    def test_set_predicates_vs_bruteforce(self, spark):
+        import random
+
+        from hadoopgis_spark.functions.temporal import (
+            parse_temporal,
+            temporal_contains,
+            temporal_end,
+            temporal_intersects,
+            temporal_lit,
+            temporal_mindist,
+            temporal_mindist_set,
+            temporal_n_intervals,
+            temporal_start,
+        )
+
+        rng = random.Random(23)
+
+        def rand_obj():
+            ivs = []
+            for _ in range(rng.randint(1, 4)):
+                s = rng.randint(0, 200)
+                ivs.append((s, s + rng.randint(0, 30)))
+            return ivs
+
+        q = [(40, 60), (150, 160)]
+        rows = []
+        for i in range(200):
+            ivs = rand_obj()
+            rows.append((i, ",".join(f"{s} {e}" for s, e in ivs), ivs))
+        df = spark.createDataFrame([(i, s) for i, s, _ in rows], "id long, s string")
+        o = parse_temporal("s")
+        got = {
+            r.id: r
+            for r in df.select(
+                "id",
+                temporal_n_intervals(o).alias("n"),
+                temporal_start(o).alias("ts"),
+                temporal_end(o).alias("te"),
+                temporal_intersects(o, temporal_lit(q)).alias("i"),
+                temporal_contains(o, temporal_lit([(50, 55)])).alias("c"),
+                temporal_mindist(o, temporal_lit([(500, 510)])).alias("m1"),
+                temporal_mindist_set(o, temporal_lit(q)).alias("ms"),
+            ).collect()
+        }
+        for i, _, ivs in rows:
+            r = got[i]
+            assert r.n == len(ivs)
+            assert r.ts == ivs[0][0] and r.te == ivs[-1][1]
+            want_i = any(s <= qe and e >= qs for s, e in ivs for qs, qe in q)
+            assert r.i == want_i, (ivs, q)
+            # contains: reference parity — single-interval only
+            want_c = len(ivs) == 1 and ivs[0][0] <= 50 and 55 <= ivs[0][1]
+            assert r.c == want_c
+            want_m1 = (
+                max(0, 500 - ivs[0][1], ivs[0][0] - 510) if len(ivs) == 1 else 0
+            )
+            assert r.m1 == want_m1
+            want_ms = min(
+                max(0, qs - e, s - qe) for s, e in ivs for qs, qe in q
+            )
+            assert r.ms == want_ms
+
+    def test_multi_interval_join_vs_bruteforce(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from hadoopgis_spark.functions.temporal import multi_interval_join
+
+        rng = random.Random(31)
+
+        def objs(n, lo, hi):
+            out = []
+            for i in range(n):
+                ivs = []
+                for _ in range(rng.randint(1, 3)):
+                    s = rng.randint(lo, hi)
+                    ivs.append((s, s + rng.randint(0, 40)))
+                out.append((i, sorted(ivs)))
+            return out
+
+        A, B = objs(40, 0, 2000), objs(50, 0, 2000)
+        adf = spark.createDataFrame(
+            [(i, [{"start": s, "end": e} for s, e in ivs]) for i, ivs in A],
+            "a_id long, intervals array<struct<start:long,end:long>>",
+        )
+        bdf = spark.createDataFrame(
+            [(i, [{"start": s, "end": e} for s, e in ivs]) for i, ivs in B],
+            "b_id long, intervals array<struct<start:long,end:long>>",
+        )
+        j = multi_interval_join(adf, bdf, bucket_size=30)
+        got = {(r[0], r[1]) for r in j.select("a_id_1", "b_id_2").collect()}
+        want = {
+            (i, jd)
+            for i, ivs in A
+            for jd, jvs in B
+            if any(s <= e2 and s2 <= e for s, e in ivs for s2, e2 in jvs)
+        }
+        assert got == want and len(want) > 50

@@ -50,6 +50,22 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         a, b = s[c].to_numpy(), d[c].to_numpy()
+        # The driver's gate hashes STRINGIFIED values, so int64 2 vs
+        # float64 2.0 is a hard mismatch there even though a == b holds
+        # numerically. Mirror that strictness: dtype *class* must agree.
+        # (Root cause of the r5 `cur_pack_sequences` red row: DuckDB
+        # window SUM(INT) -> HUGEINT -> float64 in fetchdf.)
+        kind = lambda x: (
+            "f" if np.issubdtype(x.dtype, np.floating)
+            else "i" if np.issubdtype(x.dtype, np.integer)
+            else "o"
+        )
+        if kind(a) != kind(b):
+            problems.append(
+                f"column {c}: dtype class mismatch spark={a.dtype} duck={b.dtype}"
+                " (driver value-hash would be red — CAST in the oracle SQL)"
+            )
+            continue
         if np.issubdtype(a.dtype, np.floating):
             ok = np.allclose(a, b, rtol=0, atol=0, equal_nan=True)
             if not ok:
