@@ -132,6 +132,16 @@ BENCH_QUERIES = [
     "rel_exists_late_ship",
     "rel_min_by_group",
     "rel_supplier_cnt",
+    # round 6: multi-interval temporal objects, SemDeDup, deterministic
+    # training shuffle, Q17/Q21 relational shapes, cur_pack micro-gates
+    "sp_temporal_parse",
+    "sp_multi_interval_join",
+    "sim_semdedup",
+    "cur_shuffle_shards",
+    "rel_small_qty_revenue",
+    "rel_top_waiting_suppliers",
+    "cur_pack_streams",
+    "cur_pack_tokens",
 ]
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "split_assign",
     "stratified_sample",
     "pack_sequences",
+    "shuffle_shards",
     "ngram_rows",
     "contamination_flags",
     "dsir_weights",
@@ -116,6 +117,31 @@ def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",
         F.expr(f"__start div {int(budget)}").cast("long").alias("bin"),
         F.expr(f"__start % {int(budget)}").cast("long").alias("tok_offset"),
     )
+
+
+def shuffle_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+                   salt: str = "shuffle") -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: append
+    ``(shard, pos)`` — a reproducible random permutation expressed as
+    md5 order, the standard trick for shuffling 100 TB of training docs
+    without RNG state (re-runs, failed-task retries, and any engine
+    reproduce the identical order from the ids alone).
+
+    ``shard = md5(salt||id) % n_shards`` is a map-side expression;
+    ``pos`` ranks the full hash within the shard (ties broken by id, so
+    the order is total). One shuffle (the per-shard window), which is
+    the floor for any global permutation; shards are hash-uniform so no
+    window partition is hot. Readers stream shard files in ``pos``
+    order and get a stable pseudo-random document order.
+    """
+    h = md5_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    d = df.withColumn("__h", h).withColumn(
+        "shard", (F.col("__h") % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return d.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    ).drop("__h")
 
 
 def ngram_rows(frame: DataFrame, n: int, text_col: str = "text",

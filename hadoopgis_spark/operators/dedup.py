@@ -36,6 +36,7 @@ __all__ = [
     "simhash64",
     "simhash_pairs",
     "embedding_dup_pairs",
+    "semdedup_pairs",
     "dup_clusters",
     "dup_spans",
 ]
@@ -363,6 +364,48 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
+    )
+
+
+def semdedup_pairs(df: DataFrame, centroids, *, dim: int, threshold: float = 0.9,
+                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) candidate pairs:
+    semantic duplicates = embedding pairs with cosine ≥ ``threshold``
+    WITHIN the same k-means cluster. Returns (id_1, id_2, cosine, cid),
+    id_1 < id_2; compose with :func:`dup_clusters` + keep-min-id for the
+    published keep-one-per-group prune.
+
+    Scale shape (the paper's own): clustering gates the quadratic — the
+    candidate join is cid-equi (one shuffle keyed on cluster id), never
+    an all-pairs product; within a cluster the comparison IS quadratic
+    by design, so size ``len(centroids)`` to bound cluster populations
+    (the paper uses 50k clusters for 5B embeddings). Cluster assignment
+    is map-only over literal centroids (``ivf_assign``), vector norms
+    are computed once per row there, and the per-pair work is a single
+    dot fold.
+    """
+    from hadoopgis_spark.functions.vector import cosine_from, dot
+    from hadoopgis_spark.operators.similarity import ivf_assign
+
+    asg = ivf_assign(
+        df, vec_col, id_col, n_centroids=len(centroids), dim=dim, centroids=centroids
+    )
+    a = asg.select(
+        F.col("id").alias("id_1"), F.col("vec").alias("v1"),
+        F.col("v_norm").alias("n1"), "cid",
+    )
+    b = asg.select(
+        F.col("id").alias("id_2"), F.col("vec").alias("v2"),
+        F.col("v_norm").alias("n2"), "cid",
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_1") < F.col("id_2"))
+        .withColumn(
+            "cosine", cosine_from(dot(F.col("v1"), F.col("v2")), F.col("n1"), F.col("n2"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_1", "id_2", "cosine", "cid")
     )
 
 

@@ -1135,6 +1135,28 @@ CUR_PACK_SQL = r"""
 """
 
 
+def cur_shuffle_shards(spark, sf):
+    """Deterministic training-order shuffle: (doc_id, shard, pos) — an
+    md5-order permutation over 8 shards, reproducible from ids alone
+    (no RNG state; identical on re-runs and in any engine)."""
+    from hadoopgis_spark.operators.curate import shuffle_shards
+
+    d = _t(spark, sf, "documents")
+    return shuffle_shards(d, 8).select("doc_id", "shard", "pos")
+
+
+CUR_SHUFFLE_SQL = """
+  WITH h AS (
+    SELECT doc_id,
+           ('0x' || SUBSTR(MD5('shuffle' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+    FROM documents
+  )
+  SELECT doc_id, hv % 8 AS shard,
+         CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+  FROM h
+"""
+
+
 def cur_pack_streams(spark, sf):
     """Micro-gate decomposing cur_pack_sequences: ONLY the stream
     assignment (the registry's sole md5 offset=9-of-doc_id path). If
@@ -3348,6 +3370,53 @@ def _kmeans_sql(n_centroids: int = 16, dim: int = 64) -> str:
 SIM_KMEANS_SQL = _kmeans_sql()
 
 
+def sim_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. '23): semantic near-dup pairs = cosine ≥
+    0.33 within the same fitted k-means cluster. The cluster gate keeps
+    the join cid-equi — the quadratic is bounded per cluster, never
+    corpus-wide."""
+    from hadoopgis_spark.operators.dedup import semdedup_pairs
+
+    e = _t(spark, sf, "embeddings")
+    p = semdedup_pairs(e, _ivf_gate_centroids(), dim=64, threshold=0.33)
+    return p.select("id_1", "id_2", F.round("cosine", 6).alias("cosine"), "cid")
+
+
+def _semdedup_sql(n_centroids: int = 16, dim: int = 64, threshold: float = 0.33) -> str:
+    fitted = _ivf_gate_centroids(n_centroids, dim)
+    structs = []
+    for c in range(n_centroids):
+        comps = fitted[c]
+        dot = " + ".join(f"ce[{d + 1}] * ({comps[d]!r})" for d in range(dim))
+        half = sum(x * x for x in comps) / 2.0
+        structs.append(f"struct_pack(cid := {c}, s := {dot} - ({half!r}))")
+    lst = ", ".join(structs)
+    return f"""
+  WITH e AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+  ), u AS (
+    SELECT id, UNNEST([{lst}]) AS z FROM e
+  ), r AS (
+    SELECT id, z['cid'] AS cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY z['s'] DESC, z['cid'] DESC) AS rn
+    FROM u
+  ), asg AS (
+    SELECT id, cid FROM r WHERE rn = 1
+  ), v AS (
+    SELECT a.id AS id_1, b.id AS id_2, a.cid,
+           LIST_DOT_PRODUCT(x.ce, y.ce)
+             / (SQRT(LIST_DOT_PRODUCT(x.ce, x.ce)) * SQRT(LIST_DOT_PRODUCT(y.ce, y.ce))) AS cos
+    FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
+    JOIN e x ON x.id = a.id JOIN e y ON y.id = b.id
+  )
+  SELECT id_1, id_2, ROUND(cos, 6) AS cosine, cid
+  FROM v WHERE cos >= CAST({threshold} AS DOUBLE)
+"""
+
+
+SIM_SEMDEDUP_SQL = _semdedup_sql()
+
+
 def txt_pii_scrub(spark, sf):
     """PII redaction + per-kind counts (email / IPv4 / phone), pure JVM
     regex. The driver's synthetic documents carry no PII, so a
@@ -3903,6 +3972,86 @@ STREAM_SESSION_NATIVE_SQL = """
 """
 
 
+def rel_small_qty_revenue(spark, sf):
+    """TPC-H Q17 shape (correlated scalar AVG): revenue of order lines
+    whose quantity is below 20% of the part's average quantity. Spark
+    formulates it as a broadcast of the tiny per-part aggregate; the
+    oracle keeps the correlated subquery — two independent plans, one
+    answer. Sum rounded (2): order-dependent float add."""
+    l = _t(spark, sf, "lineitem")
+    avg_q = l.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("q_cut")
+    )
+    j = l.join(F.broadcast(avg_q), "l_partkey").filter(
+        F.col("l_quantity") < F.col("q_cut")
+    )
+    return j.agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+REL_SMALL_QTY_SQL = """
+  SELECT ROUND(SUM(l_extendedprice), 2) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem l
+  WHERE l_quantity < (
+    SELECT CAST(0.2 AS DOUBLE) * AVG(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+def rel_top_waiting_suppliers(spark, sf):
+    """TPC-H Q21 shape (this testdata's lineitem has no receipt/commit
+    dates, so 'late' = returned lines, l_returnflag = 'R'): suppliers
+    with a returned line on multi-supplier orders where NO other
+    supplier had a returned line — an EXISTS + NOT EXISTS pair, planned
+    as a left-semi then left-anti join on the same key."""
+    l = _t(spark, sf, "lineitem")
+    late = l.filter(F.col("l_returnflag") == "R")
+    others = l.select("l_orderkey", "l_suppkey")
+    others_late = late.select("l_orderkey", "l_suppkey")
+    l1 = late.alias("l1")
+    # some other supplier on the order (any line)
+    has_other = l1.join(
+        others.alias("o1"),
+        (F.col("l1.l_orderkey") == F.col("o1.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("o1.l_suppkey")),
+        "left_semi",
+    )
+    # ... but no OTHER supplier was late
+    alone_late = has_other.alias("l2").join(
+        others_late.alias("o2"),
+        (F.col("l2.l_orderkey") == F.col("o2.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("o2.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        alone_late.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .filter(F.col("numwait") >= 2)
+    )
+
+
+REL_TOP_WAITING_SQL = """
+  SELECT l1.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM lineitem l1
+  WHERE l1.l_returnflag = 'R'
+    AND EXISTS (
+      SELECT 1 FROM lineitem o1
+      WHERE o1.l_orderkey = l1.l_orderkey AND o1.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem o2
+      WHERE o2.l_orderkey = l1.l_orderkey AND o2.l_suppkey <> l1.l_suppkey
+        AND o2.l_returnflag = 'R'
+    )
+  GROUP BY 1
+  HAVING COUNT(*) >= 2
+"""
+
+
 def rel_exists_late_ship(spark, sf):
     """TPC-H Q4 shape: orders in a quarter having at least one lineitem
     shipped > 60 days after the order date — a correlated EXISTS with a
@@ -4007,6 +4156,10 @@ REGISTRY: dict[str, Query] = {
     "cur_pack_sequences": Query(cur_pack_sequences, CUR_PACK_SQL, "GPT-style sequence packing over salted parallel streams"),
     "cur_pack_streams": Query(cur_pack_streams, CUR_PACK_STREAMS_SQL, "cur_pack micro-gate: md5 offset=9 stream assignment only"),
     "cur_pack_tokens": Query(cur_pack_tokens, CUR_PACK_TOKENS_SQL, "cur_pack micro-gate: clamped BPE token budget only"),
+    "cur_shuffle_shards": Query(cur_shuffle_shards, CUR_SHUFFLE_SQL, "deterministic md5-order training shuffle (shard, pos)"),
+    "sim_semdedup": Query(sim_semdedup, SIM_SEMDEDUP_SQL, "SemDeDup: cluster-gated semantic near-dup pairs"),
+    "rel_small_qty_revenue": Query(rel_small_qty_revenue, REL_SMALL_QTY_SQL, "correlated scalar AVG (Q17 shape)"),
+    "rel_top_waiting_suppliers": Query(rel_top_waiting_suppliers, REL_TOP_WAITING_SQL, "EXISTS + NOT EXISTS pair (Q21 shape)"),
     "cur_contamination": Query(cur_contamination, CUR_CONTAM_SQL, "8-gram benchmark decontamination, broadcast eval side"),
     "stream_near_dedup_batch": Query(stream_near_dedup_batch, STREAM_NEAR_DEDUP_SQL, "LSH near-dup suppression at ingestion (batch face)"),
     "txt_dup_passages": Query(txt_dup_passages, TXT_DUP_PASSAGES_SQL, "passage-level duplication fraction via winnow fingerprints"),
@@ -4118,4 +4271,40 @@ REGISTRY: dict[str, Query] = {
         # the error-vs-exact bound is pinned by TestApproxPercentiles
         "approx percentiles (t-digest sketch, the 100 TB path)",
     ),
+}
+
+# Round-6 gate prefix (the ordering contract: the driver gates
+# REGISTRY[0:50]). Composition, riskiest first:
+#   1-3    cur_pack red-row fix + its two decomposed micro-gates
+#   4-11   the 8 queries that have NEVER had a driver CORRECTNESS row
+#          (r5 VERDICT "What's missing" #1)
+#   12-13  new round-6 surface (multi-interval TemporalObject)
+#   14-25  queries over round-6 code churn (similarity/vector norm
+#          precompute, asof null handling, temporal.py edits)
+#   26-50  stable driver-green keepers spread across every surface
+# Everything after 50 is driver-green from earlier rounds and unchanged.
+_R6_PREFIX = [
+    "cur_pack_sequences", "cur_pack_streams", "cur_pack_tokens",
+    "rel_asof_bucketed", "sim_ann_ivfpq", "rel_exists_late_ship",
+    "rel_min_by_group", "rel_supplier_cnt", "mm_frame_sample",
+    "mm_resize", "op_discretize",
+    "sp_temporal_parse", "sp_multi_interval_join",
+    "sim_semdedup", "cur_shuffle_shards", "rel_small_qty_revenue",
+    "rel_top_waiting_suppliers",
+    "sim_ann_ivf", "sim_ann_ivf_indexed", "sim_ann_topk", "sim_ann_lsh",
+    "sim_ann_lsh_multiprobe", "sim_ann_pq", "sim_embed_dup", "sim_kmeans",
+    "rel_asof_join", "stream_asof_batch", "sp_interval_join", "dedup_clusters",
+    "sp_join_boxes", "sp_join_bucketed", "sp_join_bucketed_dwithin",
+    "sp_knn", "sp_knn_tile", "sp_dwithin_points", "sp_containment_wkt",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_prefix",
+    "txt_line_dedup", "txt_dup_spans",
+    "cur_split_assign", "cur_stratified_sample", "cur_contamination",
+    "cur_dsir_weights", "cur_pipeline",
+    "rel_funnel", "stream_session_native_batch",
+    "txt_token_bpe", "mm_decode_meta",
+]
+assert len(_R6_PREFIX) == 50 and len(set(_R6_PREFIX)) == 50
+REGISTRY = {
+    **{n: REGISTRY[n] for n in _R6_PREFIX},
+    **{n: q for n, q in REGISTRY.items() if n not in set(_R6_PREFIX)},
 }

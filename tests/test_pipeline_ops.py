@@ -1593,3 +1593,75 @@ class TestDupSpans:
         got = {(r.id, r.span_start, r.span_len)
                for r in dup_spans(df, min_tokens=2).collect()}
         assert got == {(1, 1, 2), (2, 1, 2)}
+
+
+class TestSemDeDup:
+    def test_matches_numpy_bruteforce(self, spark):
+        import numpy as np
+
+        from hadoopgis_spark.operators.dedup import semdedup_pairs
+
+        rng = np.random.RandomState(17)
+        vecs = rng.randn(150, 8)
+        cents = rng.randn(4, 8).tolist()
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(150)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            (r.id_1, r.id_2)
+            for r in semdedup_pairs(df, cents, dim=8, threshold=0.6).collect()
+        }
+        c = np.array(cents)
+        asg = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+        want = set()
+        for i in range(150):
+            for j in range(i + 1, 150):
+                if asg[i] != asg[j]:
+                    continue
+                cos = vecs[i] @ vecs[j] / (
+                    np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j])
+                )
+                if cos >= 0.6:
+                    want.add((i, j))
+        assert got == want and len(want) > 5
+
+    def test_cluster_gate_never_all_pairs(self, spark):
+        """Plan contract: the candidate join is cid-equi (SortMergeJoin /
+        ShuffledHashJoin on cid), never a cartesian product."""
+        import random
+
+        from hadoopgis_spark.operators.dedup import semdedup_pairs
+        from hadoopgis_spark.plans.inspect import formatted_plan
+
+        rng = random.Random(3)
+        df = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+        plan = formatted_plan(semdedup_pairs(df, cents, dim=8))
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+class TestShuffleShards:
+    def test_permutation_properties(self, spark):
+        from hadoopgis_spark.operators.curate import shuffle_shards
+
+        df = spark.createDataFrame([(i, f"t{i}") for i in range(500)], "doc_id long, text string")
+        out = shuffle_shards(df, 8).select("doc_id", "shard", "pos").collect()
+        assert len(out) == 500
+        assert {r.doc_id for r in out} == set(range(500))
+        by_shard = {}
+        for r in out:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        assert set(by_shard) <= set(range(8))
+        for shard, poss in by_shard.items():
+            # dense 0..n-1 within each shard
+            assert sorted(poss) == list(range(len(poss)))
+        # deterministic: identical on re-run
+        again = shuffle_shards(df, 8).select("doc_id", "shard", "pos").collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+        # order is hash-derived, not id order: the permutation actually shuffles
+        order = [r.doc_id for r in sorted(out, key=lambda r: (r.shard, r.pos))]
+        assert order != sorted(order)

@@ -257,9 +257,18 @@ class TestPipelinePlans:
         # once, assigned in place, and never shuffled for the join
         assert "BroadcastHashJoin" in plan, plan[:2000]
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-        # shuffles: probe-ranking window (tiny query side) + final
-        # top-k window over candidates — never more
-        assert count_exchanges(j) <= 2, plan[:2000]
+        # shuffles: ONLY the final top-k window over candidates — probe
+        # selection is a per-row array_sort+slice, not a window
+        assert count_exchanges(j) == 1, plan[:2000]
+        # norm-precompute contract: the post-join rank projection does
+        # exactly ONE interpreted fold per pair (the dot); both norms
+        # arrive as plain precomputed columns. HOFs are CodegenFallback,
+        # so a second fold here would re-run per candidate pair.
+        cos_lines = [l for l in plan.splitlines() if "AS cosine" in l]
+        assert cos_lines, plan[:2000]
+        for l in cos_lines:
+            assert l.count("aggregate(") == 1, l
+            assert "v_norm" in l and "__qn" in l, l
 
     def test_ivf_indexed_prunes_partitions_dynamically(self, spark, emb, tmp_path):
         """The persisted-index query must show dynamic partition pruning
