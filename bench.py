@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "rel_top_waiting_suppliers",
     "cur_pack_streams",
     "cur_pack_tokens",
+    "stream_join_batch",
 ]
 
 

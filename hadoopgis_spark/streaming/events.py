@@ -26,6 +26,7 @@ __all__ = [
     "streaming_containment",
     "streaming_zone_tag",
     "streaming_dedup",
+    "stream_stream_interval_join",
 ]
 
 
@@ -142,6 +143,61 @@ def streaming_zone_tag(
         & (y >= F.col("z_ymin")) & (y < F.col("z_ymax"))
     )
     return events.join(F.broadcast(zones), cond, "inner")
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    max_delay_s: int = 1800,
+    watermark: str = "2 hours",
+    suffix: str = "_r",
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time range condition: pair
+    each left event with same-key right events inside
+    ``[left_time - max_delay_s, left_time]`` (e.g. click ↔ the views
+    that preceded it within 30 minutes).
+
+    This is Structured Streaming's bounded-state stream-stream join
+    shape: on streaming inputs BOTH sides carry a watermark and the
+    time-range condition on the watermarked event-time columns is what
+    lets Spark EVICT buffered rows — state per key is bounded by
+    watermark + max_delay, not by stream length. On batch frames the
+    identical code is a plain range equi-join (one shuffle on the key),
+    which is the oracle-checkable face (`stream_join_batch`).
+
+    The range arithmetic runs on the canonical epoch-nanos longs (exact
+    integers); the watermark columns are the derived µs timestamps.
+    Output: left columns + right payload columns suffixed; the right
+    event time arrives as ``ts + suffix``.
+    """
+    l = _event_time(left, ts_col).withColumnRenamed("event_time", "__lt")
+    r = _event_time(right, ts_col).withColumnRenamed("event_time", "__rt")
+    if left.isStreaming:
+        l = l.withWatermark("__lt", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("__rt", watermark)
+    r_cols = {
+        c: (c + suffix if c in l.columns else c)
+        for c in r.columns
+        if c not in (key_col, "__rt")
+    }
+    r = r.select(
+        F.col(key_col), "__rt", *[F.col(c).alias(a) for c, a in r_cols.items()]
+    )
+    delay_ns = int(max_delay_s) * 1_000_000_000
+    cond = (
+        (l[key_col] == r[key_col])
+        & (F.col(f"{ts_col}{suffix}") <= l[ts_col])
+        & (F.col(f"{ts_col}{suffix}") >= l[ts_col] - F.lit(delay_ns))
+        # the watermarked-column condition Spark needs for state eviction
+        & (F.col("__rt") <= F.col("__lt"))
+        & (F.col("__rt") >= F.col("__lt") - F.expr(f"INTERVAL {int(max_delay_s)} SECONDS"))
+    )
+    out = l.join(r, cond, "inner")
+    keep = [l[c] for c in left.columns] + [F.col(a) for a in r_cols.values()]
+    return out.select(*keep)
 
 
 def streaming_containment(

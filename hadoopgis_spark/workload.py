@@ -3295,6 +3295,35 @@ REL_ASOF_SQL = """
 """
 
 
+def stream_join_batch(spark, sf):
+    """Batch face of the STREAM-STREAM event-time range join: each
+    purchase paired with the same user's views in the preceding 4 hours.
+    On streams both sides are watermarked and the range condition bounds
+    the join state; this batch run builds the same logical join for the
+    oracle."""
+    from hadoopgis_spark.streaming.events import stream_stream_interval_join
+
+    e = _t(spark, sf, "events")
+    l = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    r = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    j = stream_stream_interval_join(l, r, max_delay_s=14400)
+    return j.select("event_id", "event_id_r", "user_id", "ts", "ts_r")
+
+
+STREAM_JOIN_SQL = """
+  WITH l AS (
+    SELECT event_id, user_id, CAST(epoch_ns(ts) AS BIGINT) AS t
+    FROM events WHERE event_type = 'purchase'
+  ), r AS (
+    SELECT event_id AS event_id_r, user_id, CAST(epoch_ns(ts) AS BIGINT) AS t_r
+    FROM events WHERE event_type = 'view'
+  )
+  SELECT l.event_id, r.event_id_r, l.user_id, l.t AS ts, r.t_r AS ts_r
+  FROM l JOIN r ON l.user_id = r.user_id
+   AND r.t_r <= l.t AND r.t_r >= l.t - 14400000000000
+"""
+
+
 def rel_funnel(spark, sf):
     """Ordered funnel (view → click → purchase) per user: earliest time
     of each step strictly after the previous step. Stacked Windows over
@@ -4159,6 +4188,7 @@ REGISTRY: dict[str, Query] = {
     "cur_shuffle_shards": Query(cur_shuffle_shards, CUR_SHUFFLE_SQL, "deterministic md5-order training shuffle (shard, pos)"),
     "sim_semdedup": Query(sim_semdedup, SIM_SEMDEDUP_SQL, "SemDeDup: cluster-gated semantic near-dup pairs"),
     "rel_small_qty_revenue": Query(rel_small_qty_revenue, REL_SMALL_QTY_SQL, "correlated scalar AVG (Q17 shape)"),
+    "stream_join_batch": Query(stream_join_batch, STREAM_JOIN_SQL, "stream-stream event-time range join (batch face)"),
     "rel_top_waiting_suppliers": Query(rel_top_waiting_suppliers, REL_TOP_WAITING_SQL, "EXISTS + NOT EXISTS pair (Q21 shape)"),
     "cur_contamination": Query(cur_contamination, CUR_CONTAM_SQL, "8-gram benchmark decontamination, broadcast eval side"),
     "stream_near_dedup_batch": Query(stream_near_dedup_batch, STREAM_NEAR_DEDUP_SQL, "LSH near-dup suppression at ingestion (batch face)"),
@@ -4300,7 +4330,7 @@ _R6_PREFIX = [
     "txt_line_dedup", "txt_dup_spans",
     "cur_split_assign", "cur_stratified_sample", "cur_contamination",
     "cur_dsir_weights", "cur_pipeline",
-    "rel_funnel", "stream_session_native_batch",
+    "stream_join_batch", "stream_session_native_batch",
     "txt_token_bpe", "mm_decode_meta",
 ]
 assert len(_R6_PREFIX) == 50 and len(set(_R6_PREFIX)) == 50

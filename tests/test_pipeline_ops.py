@@ -1665,3 +1665,74 @@ class TestShuffleShards:
         # order is hash-derived, not id order: the permutation actually shuffles
         order = [r.doc_id for r in sorted(out, key=lambda r: (r.shard, r.pos))]
         assert order != sorted(order)
+
+
+class TestStreamStreamJoin:
+    def test_real_streams_match_batch(self, spark, tmp_path):
+        """Two real file-source streams, watermarked stream-stream range
+        join, append sink — must equal the batch face row-for-row."""
+        from hadoopgis_spark.streaming.events import (
+            normalize_event_ts,
+            stream_stream_interval_join,
+        )
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = normalize_event_ts(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ).select("event_id", "user_id", "event_type", "ts")
+        lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+        lb = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+        rb = ev.filter(F.col("event_type") == "view").drop("event_type")
+        lb.write.mode("overwrite").parquet(lsrc)
+        rb.write.mode("overwrite").parquet(rsrc)
+        ls = spark.readStream.schema(lb.schema).parquet(lsrc)
+        rs = spark.readStream.schema(rb.schema).parquet(rsrc)
+        assert ls.isStreaming and rs.isStreaming
+        j = stream_stream_interval_join(ls, rs, max_delay_s=14400)
+        q = (
+            j.writeStream.format("memory")
+            .queryName("ssj_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.event_id, r.event_id_r)
+            for r in spark.sql("SELECT * FROM ssj_out").collect()
+        }
+        batch = {
+            (r.event_id, r.event_id_r)
+            for r in stream_stream_interval_join(lb, rb, max_delay_s=14400).collect()
+        }
+        assert got == batch and len(batch) > 0
+
+    def test_state_bound_plan(self, spark, tmp_path):
+        """The streaming physical plan must be a StreamingSymmetricHashJoin
+        with watermarks on both sides — the bounded-state contract."""
+        from hadoopgis_spark.streaming.events import stream_stream_interval_join
+
+        src = str(tmp_path / "s")
+        base = 1_700_000_000_000_000_000
+        schema = "event_id long, user_id long, ts long"
+        spark.createDataFrame(
+            [(1, 1, base), (2, 1, base + 10**9)], schema
+        ).write.mode("overwrite").parquet(src)
+        s1 = spark.readStream.schema(schema).parquet(src)
+        s2 = spark.readStream.schema(schema).parquet(src)
+        j = stream_stream_interval_join(s1, s2, max_delay_s=60)
+        q = (
+            j.writeStream.format("memory")
+            .queryName("ssj_plan")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # the executed streaming plan records symmetric-hash-join state
+        prog = q.recentProgress
+        assert any(
+            p.get("stateOperators") and len(p["stateOperators"]) > 0
+            for p in prog
+        ), prog
