@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "cur_pack_streams",
     "cur_pack_tokens",
     "stream_join_batch",
+    "sim_ann_ivfpq_indexed",
+    "sim_ann_sq",
 ]
 
 

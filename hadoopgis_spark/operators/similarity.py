@@ -35,6 +35,11 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivfpq_topk",
+    "ivfpq_encode",
+    "ivfpq_probe_rank",
+    "fit_sq_bounds",
+    "sq_encode",
+    "sq_topk",
 ]
 
 
@@ -586,11 +591,34 @@ def ivfpq_topk(
     Returns (q_id, id, pq_dot, rank) — approximate inner-product top-k
     within the probed lists.
     """
+    enc = ivfpq_encode(
+        corpus, codebooks, vec_col, id_col,
+        n_centroids=n_centroids, dim=dim, centroids=centroids,
+    )
+    return ivfpq_probe_rank(
+        enc, queries, codebooks, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        dim=dim, centroids=centroids, q_id_col=q_id_col, q_vec_col=q_vec_col,
+    )
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_centroids: int,
+    dim: int,
+    centroids=None,
+) -> DataFrame:
+    """(id, cid, codes): the IVF-PQ build side — nearest centroid list
+    AND subspace codes in ONE map-only projection. This is what a
+    persisted IVF-PQ index stores: 8-byte codes instead of 256-byte
+    vectors, partitioned by cid."""
     n_sub = len(codebooks)
     n_codes = len(codebooks[0])
     d_sub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
-
     best = F.array_max(_centroid_scores(v, n_centroids, dim, centroids))
     codes = []
     for m in range(n_sub):
@@ -598,12 +626,36 @@ def ivfpq_topk(
         codes.append(
             F.array_max(_centroid_scores(sub, n_codes, d_sub, codebooks[m]))["cid"]
         )
-    enc = corpus.select(
+    return corpus.select(
         F.col(id_col).alias("id"),
         best["cid"].alias("cid"),
         F.array(*codes).alias("codes"),
     )
 
+
+def ivfpq_probe_rank(
+    enc: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int,
+    *,
+    n_centroids: int,
+    n_probe: int,
+    dim: int,
+    centroids=None,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Query side of IVF-PQ over an already-encoded corpus (``enc`` =
+    (id, cid, codes), from :func:`ivfpq_encode` or loaded from a saved
+    index): per-query ADC lookup table + sorted-slice probe list in one
+    projection, broadcast onto the cid-keyed codes, ``n_sub`` lookups
+    + adds per candidate. Over a cid-PARTITIONED saved index the
+    broadcast equi-join dynamically prunes unprobed lists at the file
+    level — the serve-at-scale shape."""
+    n_sub = len(codebooks)
+    n_codes = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
     qv = F.col(q_vec_col).cast("array<double>")
 
     def q_dot(m, kk):
@@ -645,4 +697,110 @@ def ivfpq_topk(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias(q_id_col), "id", "pq_dot", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8) — per-dimension affine int codes, the third
+# compression tier next to PQ (coarser than PQ per byte, but decode-free
+# scoring with no codebook fit beyond per-dim bounds)
+# ---------------------------------------------------------------------------
+
+def fit_sq_bounds(vectors) -> tuple[list[float], list[float]]:
+    """Per-dimension (lo, hi) bounds over an in-memory sample — the only
+    'training' scalar quantization needs. Driver-side numpy, literal-
+    inlineable (the gates embed the same numbers into the oracle SQL)."""
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    lo = x.min(axis=0)
+    hi = x.max(axis=0)
+    # degenerate dims (constant value) still need a nonzero scale
+    hi = np.where(hi > lo, hi, lo + 1.0)
+    return [float(v) for v in lo], [float(v) for v in hi]
+
+
+def sq_encode(
+    df: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    *,
+    n_levels: int = 255,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes): each vector quantized to per-dimension integer codes
+    ``round((v - lo) / (hi - lo) * n_levels)`` clamped to [0, n_levels]
+    — int8-class storage (1 byte/dim vs 4) with NO codebook. Map-only;
+    out-of-bound values (beyond the fitted sample's range) clamp, so
+    encode never fails. Integer codes make downstream scoring exactly
+    reproducible cross-engine."""
+    dim = len(lo)
+    v = F.col(vec_col).cast("array<double>")
+    lo_a = F.array(*[F.lit(x) for x in lo])
+    scale_a = F.array(*[F.lit(float(n_levels) / (h - l)) for l, h in zip(lo, hi)])
+    raw = F.zip_with(F.zip_with(v, lo_a, lambda x, l: x - l), scale_a, lambda d, s: d * s)
+    codes = F.transform(
+        raw,
+        lambda r: F.greatest(
+            F.lit(0), F.least(F.lit(int(n_levels)), F.round(r).cast("int"))
+        ),
+    )
+    return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    k: int = 5,
+    *,
+    n_levels: int = 255,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Approximate inner-product top-k over SQ codes: with
+    ``recon[d] = lo[d] + codes[d]/scale[d]``, the score
+    ``Σ_d q[d]·recon[d]`` splits into a per-query constant
+    ``q·lo`` plus ``Σ_d (q[d]/scale[d])·codes[d]`` — both computed ONCE
+    per query row; every query-vector pair then costs one fold over the
+    integer codes. The corpus is scanned as codes only (the raw vector
+    column is never touched after encode), same contract as
+    :func:`pq_topk`; compose with IVF lists to gate candidates when a
+    full code scan is too much.
+
+    Returns (q_id, id, sq_dot, rank), ties to the lower id."""
+    dim = len(lo)
+    enc = sq_encode(corpus, lo, hi, n_levels=n_levels, vec_col=vec_col, id_col=id_col)
+    qv = F.col(q_vec_col).cast("array<double>")
+    inv_scale = [(h - l) / float(n_levels) for l, h in zip(lo, hi)]
+    qs = F.zip_with(
+        qv, F.array(*[F.lit(x) for x in inv_scale]), lambda x, s: x * s
+    )
+    qlo = F.aggregate(
+        F.zip_with(qv, F.array(*[F.lit(x) for x in lo]), lambda x, l: x * l),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), qs.alias("__qs"), qlo.alias("__qlo")
+    )
+    score = F.col("__qlo") + F.aggregate(
+        F.zip_with(F.col("__qs"), F.col("codes"), lambda a, c: a * c.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    pairs = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("id") != F.col("q_id"))
+        .select("q_id", "id", score.alias("sq_dot"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sq_dot").desc(), F.col("id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "id", "sq_dot", "rank")
     )

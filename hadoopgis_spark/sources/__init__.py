@@ -12,8 +12,11 @@ from hadoopgis_spark.sources.tsv import read_tsv, write_tsv
 from hadoopgis_spark.sources.dedup_index import dedup_against_index, save_dedup_index
 from hadoopgis_spark.sources.vector_index import (
     ivf_topk_indexed,
+    ivfpq_topk_indexed,
     load_ivf_index,
+    load_ivfpq_index,
     save_ivf_index,
+    save_ivfpq_index,
 )
 
 __all__ = [
@@ -28,6 +31,9 @@ __all__ = [
     "save_ivf_index",
     "load_ivf_index",
     "ivf_topk_indexed",
+    "save_ivfpq_index",
+    "load_ivfpq_index",
+    "ivfpq_topk_indexed",
     "save_dedup_index",
     "dedup_against_index",
 ]

@@ -24,9 +24,22 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoopgis_spark.operators.similarity import fit_centroids, ivf_assign, ivf_probe_rank
+from hadoopgis_spark.operators.similarity import (
+    fit_centroids,
+    ivf_assign,
+    ivf_probe_rank,
+    ivfpq_encode,
+    ivfpq_probe_rank,
+)
 
-__all__ = ["save_ivf_index", "load_ivf_index", "ivf_topk_indexed"]
+__all__ = [
+    "save_ivf_index",
+    "load_ivf_index",
+    "ivf_topk_indexed",
+    "save_ivfpq_index",
+    "load_ivfpq_index",
+    "ivfpq_topk_indexed",
+]
 
 
 def _index_root(spark: SparkSession) -> str:
@@ -113,4 +126,88 @@ def ivf_topk_indexed(
         corpus, queries, k=k, n_probe=n_probe,
         n_centroids=meta["n_centroids"], dim=meta["dim"], centroids=centroids,
         q_id_col=q_id_col, q_vec_col=q_vec_col, id_col=id_col,
+    )
+
+
+def save_ivfpq_index(
+    df: DataFrame,
+    name: str,
+    codebooks,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    dim: int,
+    sample: int = 4096,
+    centroids=None,
+    root: str | None = None,
+) -> list[list[float]]:
+    """Persist the IVF-PQ index: (id, codes) partitioned by cid — the
+    corpus compressed to ``n_sub`` bytes per vector, one inverted list
+    per partition directory — plus a small meta table carrying the
+    centroids AND the PQ codebooks (JSON). This is the 100 TB serving
+    artifact: what's stored, scanned and joined is codes, never raw
+    vectors; unprobed lists are pruned at the file level (DPP).
+
+    Returns the (possibly fitted) coarse centroids.
+    """
+    spark = df.sparkSession
+    base = f"{root or _index_root(spark)}/{name}"
+    if centroids is None:
+        centroids = fit_centroids(
+            df, vec_col, id_col, n_centroids=n_centroids, sample=sample
+        )
+    enc = ivfpq_encode(
+        df, codebooks, vec_col, id_col,
+        n_centroids=n_centroids, dim=dim, centroids=centroids,
+    )
+    enc.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
+        f"{base}/codes"
+    )
+    meta = json.dumps(
+        {
+            "dim": dim,
+            "n_centroids": n_centroids,
+            "format": 1,
+            "codebooks": [[list(map(float, c)) for c in book] for book in codebooks],
+        }
+    )
+    cdf = spark.createDataFrame(
+        [(i, list(map(float, c)), meta) for i, c in enumerate(centroids)],
+        "cid int, c array<double>, meta string",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(f"{base}/centroids")
+    return centroids
+
+
+def load_ivfpq_index(spark: SparkSession, name: str, root: str | None = None):
+    """(codes(id, codes, cid), centroids, codebooks, meta)."""
+    base = f"{root or _index_root(spark)}/{name}"
+    crows = spark.read.parquet(f"{base}/centroids").collect()
+    crows.sort(key=lambda r: r.cid)
+    meta = json.loads(crows[0].meta)
+    centroids = [list(r.c) for r in crows]
+    codes = spark.read.parquet(f"{base}/codes")
+    return codes, centroids, meta["codebooks"], meta
+
+
+def ivfpq_topk_indexed(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_probe: int = 4,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    root: str | None = None,
+) -> DataFrame:
+    """IVF-PQ top-k against a saved index — no refit, no re-encode; the
+    broadcast probe join dynamically prunes unprobed cid partitions and
+    the scan reads 8-byte codes, not vectors."""
+    codes, centroids, codebooks, meta = load_ivfpq_index(spark, name, root)
+    return ivfpq_probe_rank(
+        codes, queries, codebooks, k=k,
+        n_centroids=meta["n_centroids"], n_probe=n_probe, dim=meta["dim"],
+        centroids=centroids, q_id_col=q_id_col, q_vec_col=q_vec_col,
     )

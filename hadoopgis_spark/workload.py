@@ -3686,6 +3686,115 @@ def sim_ann_ivfpq(spark, sf):
     )
 
 
+def sim_ann_ivfpq_indexed(spark, sf):
+    """IVF-PQ served from the PERSISTED code index
+    (sources/vector_index.save_ivfpq_index): the corpus is stored as
+    8-byte subspace codes partitioned by centroid list — built once per
+    (session, sf); queries probe with no re-encode and dynamic partition
+    pruning of unprobed lists. Same centroids + codebooks as
+    sim_ann_ivfpq, so the identical oracle also pins the storage
+    roundtrip bit-exactly."""
+    from hadoopgis_spark.sources import ivfpq_topk_indexed, save_ivfpq_index
+
+    tag = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    name = f"ivfpqidx_{tag}"
+
+    def _build():
+        e = _t(spark, sf, "embeddings")
+        save_ivfpq_index(
+            e, name, _pq_gate_codebooks(), n_centroids=16, dim=64,
+            centroids=_ivf_gate_centroids(),
+        )
+        return name
+
+    _memo(("ivfpqidx", spark.sparkContext.applicationId, sf), _build)
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    j = ivfpq_topk_indexed(spark, name, q, k=5, n_probe=4)
+    return j.select(
+        "q_id", F.col("id").alias("vec_id"), F.round("pq_dot", 6).alias("pq_dot"), "rank"
+    )
+
+
+_SQ_FIT_CACHE = None
+
+
+def _sq_gate_bounds(dim: int = 64):
+    """Fitted per-dim SQ bounds for the sim_ann_sq gate — same bounded
+    pyarrow read + deterministic fallback as the other ANN fits."""
+    global _SQ_FIT_CACHE
+    if _SQ_FIT_CACHE is None:
+        from hadoopgis_spark.operators.similarity import fit_sq_bounds
+
+        try:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+            )
+            pdf = t.to_pandas().sort_values("vec_id").head(2048)
+            _SQ_FIT_CACHE = fit_sq_bounds(pdf["embedding"].tolist())
+        except Exception:
+            _SQ_FIT_CACHE = ([-1.0] * dim, [1.0] * dim)
+    return _SQ_FIT_CACHE
+
+
+def sim_ann_sq(spark, sf):
+    """Scalar-quantization ANN (SQ8): per-dimension int codes (1 byte/dim,
+    no codebook), per-query constants folded once, integer-code scan —
+    the third compression tier next to PQ/IVF-PQ."""
+    from hadoopgis_spark.operators.similarity import sq_topk
+
+    lo, hi = _sq_gate_bounds()
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    j = sq_topk(e, q, lo, hi, k=5)
+    return j.select(
+        "q_id", F.col("id").alias("vec_id"), F.round("sq_dot", 6).alias("sq_dot"), "rank"
+    )
+
+
+def _ann_sq_sql(n_levels: int = 255, dim: int = 64, k: int = 5) -> str:
+    lo, hi = _sq_gate_bounds(dim)
+    scale = [float(n_levels) / (h - l) for l, h in zip(lo, hi)]
+    inv_scale = [(h - l) / float(n_levels) for l, h in zip(lo, hi)]
+    # encode: clamp(round((v-lo)*scale)) — same order as the Spark exprs
+    code = ", ".join(
+        f"GREATEST(0, LEAST({n_levels}, CAST(ROUND((ce[{d + 1}] - ({lo[d]!r})) * ({scale[d]!r})) AS INT)))"
+        for d in range(dim)
+    )
+    # score: qlo + Σ (q[d]*inv_scale[d]) * code[d], left-assoc like the fold
+    qlo = " + ".join(f"qe[{d + 1}] * ({lo[d]!r})" for d in range(dim))
+    s = " + ".join(
+        f"qe[{d + 1}] * ({inv_scale[d]!r}) * CAST(codes[{d + 1}] AS DOUBLE)"
+        for d in range(dim)
+    )
+    return f"""
+  WITH e AS (
+    SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+  ), enc AS (
+    SELECT id, [{code}] AS codes FROM e
+  ), q AS (
+    SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+    WHERE vec_id % 50 = 0
+  ), pairs AS (
+    SELECT q.q_id, enc.id, ({qlo}) + ({s}) AS sq_dot
+    FROM enc CROSS JOIN q WHERE enc.id <> q.q_id
+  ), rk AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sq_dot DESC, id) AS rank
+    FROM pairs
+  )
+  SELECT q_id, id AS vec_id, ROUND(sq_dot, 6) AS sq_dot, rank FROM rk WHERE rank <= {k}
+"""
+
+
+SIM_ANN_SQ_SQL = _ann_sq_sql()
+
+
 def _ann_ivfpq_sql(
     n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
     n_sub: int = 8, n_codes: int = 16, k: int = 5,
@@ -4189,6 +4298,8 @@ REGISTRY: dict[str, Query] = {
     "sim_semdedup": Query(sim_semdedup, SIM_SEMDEDUP_SQL, "SemDeDup: cluster-gated semantic near-dup pairs"),
     "rel_small_qty_revenue": Query(rel_small_qty_revenue, REL_SMALL_QTY_SQL, "correlated scalar AVG (Q17 shape)"),
     "stream_join_batch": Query(stream_join_batch, STREAM_JOIN_SQL, "stream-stream event-time range join (batch face)"),
+    "sim_ann_ivfpq_indexed": Query(sim_ann_ivfpq_indexed, SIM_ANN_IVFPQ_SQL, "IVF-PQ served from the persisted code index (DPP on cid)"),
+    "sim_ann_sq": Query(sim_ann_sq, SIM_ANN_SQ_SQL, "scalar-quantization ANN: int8-class codes, no codebook"),
     "rel_top_waiting_suppliers": Query(rel_top_waiting_suppliers, REL_TOP_WAITING_SQL, "EXISTS + NOT EXISTS pair (Q21 shape)"),
     "cur_contamination": Query(cur_contamination, CUR_CONTAM_SQL, "8-gram benchmark decontamination, broadcast eval side"),
     "stream_near_dedup_batch": Query(stream_near_dedup_batch, STREAM_NEAR_DEDUP_SQL, "LSH near-dup suppression at ingestion (batch face)"),
@@ -4330,8 +4441,8 @@ _R6_PREFIX = [
     "txt_line_dedup", "txt_dup_spans",
     "cur_split_assign", "cur_stratified_sample", "cur_contamination",
     "cur_dsir_weights", "cur_pipeline",
-    "stream_join_batch", "stream_session_native_batch",
-    "txt_token_bpe", "mm_decode_meta",
+    "stream_join_batch", "sim_ann_ivfpq_indexed", "sim_ann_sq",
+    "txt_token_bpe",
 ]
 assert len(_R6_PREFIX) == 50 and len(set(_R6_PREFIX)) == 50
 REGISTRY = {

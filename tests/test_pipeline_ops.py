@@ -1736,3 +1736,49 @@ class TestStreamStreamJoin:
             p.get("stateOperators") and len(p["stateOperators"]) > 0
             for p in prog
         ), prog
+
+
+class TestScalarQuantization:
+    def test_matches_numpy_reconstruction(self, spark):
+        import numpy as np
+
+        from hadoopgis_spark.operators.similarity import (
+            fit_sq_bounds,
+            sq_encode,
+            sq_topk,
+        )
+
+        rng = np.random.RandomState(29)
+        vecs = rng.randn(120, 8)
+        lo, hi = fit_sq_bounds(vecs.tolist())
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(120)],
+            "vec_id long, embedding array<double>",
+        )
+        # codes match the numpy quantizer
+        got_codes = {r.id: list(r.codes) for r in sq_encode(df, lo, hi).collect()}
+        scale = 255.0 / (np.array(hi) - np.array(lo))
+        want_codes = np.clip(
+            np.round((vecs - np.array(lo)) * scale), 0, 255
+        ).astype(int)
+        assert got_codes == {i: list(want_codes[i]) for i in range(120)}
+        # scores match the reconstructed inner product
+        q = df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        got = {
+            (r.q_id, r.id): r.sq_dot
+            for r in sq_topk(df, q, lo, hi, k=120).collect()
+        }
+        recon = np.array(lo) + want_codes / scale
+        for (qi, ci), s in got.items():
+            assert abs(s - float(vecs[qi] @ recon[ci])) < 1e-9
+        # quantization is faithful enough that top-1 by SQ == top-1 exact
+        for qi in range(3):
+            exact = {
+                ci: float(vecs[qi] @ vecs[ci]) for ci in range(120) if ci != qi
+            }
+            best_exact = max(exact, key=exact.get)
+            by_sq = {ci: s for (q2, ci), s in got.items() if q2 == qi}
+            best_sq = max(by_sq, key=by_sq.get)
+            assert best_sq == best_exact

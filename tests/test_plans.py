@@ -289,6 +289,28 @@ class TestPipelinePlans:
         assert "BroadcastHashJoin" in plan, plan[:2000]
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
+    def test_ivfpq_indexed_prunes_and_scans_codes_only(self, spark, emb, tmp_path):
+        """Persisted IVF-PQ: the serve query must (a) dynamically prune
+        unprobed cid partitions and (b) scan ONLY the code column — the
+        raw embedding bytes never appear in the serve plan's ReadSchema."""
+        from hadoopgis_spark.operators.similarity import fit_pq_codebooks
+        from hadoopgis_spark.plans.inspect import scan_read_schema
+        from hadoopgis_spark.sources import ivfpq_topk_indexed, save_ivfpq_index
+
+        sample = [r.embedding for r in emb.limit(64).collect()]
+        books = fit_pq_codebooks(sample, dim=8, n_sub=2, n_codes=4)
+        root = str(tmp_path / "ivfpq")
+        save_ivfpq_index(emb, "plans_ivfpqidx", books, n_centroids=4, dim=8, root=root)
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        j = ivfpq_topk_indexed(spark, "plans_ivfpqidx", q, k=3, n_probe=2, root=root)
+        plan = formatted_plan(j)
+        assert "dynamicpruning#" in plan, plan[:2000]
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        code_scans = [s for s in scan_read_schema(j) if "codes" in s]
+        assert code_scans and all("embedding" not in s for s in code_scans), code_scans
+
     def test_mm_decode_is_one_python_stage(self, spark):
         from hadoopgis_spark.operators.multimodal import decode_image
 
