@@ -294,6 +294,57 @@ REL_WINDOW_SQL = """
 """
 
 
+def rel_lag_lead(spark, sf):
+    """Window-function breadth beyond rank: lag/lead deltas and running
+    extrema per supplier over ship order — the per-entity time-series
+    feature shape (inter-event gaps, high-water marks). One window
+    partitioning serves all four expressions: Catalyst plans a single
+    sort+exchange."""
+    l = _t(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(
+            "l_shipdate", F.lag("l_shipdate", 1).over(w)
+        ).alias("gap_days"),
+        F.lead("l_orderkey", 1).over(w).alias("next_order"),
+        F.round(F.max("l_extendedprice").over(wrun), 2).alias("run_max_price"),
+        (F.col("l_quantity") - F.round(F.avg("l_quantity").over(wrun), 6)).alias("qty_dev"),
+    )
+
+
+REL_LAG_LEAD_SQL = """
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(DATE_DIFF('day', LAG(l_shipdate, 1) OVER w, l_shipdate) AS INT) AS gap_days,
+         LEAD(l_orderkey, 1) OVER w AS next_order,
+         ROUND(MAX(l_extendedprice) OVER wr, 2) AS run_max_price,
+         l_quantity - ROUND(AVG(l_quantity) OVER wr, 6) AS qty_dev
+  FROM lineitem
+  WHERE l_suppkey <= 5
+  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
+         wr AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def rel_distinct_approx(spark, sf):
+    """HyperLogLog++ approximate distinct counts per group — the 100 TB
+    cardinality path (mergeable sketch partials, no exact distinct
+    shuffle of the value space). Sketches differ across engines by
+    construction → rows-only driver check; the ≤5%-vs-exact error bound
+    is pinned by TestApproxDistinct."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
 def rel_distinct_parts(spark, sf):
     return _t(spark, sf, "part").select("p_brand", "p_type", "p_size").distinct()
 
@@ -4300,6 +4351,13 @@ REGISTRY: dict[str, Query] = {
     "stream_join_batch": Query(stream_join_batch, STREAM_JOIN_SQL, "stream-stream event-time range join (batch face)"),
     "sim_ann_ivfpq_indexed": Query(sim_ann_ivfpq_indexed, SIM_ANN_IVFPQ_SQL, "IVF-PQ served from the persisted code index (DPP on cid)"),
     "sim_ann_sq": Query(sim_ann_sq, SIM_ANN_SQ_SQL, "scalar-quantization ANN: int8-class codes, no codebook"),
+    "rel_lag_lead": Query(rel_lag_lead, REL_LAG_LEAD_SQL, "lag/lead deltas + running extrema (time-series features)"),
+    "rel_distinct_approx": Query(
+        rel_distinct_approx,
+        None,  # HLL sketches differ across engines — rows-only check;
+        # the error-vs-exact bound is pinned by TestApproxDistinct
+        "HLL++ approx distinct counts (mergeable sketch, the 100 TB path)",
+    ),
     "rel_top_waiting_suppliers": Query(rel_top_waiting_suppliers, REL_TOP_WAITING_SQL, "EXISTS + NOT EXISTS pair (Q21 shape)"),
     "cur_contamination": Query(cur_contamination, CUR_CONTAM_SQL, "8-gram benchmark decontamination, broadcast eval side"),
     "stream_near_dedup_batch": Query(stream_near_dedup_batch, STREAM_NEAR_DEDUP_SQL, "LSH near-dup suppression at ingestion (batch face)"),
@@ -4442,7 +4500,7 @@ _R6_PREFIX = [
     "cur_split_assign", "cur_stratified_sample", "cur_contamination",
     "cur_dsir_weights", "cur_pipeline",
     "stream_join_batch", "sim_ann_ivfpq_indexed", "sim_ann_sq",
-    "txt_token_bpe",
+    "rel_lag_lead",
 ]
 assert len(_R6_PREFIX) == 50 and len(set(_R6_PREFIX)) == 50
 REGISTRY = {

@@ -1782,3 +1782,28 @@ class TestScalarQuantization:
             by_sq = {ci: s for (q2, ci), s in got.items() if q2 == qi}
             best_sq = max(by_sq, key=by_sq.get)
             assert best_sq == best_exact
+
+
+class TestApproxDistinct:
+    def test_error_bound_vs_exact(self, spark):
+        from hadoopgis_spark.workload import rel_distinct_approx
+
+        sf = "/root/testdata/sf0.01"
+        got = {
+            r.l_returnflag: (r.approx_parts, r.approx_orders)
+            for r in rel_distinct_approx(spark, sf).collect()
+        }
+        l = spark.read.parquet(f"{sf}/lineitem.parquet")
+        exact = {
+            r.l_returnflag: (r.p, r.o)
+            for r in l.groupBy("l_returnflag")
+            .agg(
+                F.countDistinct("l_partkey").alias("p"),
+                F.countDistinct("l_orderkey").alias("o"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exact) and len(got) >= 2
+        for k in got:
+            for a, e in zip(got[k], exact[k]):
+                assert abs(a - e) / e <= 0.05, (k, a, e)

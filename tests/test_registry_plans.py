@@ -1,0 +1,57 @@
+"""Plan hygiene across the ENTIRE query registry.
+
+Every registry gate's physical plan is linted (plans.inspect.lint_plan)
+for the two patterns that are never acceptable in this engine at
+100 TB — an unkeyed all-pairs join and a row-at-a-time Python UDF —
+with an explicit whitelist for the gates whose all-pairs shape is the
+POINT (labeled brute-force baselines over bounded/broadcast sides).
+This is the wide, shallow net next to test_plans.py's deep per-operator
+contracts: a new gate that accidentally plans a cartesian product or a
+BatchEvalPython stage fails here before any driver round sees it.
+
+The SinglePartition lint is intentionally suppressed (big_tables=[]):
+scalar aggregates over map-side partials are a legitimate shape the
+per-operator contracts already police where it matters.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoopgis_spark.plans.inspect import lint_plan
+from hadoopgis_spark.workload import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# Labeled brute-force baselines / bounded pair enumerations: the
+# all-pairs product is deliberate, bounded, and documented at the
+# definition site. Everything else must plan keyed joins.
+ALLOWED_ALL_PAIRS = {
+    "sim_ann_topk",      # exact-cosine baseline, queries broadcast
+    "sim_ann_pq",        # PQ code-scan baseline (IVF-PQ is the scale path)
+    "sim_ann_sq",        # SQ code-scan baseline (compose with IVF lists)
+    "sp_box_measures",   # bounded pairwise-measure enumeration
+    "sp_haversine",      # bounded pair set
+    "sp_knn",            # exact kNN: broadcast NLJ by construction
+    "sp_knn_capped",     # exact kNN with a distance cap
+    # scalar-attach shape: crossJoin(broadcast(<1-row aggregate>)) — a
+    # conditionless NLJ whose build side is one row by construction
+    "cur_mixture_alloc",  # total-weight scalar onto per-source stats
+    "cur_pipeline",       # corpus-relative quality threshold scalar
+    # tile mode with a single broadcast tile table (bounded build side)
+    "sp_knn_tile",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_registry_plan_hygiene(spark, name):
+    df = REGISTRY[name].fn(spark, SF)
+    warnings = lint_plan(df, big_tables=[])
+    bad = [
+        w
+        for w in warnings
+        if ("CartesianProduct" in w or "nested-loop" in w)
+        and name not in ALLOWED_ALL_PAIRS
+        or "BatchEvalPython" in w
+    ]
+    assert not bad, (name, bad)
