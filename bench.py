@@ -145,6 +145,9 @@ BENCH_QUERIES = [
     "stream_join_batch",
     "sim_ann_ivfpq_indexed",
     "sim_ann_sq",
+    "rel_lag_lead",
+    "rel_distinct_approx",
+    "dedup_edit_pairs",
 ]
 
 

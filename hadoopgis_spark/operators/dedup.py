@@ -37,6 +37,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_dup_pairs",
     "semdedup_pairs",
+    "edit_dup_pairs",
     "dup_clusters",
     "dup_spans",
 ]
@@ -364,6 +365,36 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
+    )
+
+
+def edit_dup_pairs(df: DataFrame, candidates: DataFrame, max_dist: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   normalized: bool = True) -> DataFrame:
+    """Edit-distance near-dup verification: join candidate id pairs back
+    to their (optionally normalized) texts and keep pairs with
+    Levenshtein distance ≤ ``max_dist``. Returns (id_1, id_2, edit_dist).
+
+    The character-level tier of the dedup family — catches small edits
+    (typo fixes, boilerplate tweaks) that token-set jaccard scores as
+    identical and simhash may miss. The DP is O(|a|·|b|) per pair,
+    which is exactly why this ONLY ever runs on a bounded candidate set
+    (``minhash_lsh_pairs`` / ``jaccard_prefix_pairs`` output), never all
+    pairs; Spark's 3-arg ``levenshtein`` abandons the DP early once the
+    running distance exceeds ``max_dist`` (returns -1), so a
+    far-apart candidate costs O(max_dist · min_len), not the full
+    matrix. JVM built-in — no Python in the loop."""
+    t = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    txt = df.select(F.col(id_col).alias("__id"), t.alias("__t"))
+    j = (
+        candidates.join(txt.select(F.col("__id").alias("id_1"), F.col("__t").alias("__t1")), "id_1")
+        .join(txt.select(F.col("__id").alias("id_2"), F.col("__t").alias("__t2")), "id_2")
+    )
+    d = F.levenshtein(F.col("__t1"), F.col("__t2"), int(max_dist))
+    return (
+        j.withColumn("edit_dist", d)
+        .filter(F.col("edit_dist") >= 0)
+        .select("id_1", "id_2", "edit_dist")
     )
 
 

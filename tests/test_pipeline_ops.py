@@ -560,6 +560,39 @@ class TestSimilarity:
         )
         assert idx == live and len(idx) > 0
 
+    def test_ivfpq_index_roundtrip_matches_live(self, spark, emb, tmp_path):
+        """save_ivfpq_index → ivfpq_topk_indexed must be bit-identical to
+        the live ivfpq_topk with the same centroids + codebooks (codes
+        stored verbatim; probe/ADC code shared)."""
+        from hadoopgis_spark.operators.similarity import (
+            fit_pq_codebooks,
+            ivfpq_topk,
+        )
+        from hadoopgis_spark.sources import ivfpq_topk_indexed, save_ivfpq_index
+
+        sample = [r.embedding for r in emb.limit(64).collect()]
+        books = fit_pq_codebooks(sample, dim=16, n_sub=4, n_codes=8)
+        root = str(tmp_path / "ivfpq")
+        cents = save_ivfpq_index(
+            emb, "rtpq", books, n_centroids=4, dim=16, root=root
+        )
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        live = sorted(
+            (r.q_id, r.id, r.pq_dot, r.rank)
+            for r in ivfpq_topk(
+                emb, q, books, k=3, n_centroids=4, n_probe=2, dim=16, centroids=cents
+            ).collect()
+        )
+        idx = sorted(
+            (r.q_id, r.id, r.pq_dot, r.rank)
+            for r in ivfpq_topk_indexed(
+                spark, "rtpq", q, k=3, n_probe=2, root=root
+            ).collect()
+        )
+        assert idx == live and len(idx) > 0
+
     def test_dim_is_required_no_probe_jobs(self, spark, emb):
         """dim is a required keyword everywhere a hyperplane/centroid
         literal is built: omitting it must fail at plan-build time, not
