@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "rel_lag_lead",
     "rel_distinct_approx",
     "dedup_edit_pairs",
+    "txt_hash_embedding",
 ]
 
 

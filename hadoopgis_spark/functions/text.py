@@ -34,6 +34,7 @@ __all__ = [
     "bpe_token_count",
     "pii_count",
     "pii_redact",
+    "hashed_bow_embedding",
     "BPE_PATTERN",
     "PII_PATTERNS",
     "STOPWORDS",
@@ -306,3 +307,71 @@ def md5_hash32(col, offset: int = 1) -> Column:
     different offsets of the SAME digest (one md5 evaluation feeds up to
     four hashes)."""
     return F.conv(F.substring(F.md5(_c(col)), offset, 8), 16, 10).cast("long")
+
+
+def hashed_bow_embedding(df, dim: int = 64, text_col: str = "text",
+                         id_col: str = "doc_id", l2_normalize: bool = False):
+    """(id, embedding): hashing-trick bag-of-words featurizer — each
+    document becomes a dense ``dim``-vector of token counts bucketed by
+    ``md5(term) % dim``. The deterministic text→vector bridge into the
+    engine's ANN / SemDeDup / k-means operators when no learned
+    embeddings exist (the classic feature-hashing construction;
+    cross-engine exact because counts are integers and the hash is md5).
+
+    Scale shape: tokenize/explode is map-side; the (id, bucket) count
+    collapses with map-side partials; the dense array is assembled from
+    a per-id map lookup over a literal ``sequence`` — one shuffle total
+    on the uniform id key. Token-less documents get the zero vector.
+    ``l2_normalize=True`` divides by the L2 norm (computed once via the
+    let-bound singleton-transform trick), leaving zero vectors zero.
+    """
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    counts = (
+        toks.withColumn("b", (md5_hash32(F.col("term")) % dim).cast("int"))
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dense = counts.groupBy("id").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "cnt"))).alias("__m")
+    )
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(F.try_element_at(F.col("__m"), d), F.lit(0)).cast("double"),
+    )
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(dense, "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                arr, F.array(*[F.lit(0.0) for _ in range(dim)])
+            ).alias("embedding"),
+        )
+    )
+    if l2_normalize:
+        # let-bind (vector, norm) into one struct so the norm is
+        # evaluated once per ROW, not once per element (HOFs are
+        # CodegenFallback — no CSE; projection collapse would otherwise
+        # inline the norm fold into the division lambda)
+        n = F.sqrt(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            )
+        )
+        packed = F.struct(F.col("embedding").alias("v"), n.alias("n"))
+        out = out.select(
+            "id",
+            F.transform(
+                F.array(packed),
+                lambda s: F.when(
+                    s["n"] > 0, F.transform(s["v"], lambda x: x / s["n"])
+                ).otherwise(s["v"]),
+            )[0].alias("embedding"),
+        )
+    return out

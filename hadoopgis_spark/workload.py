@@ -1206,6 +1206,34 @@ CUR_PACK_SQL = r"""
 """
 
 
+def txt_hash_embedding(spark, sf):
+    """Hashing-trick bag-of-words featurizer (text → dense 64-dim count
+    vector; the deterministic bridge into the ANN/SemDeDup/k-means
+    operators). Gate shape: the operator's dense output is posexploded
+    back to sparse (doc_id, bucket, w) rows, which the oracle recomputes
+    as plain bucket counts — pins every array slot exactly."""
+    from hadoopgis_spark.functions.text import hashed_bow_embedding
+
+    d = _t(spark, sf, "documents")
+    e = hashed_bow_embedding(d, dim=64)
+    return (
+        e.select(F.col("id").alias("doc_id"), F.posexplode("embedding").alias("bucket", "w"))
+        .filter(F.col("w") != 0)
+    )
+
+
+TXT_HASH_EMB_SQL = f"""
+  WITH toks AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT({_NORM_SQL}, ' ')) AS term FROM documents
+    WHERE {_NORM_SQL} <> ''
+  )
+  SELECT doc_id,
+         CAST(('0x' || SUBSTR(MD5(term), 1, 8))::BIGINT % 64 AS INT) AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM toks GROUP BY 1, 2
+"""
+
+
 def cur_shuffle_shards(spark, sf):
     """Deterministic training-order shuffle: (doc_id, shard, pos) — an
     md5-order permutation over 8 shards, reproducible from ids alone
@@ -4361,6 +4389,7 @@ REGISTRY: dict[str, Query] = {
     "cur_pack_streams": Query(cur_pack_streams, CUR_PACK_STREAMS_SQL, "cur_pack micro-gate: md5 offset=9 stream assignment only"),
     "cur_pack_tokens": Query(cur_pack_tokens, CUR_PACK_TOKENS_SQL, "cur_pack micro-gate: clamped BPE token budget only"),
     "cur_shuffle_shards": Query(cur_shuffle_shards, CUR_SHUFFLE_SQL, "deterministic md5-order training shuffle (shard, pos)"),
+    "txt_hash_embedding": Query(txt_hash_embedding, TXT_HASH_EMB_SQL, "hashing-trick bag-of-words featurizer (text -> dense vector)"),
     "sim_semdedup": Query(sim_semdedup, SIM_SEMDEDUP_SQL, "SemDeDup: cluster-gated semantic near-dup pairs"),
     "rel_small_qty_revenue": Query(rel_small_qty_revenue, REL_SMALL_QTY_SQL, "correlated scalar AVG (Q17 shape)"),
     "stream_join_batch": Query(stream_join_batch, STREAM_JOIN_SQL, "stream-stream event-time range join (batch face)"),
@@ -4511,15 +4540,16 @@ _R6_PREFIX = [
     "rel_asof_join", "stream_asof_batch", "sp_interval_join", "dedup_clusters",
     "sp_join_boxes", "sp_join_bucketed", "sp_join_bucketed_dwithin",
     "sp_knn", "sp_knn_tile", "sp_dwithin_points", "sp_containment_wkt",
-    "dedup_edit_pairs", "dedup_minhash_lsh", "dedup_jaccard_prefix",
+    "dedup_edit_pairs", "txt_hash_embedding", "dedup_jaccard_prefix",
     "txt_line_dedup", "txt_dup_spans",
     "cur_split_assign", "cur_stratified_sample", "cur_contamination",
     "cur_dsir_weights", "cur_pipeline",
     "stream_join_batch", "sim_ann_ivfpq_indexed", "sim_ann_sq",
     "rel_lag_lead",
 ]
-# dedup_exact (driver-green r4+r5, untouched) rotated out of the prefix to
-# make room for dedup_edit_pairs (new levenshtein cross-engine surface).
+# dedup_exact and dedup_minhash_lsh (driver-green r4+r5, untouched) rotated
+# out of the prefix for dedup_edit_pairs and txt_hash_embedding (new
+# levenshtein / feature-hashing cross-engine surfaces).
 assert len(_R6_PREFIX) == 50 and len(set(_R6_PREFIX)) == 50
 REGISTRY = {
     **{n: REGISTRY[n] for n in _R6_PREFIX},

@@ -1840,3 +1840,59 @@ class TestApproxDistinct:
         for k in got:
             for a, e in zip(got[k], exact[k]):
                 assert abs(a - e) / e <= 0.05, (k, a, e)
+
+
+class TestHashedBowEmbedding:
+    def test_counts_norm_and_zero_doc(self, spark):
+        import hashlib
+        import math
+
+        from hadoopgis_spark.functions.text import hashed_bow_embedding
+
+        def bucket(term, dim=8):
+            return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % dim
+
+        rows = [(1, "apple banana apple"), (2, "cherry"), (3, "!!!")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.id: list(r.embedding) for r in hashed_bow_embedding(df, dim=8).collect()}
+        want1 = [0.0] * 8
+        want1[bucket("apple")] += 2
+        want1[bucket("banana")] += 1
+        assert got[1] == want1
+        assert sum(got[2]) == 1.0 and got[2][bucket("cherry")] == 1.0
+        assert got[3] == [0.0] * 8  # normalizes to empty -> zero vector
+
+        n = {
+            r.id: list(r.embedding)
+            for r in hashed_bow_embedding(df, dim=8, l2_normalize=True).collect()
+        }
+        assert abs(math.sqrt(sum(x * x for x in n[1])) - 1.0) < 1e-12
+        assert n[3] == [0.0] * 8  # zero vector stays zero, no NaN
+
+    def test_composes_with_semdedup(self, spark):
+        """End-to-end text → hashed vectors → cluster-gated semantic
+        near-dup: near-identical docs pair up, unrelated ones don't."""
+        from hadoopgis_spark.functions.text import hashed_bow_embedding
+        from hadoopgis_spark.operators.dedup import semdedup_pairs
+        from hadoopgis_spark.operators.similarity import lloyd_fit
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely unrelated legal boilerplate text here"),
+            (4, "financial report quarterly earnings statement numbers"),
+        ] + [(10 + i, f"filler document number {i} with words w{i} x{i}") for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        emb = hashed_bow_embedding(df, dim=16, l2_normalize=True).withColumnRenamed(
+            "id", "vec_id"
+        )
+        vecs = [r.embedding for r in emb.collect()]
+        cents = lloyd_fit(vecs, 2, seed=1)
+        pairs = {
+            (r.id_1, r.id_2)
+            for r in semdedup_pairs(
+                emb, cents, dim=16, threshold=0.8
+            ).collect()
+        }
+        assert (1, 2) in pairs
+        assert (3, 4) not in pairs

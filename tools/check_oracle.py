@@ -85,6 +85,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--prefix", type=int, default=None,
+        help="check only the first N registry entries (the driver gates "
+        "REGISTRY[0:50] — `--prefix 50` replicates exactly that set)",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -93,7 +98,10 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    names = args.queries or sorted(qs)
+    if args.prefix is not None:
+        names = list(qs)[: args.prefix]
+    else:
+        names = args.queries or sorted(qs)
 
     spark = get_spark("check-oracle")
     con = duckdb.connect()
