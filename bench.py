@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "rel_distinct_approx",
     "dedup_edit_pairs",
     "txt_hash_embedding",
+    "dedup_keep_best",
 ]
 
 

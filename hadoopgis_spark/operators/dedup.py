@@ -39,6 +39,7 @@ __all__ = [
     "semdedup_pairs",
     "edit_dup_pairs",
     "dup_clusters",
+    "keep_best",
     "dup_spans",
 ]
 
@@ -527,6 +528,31 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding", id_col: str =
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_1", "id_2", "cosine")
+    )
+
+
+def keep_best(corpus: DataFrame, clusters: DataFrame, score,
+              id_col: str = "doc_id") -> DataFrame:
+    """Survivor selection — the dedup pipeline's endpoint: given the
+    (id, cluster) table from :func:`dup_clusters` and a per-document
+    ``score`` Column, decide which document of each near-dup group to
+    KEEP (highest score, ties to the lowest id — use an integer score
+    like a token count for cross-engine determinism). Documents in no
+    cluster are their own singleton group and are always kept.
+
+    Returns (id, cluster, keep). Scale shape: one left join on the
+    uniform id key + one window over the cluster key — groups are
+    near-dup clusters (small by construction), so no hot partition; the
+    score expression is evaluated once per row, map-side.
+    """
+    scored = corpus.select(F.col(id_col).alias("id"), score.alias("__s"))
+    j = scored.join(clusters, "id", "left").withColumn(
+        "cluster", F.coalesce(F.col("cluster"), F.col("id"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("__s").desc(), F.col("id"))
+    return (
+        j.withColumn("keep", F.row_number().over(w) == 1)
+        .select("id", "cluster", "keep")
     )
 
 

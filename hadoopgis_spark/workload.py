@@ -1338,6 +1338,38 @@ DEDUP_CLUSTERS_SQL = f"""
 """
 
 
+def dedup_keep_best(spark, sf):
+    """The dedup pipeline's ENDPOINT: near-dup clusters → keep exactly
+    one survivor per group, chosen by highest (clamped BPE) token count
+    with ties to the lowest id — integer score, so the argmax is
+    cross-engine exact. Non-duplicate docs are singleton groups and
+    always keep."""
+    from hadoopgis_spark.operators.dedup import keep_best
+
+    d = _t(spark, sf, "documents")
+    clusters = dedup_clusters(spark, sf)
+    score = F.greatest(TXT.bpe_token_count(F.col("text")), F.lit(1))
+    return keep_best(d, clusters, score).withColumnRenamed("id", "doc_id")
+
+
+_CLUSTERS_CTE_BODY = DEDUP_CLUSTERS_SQL.rsplit("SELECT a AS id", 1)[0]
+DEDUP_KEEP_BEST_SQL = _CLUSTERS_CTE_BODY + r"""
+  , cl AS (SELECT a AS id, LEAST(MIN(b), a) AS cluster FROM reach GROUP BY a),
+  t AS (
+    SELECT doc_id AS id,
+           GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '''(?:ll|ve|re|[sdmt])| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+')), 1) AS s
+    FROM documents
+  ),
+  j AS (
+    SELECT t.id, COALESCE(cl.cluster, t.id) AS cluster, t.s
+    FROM t LEFT JOIN cl ON cl.id = t.id
+  )
+  SELECT id AS doc_id, cluster,
+         (ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY s DESC, id) = 1) AS keep
+  FROM j
+"""
+
+
 def txt_tfidf_topterms(spark, sf):
     """TF-IDF: top-3 terms per document (tf = count/len, idf = ln(N/df));
     pure built-ins — tokens, explode, two aggregations, window rank."""
@@ -4390,6 +4422,7 @@ REGISTRY: dict[str, Query] = {
     "cur_pack_tokens": Query(cur_pack_tokens, CUR_PACK_TOKENS_SQL, "cur_pack micro-gate: clamped BPE token budget only"),
     "cur_shuffle_shards": Query(cur_shuffle_shards, CUR_SHUFFLE_SQL, "deterministic md5-order training shuffle (shard, pos)"),
     "txt_hash_embedding": Query(txt_hash_embedding, TXT_HASH_EMB_SQL, "hashing-trick bag-of-words featurizer (text -> dense vector)"),
+    "dedup_keep_best": Query(dedup_keep_best, DEDUP_KEEP_BEST_SQL, "dedup endpoint: one survivor per near-dup cluster (integer argmax)"),
     "sim_semdedup": Query(sim_semdedup, SIM_SEMDEDUP_SQL, "SemDeDup: cluster-gated semantic near-dup pairs"),
     "rel_small_qty_revenue": Query(rel_small_qty_revenue, REL_SMALL_QTY_SQL, "correlated scalar AVG (Q17 shape)"),
     "stream_join_batch": Query(stream_join_batch, STREAM_JOIN_SQL, "stream-stream event-time range join (batch face)"),
@@ -4542,14 +4575,14 @@ _R6_PREFIX = [
     "sp_knn", "sp_knn_tile", "sp_dwithin_points", "sp_containment_wkt",
     "dedup_edit_pairs", "txt_hash_embedding", "dedup_jaccard_prefix",
     "txt_line_dedup", "txt_dup_spans",
-    "cur_split_assign", "cur_stratified_sample", "cur_contamination",
+    "dedup_keep_best", "cur_stratified_sample", "cur_contamination",
     "cur_dsir_weights", "cur_pipeline",
     "stream_join_batch", "sim_ann_ivfpq_indexed", "sim_ann_sq",
     "rel_lag_lead",
 ]
-# dedup_exact and dedup_minhash_lsh (driver-green r4+r5, untouched) rotated
-# out of the prefix for dedup_edit_pairs and txt_hash_embedding (new
-# levenshtein / feature-hashing cross-engine surfaces).
+# dedup_exact, dedup_minhash_lsh and cur_split_assign (driver-green r4+r5,
+# untouched) rotated out of the prefix for dedup_edit_pairs,
+# txt_hash_embedding and dedup_keep_best (new cross-engine surfaces).
 assert len(_R6_PREFIX) == 50 and len(set(_R6_PREFIX)) == 50
 REGISTRY = {
     **{n: REGISTRY[n] for n in _R6_PREFIX},
