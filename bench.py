@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "dedup_edit_pairs",
     "txt_hash_embedding",
     "dedup_keep_best",
+    "cur_take_n",
 ]
 
 

@@ -36,6 +36,7 @@ from hadoopgis_spark.functions.text import bpe_token_count, md5_hash32, tokens
 __all__ = [
     "split_assign",
     "stratified_sample",
+    "stratified_take_n",
     "pack_sequences",
     "shuffle_shards",
     "ngram_rows",
@@ -82,6 +83,45 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     for stratum, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == stratum, F.lit(int(round(r * 10000)))).otherwise(rate)
     return df.filter(b < rate)
+
+
+def stratified_take_n(df: DataFrame, n: int, stratum_col: str = "source",
+                      id_col: str = "doc_id", salt: str = "taken",
+                      oversample: float = 4.0) -> DataFrame:
+    """EXACTLY-n-per-stratum deterministic sample (the fixed-count
+    sibling of :func:`stratified_sample`'s rate-based filter): the n
+    kept rows of each stratum are those with the smallest
+    ``md5(salt || id)``, ties to the lowest id — reproducible from ids
+    alone, no RNG state.
+
+    Scale shape (two-phase): a literal global rank-within-stratum is a
+    window over the stratum key — one task per stratum, a straggler for
+    any hot stratum. Instead phase 1 computes per-stratum counts (map-
+    side partials) and broadcast-filters to the rows whose hash falls in
+    the smallest ``oversample·n/count`` fraction of hash space — a
+    map-side cut that keeps ~oversample·n rows per stratum; phase 2
+    ranks only those survivors, so the window's partitions are bounded
+    by ~oversample·n regardless of stratum size. Strata with count ≤ n
+    skip the cut entirely (everything kept). The hash is uniform, so
+    the oversampled pool misses a true top-n row only with probability
+    ~exp(-Θ(n·oversample)) — and the DETERMINISM contract stays exact
+    either way because any oracle/re-run applies the identical cut.
+    """
+    h = md5_hash32(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    d = df.withColumn("__h", h)
+    counts = d.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    d = d.join(F.broadcast(counts), stratum_col)
+    # hash space is [0, 2^32); keep the smallest oversample*n/count slice
+    cut = (
+        F.lit(float(oversample * n) * 4294967296.0) / F.col("__cnt")
+    )
+    pool = d.filter((F.col("__cnt") <= n) | (F.col("__h") < cut))
+    w = Window.partitionBy(stratum_col).orderBy("__h", id_col)
+    return (
+        pool.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__h", "__cnt", "__rn")
+    )
 
 
 def pack_sequences(df: DataFrame, budget: int, id_col: str = "doc_id",

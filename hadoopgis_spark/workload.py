@@ -1256,6 +1256,36 @@ CUR_SHUFFLE_SQL = """
 """
 
 
+def cur_take_n(spark, sf):
+    """Exactly-10-per-source deterministic sample via the two-phase
+    take-n (count → broadcast hash-space cut → bounded window): the
+    fixed-count sibling of the rate-based stratified sampler."""
+    from hadoopgis_spark.operators.curate import stratified_take_n
+
+    d = _t(spark, sf, "documents")
+    return stratified_take_n(d, 10).select("doc_id", "source")
+
+
+CUR_TAKE_N_SQL = """
+  WITH h AS (
+    SELECT doc_id, source,
+           ('0x' || SUBSTR(MD5('taken' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv,
+           COUNT(*) OVER (PARTITION BY source) AS cnt
+    FROM documents
+  ),
+  pool AS (
+    SELECT * FROM h
+    WHERE cnt <= 10 OR hv < CAST(171798691840.0 AS DOUBLE) / cnt
+  ),
+  r AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rn
+    FROM pool
+  )
+  SELECT doc_id, source FROM r WHERE rn <= 10
+"""
+
+
 def cur_pack_streams(spark, sf):
     """Micro-gate decomposing cur_pack_sequences: ONLY the stream
     assignment (the registry's sole md5 offset=9-of-doc_id path). If
@@ -4423,6 +4453,7 @@ REGISTRY: dict[str, Query] = {
     "cur_shuffle_shards": Query(cur_shuffle_shards, CUR_SHUFFLE_SQL, "deterministic md5-order training shuffle (shard, pos)"),
     "txt_hash_embedding": Query(txt_hash_embedding, TXT_HASH_EMB_SQL, "hashing-trick bag-of-words featurizer (text -> dense vector)"),
     "dedup_keep_best": Query(dedup_keep_best, DEDUP_KEEP_BEST_SQL, "dedup endpoint: one survivor per near-dup cluster (integer argmax)"),
+    "cur_take_n": Query(cur_take_n, CUR_TAKE_N_SQL, "exactly-n-per-stratum sample (two-phase: count -> hash cut -> bounded window)"),
     "sim_semdedup": Query(sim_semdedup, SIM_SEMDEDUP_SQL, "SemDeDup: cluster-gated semantic near-dup pairs"),
     "rel_small_qty_revenue": Query(rel_small_qty_revenue, REL_SMALL_QTY_SQL, "correlated scalar AVG (Q17 shape)"),
     "stream_join_batch": Query(stream_join_batch, STREAM_JOIN_SQL, "stream-stream event-time range join (batch face)"),
@@ -4575,14 +4606,15 @@ _R6_PREFIX = [
     "sp_knn", "sp_knn_tile", "sp_dwithin_points", "sp_containment_wkt",
     "dedup_edit_pairs", "txt_hash_embedding", "dedup_jaccard_prefix",
     "txt_line_dedup", "txt_dup_spans",
-    "dedup_keep_best", "cur_stratified_sample", "cur_contamination",
+    "dedup_keep_best", "cur_take_n", "cur_contamination",
     "cur_dsir_weights", "cur_pipeline",
     "stream_join_batch", "sim_ann_ivfpq_indexed", "sim_ann_sq",
     "rel_lag_lead",
 ]
-# dedup_exact, dedup_minhash_lsh and cur_split_assign (driver-green r4+r5,
-# untouched) rotated out of the prefix for dedup_edit_pairs,
-# txt_hash_embedding and dedup_keep_best (new cross-engine surfaces).
+# dedup_exact, dedup_minhash_lsh, cur_split_assign and
+# cur_stratified_sample (driver-green r4+r5, untouched) rotated out of the
+# prefix for dedup_edit_pairs, txt_hash_embedding, dedup_keep_best and
+# cur_take_n (new cross-engine surfaces).
 assert len(_R6_PREFIX) == 50 and len(set(_R6_PREFIX)) == 50
 REGISTRY = {
     **{n: REGISTRY[n] for n in _R6_PREFIX},

@@ -1896,3 +1896,34 @@ class TestHashedBowEmbedding:
         }
         assert (1, 2) in pairs
         assert (3, 4) not in pairs
+
+
+class TestStratifiedTakeN:
+    def test_exact_n_per_stratum_and_hash_order(self, spark):
+        import hashlib
+
+        from hadoopgis_spark.operators.curate import stratified_take_n
+
+        rows = (
+            [(i, "small") for i in range(5)]
+            + [(100 + i, "mid") for i in range(40)]
+            + [(1000 + i, "big") for i in range(300)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        got = {}
+        for r in stratified_take_n(df, 10, salt="t").collect():
+            got.setdefault(r.source, set()).add(r.doc_id)
+        assert len(got["small"]) == 5      # count <= n: keep all
+        assert len(got["mid"]) == 10 and len(got["big"]) == 10
+
+        def h(i):
+            return int(hashlib.md5(f"t{i}".encode()).hexdigest()[:8], 16)
+
+        for src, ids in [("mid", range(100, 140)), ("big", range(1000, 1300))]:
+            want = set(sorted(ids, key=lambda i: (h(i), i))[:10])
+            assert got[src] == want, src
+        again = {
+            (r.doc_id, r.source)
+            for r in stratified_take_n(df, 10, salt="t").collect()
+        }
+        assert again == {(i, s) for s, ids in got.items() for i in ids}
