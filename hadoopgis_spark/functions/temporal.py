@@ -199,7 +199,7 @@ def temporal_mindist_set(a, b) -> Column:
 
 def multi_interval_join(
     a: DataFrame,
-    b: DataFrame | None,
+    b: DataFrame,
     intervals_col: str = "intervals",
     **spatial_kwargs,
 ) -> DataFrame:
@@ -215,17 +215,25 @@ def multi_interval_join(
     fan-out is the interval count per object (bounded, small); no
     all-pairs product over objects ever forms.
     """
+    if b is None:
+        # the exploded frame repeats each object's id once per interval,
+        # and the tile engine's self-join pair dedup assumes unique row
+        # ids — a silent self multi-interval join would emit ambiguous
+        # (x, x) interval self-pairs. Make the caller choose semantics.
+        raise ValueError(
+            "multi_interval_join has no self-join mode: pass the frame "
+            "twice and filter object-id pairs explicitly (exploded "
+            "interval rows duplicate object ids, which breaks the tile "
+            "engine's unique-id self-join dedup)"
+        )
     az = a.select(*[c for c in a.columns if c != intervals_col],
                   F.explode(intervals_col).alias("__iv"))
     az = az.select(*[c for c in az.columns if c != "__iv"],
                    F.col("__iv.start").alias("__ms"), F.col("__iv.end").alias("__me"))
-    if b is not None:
-        bz = b.select(*[c for c in b.columns if c != intervals_col],
-                      F.explode(intervals_col).alias("__iv"))
-        bz = bz.select(*[c for c in bz.columns if c != "__iv"],
-                       F.col("__iv.start").alias("__ms"), F.col("__iv.end").alias("__me"))
-    else:
-        bz = None
+    bz = b.select(*[c for c in b.columns if c != intervals_col],
+                  F.explode(intervals_col).alias("__iv"))
+    bz = bz.select(*[c for c in bz.columns if c != "__iv"],
+                   F.col("__iv.start").alias("__ms"), F.col("__iv.end").alias("__me"))
     out = interval_join(az, bz, start_col="__ms", end_col="__me", **spatial_kwargs)
     sfx1, sfx2 = spatial_kwargs.get("suffixes", ("_1", "_2"))
     drop = [f"__ms{sfx1}", f"__me{sfx1}", f"__ms{sfx2}", f"__me{sfx2}", "__ms", "__me"]

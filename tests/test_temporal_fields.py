@@ -297,3 +297,13 @@ class TestTemporalObject:
             if any(s <= e2 and s2 <= e for s, e in ivs for s2, e2 in jvs)
         }
         assert got == want and len(want) > 50
+
+    def test_self_join_refused(self, spark):
+        from hadoopgis_spark.functions.temporal import multi_interval_join
+
+        df = spark.createDataFrame(
+            [(1, [{"start": 0, "end": 5}])],
+            "a_id long, intervals array<struct<start:long,end:long>>",
+        )
+        with pytest.raises(ValueError, match="self-join"):
+            multi_interval_join(df, None)
