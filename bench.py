@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "txt_hash_embedding",
     "dedup_keep_best",
     "cur_take_n",
+    "stream_temporal_tag_batch",
 ]
 
 

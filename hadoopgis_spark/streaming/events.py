@@ -16,7 +16,7 @@ converts to TimestampType for windowing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -27,6 +27,7 @@ __all__ = [
     "streaming_zone_tag",
     "streaming_dedup",
     "stream_stream_interval_join",
+    "streaming_temporal_tag",
 ]
 
 
@@ -198,6 +199,32 @@ def stream_stream_interval_join(
     out = l.join(r, cond, "inner")
     keep = [l[c] for c in left.columns] + [F.col(a) for a in r_cols.values()]
     return out.select(*keep)
+
+
+def streaming_temporal_tag(
+    events: DataFrame,
+    objects: DataFrame,
+    t: Column,
+    intervals_col: str = "intervals",
+) -> DataFrame:
+    """Stream-static TEMPORAL enrichment: tag each event with the rows
+    of a small static TemporalObject table (id + ``intervals`` =
+    array<struct<start, end>>) whose interval SET contains the event's
+    derived time ``t`` — the spt extension's membership predicate as a
+    streaming join.
+
+    ``objects`` is broadcast and the containment test is an ``exists``
+    over its interval array inside the join condition, so the plan is a
+    stateless broadcast nested-loop join with a real predicate —
+    identical on a batch or readStream ``events`` frame, no watermark
+    needed (same contract as ``streaming_zone_tag``). Inner join:
+    events matching no object are dropped (left-join + coalesce at the
+    call site for keep-all semantics)."""
+    cond = F.exists(
+        objects[intervals_col],
+        lambda iv: (iv["start"] <= t) & (t <= iv["end"]),
+    )
+    return events.join(F.broadcast(objects), cond, "inner")
 
 
 def streaming_containment(

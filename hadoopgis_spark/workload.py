@@ -3485,6 +3485,43 @@ STREAM_JOIN_SQL = """
 """
 
 
+def stream_temporal_tag_batch(spark, sf):
+    """Batch face of the stream-static TEMPORAL enrichment: events are
+    tagged with every maintenance window (a 2-interval TemporalObject
+    per nation) whose interval set contains the event's derived clock
+    position — the spt membership predicate as a broadcast streaming
+    join (stateless, identical plan on readStream)."""
+    from hadoopgis_spark.streaming.events import streaming_temporal_tag
+
+    e = _t(spark, sf, "events")
+    n = _t(spark, sf, "nation")
+    s1 = F.col("n_nationkey").cast("long") * 3500
+    objects = n.select(
+        F.col("n_nationkey").alias("zone"),
+        F.array(
+            F.struct(s1.alias("start"), (s1 + 2000).alias("end")),
+            F.struct((s1 + 50000).alias("start"), (s1 + 51500).alias("end")),
+        ).alias("intervals"),
+    )
+    t = F.col("ts") % 100000
+    j = streaming_temporal_tag(e.select("event_id", "ts"), objects, t)
+    return j.select("event_id", "zone")
+
+
+STREAM_TEMPORAL_TAG_SQL = """
+  WITH o AS (
+    SELECT n_nationkey AS zone, CAST(n_nationkey AS BIGINT) * 3500 AS s1 FROM nation
+  ),
+  e AS (
+    SELECT event_id, CAST(epoch_ns(ts) AS BIGINT) % 100000 AS t FROM events
+  )
+  SELECT e.event_id, o.zone
+  FROM e JOIN o
+    ON (o.s1 <= e.t AND e.t <= o.s1 + 2000)
+    OR (o.s1 + 50000 <= e.t AND e.t <= o.s1 + 51500)
+"""
+
+
 def rel_funnel(spark, sf):
     """Ordered funnel (view → click → purchase) per user: earliest time
     of each step strictly after the previous step. Stacked Windows over
@@ -4454,6 +4491,7 @@ REGISTRY: dict[str, Query] = {
     "txt_hash_embedding": Query(txt_hash_embedding, TXT_HASH_EMB_SQL, "hashing-trick bag-of-words featurizer (text -> dense vector)"),
     "dedup_keep_best": Query(dedup_keep_best, DEDUP_KEEP_BEST_SQL, "dedup endpoint: one survivor per near-dup cluster (integer argmax)"),
     "cur_take_n": Query(cur_take_n, CUR_TAKE_N_SQL, "exactly-n-per-stratum sample (two-phase: count -> hash cut -> bounded window)"),
+    "stream_temporal_tag_batch": Query(stream_temporal_tag_batch, STREAM_TEMPORAL_TAG_SQL, "stream-static temporal enrichment (TemporalObject membership, batch face)"),
     "sim_semdedup": Query(sim_semdedup, SIM_SEMDEDUP_SQL, "SemDeDup: cluster-gated semantic near-dup pairs"),
     "rel_small_qty_revenue": Query(rel_small_qty_revenue, REL_SMALL_QTY_SQL, "correlated scalar AVG (Q17 shape)"),
     "stream_join_batch": Query(stream_join_batch, STREAM_JOIN_SQL, "stream-stream event-time range join (batch face)"),
@@ -4611,10 +4649,10 @@ _R6_PREFIX = [
     "stream_join_batch", "sim_ann_ivfpq_indexed", "sim_ann_sq",
     "rel_lag_lead",
 ]
-# dedup_exact, dedup_minhash_lsh, cur_split_assign and
-# cur_stratified_sample (driver-green r4+r5, untouched) rotated out of the
-# prefix for dedup_edit_pairs, txt_hash_embedding, dedup_keep_best and
-# cur_take_n (new cross-engine surfaces).
+# dedup_exact, dedup_minhash_lsh, cur_split_assign, cur_stratified_sample
+# and rel_funnel (driver-green r4+r5, untouched) rotated out of the prefix
+# for dedup_edit_pairs, txt_hash_embedding, dedup_keep_best, cur_take_n and
+# stream_temporal_tag_batch (new cross-engine surfaces).
 assert len(_R6_PREFIX) == 50 and len(set(_R6_PREFIX)) == 50
 REGISTRY = {
     **{n: REGISTRY[n] for n in _R6_PREFIX},

@@ -1927,3 +1927,44 @@ class TestStratifiedTakeN:
             for r in stratified_take_n(df, 10, salt="t").collect()
         }
         assert again == {(i, s) for s, ids in got.items() for i in ids}
+
+
+class TestStreamingTemporalTag:
+    def test_real_stream_matches_batch(self, spark, tmp_path):
+        from hadoopgis_spark.streaming.events import (
+            normalize_event_ts,
+            streaming_temporal_tag,
+        )
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = normalize_event_ts(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ).select("event_id", "ts")
+        src = str(tmp_path / "tt")
+        ev.write.mode("overwrite").parquet(src)
+        objects = spark.createDataFrame(
+            [(z, [{"start": z * 20000, "end": z * 20000 + 9000}]) for z in range(5)],
+            "zone long, intervals array<struct<start:long,end:long>>",
+        )
+        t = F.col("ts") % 100000
+        batch = {
+            (r.event_id, r.zone)
+            for r in streaming_temporal_tag(ev, objects, t).select("event_id", "zone").collect()
+        }
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            streaming_temporal_tag(stream, objects, t)
+            .select("event_id", "zone")
+            .writeStream.format("memory")
+            .queryName("ttag_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.event_id, r.zone)
+            for r in spark.sql("SELECT * FROM ttag_out").collect()
+        }
+        assert got == batch and len(batch) > 0
