@@ -169,7 +169,9 @@ def shuffle_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
 
     ``shard = md5(salt||id) % n_shards`` is a map-side expression;
     ``pos`` ranks the full hash within the shard (ties broken by id, so
-    the order is total). One shuffle (the per-shard window), which is
+    the order is total — PROVIDED ``id_col`` is unique, same
+    precondition as ``exact_dedup``; duplicate ids would tie on both
+    sort keys and rank nondeterministically). One shuffle (the per-shard window), which is
     the floor for any global permutation; shards are hash-uniform so no
     window partition is hot. Readers stream shard files in ``pos``
     order and get a stable pseudo-random document order.

@@ -733,7 +733,10 @@ def sq_encode(
     ``round((v - lo) / (hi - lo) * n_levels)`` clamped to [0, n_levels]
     — int8-class storage (1 byte/dim vs 4) with NO codebook. Map-only;
     out-of-bound values (beyond the fitted sample's range) clamp, so
-    encode never fails. Integer codes make downstream scoring exactly
+    encode never fails on FINITE inputs. Inputs must be finite: under
+    ANSI mode (Spark 4 default) a NaN component would throw at the
+    int cast — sanitize upstream if the embedding source can emit
+    NaN/Inf. Integer codes make downstream scoring exactly
     reproducible cross-engine."""
     dim = len(lo)
     v = F.col(vec_col).cast("array<double>")

@@ -1968,3 +1968,31 @@ class TestStreamingTemporalTag:
             for r in spark.sql("SELECT * FROM ttag_out").collect()
         }
         assert got == batch and len(batch) > 0
+
+
+class TestPackSequencesProperties:
+    def test_recompute_invariants(self, spark):
+        """Recompute the packing from first principles: within each
+        stream (ordered by id) the start offsets are the running token
+        sum, bin = start div budget, tok_offset = start mod budget."""
+        import hashlib
+
+        from hadoopgis_spark.operators.curate import pack_sequences
+
+        rows = [(i, "word " * (1 + i % 37)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.id: r for r in pack_sequences(df, budget=128, n_streams=4).collect()}
+        assert len(out) == 300
+        by_stream = {}
+        for r in sorted(out.values(), key=lambda r: r.id):
+            by_stream.setdefault(r.stream, []).append(r)
+        assert set(by_stream) <= set(range(4))
+        for stream, docs in by_stream.items():
+            start = 0
+            for r in docs:  # already id-ordered
+                assert r.stream == int(
+                    hashlib.md5(str(r.id).encode()).hexdigest()[8:16], 16
+                ) % 4
+                assert 0 <= r.tok_offset < 128
+                assert r.bin == start // 128 and r.tok_offset == start % 128, r
+                start += r.n_tokens
