@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "cur_take_n",
     "stream_temporal_tag_batch",
+    "sim_ann_ivf_appended",
 ]
 
 

@@ -11,6 +11,7 @@ from hadoopgis_spark.sources.loader import load_partitioned, save_partitioned
 from hadoopgis_spark.sources.tsv import read_tsv, write_tsv
 from hadoopgis_spark.sources.dedup_index import dedup_against_index, save_dedup_index
 from hadoopgis_spark.sources.vector_index import (
+    add_to_ivf_index,
     ivf_topk_indexed,
     ivfpq_topk_indexed,
     load_ivf_index,
@@ -31,6 +32,7 @@ __all__ = [
     "save_ivf_index",
     "load_ivf_index",
     "ivf_topk_indexed",
+    "add_to_ivf_index",
     "save_ivfpq_index",
     "load_ivfpq_index",
     "ivfpq_topk_indexed",

@@ -36,6 +36,7 @@ __all__ = [
     "save_ivf_index",
     "load_ivf_index",
     "ivf_topk_indexed",
+    "add_to_ivf_index",
     "save_ivfpq_index",
     "load_ivfpq_index",
     "ivfpq_topk_indexed",
@@ -126,6 +127,40 @@ def ivf_topk_indexed(
         corpus, queries, k=k, n_probe=n_probe,
         n_centroids=meta["n_centroids"], dim=meta["dim"], centroids=centroids,
         q_id_col=q_id_col, q_vec_col=q_vec_col, id_col=id_col,
+    )
+
+
+def add_to_ivf_index(
+    df: DataFrame,
+    name: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    root: str | None = None,
+) -> None:
+    """INCREMENTAL index maintenance: assign a batch of NEW vectors to
+    the saved index's existing centroids and APPEND them to the
+    cid-partitioned layout — the corpus already indexed is never read,
+    rewritten, or shuffled (same incremental contract as
+    ``sources.dedup_index``). Serving code (``ivf_topk_indexed``) sees
+    the union immediately; results are bit-identical to a full rebuild
+    with the same centroids because assignment is a pure function of
+    (vector, centroids).
+
+    Centroids are NOT refit — at serving scale they are a versioned
+    artifact; drift beyond what the fitted centroids represent is a
+    rebuild decision, not an append. Uniqueness of ids across batches
+    is the caller's contract (same as every dedup/index operator).
+    """
+    spark = df.sparkSession
+    base = f"{root or _index_root(spark)}/{name}"
+    _, centroids, meta = load_ivf_index(spark, name, root)
+    asg = ivf_assign(
+        df, vec_col, id_col,
+        n_centroids=meta["n_centroids"], dim=meta["dim"], centroids=centroids,
+    )
+    asg.repartition("cid").write.mode("append").partitionBy("cid").parquet(
+        f"{base}/vectors"
     )
 
 

@@ -3149,6 +3149,35 @@ def sim_ann_ivf_indexed(spark, sf):
     return j.select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def sim_ann_ivf_appended(spark, sf):
+    """Incremental INDEX MAINTENANCE path: index half the corpus, APPEND
+    the other half against the stored centroids (no rebuild, no rescan
+    of the already-indexed half), then query. Assignment is a pure
+    function of (vector, centroids), so the result is bit-identical to
+    the full live IVF — the same inlined-centroid oracle pins it."""
+    from hadoopgis_spark.sources import add_to_ivf_index, ivf_topk_indexed, save_ivf_index
+
+    tag = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    name = f"ivfinc_{tag}"
+
+    def _build():
+        e = _t(spark, sf, "embeddings")
+        save_ivf_index(
+            e.filter(F.col("vec_id") % 2 == 0), name,
+            n_centroids=16, dim=64, centroids=_ivf_gate_centroids(),
+        )
+        add_to_ivf_index(e.filter(F.col("vec_id") % 2 == 1), name)
+        return name
+
+    _memo(("ivfinc", spark.sparkContext.applicationId, sf), _build)
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    j = ivf_topk_indexed(spark, name, q, k=5, n_probe=4)
+    return j.select("q_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # BPE-ish token budget (training-pipeline token counting; JVM regex)
 # ---------------------------------------------------------------------------
@@ -4492,6 +4521,7 @@ REGISTRY: dict[str, Query] = {
     "dedup_keep_best": Query(dedup_keep_best, DEDUP_KEEP_BEST_SQL, "dedup endpoint: one survivor per near-dup cluster (integer argmax)"),
     "cur_take_n": Query(cur_take_n, CUR_TAKE_N_SQL, "exactly-n-per-stratum sample (two-phase: count -> hash cut -> bounded window)"),
     "stream_temporal_tag_batch": Query(stream_temporal_tag_batch, STREAM_TEMPORAL_TAG_SQL, "stream-static temporal enrichment (TemporalObject membership, batch face)"),
+    "sim_ann_ivf_appended": Query(sim_ann_ivf_appended, SIM_ANN_IVF_SQL, "incremental IVF index maintenance: append batch vs stored centroids, no rebuild"),
     "sim_semdedup": Query(sim_semdedup, SIM_SEMDEDUP_SQL, "SemDeDup: cluster-gated semantic near-dup pairs"),
     "rel_small_qty_revenue": Query(rel_small_qty_revenue, REL_SMALL_QTY_SQL, "correlated scalar AVG (Q17 shape)"),
     "stream_join_batch": Query(stream_join_batch, STREAM_JOIN_SQL, "stream-stream event-time range join (batch face)"),
@@ -4643,16 +4673,18 @@ _R6_PREFIX = [
     "sp_join_boxes", "sp_join_bucketed", "sp_join_bucketed_dwithin",
     "sp_knn", "sp_knn_tile", "sp_dwithin_points", "sp_containment_wkt",
     "dedup_edit_pairs", "txt_hash_embedding", "dedup_jaccard_prefix",
-    "txt_line_dedup", "txt_dup_spans",
+    "rel_lag_lead", "stream_temporal_tag_batch",
     "dedup_keep_best", "cur_take_n", "cur_contamination",
     "cur_dsir_weights", "cur_pipeline",
     "stream_join_batch", "sim_ann_ivfpq_indexed", "sim_ann_sq",
-    "rel_lag_lead",
+    "sim_ann_ivf_appended",
 ]
-# dedup_exact, dedup_minhash_lsh, cur_split_assign, cur_stratified_sample
-# and rel_funnel (driver-green r4+r5, untouched) rotated out of the prefix
-# for dedup_edit_pairs, txt_hash_embedding, dedup_keep_best, cur_take_n and
-# stream_temporal_tag_batch (new cross-engine surfaces).
+# Rotated OUT of the prefix (driver-green r4/r5, untouched this round):
+# dedup_exact, dedup_minhash_lsh, cur_split_assign, cur_stratified_sample,
+# rel_funnel, txt_line_dedup, txt_dup_spans, txt_token_bpe,
+# stream_session_native_batch, mm_decode_meta, sp_join_self, sp_mixed_types,
+# sp_malformed_filter, stream_dedup_batch. Rotated IN: every query that is
+# new in round 6 or sits over round-6 code churn (see block comments).
 assert len(_R6_PREFIX) == 50 and len(set(_R6_PREFIX)) == 50
 REGISTRY = {
     **{n: REGISTRY[n] for n in _R6_PREFIX},

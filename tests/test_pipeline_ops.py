@@ -1996,3 +1996,41 @@ class TestPackSequencesProperties:
                 assert 0 <= r.tok_offset < 128
                 assert r.bin == start // 128 and r.tok_offset == start % 128, r
                 start += r.n_tokens
+
+
+class TestIncrementalIvfIndex:
+    def test_append_equals_full_rebuild(self, spark, tmp_path):
+        """Index half the corpus, append the other half — queries must
+        be bit-identical to a full-build index with the same centroids
+        (assignment is a pure function of vector + centroids)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from hadoopgis_spark.sources import (
+            add_to_ivf_index,
+            ivf_topk_indexed,
+            save_ivf_index,
+        )
+
+        rng = random.Random(41)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        half_a = emb.filter(F.col("vec_id") % 2 == 0)
+        half_b = emb.filter(F.col("vec_id") % 2 == 1)
+        root = str(tmp_path / "ivf")
+        cents = save_ivf_index(half_a, "inc", n_centroids=4, dim=8, root=root)
+        add_to_ivf_index(half_b, "inc", root=root)
+        save_ivf_index(emb, "full", n_centroids=4, dim=8, root=root, centroids=cents)
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        )
+        inc = sorted(
+            (r.q_id, r.vec_id, r.cosine)
+            for r in ivf_topk_indexed(spark, "inc", q, k=3, n_probe=4, root=root).collect()
+        )
+        full = sorted(
+            (r.q_id, r.vec_id, r.cosine)
+            for r in ivf_topk_indexed(spark, "full", q, k=3, n_probe=4, root=root).collect()
+        )
+        assert inc == full and len(inc) > 0
