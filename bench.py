@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "cur_take_n",
     "stream_temporal_tag_batch",
     "sim_ann_ivf_appended",
+    "rel_asof_cobucketed",
 ]
 
 

@@ -5,6 +5,11 @@
 * :mod:`bucketed` — tile-bucketed tables for zero-shuffle repeated joins
 """
 
+from hadoopgis_spark.sources.asof_store import (
+    asof_join_cobucketed,
+    save_asof_facts,
+    save_asof_history,
+)
 from hadoopgis_spark.sources.bucketed import save_bucketed, spatial_join_bucketed
 from hadoopgis_spark.sources.jsonl import read_jsonl, write_jsonl
 from hadoopgis_spark.sources.loader import load_partitioned, save_partitioned
@@ -38,4 +43,7 @@ __all__ = [
     "ivfpq_topk_indexed",
     "save_dedup_index",
     "dedup_against_index",
+    "save_asof_history",
+    "save_asof_facts",
+    "asof_join_cobucketed",
 ]

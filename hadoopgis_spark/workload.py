@@ -3473,6 +3473,42 @@ def rel_asof_join(spark, sf):
     )
 
 
+def rel_asof_cobucketed(spark, sf):
+    """As-of join over CO-BUCKETED storage (sources/asof_store): facts
+    and per-key sorted history arrays both bucketed on user_id — the
+    query-time join plans ZERO exchanges (contract in tests); the
+    shuffle was paid once at write. Same inputs and oracle as
+    rel_asof_join, so the storage roundtrip is pinned bit-exactly."""
+    from hadoopgis_spark.sources import (
+        asof_join_cobucketed,
+        save_asof_facts,
+        save_asof_history,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    ft, ht = f"asof_facts_{tag}", f"asof_hist_{tag}"
+
+    def _build():
+        e = _t(spark, sf, "events")
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", F.col("ts").alias("t")
+        )
+        purchases = (
+            e.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", F.col("ts").alias("t"))
+            .agg(F.max("value").alias("ref_value"))
+        )
+        save_asof_facts(clicks, ft, by="user_id", n_buckets=16)
+        save_asof_history(purchases, ht, on="t", by="user_id", n_buckets=16)
+        return ft
+
+    _memo(("asofbkt", spark.sparkContext.applicationId, sf), _build)
+    j = asof_join_cobucketed(spark, ft, ht, on="t", by="user_id")
+    return j.select(
+        "event_id", "user_id", "t", F.col("t_right").alias("ref_t"), "ref_value"
+    )
+
+
 REL_ASOF_SQL = """
   WITH l AS (
     SELECT event_id, user_id, epoch_ns(ts) AS t FROM events WHERE event_type = 'click'
@@ -4522,6 +4558,7 @@ REGISTRY: dict[str, Query] = {
     "cur_take_n": Query(cur_take_n, CUR_TAKE_N_SQL, "exactly-n-per-stratum sample (two-phase: count -> hash cut -> bounded window)"),
     "stream_temporal_tag_batch": Query(stream_temporal_tag_batch, STREAM_TEMPORAL_TAG_SQL, "stream-static temporal enrichment (TemporalObject membership, batch face)"),
     "sim_ann_ivf_appended": Query(sim_ann_ivf_appended, SIM_ANN_IVF_SQL, "incremental IVF index maintenance: append batch vs stored centroids, no rebuild"),
+    "rel_asof_cobucketed": Query(rel_asof_cobucketed, REL_ASOF_SQL, "as-of join over co-bucketed storage: zero exchanges at query time"),
     "sim_semdedup": Query(sim_semdedup, SIM_SEMDEDUP_SQL, "SemDeDup: cluster-gated semantic near-dup pairs"),
     "rel_small_qty_revenue": Query(rel_small_qty_revenue, REL_SMALL_QTY_SQL, "correlated scalar AVG (Q17 shape)"),
     "stream_join_batch": Query(stream_join_batch, STREAM_JOIN_SQL, "stream-stream event-time range join (batch face)"),
@@ -4674,7 +4711,7 @@ _R6_PREFIX = [
     "sp_knn", "sp_knn_tile", "sp_dwithin_points", "sp_containment_wkt",
     "dedup_edit_pairs", "txt_hash_embedding", "dedup_jaccard_prefix",
     "rel_lag_lead", "stream_temporal_tag_batch",
-    "dedup_keep_best", "cur_take_n", "cur_contamination",
+    "dedup_keep_best", "cur_take_n", "rel_asof_cobucketed",
     "cur_dsir_weights", "cur_pipeline",
     "stream_join_batch", "sim_ann_ivfpq_indexed", "sim_ann_sq",
     "sim_ann_ivf_appended",

@@ -684,3 +684,52 @@ class TestFunnelStream:
         assert latest == want
         # u1 must have emitted an update in BOTH batches (state advanced twice)
         assert sum(1 for r in updates if r.user_id == 1) == 2
+
+
+class TestAsofCobucketed:
+    def _tables(self, spark, seed, tag, n_buckets=8):
+        from hadoopgis_spark.sources import save_asof_facts, save_asof_history
+
+        left, right, ldf, rdf = _frames(spark, seed)
+        save_asof_facts(ldf, f"asof_facts_{tag}", by="k", n_buckets=n_buckets)
+        save_asof_history(rdf, f"asof_hist_{tag}", on="t", by="k", n_buckets=n_buckets)
+        return left, right
+
+    @pytest.mark.parametrize("tolerance", [None, 100])
+    def test_matches_shuffle_strategy(self, spark, tolerance):
+        from hadoopgis_spark.sources import asof_join_cobucketed
+
+        left, right = self._tables(spark, 4, f"par{tolerance}")
+        got = sorted(
+            (r.k, r.t, r.lv, r.t_right, r.rv)
+            for r in asof_join_cobucketed(
+                spark, f"asof_facts_par{tolerance}", f"asof_hist_par{tolerance}",
+                on="t", by="k", tolerance=tolerance,
+            ).collect()
+        )
+        assert got == _brute(left, right, "backward", tolerance)
+
+    def test_zero_exchange_plan(self, spark):
+        """The whole point: both sides pre-bucketed on the key → the
+        query-time join plans ZERO shuffle exchanges."""
+        from hadoopgis_spark.plans.inspect import count_exchanges
+        from hadoopgis_spark.sources import asof_join_cobucketed
+
+        self._tables(spark, 5, "plan")
+        j = asof_join_cobucketed(spark, "asof_facts_plan", "asof_hist_plan", on="t", by="k")
+        assert count_exchanges(j) == 0, j._jdf.queryExecution().executedPlan().toString()
+
+    def test_mismatched_layout_refused(self, spark):
+        from hadoopgis_spark.sources import (
+            asof_join_cobucketed,
+            save_asof_facts,
+            save_asof_history,
+        )
+
+        _, _, ldf, rdf = _frames(spark, 6)
+        save_asof_facts(ldf, "asof_facts_mm", by="k", n_buckets=8)
+        save_asof_history(rdf, "asof_hist_mm", on="t", by="k", n_buckets=4)
+        with pytest.raises(ValueError, match="bucket-count mismatch"):
+            asof_join_cobucketed(spark, "asof_facts_mm", "asof_hist_mm", on="t", by="k")
+        with pytest.raises(ValueError, match="not saved by"):
+            asof_join_cobucketed(spark, "asof_hist_mm", "asof_hist_mm", on="t", by="k")
