@@ -18,6 +18,14 @@ without bound). Bucket specs are recorded in TBLPROPERTIES and
 verified at join time — mismatched layouts refuse instead of silently
 shuffling.
 
+Skew caveat (measured, BASELINE.md round 6): a hot key concentrates in
+one bucket FILE and bucketed scans cannot split a bucket, so heavy key
+skew stragglers the scan task itself — use the broadcast strategy
+(right side fits) or ``asof_join_bucketed``'s time-range prefix scan
+for skewed workloads; this layout's niche is big-right + repeated
+serving + roughly uniform keys, where the elided shuffle and the
+write-once amortization win.
+
 Cites: reference has no temporal storage; this extends the engine's
 bucketed-warehouse pattern (``sources/bucketed.py``) to the spt
 extension's domain.
