@@ -325,8 +325,6 @@ def hashed_bow_embedding(df, dim: int = 64, text_col: str = "text",
     ``l2_normalize=True`` divides by the L2 norm (computed once via the
     let-bound singleton-transform trick), leaving zero vectors zero.
     """
-    from pyspark.sql import functions as F
-
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
     )

@@ -243,6 +243,19 @@ def _centroid_scores(vec, n_centroids: int, dim: int, centroids=None):
     return F.transform(table, score)
 
 
+def _probe_slice(qv, n_centroids: int, dim: int, centroids, n_probe: int):
+    """Top-``n_probe`` centroid probes as a per-row sorted slice —
+    ``array_sort`` on array<struct<s, cid>> orders (s asc, cid asc);
+    ``reverse`` gives exactly the probe order (s desc, cid desc). The
+    ONE definition of the probe tie-break contract, shared by IVF and
+    IVF-PQ so the two paths (and their mirrored oracle SQL) can never
+    desynchronize. No window, no exchange on the query side."""
+    return F.slice(
+        F.reverse(F.array_sort(_centroid_scores(qv, n_centroids, dim, centroids))),
+        1, n_probe,
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -334,12 +347,7 @@ def ivf_probe_rank(
     row for pre-norm ``asg`` frames, e.g. an index saved by an older
     format) — the per-pair rank work is a single dot."""
     qv = F.col(q_vec_col).cast("array<double>")
-    # array_sort on array<struct<s,cid>> orders by (s asc, cid asc);
-    # reverse gives exactly the probe order (s desc, cid desc)
-    probe_arr = F.slice(
-        F.reverse(F.array_sort(_centroid_scores(qv, n_centroids, dim, centroids))),
-        1, n_probe,
-    )
+    probe_arr = _probe_slice(qv, n_centroids, dim, centroids, n_probe)
     probes = queries.select(
         F.col(q_id_col).alias("qid"),
         F.col(q_vec_col).alias("qvec"),
@@ -671,14 +679,10 @@ def ivfpq_probe_rank(
         *[F.array(*[q_dot(m, kk) for kk in range(n_codes)]) for m in range(n_sub)]
     )
     # one projection computes the ADC lut ONCE per query row alongside
-    # the sorted-sliced probe list (s desc, cid desc — struct order
-    # reversed); the explode then fans out only n_probe rows per query,
-    # each carrying the precomputed lut values. No per-probe lut
-    # re-evaluation, no window exchange on the query side.
-    probe_arr = F.slice(
-        F.reverse(F.array_sort(_centroid_scores(qv, n_centroids, dim, centroids))),
-        1, n_probe,
-    )
+    # the sorted-sliced probe list; the explode then fans out only
+    # n_probe rows per query, each carrying the precomputed lut values.
+    # No per-probe lut re-evaluation, no window exchange on the query side.
+    probe_arr = _probe_slice(qv, n_centroids, dim, centroids, n_probe)
     probes = queries.select(
         F.col(q_id_col).alias("qid"),
         lut.alias("__lut"),
@@ -738,7 +742,8 @@ def sq_encode(
     int cast — sanitize upstream if the embedding source can emit
     NaN/Inf. Integer codes make downstream scoring exactly
     reproducible cross-engine."""
-    dim = len(lo)
+    if len(lo) != len(hi):
+        raise ValueError(f"lo/hi length mismatch: {len(lo)} vs {len(hi)}")
     v = F.col(vec_col).cast("array<double>")
     lo_a = F.array(*[F.lit(x) for x in lo])
     scale_a = F.array(*[F.lit(float(n_levels) / (h - l)) for l, h in zip(lo, hi)])
@@ -776,7 +781,6 @@ def sq_topk(
     full code scan is too much.
 
     Returns (q_id, id, sq_dot, rank), ties to the lower id."""
-    dim = len(lo)
     enc = sq_encode(corpus, lo, hi, n_levels=n_levels, vec_col=vec_col, id_col=id_col)
     qv = F.col(q_vec_col).cast("array<double>")
     inv_scale = [(h - l) / float(n_levels) for l, h in zip(lo, hi)]

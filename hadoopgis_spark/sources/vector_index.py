@@ -155,6 +155,15 @@ def add_to_ivf_index(
     spark = df.sparkSession
     base = f"{root or _index_root(spark)}/{name}"
     _, centroids, meta = load_ivf_index(spark, name, root)
+    if meta.get("format") != 2:
+        # a format-1 index stores (id, vec) without v_norm; appending
+        # v_norm-bearing rows would create a mixed-schema directory where
+        # schema inference (no mergeSchema) silently nulls one side's
+        # norms and cosine ranks go wrong with no error. Refuse.
+        raise ValueError(
+            f"index {name!r} is format {meta.get('format', 1)} (pre-v_norm); "
+            "rebuild it with save_ivf_index before appending"
+        )
     asg = ivf_assign(
         df, vec_col, id_col,
         n_centroids=meta["n_centroids"], dim=meta["dim"], centroids=centroids,

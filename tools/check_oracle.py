@@ -100,6 +100,14 @@ def main():
     oracles = entrymod.oracle_sql()
     if args.prefix is not None:
         names = list(qs)[: args.prefix]
+        if args.queries:
+            # intersect rather than silently ignoring explicit names —
+            # and fail loudly if a requested query isn't in the prefix
+            outside = [q for q in args.queries if q not in names]
+            if outside:
+                print(f"error: not in the first {args.prefix}: {outside}")
+                return 1
+            names = [q for q in names if q in set(args.queries)]
     else:
         names = args.queries or sorted(qs)
 
