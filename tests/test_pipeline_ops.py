@@ -2034,3 +2034,33 @@ class TestIncrementalIvfIndex:
             for r in ivf_topk_indexed(spark, "full", q, k=3, n_probe=4, root=root).collect()
         )
         assert inc == full and len(inc) > 0
+
+
+class TestIvfIndexFormatGuard:
+    def test_append_refuses_format1_index(self, spark, tmp_path):
+        """A pre-v_norm (format-1) index must refuse appends: mixed
+        schemas would silently null one side's norms at serve time."""
+        import json
+
+        import pytest as _pytest
+
+        from hadoopgis_spark.sources import add_to_ivf_index
+
+        root = str(tmp_path / "legacy")
+        base = f"{root}/old"
+        # craft a legacy layout: vectors without v_norm, meta without format
+        vecs = spark.createDataFrame(
+            [(1, [0.1, 0.2], 0), (2, [0.3, 0.4], 1)],
+            "id long, vec array<double>, cid int",
+        )
+        vecs.write.partitionBy("cid").parquet(f"{base}/vectors")
+        meta = json.dumps({"dim": 2, "n_centroids": 2})
+        spark.createDataFrame(
+            [(0, [0.0, 0.0], meta), (1, [1.0, 1.0], meta)],
+            "cid int, c array<double>, meta string",
+        ).coalesce(1).write.parquet(f"{base}/centroids")
+        batch = spark.createDataFrame(
+            [(3, [0.5, 0.6])], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError, match="format 1"):
+            add_to_ivf_index(batch, "old", root=root)
