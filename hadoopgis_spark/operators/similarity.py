@@ -264,6 +264,7 @@ def ivf_assign(
     n_centroids: int = 16,
     dim: int,
     centroids=None,
+    impl: str = "column",
 ) -> DataFrame:
     """(id, vec, cid, v_norm): each vector assigned to its nearest
     centroid — the IVF build side. One narrow projection, no shuffle;
@@ -273,7 +274,31 @@ def ivf_assign(
     rank stage never re-evaluates a norm fold per candidate pair.
 
     ``centroids`` (list of ``n_centroids`` × ``dim`` floats, e.g. from
-    ``fit_centroids``) overrides the md5 pseudo-random fallback."""
+    ``fit_centroids``) overrides the md5 pseudo-random fallback.
+
+    ``impl``:
+
+    * ``"column"`` (default) — JVM Column expressions whose fold order
+      exactly matches the DuckDB oracle SQL; the gates' exactness path.
+      The folds are CodegenFallback (interpreted), so at 100 TB the
+      assign costs ~n_centroids·dim interpreted multiplies per row.
+    * ``"arrow"`` — Arrow-batched ``mapInPandas``: one numpy
+      ``V @ C.T`` per batch, ~10-40× less CPU per row (measured in
+      BASELINE.md round 6). Ties break to the HIGHER cid, matching the
+      column path exactly; the only possible divergence from "column"
+      is the float summation order of the dot (numpy pairwise vs
+      left-assoc), which can flip an assignment only when two centroid
+      scores agree to within a few ulps — agreement is asserted
+      exhaustively in tests on real fixtures. Use for production-scale
+      builds; keep "column" where bit-exact oracle parity is required.
+    """
+    if impl == "arrow":
+        return _ivf_assign_arrow(
+            df, vec_col, id_col,
+            n_centroids=n_centroids, dim=dim, centroids=centroids,
+        )
+    if impl != "column":
+        raise ValueError(f"impl must be 'column' or 'arrow', got {impl!r}")
     v = F.col(vec_col).cast("array<double>")
     best = F.array_max(_centroid_scores(v, n_centroids, dim, centroids))
     return df.select(
@@ -282,6 +307,54 @@ def ivf_assign(
         best["cid"].alias("cid"),
         norm(F.col(vec_col)).alias("v_norm"),
     )
+
+
+def _ivf_assign_arrow(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_centroids: int,
+    dim: int,
+    centroids=None,
+) -> DataFrame:
+    """Arrow-batched assignment (see ``ivf_assign(impl="arrow")``).
+    Same column names as the column path; the id column keeps its input
+    type, and ``vec`` is emitted as array<double> (the column path
+    passes the input array type through — downstream rank stages cast
+    to double either way)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(
+        [list(c) for c in centroids]
+        if centroids is not None
+        else [centroid(c, dim) for c in range(n_centroids)],
+        dtype=np.float64,
+    )
+    half = (C * C).sum(axis=1) / 2.0
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id {id_type}, vec array<double>, cid int, v_norm double"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            scores = V @ C.T - half
+            # ties to the HIGHER cid, matching array_max over (s, cid)
+            # structs: argmax over the reversed axis, index flipped back
+            cid = (C.shape[0] - 1) - np.argmax(scores[:, ::-1], axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "vec": [list(map(float, v)) for v in V],
+                    "cid": cid.astype("int32"),
+                    "v_norm": np.sqrt((V * V).sum(axis=1)),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
 def ivf_topk(

@@ -2064,3 +2064,55 @@ class TestIvfIndexFormatGuard:
         )
         with _pytest.raises(ValueError, match="format 1"):
             add_to_ivf_index(batch, "old", root=root)
+
+
+class TestIvfAssignArrow:
+    def test_agrees_with_column_impl(self, spark):
+        import numpy as np
+
+        from hadoopgis_spark.operators.similarity import ivf_assign
+
+        rng = np.random.RandomState(53)
+        vecs = rng.randn(400, 16)
+        cents = rng.randn(6, 16).tolist()
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(400)],
+            "vec_id long, embedding array<double>",
+        )
+        col = {
+            r.id: (r.cid, r.v_norm)
+            for r in ivf_assign(df, n_centroids=6, dim=16, centroids=cents).collect()
+        }
+        arw = {
+            r.id: (r.cid, r.v_norm)
+            for r in ivf_assign(
+                df, n_centroids=6, dim=16, centroids=cents, impl="arrow"
+            ).collect()
+        }
+        assert set(col) == set(arw)
+        for i in col:
+            assert col[i][0] == arw[i][0], i          # identical assignment
+            assert abs(col[i][1] - arw[i][1]) < 1e-12  # norms agree to ulps
+
+    def test_tie_breaks_to_higher_cid(self, spark):
+        from hadoopgis_spark.operators.similarity import ivf_assign
+
+        # two identical centroids -> scores tie exactly; both impls must
+        # pick the HIGHER cid (the array_max-over-struct contract)
+        cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+        df = spark.createDataFrame([(1, [2.0, 0.0])], "vec_id long, embedding array<double>")
+        for impl in ("column", "arrow"):
+            r = ivf_assign(df, n_centroids=3, dim=2, centroids=cents, impl=impl).collect()[0]
+            assert r.cid == 1, impl
+
+    def test_arrow_plan_is_one_python_stage(self, spark):
+        from hadoopgis_spark.operators.similarity import ivf_assign
+        from hadoopgis_spark.plans.inspect import count_exchanges, formatted_plan
+
+        df = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id long, embedding array<double>")
+        a = ivf_assign(df, n_centroids=2, dim=2, impl="arrow")
+        plan = formatted_plan(a)
+        import re
+        assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+        assert "BatchEvalPython" not in plan
+        assert count_exchanges(a) == 0
