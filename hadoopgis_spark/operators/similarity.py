@@ -691,11 +691,25 @@ def ivfpq_encode(
     n_centroids: int,
     dim: int,
     centroids=None,
+    impl: str = "column",
 ) -> DataFrame:
     """(id, cid, codes): the IVF-PQ build side — nearest centroid list
     AND subspace codes in ONE map-only projection. This is what a
     persisted IVF-PQ index stores: 8-byte codes instead of 256-byte
-    vectors, partitioned by cid."""
+    vectors, partitioned by cid.
+
+    ``impl="arrow"`` batches the whole encode through numpy (one
+    ``V @ C.T`` per table per Arrow batch) — the production-build fast
+    path with the same tie-to-higher-code contract as the default
+    column expressions (see ``ivf_assign``'s impl note for the exact
+    trade-off)."""
+    if impl == "arrow":
+        return _ivfpq_encode_arrow(
+            corpus, codebooks, vec_col, id_col,
+            n_centroids=n_centroids, dim=dim, centroids=centroids,
+        )
+    if impl != "column":
+        raise ValueError(f"impl must be 'column' or 'arrow', got {impl!r}")
     n_sub = len(codebooks)
     n_codes = len(codebooks[0])
     d_sub = len(codebooks[0][0])
@@ -712,6 +726,59 @@ def ivfpq_encode(
         best["cid"].alias("cid"),
         F.array(*codes).alias("codes"),
     )
+
+
+def _ivfpq_encode_arrow(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str,
+    id_col: str,
+    *,
+    n_centroids: int,
+    dim: int,
+    centroids=None,
+) -> DataFrame:
+    """Arrow-batched IVF-PQ encode (see ``ivfpq_encode(impl="arrow")``)."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(
+        [list(c) for c in centroids]
+        if centroids is not None
+        else [centroid(c, dim) for c in range(n_centroids)],
+        dtype=np.float64,
+    )
+    half = (C * C).sum(axis=1) / 2.0
+    books = [np.asarray([list(c) for c in book], dtype=np.float64) for book in codebooks]
+    halves = [(B * B).sum(axis=1) / 2.0 for B in books]
+    n_sub = len(books)
+    d_sub = books[0].shape[1]
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"id {id_type}, cid int, codes array<int>"
+
+    def argmax_high(scores):
+        # ties to the HIGHER index, matching array_max over (s, cid)
+        return (scores.shape[1] - 1) - np.argmax(scores[:, ::-1], axis=1)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cid = argmax_high(V @ C.T - half)
+            codes = np.empty((len(V), n_sub), dtype=np.int32)
+            for m in range(n_sub):
+                sub = V[:, m * d_sub:(m + 1) * d_sub]
+                codes[:, m] = argmax_high(sub @ books[m].T - halves[m])
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "cid": cid.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
 
 
 def ivfpq_probe_rank(

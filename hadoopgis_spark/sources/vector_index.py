@@ -59,8 +59,11 @@ def save_ivf_index(
     sample: int = 4096,
     centroids=None,
     root: str | None = None,
+    impl: str = "column",
 ) -> list[list[float]]:
     """Build and persist the index; returns the fitted centroids.
+    ``impl="arrow"`` uses the numpy batch assignment (~10×, see
+    ``ivf_assign``); the default bit-matches the oracle fold order.
 
     Layout: ``{root}/{name}/vectors`` — (id, vec, v_norm) parquet
     partitioned by cid (one inverted list per partition directory);
@@ -79,7 +82,10 @@ def save_ivf_index(
         centroids = fit_centroids(
             df, vec_col, id_col, n_centroids=n_centroids, sample=sample
         )
-    asg = ivf_assign(df, vec_col, id_col, n_centroids=n_centroids, dim=dim, centroids=centroids)
+    asg = ivf_assign(
+        df, vec_col, id_col,
+        n_centroids=n_centroids, dim=dim, centroids=centroids, impl=impl,
+    )
     # cluster output by the partition column: one writer task per list
     # instead of every input task emitting a sliver into every cid dir
     asg.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
@@ -185,6 +191,7 @@ def save_ivfpq_index(
     sample: int = 4096,
     centroids=None,
     root: str | None = None,
+    impl: str = "column",
 ) -> list[list[float]]:
     """Persist the IVF-PQ index: (id, codes) partitioned by cid — the
     corpus compressed to ``n_sub`` bytes per vector, one inverted list
@@ -203,7 +210,7 @@ def save_ivfpq_index(
         )
     enc = ivfpq_encode(
         df, codebooks, vec_col, id_col,
-        n_centroids=n_centroids, dim=dim, centroids=centroids,
+        n_centroids=n_centroids, dim=dim, centroids=centroids, impl=impl,
     )
     enc.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
         f"{base}/codes"

@@ -2116,3 +2116,36 @@ class TestIvfAssignArrow:
         assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
         assert "BatchEvalPython" not in plan
         assert count_exchanges(a) == 0
+
+
+class TestIvfpqEncodeArrow:
+    def test_agrees_with_column_impl(self, spark):
+        import numpy as np
+
+        from hadoopgis_spark.operators.similarity import (
+            fit_pq_codebooks,
+            ivfpq_encode,
+            lloyd_fit,
+        )
+
+        rng = np.random.RandomState(59)
+        vecs = rng.randn(300, 16)
+        cents = lloyd_fit(vecs.tolist(), 4, seed=2)
+        books = fit_pq_codebooks(vecs.tolist(), dim=16, n_sub=4, n_codes=8)
+        df = spark.createDataFrame(
+            [(i, vecs[i].tolist()) for i in range(300)],
+            "vec_id long, embedding array<double>",
+        )
+        col = {
+            r.id: (r.cid, list(r.codes))
+            for r in ivfpq_encode(
+                df, books, n_centroids=4, dim=16, centroids=cents
+            ).collect()
+        }
+        arw = {
+            r.id: (r.cid, list(r.codes))
+            for r in ivfpq_encode(
+                df, books, n_centroids=4, dim=16, centroids=cents, impl="arrow"
+            ).collect()
+        }
+        assert col == arw and len(col) == 300
