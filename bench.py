@@ -154,6 +154,11 @@ BENCH_QUERIES = [
     "stream_temporal_tag_batch",
     "sim_ann_ivf_appended",
     "rel_asof_cobucketed",
+    # round 6b: vocabulary heavy hitters + coverage QA, zonemap skipping
+    "txt_top_ngrams",
+    "txt_vocab_coverage",
+    "rel_range_pruned",
+    "sp_containment_pruned",
 ]
 
 

@@ -1,0 +1,295 @@
+"""File-skipping (zonemap) storage: sort-clustered parquet + a min/max
+manifest consulted driver-side to prune files before the scan.
+
+At 100 TB a table is O(100k) files. Parquet row-group stats already let
+the scan skip pages, but Spark still LISTS and OPENS every footer — on
+an object store that is 100k round trips before the first byte of data.
+The fix (the Delta/Iceberg "data skipping" pattern, here over plain
+parquet) is:
+
+* write the table clustered on the query dimension —
+  ``repartitionByRange`` + ``sortWithinPartitions`` makes each file own
+  a narrow value range (for spatial data, range-partition on the
+  Hilbert index of the box center: 2-D locality becomes 1-D locality,
+  so each file owns a compact spatial neighborhood);
+* record one manifest row per file with the footer min/max of the
+  clustering column(s) — built from the footers pyarrow already wrote,
+  no data scan;
+* at read time, compare the (tiny, driver-side) manifest against the
+  query range and hand Spark ONLY the intersecting files. A selective
+  query then costs O(files hit), not O(files total).
+
+The residual predicate is always re-applied to the rows read, so
+results are correct regardless of how coarse the pruning is; files
+whose footer lacks stats (nulls, old writers) are always kept.
+
+The manifest is parquet under ``{path}/_hgs_manifest`` — underscore
+paths are invisible to Spark's file index, so the data directory stays
+a plain readable parquet table for any engine. Min/max are stored as
+strings with a type tag: pruning happens on the driver in Python, so
+values never round-trip through engine type systems (this sidesteps the
+TIMESTAMP(NANOS)-vs-(MICROS) codec hazards the events table has hit).
+
+Footer reads use ``pyarrow.parquet.read_metadata``, which accepts any
+pyarrow filesystem — local here, S3/HDFS on a cluster.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+from typing import Iterable, Sequence
+
+import pyarrow.parquet as _pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.functions.spatial_order import hilbert_index
+
+__all__ = [
+    "save_range_sorted",
+    "save_spatial_clustered",
+    "read_range",
+    "read_window",
+    "prune_files",
+]
+
+_MANIFEST_DIR = "_hgs_manifest"
+_FORMAT = 1
+
+
+def _encode(v) -> tuple[str, str]:
+    """(tag, string) for a footer stat value; round-trips exactly."""
+    if isinstance(v, bool):
+        raise TypeError("boolean clustering columns are not supported")
+    if isinstance(v, int):
+        return "int", str(v)
+    if isinstance(v, float):
+        return "float", repr(v)
+    if isinstance(v, _dt.datetime):
+        return "ts", v.isoformat()
+    if isinstance(v, _dt.date):
+        return "date", v.isoformat()
+    if isinstance(v, bytes):
+        v = v.decode("utf-8", "surrogateescape")
+        return "str", v
+    if isinstance(v, str):
+        return "str", v
+    raise TypeError(f"unsupported stat type {type(v).__name__}")
+
+
+def _decode(tag: str, s: str):
+    if tag == "int":
+        return int(s)
+    if tag == "float":
+        return float(s)
+    if tag == "ts":
+        return _dt.datetime.fromisoformat(s)
+    if tag == "date":
+        return _dt.date.fromisoformat(s)
+    return s
+
+
+def _coerce(v):
+    """Normalize a user bound to the manifest's comparison domain."""
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None)
+    return v
+
+
+def _footer_stats(path: str, cols: Sequence[str]) -> list[dict]:
+    """One manifest row per data file from the parquet footers (no data
+    scan). A column's stats are ``valid=False`` when any row group lacks
+    min/max for it — such files are never pruned."""
+    rows = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+            continue
+        md = _pq.read_metadata(os.path.join(path, name))
+        schema_names = md.schema.to_arrow_schema().names
+        idx = {c: schema_names.index(c) for c in cols}
+        for col in cols:
+            vmin = vmax = None
+            valid = md.num_rows > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max or st.null_count is None:
+                    valid = False
+                    break
+                if st.null_count > 0:
+                    valid = False
+                    break
+                vmin = st.min if vmin is None else min(vmin, st.min)
+                vmax = st.max if vmax is None else max(vmax, st.max)
+            if valid:
+                tag, smin = _encode(vmin)
+                _, smax = _encode(vmax)
+            else:
+                tag, smin, smax = "none", "", ""
+            rows.append({
+                "file": name, "rows": md.num_rows, "col": col,
+                "vtype": tag, "vmin": smin, "vmax": smax, "valid": valid,
+            })
+    return rows
+
+
+def _write_manifest(spark: SparkSession, path: str, cols: Sequence[str]) -> None:
+    rows = _footer_stats(path, cols)
+    mdf = spark.createDataFrame(
+        [(r["file"], r["rows"], r["col"], r["vtype"], r["vmin"], r["vmax"],
+          r["valid"], _FORMAT) for r in rows],
+        "file string, rows bigint, col string, vtype string, "
+        "vmin string, vmax string, valid boolean, format int",
+    )
+    mdf.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, _MANIFEST_DIR))
+
+
+def _load_manifest(spark: SparkSession, path: str) -> list:
+    mpath = os.path.join(path, _MANIFEST_DIR)
+    try:
+        rows = spark.read.parquet(mpath).collect()
+    except Exception as exc:  # noqa: BLE001 — absent/corrupt manifest
+        raise ValueError(
+            f"no file-skipping manifest under {path!r} — write the table "
+            "with save_range_sorted/save_spatial_clustered first"
+        ) from exc
+    bad = {r.format for r in rows} - {_FORMAT}
+    if bad:
+        raise ValueError(f"manifest format {bad} not supported (expect {_FORMAT})")
+    return rows
+
+
+def save_range_sorted(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    *,
+    n_files: int = 8,
+    stat_cols: Iterable[str] = (),
+) -> None:
+    """Write ``df`` range-partitioned + sorted on ``order_col`` and
+    build the skipping manifest over ``order_col`` (+ any ``stat_cols``).
+
+    ``repartitionByRange`` samples the column to cut balanced,
+    NON-overlapping value ranges — each output file owns a disjoint
+    slice of the domain, which is what makes min/max pruning sharp.
+    """
+    cols = [order_col, *stat_cols]
+    (df.repartitionByRange(n_files, F.col(order_col))
+       .sortWithinPartitions(order_col)
+       .write.mode("overwrite").parquet(path))
+    _write_manifest(df.sparkSession, path, cols)
+
+
+def save_spatial_clustered(
+    df: DataFrame,
+    path: str,
+    extent: tuple[float, float, float, float],
+    *,
+    bits: int = 10,
+    n_files: int = 8,
+) -> None:
+    """Write a box table (``xmin/ymin/xmax/ymax`` columns) clustered by
+    the Hilbert index of the box center, with a manifest over the four
+    box columns — each file then covers a compact spatial neighborhood,
+    so a window query's file-level bbox test prunes most of the table.
+    """
+    h = hilbert_index(
+        (F.col("xmin") + F.col("xmax")) / 2.0,
+        (F.col("ymin") + F.col("ymax")) / 2.0,
+        extent, bits=bits,
+    ).alias("__h")
+    (df.select("*", h)
+       .repartitionByRange(n_files, F.col("__h"))
+       .sortWithinPartitions("__h")
+       .drop("__h")
+       .write.mode("overwrite").parquet(path))
+    _write_manifest(df.sparkSession, path, ["xmin", "ymin", "xmax", "ymax"])
+
+
+def prune_files(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple],
+) -> tuple[list[str], int]:
+    """(kept file paths, total file count) for a conjunction of range
+    constraints ``{col: (lo, hi)}`` (either bound may be None). A file
+    is kept unless some constrained column's footer range provably
+    misses ``[lo, hi]``; files without valid stats are always kept."""
+    rows = _load_manifest(spark, path)
+    by_file: dict[str, dict] = {}
+    total_files = len({r.file for r in rows})
+    manifest_cols = {r.col for r in rows}
+    missing = set(ranges) - manifest_cols
+    if missing:
+        raise ValueError(
+            f"manifest under {path!r} has no stats for {sorted(missing)} "
+            f"(covers {sorted(manifest_cols)}) — rewrite with stat_cols")
+    for r in rows:
+        by_file.setdefault(r.file, {})[r.col] = r
+    kept = []
+    for fname, stats in sorted(by_file.items()):
+        keep = True
+        for col, (lo, hi) in ranges.items():
+            st = stats[col]
+            if not st.valid:
+                continue
+            vmin = _decode(st.vtype, st.vmin)
+            vmax = _decode(st.vtype, st.vmax)
+            if lo is not None and vmax < _coerce(lo):
+                keep = False
+                break
+            if hi is not None and vmin > _coerce(hi):
+                keep = False
+                break
+        if keep:
+            kept.append(os.path.join(path, fname))
+    return kept, total_files
+
+
+def read_range(
+    spark: SparkSession,
+    path: str,
+    order_col: str,
+    lo=None,
+    hi=None,
+) -> DataFrame:
+    """Rows with ``lo <= order_col <= hi`` (inclusive; either bound
+    optional), scanning only manifest-intersecting files. The residual
+    filter is re-applied, so the result is exact however coarse the
+    file ranges are."""
+    kept, _ = prune_files(spark, path, {order_col: (lo, hi)})
+    if not kept:
+        return spark.read.parquet(path).filter(F.lit(False))
+    df = spark.read.parquet(*kept)
+    if lo is not None:
+        df = df.filter(F.col(order_col) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(order_col) <= F.lit(hi))
+    return df
+
+
+def read_window(
+    spark: SparkSession,
+    path: str,
+    window: tuple[float, float, float, float],
+) -> DataFrame:
+    """Boxes intersecting ``window = (x0, y0, x1, y1)`` from a
+    spatially-clustered table, scanning only files whose file-level
+    bbox intersects the window (same inclusive-boundary semantics as
+    the containment operator's window predicate)."""
+    x0, y0, x1, y1 = window
+    kept, _ = prune_files(spark, path, {
+        "xmin": (None, x1),   # file has some xmin <= x1
+        "xmax": (x0, None),   # ... and some xmax >= x0
+        "ymin": (None, y1),
+        "ymax": (y0, None),
+    })
+    if not kept:
+        return spark.read.parquet(path).filter(F.lit(False))
+    df = spark.read.parquet(*kept)
+    return df.filter(
+        (F.col("xmin") <= x1) & (F.lit(x0) <= F.col("xmax"))
+        & (F.col("ymin") <= y1) & (F.lit(y0) <= F.col("ymax"))
+    )

@@ -2149,3 +2149,129 @@ class TestIvfpqEncodeArrow:
             ).collect()
         }
         assert col == arw and len(col) == 300
+
+
+class TestVocab:
+    """Heavy-hitter n-grams + vocabulary coverage (operators.vocab)."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "the cat sat on the mat", "web"),
+            (2, "the cat ran", "web"),
+            (3, "a dog sat on the mat!", "books"),
+            (4, "", "books"),          # empty → contributes nothing
+            (5, "word", "books"),      # 1 token → no bigrams
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    def test_word_ngrams_edges(self, spark):
+        from hadoopgis_spark.operators.vocab import word_ngrams
+        d = self._docs(spark).select("doc_id", word_ngrams(F.col("text"), 2).alias("g"))
+        got = {r.doc_id: r.g for r in d.collect()}
+        assert got[1] == ["the cat", "cat sat", "sat on", "on the", "the mat"]
+        assert got[4] == [] and got[5] == []
+        # trigram of a 3-token doc is the whole doc
+        t3 = self._docs(spark).select(
+            word_ngrams(F.col("text"), 3).alias("g")).collect()[1].g
+        assert t3 == ["the cat ran"]
+
+    def test_top_ngrams_counts_and_tiebreak(self, spark):
+        from hadoopgis_spark.operators.vocab import top_ngrams
+        top = top_ngrams(self._docs(spark), "text", n=2, k=3).collect()
+        # "the cat", "on the", "the mat" all appear twice; "sat on" twice too —
+        # tie broken by ngram asc
+        assert [(r.ngram, r.cnt) for r in top] == [
+            ("on the", 2), ("sat on", 2), ("the cat", 2)]
+
+    def test_vocab_coverage_manual(self, spark):
+        from hadoopgis_spark.operators.vocab import vocab_coverage
+        docs = self._docs(spark)
+        vocab = spark.createDataFrame([("the",), ("cat",)], ["ngram"])
+        cov = {r.source: r for r in
+               vocab_coverage(docs, "text", vocab, "source").collect()}
+        # web: tokens = 6+3=9, covered = the(3)+cat(2)=5
+        assert (cov["web"].covered, cov["web"].total) == (5, 9)
+        assert abs(cov["web"].coverage - 5 / 9) < 1e-12
+        # books: "a dog sat on the mat"(6) + "word"(1) = 7, covered = the(1)
+        assert (cov["books"].covered, cov["books"].total) == (1, 7)
+
+
+class TestFileSkipping:
+    """Zonemap storage: sort-clustered parquet + footer min/max manifest
+    (sources.skipping)."""
+
+    def test_range_roundtrip_and_prune(self, spark, tmp_path):
+        from hadoopgis_spark.sources.skipping import (
+            prune_files, read_range, save_range_sorted)
+        df = spark.range(0, 10000).select(
+            F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=10)
+        got = read_range(spark, path, "k", 2500, 3499)
+        expect = df.filter((F.col("k") >= 2500) & (F.col("k") <= 3499))
+        assert got.count() == 1000
+        assert got.exceptAll(expect).count() == 0
+        assert expect.exceptAll(got).count() == 0
+        # range-partitioned files own disjoint slices: a 10%-wide query
+        # must not touch most of the 10 files
+        kept, total = prune_files(spark, path, {"k": (2500, 3499)})
+        assert total == 10 and len(kept) <= 2
+
+    def test_open_bounds_and_empty(self, spark, tmp_path):
+        from hadoopgis_spark.sources.skipping import read_range, save_range_sorted
+        df = spark.range(0, 100).select(F.col("id").alias("k"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=4)
+        assert read_range(spark, path, "k", lo=90).count() == 10
+        assert read_range(spark, path, "k", hi=9).count() == 10
+        assert read_range(spark, path, "k", 1000, 2000).count() == 0
+        assert read_range(spark, path, "k").count() == 100
+
+    def test_null_stats_files_always_kept(self, spark, tmp_path):
+        from hadoopgis_spark.sources.skipping import prune_files, read_range, save_range_sorted
+        df = spark.createDataFrame(
+            [(None, "a")] + [(i, "b") for i in range(100)], "k int, tag string")
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=4)
+        # the file holding the null row has no valid stats -> never pruned
+        kept, total = prune_files(spark, path, {"k": (90, 99)})
+        assert len(kept) >= 1
+        # residual filter still drops the null row
+        assert read_range(spark, path, "k", 90, 99).count() == 10
+
+    def test_refusals(self, spark, tmp_path):
+        import pytest as _pytest
+        from hadoopgis_spark.sources.skipping import prune_files, read_range, save_range_sorted
+        df = spark.range(0, 10).select(F.col("id").alias("k"), F.lit("x").alias("s"))
+        plain = str(tmp_path / "plain")
+        df.write.parquet(plain)
+        with _pytest.raises(ValueError, match="manifest"):
+            read_range(spark, plain, "k", 0, 5)
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=2)
+        with _pytest.raises(ValueError, match="no stats"):
+            prune_files(spark, path, {"s": ("a", "z")})
+
+    def test_spatial_window_parity_and_prune(self, spark, tmp_path):
+        from hadoopgis_spark.sources.skipping import (
+            prune_files, read_window, save_spatial_clustered)
+        import random
+        rng = random.Random(7)
+        rows = []
+        for i in range(2000):
+            x, y = rng.uniform(0, 1000), rng.uniform(0, 1000)
+            rows.append((i, x, y, x + rng.uniform(1, 8), y + rng.uniform(1, 8)))
+        df = spark.createDataFrame(rows, "id int, xmin double, ymin double, xmax double, ymax double")
+        path = str(tmp_path / "sp")
+        save_spatial_clustered(df, path, (0, 0, 1010, 1010), n_files=16)
+        w = (100.0, 100.0, 220.0, 220.0)
+        got = read_window(spark, path, w)
+        expect = df.filter(
+            (F.col("xmin") <= w[2]) & (F.col("xmax") >= w[0])
+            & (F.col("ymin") <= w[3]) & (F.col("ymax") >= w[1]))
+        assert sorted(r.id for r in got.collect()) == sorted(r.id for r in expect.collect())
+        # a ~1.4% window over Hilbert-clustered files must skip most files
+        kept, total = prune_files(spark, path, {
+            "xmin": (None, w[2]), "xmax": (w[0], None),
+            "ymin": (None, w[3]), "ymax": (w[1], None)})
+        assert total == 16 and len(kept) < 16
