@@ -159,6 +159,13 @@ BENCH_QUERIES = [
     "txt_vocab_coverage",
     "rel_range_pruned",
     "sp_containment_pruned",
+    "rel_q7_volume",
+    "rel_q10_returns",
+    "rel_q14_promo",
+    "rel_q18_big_orders",
+    "rel_q19_disjunct",
+    "rel_cube",
+    "stream_ann_batch",
 ]
 
 

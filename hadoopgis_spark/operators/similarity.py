@@ -31,6 +31,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "ivf_probe_rank",
+    "ivf_probe_candidates",
     "fit_pq_codebooks",
     "pq_encode",
     "pq_topk",
@@ -419,6 +420,44 @@ def ivf_probe_rank(
     from ``ivf_assign``'s ``v_norm`` (projected here once per corpus
     row for pre-norm ``asg`` frames, e.g. an index saved by an older
     format) — the per-pair rank work is a single dot."""
+    cand = ivf_probe_candidates(
+        asg, queries, n_probe=n_probe, n_centroids=n_centroids, dim=dim,
+        centroids=centroids, q_id_col=q_id_col, q_vec_col=q_vec_col,
+        id_col=id_col,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(F.col("qid").alias(q_id_col), F.col("id").alias(id_col), "cosine")
+    )
+
+
+def ivf_probe_candidates(
+    asg: DataFrame,
+    queries: DataFrame,
+    *,
+    n_probe: int,
+    n_centroids: int,
+    dim: int,
+    centroids=None,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Candidate stage of IVF serving: ``(qid, id, cosine)`` for every
+    (query, probed-list member) pair — everything in
+    :func:`ivf_probe_rank` EXCEPT the per-query top-k, which batch
+    callers apply as a window and streaming callers as a stream-safe
+    grouped sort (windows are unsupported on streams; see
+    ``streaming.ann``).
+
+    On a batch ``queries`` frame the (tiny) probe side is broadcast
+    onto the cid-keyed corpus — the DPP-pruning shape. On a STREAMING
+    frame the broadcast hint must ride on the static corpus side
+    instead (hinting the stream side is unsupported), so the join is
+    written stream-first; Spark still plans a per-micro-batch hash
+    join keyed on ≤ n_centroids cids."""
     qv = F.col(q_vec_col).cast("array<double>")
     probe_arr = _probe_slice(qv, n_centroids, dim, centroids, n_probe)
     probes = queries.select(
@@ -431,17 +470,14 @@ def ivf_probe_rank(
     )
     if "v_norm" not in asg.columns:
         asg = asg.withColumn("v_norm", norm(F.col("vec")))
-    cand = asg.join(F.broadcast(probes), "cid").filter(F.col("qid") != F.col("id"))
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("id"))
-    return (
-        cand.withColumn(
-            "cosine",
-            cosine_from(dot(F.col("qvec"), F.col("vec")), F.col("__qn"), F.col("v_norm")),
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select(F.col("qid").alias(q_id_col), F.col("id").alias(id_col), "cosine")
-    )
+    if queries.isStreaming:
+        cand = probes.join(asg, "cid").filter(F.col("qid") != F.col("id"))
+    else:
+        cand = asg.join(F.broadcast(probes), "cid").filter(F.col("qid") != F.col("id"))
+    return cand.withColumn(
+        "cosine",
+        cosine_from(dot(F.col("qvec"), F.col("vec")), F.col("__qn"), F.col("v_norm")),
+    ).select("qid", "id", "cosine")
 
 
 def lsh_topk(

@@ -7,6 +7,7 @@ takes a DataFrame (batch or streaming) and builds the identical
 declarative plan, so the batch oracle validates the streaming logic.
 """
 
+from hadoopgis_spark.streaming.ann import ann_serve, grouped_topk, streaming_ann_topk
 from hadoopgis_spark.streaming.events import (
     hourly_event_rollup,
     streaming_containment,
@@ -31,4 +32,7 @@ __all__ = [
     "near_dedup_keep",
     "streaming_near_dedup",
     "streaming_contamination",
+    "ann_serve",
+    "grouped_topk",
+    "streaming_ann_topk",
 ]

@@ -4529,6 +4529,255 @@ REL_SUPPLIER_CNT_SQL = """
 """
 
 
+def stream_ann_batch(spark, sf):
+    """Batch face of STREAMING ANN serving (streaming/ann.py): top-k
+    from the persisted IVF index via the window-free grouped rank
+    (collect_list → comparator array_sort → slice — the only top-k
+    shape legal after a streaming groupBy). Identical logical plan on a
+    readStream queries frame (real-stream pytest); same index build and
+    inlined-centroid oracle family as sim_ann_ivf_indexed, so this gate
+    pins the aggregation-rank path against the window-rank path's
+    oracle with an explicit rank column."""
+    from hadoopgis_spark.sources import save_ivf_index
+    from hadoopgis_spark.streaming.ann import ann_serve
+
+    tag = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    name = f"ivfidx_{tag}"
+
+    def _build():
+        e = _t(spark, sf, "embeddings")
+        save_ivf_index(e, name, n_centroids=16, dim=64, centroids=_ivf_gate_centroids())
+        return name
+
+    _memo(("ivfidx", spark.sparkContext.applicationId, sf), _build)
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ann_serve(spark, q, name, k=5, n_probe=4)
+
+
+def _ann_stream_sql() -> str:
+    base = _ann_ivf_sql()
+    tail = "SELECT q_id, vec_id, ROUND(cos, 6) AS cosine FROM rk WHERE rn <= 5"
+    assert tail in base
+    return base.replace(
+        tail,
+        "SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id, "
+        "ROUND(cos, 6) AS cosine FROM rk WHERE rn <= 5",
+    )
+
+
+STREAM_ANN_SQL = _ann_stream_sql()
+
+
+def rel_q7_volume(spark, sf):
+    """TPC-H Q7 shape: shipping volume between a nation pair by year.
+    The two nation lookups are broadcast (25 rows); the fact-side joins
+    shuffle on uniform keys; year extraction + pair filter stay in the
+    scan stage."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    c = _t(spark, sf, "customer")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+REL_Q7_SQL = """
+  SELECT supp_nation, cust_nation, l_year,
+         ROUND(SUM(volume), 2) AS revenue
+  FROM (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+           l_extendedprice * (1 - l_discount) AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+       OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+  )
+  GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def rel_q10_returns(spark, sf):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue. The
+    LIMIT boundary orders on the ROUNDED revenue + custkey so the
+    k-set is deterministic cross-engine (raw double sums are
+    association-ordered)."""
+    l = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+REL_Q10_SQL = """
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+  ORDER BY revenue DESC, c_custkey
+  LIMIT 20
+"""
+
+
+def rel_q14_promo(spark, sf):
+    """TPC-H Q14 shape: promo-type revenue share over a shipdate
+    window. Both sums are rounded BEFORE the ratio so the share is a
+    deterministic function of cross-engine-equal inputs."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")))
+    p = _t(spark, sf, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    promo = F.round(F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0)), 2)
+    total = F.round(F.sum(vol), 2)
+    return j.agg(
+        promo.alias("promo_revenue"),
+        total.alias("total_revenue"),
+        (F.lit(100.0) * promo / total).alias("promo_share"),
+    )
+
+
+REL_Q14_SQL = """
+  SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END), 2) AS promo_revenue,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+         100.0 * ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0.0 END), 2)
+           / ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS promo_share
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+"""
+
+
+def rel_q18_big_orders(spark, sf):
+    """TPC-H Q18 shape: customers with large-quantity orders — the
+    pre-aggregate-then-join plan: lineitem collapses to per-order sums
+    map-side BEFORE joining orders/customer, so the join input is the
+    filtered aggregate, not the fact table. l_quantity is
+    integral-valued, so the sums are exact in both engines."""
+    l = _t(spark, sf, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+REL_Q18_SQL = """
+  SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+  FROM (
+    SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250.0
+  )
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def rel_q19_disjunct(spark, sf):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs brand/size/quantity
+    predicate — the disjunction Catalyst must keep pushable per-branch."""
+    l = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+REL_Q19_SQL = """
+  SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         AND l_quantity BETWEEN 1 AND 11)
+     OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+         AND l_quantity BETWEEN 10 AND 20)
+     OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25
+         AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def rel_cube(spark, sf):
+    """CUBE over (returnflag, linestatus) with GROUPING_ID — all four
+    grouping-set combinations in one pass (Spark expands to a single
+    Expand + hash aggregate; no re-scan per set)."""
+    l = _t(spark, sf, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+REL_CUBE_SQL = """
+  SELECT l_returnflag, l_linestatus,
+         SUM(l_quantity) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+  FROM lineitem
+  GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def _skip_root(spark) -> str:
     """File-skipping layout root: same conf/default convention as the
     bucketed store (`hgs.bucketRoot`, else applicationId-keyed /tmp)."""
@@ -4783,6 +5032,13 @@ REGISTRY: dict[str, Query] = {
     "txt_vocab_coverage": Query(txt_vocab_coverage, TXT_VOCAB_COVERAGE_SQL, "per-source token coverage of a top-k vocab"),
     "rel_range_pruned": Query(rel_range_pruned, REL_RANGE_PRUNED_SQL, "zonemap file-skipping scan (range-clustered lineitem)"),
     "sp_containment_pruned": Query(sp_containment_pruned, SP_CONTAINMENT_SQL, "J3 window over Hilbert-clustered zonemap layout"),
+    "rel_q7_volume": Query(rel_q7_volume, REL_Q7_SQL, "Q7 nation-pair shipping volume by year"),
+    "rel_q10_returns": Query(rel_q10_returns, REL_Q10_SQL, "Q10 top returned-item customers"),
+    "rel_q14_promo": Query(rel_q14_promo, REL_Q14_SQL, "Q14 promo revenue share"),
+    "rel_q18_big_orders": Query(rel_q18_big_orders, REL_Q18_SQL, "Q18 large-quantity orders (pre-agg then join)"),
+    "rel_q19_disjunct": Query(rel_q19_disjunct, REL_Q19_SQL, "Q19 disjunctive brand/size/qty revenue"),
+    "rel_cube": Query(rel_cube, REL_CUBE_SQL, "CUBE + GROUPING_ID in one Expand pass"),
+    "stream_ann_batch": Query(stream_ann_batch, STREAM_ANN_SQL, "streaming ANN serve (window-free grouped top-k), batch face"),
     # displaced from the gated prefix to fit the round-5c additions: the
     # least-risky ungated entries (rows-only by design / md5-exact fake
     # codec unchanged for two rounds) — both stay repo-oracle-checked
@@ -4817,13 +5073,13 @@ _R6_PREFIX = [
     "rel_top_waiting_suppliers",
     "sim_ann_ivf", "sim_ann_ivf_indexed", "sim_ann_topk", "sim_ann_lsh",
     "sim_ann_lsh_multiprobe", "sim_ann_pq", "sim_embed_dup", "sim_kmeans",
-    "rel_asof_join", "stream_asof_batch", "rel_range_pruned", "sp_containment_pruned",
+    "rel_asof_join", "stream_ann_batch", "rel_range_pruned", "sp_containment_pruned",
     "txt_top_ngrams", "sp_join_bucketed", "sp_join_bucketed_dwithin",
-    "txt_vocab_coverage", "sp_knn_tile", "sp_dwithin_points", "sp_containment_wkt",
-    "dedup_edit_pairs", "txt_hash_embedding", "dedup_jaccard_prefix",
+    "txt_vocab_coverage", "rel_q10_returns", "rel_q14_promo", "rel_q18_big_orders",
+    "dedup_edit_pairs", "txt_hash_embedding", "rel_q7_volume",
     "rel_lag_lead", "stream_temporal_tag_batch",
     "dedup_keep_best", "cur_take_n", "rel_asof_cobucketed",
-    "cur_dsir_weights", "cur_pipeline",
+    "rel_q19_disjunct", "rel_cube",
     "stream_join_batch", "sim_ann_ivfpq_indexed", "sim_ann_sq",
     "sim_ann_ivf_appended",
 ]

@@ -2275,3 +2275,59 @@ class TestFileSkipping:
             "xmin": (None, w[2]), "xmax": (w[0], None),
             "ymin": (None, w[3]), "ymax": (w[1], None)})
         assert total == 16 and len(kept) < 16
+
+
+class TestStreamingAnn:
+    """Stream face of ANN serving: micro-batched query vectors against
+    the persisted IVF index (streaming/ann.py)."""
+
+    def test_real_stream_matches_batch(self, spark, tmp_path):
+        import random
+        from hadoopgis_spark.sources import save_ivf_index
+        from hadoopgis_spark.streaming.ann import ann_serve
+
+        rng = random.Random(11)
+        dim = 8
+        corpus = spark.createDataFrame(
+            [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(300)],
+            "vec_id long, embedding array<double>",
+        )
+        root = str(tmp_path / "idx")
+        save_ivf_index(corpus, "srv", n_centroids=4, dim=dim, root=root)
+
+        queries = spark.createDataFrame(
+            [(100 + i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(10)],
+            "q_id long, q_emb array<double>",
+        )
+        batch = {
+            (r.q_id, r.rank, r.vec_id, r.cosine)
+            for r in ann_serve(spark, queries, "srv", k=3, n_probe=2, root=root).collect()
+        }
+        assert len(batch) == 30  # 10 queries x k
+
+        # two files -> two micro-batches; each query's candidates are
+        # derived from its own row, so every (q_id, rank) emits once
+        src = str(tmp_path / "q")
+        queries.filter(F.col("q_id") < 105).coalesce(1).write.parquet(src)
+        queries.filter(F.col("q_id") >= 105).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            ann_serve(spark, stream, "srv", k=3, n_probe=2, root=root)
+            .writeStream.format("memory")
+            .queryName("ann_out")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        got = {
+            (r.q_id, r.rank, r.vec_id, r.cosine)
+            for r in spark.sql("SELECT * FROM ann_out").collect()
+        }
+        assert got == batch
+        assert n_batches >= 2  # genuinely incremental, not one big batch
