@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "rel_q19_disjunct",
     "rel_cube",
     "stream_ann_batch",
+    "rel_range_appended",
+    "rel_profile",
 ]
 
 

@@ -48,6 +48,7 @@ from hadoopgis_spark.functions.spatial_order import hilbert_index
 
 __all__ = [
     "save_range_sorted",
+    "append_range_sorted",
     "save_spatial_clustered",
     "read_range",
     "read_window",
@@ -180,6 +181,36 @@ def save_range_sorted(
        .sortWithinPartitions(order_col)
        .write.mode("overwrite").parquet(path))
     _write_manifest(df.sparkSession, path, cols)
+
+
+def append_range_sorted(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    *,
+    n_files: int = 4,
+) -> None:
+    """INCREMENTAL maintenance: append a new batch as additional sorted
+    files and rebuild the manifest from footers — the existing data
+    files are never read or rewritten (footer metadata only, same
+    incremental contract as ``add_to_ivf_index``).
+
+    The appended files' value ranges overlap the old layout's, so
+    pruning stays CORRECT (the manifest is per-file) but gets less
+    sharp as appends accumulate; re-cluster with ``save_range_sorted``
+    (or ``sources.compact``) when query selectivity degrades. Refuses
+    paths without a manifest, and keeps the manifest's existing column
+    coverage — a batch missing one of those columns fails the footer
+    read rather than silently narrowing coverage."""
+    spark = df.sparkSession
+    cols = sorted({r.col for r in _load_manifest(spark, path)})
+    if order_col not in cols:
+        raise ValueError(
+            f"manifest under {path!r} covers {cols}, not {order_col!r}")
+    (df.repartitionByRange(n_files, F.col(order_col))
+       .sortWithinPartitions(order_col)
+       .write.mode("append").parquet(path))
+    _write_manifest(spark, path, cols)
 
 
 def save_spatial_clustered(

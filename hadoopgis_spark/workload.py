@@ -4817,6 +4817,72 @@ REL_RANGE_PRUNED_SQL = """
 """
 
 
+def rel_range_appended(spark, sf):
+    """Incremental zonemap maintenance: half of lineitem is written
+    range-clustered, the other half APPENDED later (new sorted files +
+    footer-only manifest rebuild — the first half's files are never
+    read or rewritten). Same query and oracle as rel_range_pruned, so
+    parity pins that the appended layout loses no rows and double-reads
+    none."""
+    import datetime as dt
+    from hadoopgis_spark.sources.skipping import (
+        append_range_sorted, read_range, save_range_sorted)
+    path = f"{_skip_root(spark)}/lineitem_appended"
+
+    def _build():
+        l = _t(spark, sf, "lineitem")
+        save_range_sorted(l.filter(F.col("l_orderkey") % 2 == 0), path,
+                          "l_shipdate", n_files=4)
+        append_range_sorted(l.filter(F.col("l_orderkey") % 2 == 1), path,
+                            "l_shipdate", n_files=4)
+        return True
+
+    _memo(("skip_lineitem_app", spark.sparkContext.applicationId, sf), _build)
+    df = read_range(spark, path, "l_shipdate",
+                    dt.datetime(1995, 1, 1), dt.datetime(1995, 6, 30))
+    return df.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def rel_profile(spark, sf):
+    """ANALYZE-style profile of orders: every column's null/distinct/
+    range statistics in ONE aggregation pass (multi-DISTINCT planned as
+    a single Expand + two-phase hash agg; see operators/profile.py for
+    the HLL scale path)."""
+    from hadoopgis_spark.operators.profile import profile_table
+    return profile_table(_t(spark, sf, "orders"))
+
+
+REL_PROFILE_SQL = """
+  SELECT col, CAST(n_rows AS BIGINT) AS n_rows,
+         CAST(n_nonnull AS BIGINT) AS n_nonnull,
+         CAST(ndv AS BIGINT) AS ndv, vmin, vmax
+  FROM (
+    SELECT 'o_orderkey' AS col, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_nonnull,
+           COUNT(DISTINCT o_orderkey) AS ndv,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS vmin, CAST(MAX(o_orderkey) AS DOUBLE) AS vmax
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM orders
+  )
+"""
+
+
 def sp_containment_pruned(spark, sf):
     """J3 window query over the Hilbert-clustered zonemap layout: boxes
     are stored ordered by the Hilbert index of their center (2-D
@@ -5039,6 +5105,8 @@ REGISTRY: dict[str, Query] = {
     "rel_q19_disjunct": Query(rel_q19_disjunct, REL_Q19_SQL, "Q19 disjunctive brand/size/qty revenue"),
     "rel_cube": Query(rel_cube, REL_CUBE_SQL, "CUBE + GROUPING_ID in one Expand pass"),
     "stream_ann_batch": Query(stream_ann_batch, STREAM_ANN_SQL, "streaming ANN serve (window-free grouped top-k), batch face"),
+    "rel_range_appended": Query(rel_range_appended, REL_RANGE_PRUNED_SQL, "incremental zonemap append (footer-only manifest rebuild)"),
+    "rel_profile": Query(rel_profile, REL_PROFILE_SQL, "one-pass per-column profile (Expand multi-distinct)"),
     # displaced from the gated prefix to fit the round-5c additions: the
     # least-risky ungated entries (rows-only by design / md5-exact fake
     # codec unchanged for two rounds) — both stay repo-oracle-checked
@@ -5073,8 +5141,8 @@ _R6_PREFIX = [
     "rel_top_waiting_suppliers",
     "sim_ann_ivf", "sim_ann_ivf_indexed", "sim_ann_topk", "sim_ann_lsh",
     "sim_ann_lsh_multiprobe", "sim_ann_pq", "sim_embed_dup", "sim_kmeans",
-    "rel_asof_join", "stream_ann_batch", "rel_range_pruned", "sp_containment_pruned",
-    "txt_top_ngrams", "sp_join_bucketed", "sp_join_bucketed_dwithin",
+    "rel_range_appended", "stream_ann_batch", "rel_range_pruned", "sp_containment_pruned",
+    "txt_top_ngrams", "rel_profile", "sp_join_bucketed_dwithin",
     "txt_vocab_coverage", "rel_q10_returns", "rel_q14_promo", "rel_q18_big_orders",
     "dedup_edit_pairs", "txt_hash_embedding", "rel_q7_volume",
     "rel_lag_lead", "stream_temporal_tag_batch",

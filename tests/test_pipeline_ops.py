@@ -2331,3 +2331,47 @@ class TestStreamingAnn:
         }
         assert got == batch
         assert n_batches >= 2  # genuinely incremental, not one big batch
+
+
+class TestProfileTable:
+    def test_manual_stats(self, spark):
+        from hadoopgis_spark.operators.profile import profile_table
+        df = spark.createDataFrame(
+            [(1, 2.0, "a"), (2, None, "b"), (3, 4.0, "b"), (3, 4.0, None)],
+            "k int, v double, s string")
+        got = {r.col: r for r in profile_table(df).collect()}
+        assert got["k"].n_rows == 4 and got["k"].n_nonnull == 4 and got["k"].ndv == 3
+        assert got["k"].vmin == 1.0 and got["k"].vmax == 3.0
+        assert got["v"].n_nonnull == 3 and got["v"].ndv == 2
+        assert got["s"].n_nonnull == 3 and got["s"].ndv == 2
+        assert got["s"].vmin is None and got["s"].vmax is None
+
+    def test_approx_variant_and_unknown_col(self, spark):
+        import pytest as _pytest
+        from hadoopgis_spark.operators.profile import profile_table
+        df = spark.range(0, 1000).select((F.col("id") % 100).alias("k"))
+        r = profile_table(df, exact=False).collect()[0]
+        assert abs(r.ndv - 100) <= 5  # HLL++ within tolerance
+        with _pytest.raises(ValueError, match="unknown"):
+            profile_table(df, ["nope"])
+
+
+class TestSkippingAppend:
+    def test_append_parity_and_refusals(self, spark, tmp_path):
+        import pytest as _pytest
+        from hadoopgis_spark.sources.skipping import (
+            append_range_sorted, prune_files, read_range, save_range_sorted)
+        df = spark.range(0, 1000).select(F.col("id").alias("k"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df.filter(F.col("k") < 500), path, "k", n_files=4)
+        append_range_sorted(df.filter(F.col("k") >= 500), path, "k", n_files=4)
+        got = read_range(spark, path, "k", 250, 749)
+        assert got.count() == 500
+        assert sorted(r.k for r in got.collect()) == list(range(250, 750))
+        # manifest covers all 8 files; a one-half query prunes the other half
+        kept, total = prune_files(spark, path, {"k": (0, 200)})
+        assert total == 8 and len(kept) <= 2
+        with _pytest.raises(ValueError, match="manifest"):
+            append_range_sorted(df, str(tmp_path / "nope"), "k")
+        with _pytest.raises(ValueError, match="covers"):
+            append_range_sorted(df, path, "other")
