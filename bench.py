@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "stream_ann_batch",
     "rel_range_appended",
     "rel_profile",
+    "rel_salted_join",
 ]
 
 

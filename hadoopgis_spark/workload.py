@@ -4817,6 +4817,30 @@ REL_RANGE_PRUNED_SQL = """
 """
 
 
+def rel_salted_join(spark, sf):
+    """Skew-proof large-large join: orders ⋈ customer with the order
+    side salted on o_orderkey and the customer side replicated 8× —
+    the manual fix for single-key hotspots AQE cannot split (a hot
+    key's rows become n_salt independently-schedulable tasks). Exact
+    multiset parity with the plain join is what the oracle pins."""
+    from hadoopgis_spark.operators.skew import salted_join
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    j = salted_join(o, c, "o_custkey", salt_col="o_orderkey", n_salt=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+REL_SALTED_JOIN_SQL = """
+  SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS total,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+"""
+
+
 def rel_range_appended(spark, sf):
     """Incremental zonemap maintenance: half of lineitem is written
     range-clustered, the other half APPENDED later (new sorted files +
@@ -5107,6 +5131,7 @@ REGISTRY: dict[str, Query] = {
     "stream_ann_batch": Query(stream_ann_batch, STREAM_ANN_SQL, "streaming ANN serve (window-free grouped top-k), batch face"),
     "rel_range_appended": Query(rel_range_appended, REL_RANGE_PRUNED_SQL, "incremental zonemap append (footer-only manifest rebuild)"),
     "rel_profile": Query(rel_profile, REL_PROFILE_SQL, "one-pass per-column profile (Expand multi-distinct)"),
+    "rel_salted_join": Query(rel_salted_join, REL_SALTED_JOIN_SQL, "deterministic salted join (single-key hotspot splitter)"),
     # displaced from the gated prefix to fit the round-5c additions: the
     # least-risky ungated entries (rows-only by design / md5-exact fake
     # codec unchanged for two rounds) — both stay repo-oracle-checked
@@ -5142,7 +5167,7 @@ _R6_PREFIX = [
     "sim_ann_ivf", "sim_ann_ivf_indexed", "sim_ann_topk", "sim_ann_lsh",
     "sim_ann_lsh_multiprobe", "sim_ann_pq", "sim_embed_dup", "sim_kmeans",
     "rel_range_appended", "stream_ann_batch", "rel_range_pruned", "sp_containment_pruned",
-    "txt_top_ngrams", "rel_profile", "sp_join_bucketed_dwithin",
+    "txt_top_ngrams", "rel_profile", "rel_salted_join",
     "txt_vocab_coverage", "rel_q10_returns", "rel_q14_promo", "rel_q18_big_orders",
     "dedup_edit_pairs", "txt_hash_embedding", "rel_q7_volume",
     "rel_lag_lead", "stream_temporal_tag_batch",

@@ -2375,3 +2375,38 @@ class TestSkippingAppend:
             append_range_sorted(df, str(tmp_path / "nope"), "k")
         with _pytest.raises(ValueError, match="covers"):
             append_range_sorted(df, path, "other")
+
+
+class TestSaltedJoin:
+    def test_parity_on_hot_key(self, spark):
+        from hadoopgis_spark.operators.skew import salted_join
+        # one hot key (k=7) with 500 rows, plus a uniform tail
+        left = spark.createDataFrame(
+            [(7, i) for i in range(500)] + [(i % 20, 1000 + i) for i in range(200)],
+            "k int, rid int")
+        right = spark.createDataFrame(
+            [(k, f"r{k}") for k in range(15)], "k int, tag string")
+        plain = left.join(right, "k").select("k", "rid", "tag")
+        salted = salted_join(left, right, "k", salt_col="rid", n_salt=8)
+        assert salted.count() == plain.count()
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+        # salt must actually spread the hot key across sub-keys
+        from hadoopgis_spark.functions.text import md5_hash32
+        n_salts = (left.filter(F.col("k") == 7)
+                   .select(F.pmod(md5_hash32(F.col("rid").cast("string")), F.lit(8)).alias("s"))
+                   .distinct().count())
+        assert n_salts >= 6
+
+    def test_left_outer_and_refusals(self, spark):
+        import pytest as _pytest
+        from hadoopgis_spark.operators.skew import salted_join
+        left = spark.createDataFrame([(1, 10), (2, 20), (99, 30)], "k int, rid int")
+        right = spark.createDataFrame([(1, "a"), (2, "b")], "k int, tag string")
+        lo = salted_join(left, right, "k", salt_col="rid", n_salt=4, how="left")
+        rows = {(r.k, r.tag) for r in lo.collect()}
+        assert rows == {(1, "a"), (2, "b"), (99, None)}
+        with _pytest.raises(ValueError, match="inner/left"):
+            salted_join(left, right, "k", salt_col="rid", how="full")
+        with _pytest.raises(ValueError, match="ambiguous"):
+            salted_join(left, left, "k", salt_col="rid")
