@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "rel_range_appended",
     "rel_profile",
     "rel_salted_join",
+    "rel_quantile_bins",
 ]
 
 

@@ -4817,6 +4817,36 @@ REL_RANGE_PRUNED_SQL = """
 """
 
 
+def rel_quantile_bins(spark, sf):
+    """Feature bucketization: orders binned by fixed price cut points
+    via the Column-fold bin_index (map-side, literal cuts — no UDF, no
+    join), aggregated per bin. The FIT half (sketch quantiles) is
+    pytest-pinned; this gate pins the APPLY half's bin arithmetic
+    integer-exactly."""
+    from hadoopgis_spark.operators.binning import bin_index
+    o = _t(spark, sf, "orders")
+    cuts = [50000.0, 150000.0, 300000.0]
+    return (
+        o.withColumn("bin", bin_index("o_totalprice", cuts))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+REL_QUANTILE_BINS_SQL = """
+  SELECT (CASE WHEN o_totalprice >= 50000.0 THEN 1 ELSE 0 END
+          + CASE WHEN o_totalprice >= 150000.0 THEN 1 ELSE 0 END
+          + CASE WHEN o_totalprice >= 300000.0 THEN 1 ELSE 0 END) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROUND(SUM(o_totalprice), 2) AS total
+  FROM orders
+  GROUP BY 1
+"""
+
+
 def rel_salted_join(spark, sf):
     """Skew-proof large-large join: orders ⋈ customer with the order
     side salted on o_orderkey and the customer side replicated 8× —
@@ -5132,6 +5162,7 @@ REGISTRY: dict[str, Query] = {
     "rel_range_appended": Query(rel_range_appended, REL_RANGE_PRUNED_SQL, "incremental zonemap append (footer-only manifest rebuild)"),
     "rel_profile": Query(rel_profile, REL_PROFILE_SQL, "one-pass per-column profile (Expand multi-distinct)"),
     "rel_salted_join": Query(rel_salted_join, REL_SALTED_JOIN_SQL, "deterministic salted join (single-key hotspot splitter)"),
+    "rel_quantile_bins": Query(rel_quantile_bins, REL_QUANTILE_BINS_SQL, "feature bucketization (Column-fold bin apply)"),
     # displaced from the gated prefix to fit the round-5c additions: the
     # least-risky ungated entries (rows-only by design / md5-exact fake
     # codec unchanged for two rounds) — both stay repo-oracle-checked
@@ -5165,7 +5196,7 @@ _R6_PREFIX = [
     "sim_semdedup", "cur_shuffle_shards", "rel_small_qty_revenue",
     "rel_top_waiting_suppliers",
     "sim_ann_ivf", "sim_ann_ivf_indexed", "sim_ann_topk", "sim_ann_lsh",
-    "sim_ann_lsh_multiprobe", "sim_ann_pq", "sim_embed_dup", "sim_kmeans",
+    "sim_ann_lsh_multiprobe", "rel_quantile_bins", "sim_embed_dup", "sim_kmeans",
     "rel_range_appended", "stream_ann_batch", "rel_range_pruned", "sp_containment_pruned",
     "txt_top_ngrams", "rel_profile", "rel_salted_join",
     "txt_vocab_coverage", "rel_q10_returns", "rel_q14_promo", "rel_q18_big_orders",

@@ -2410,3 +2410,31 @@ class TestSaltedJoin:
             salted_join(left, right, "k", salt_col="rid", how="full")
         with _pytest.raises(ValueError, match="ambiguous"):
             salted_join(left, left, "k", salt_col="rid")
+
+
+class TestQuantileBins:
+    def test_fit_and_apply(self, spark):
+        from hadoopgis_spark.operators.binning import (
+            bin_index, fit_quantile_bins, with_bins)
+        df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
+        exact = fit_quantile_bins(df, "v", 4, exact=True)
+        assert [round(c, 2) for c in exact] == [249.75, 499.5, 749.25]
+        approx = fit_quantile_bins(df, "v", 4, relative_error=0.01)
+        assert all(abs(a - e) <= 15 for a, e in zip(approx, exact))
+        binned = with_bins(df, "v", [250.0, 500.0, 750.0])
+        counts = {r.bin: r.cnt for r in
+                  binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        assert counts == {0: 250, 1: 250, 2: 250, 3: 250}
+        # boundary is lower-inclusive; nulls pass through
+        nd = spark.createDataFrame([(250.0,), (249.999,), (None,)], "v double")
+        got = [r.b for r in nd.select(bin_index("v", [250.0]).alias("b")).collect()]
+        assert got == [1, 0, None]
+
+    def test_refusals(self, spark):
+        import pytest as _pytest
+        from hadoopgis_spark.operators.binning import bin_index, fit_quantile_bins
+        df = spark.range(3).select(F.col("id").cast("double").alias("v"))
+        with _pytest.raises(ValueError, match="ascending"):
+            bin_index("v", [3.0, 1.0])
+        with _pytest.raises(ValueError, match="n_bins"):
+            fit_quantile_bins(df, "v", 1)
