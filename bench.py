@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     "rel_profile",
     "rel_salted_join",
     "rel_quantile_bins",
+    "src_orc_roundtrip",
+    "src_partitioned_dates",
+    "rel_corr",
 ]
 
 

@@ -4817,6 +4817,84 @@ REL_RANGE_PRUNED_SQL = """
 """
 
 
+def src_orc_roundtrip(spark, sf):
+    """ORC sink/source roundtrip (columnar-format breadth beyond
+    parquet/TSV/JSONL): documents → ORC → read back must be lossless,
+    so the oracle is plain SQL over the source table. Write once per
+    application (S8 memoization)."""
+    tag = os.path.basename(os.path.normpath(sf))
+    out = f"/tmp/hgs_gate_orc/{tag}"
+
+    def _build():
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        d.write.mode("overwrite").orc(out)
+        return out
+
+    _memo(("orc_gate", spark.sparkContext.applicationId, sf), _build)
+    return spark.read.orc(out).select("doc_id", F.md5("text").alias("h"))
+
+
+def src_partitioned_dates(spark, sf):
+    """Hive-style date-partitioned sink + DIRECTORY-level pruning: the
+    events table is written PARTITIONED BY day (epoch-day from the
+    nanos timestamp, exact integer div) once; a one-day query then
+    lists only that day's directory — at 100 TB the listing itself is
+    the win (PartitionFilters in the scan, pinned in
+    tests/test_plans.py). Oracle recomputes the same day bucket over
+    the raw table, so parity pins the partition write+prune roundtrip
+    losslessly."""
+    tag = os.path.basename(os.path.normpath(sf))
+    out = f"/tmp/hgs_gate_datepart/{tag}"
+
+    def _build():
+        e = _t(spark, sf, "events")
+        day = F.expr("ts div 86400000000000").alias("day")
+        e.select("event_id", "event_type", "value", day).write.mode(
+            "overwrite").partitionBy("day").parquet(out)
+        lo = _t(spark, sf, "events").agg(
+            F.expr("min(ts div 86400000000000)").alias("d")).collect()[0].d
+        return out, int(lo)
+
+    out, day0 = _memo(("datepart_gate", spark.sparkContext.applicationId, sf), _build)
+    back = spark.read.parquet(out).filter(F.col("day") == day0)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SRC_DATEPART_SQL = """
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(value), 2) AS sum_value
+  FROM events
+  WHERE CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 =
+        (SELECT MIN(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) FROM events)
+  GROUP BY event_type
+"""
+
+
+def rel_corr(spark, sf):
+    """Correlation/covariance aggregates per group — the feature-
+    relationship profile (single pass, mergeable moment partials).
+    Rounded to 3 like every order-dependent float aggregate."""
+    l = _t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 3).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 3).alias("cov_qty_disc"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    )
+
+
+REL_CORR_SQL = """
+  SELECT l_returnflag,
+         ROUND(CORR(l_quantity, l_extendedprice), 3) AS corr_qty_price,
+         ROUND(COVAR_SAMP(l_quantity, l_discount), 3) AS cov_qty_disc,
+         ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price
+  FROM lineitem
+  GROUP BY l_returnflag
+"""
+
+
 def rel_quantile_bins(spark, sf):
     """Feature bucketization: orders binned by fixed price cut points
     via the Column-fold bin_index (map-side, literal cuts — no UDF, no
@@ -5163,6 +5241,9 @@ REGISTRY: dict[str, Query] = {
     "rel_profile": Query(rel_profile, REL_PROFILE_SQL, "one-pass per-column profile (Expand multi-distinct)"),
     "rel_salted_join": Query(rel_salted_join, REL_SALTED_JOIN_SQL, "deterministic salted join (single-key hotspot splitter)"),
     "rel_quantile_bins": Query(rel_quantile_bins, REL_QUANTILE_BINS_SQL, "feature bucketization (Column-fold bin apply)"),
+    "src_orc_roundtrip": Query(src_orc_roundtrip, SRC_JSONL_SQL, "ORC sink/source lossless roundtrip"),
+    "src_partitioned_dates": Query(src_partitioned_dates, SRC_DATEPART_SQL, "date-partitioned sink + directory pruning"),
+    "rel_corr": Query(rel_corr, REL_CORR_SQL, "corr/covar/stddev moment aggregates per group"),
     # displaced from the gated prefix to fit the round-5c additions: the
     # least-risky ungated entries (rows-only by design / md5-exact fake
     # codec unchanged for two rounds) — both stay repo-oracle-checked
@@ -5196,7 +5277,7 @@ _R6_PREFIX = [
     "sim_semdedup", "cur_shuffle_shards", "rel_small_qty_revenue",
     "rel_top_waiting_suppliers",
     "sim_ann_ivf", "sim_ann_ivf_indexed", "sim_ann_topk", "sim_ann_lsh",
-    "sim_ann_lsh_multiprobe", "rel_quantile_bins", "sim_embed_dup", "sim_kmeans",
+    "sim_ann_lsh_multiprobe", "rel_quantile_bins", "src_partitioned_dates", "rel_corr",
     "rel_range_appended", "stream_ann_batch", "rel_range_pruned", "sp_containment_pruned",
     "txt_top_ngrams", "rel_profile", "rel_salted_join",
     "txt_vocab_coverage", "rel_q10_returns", "rel_q14_promo", "rel_q18_big_orders",

@@ -479,3 +479,25 @@ class TestPlanLint:
         # tile multicast IS a broadcast NLJ against the tiny tile table —
         # that one is the engine's documented design, filtered above
         assert warns == [], warns
+
+
+class TestPartitionedSinkPruning:
+    def test_date_partition_filter_reaches_listing(self, spark, tmp_path):
+        """Directory-level pruning contract for the hive-partitioned
+        sink shape (src_partitioned_dates): a filter on the partition
+        column must appear as a PartitionFilters entry (pruned at file
+        LISTING time), not a post-scan Filter."""
+        from pyspark.sql import functions as F
+        out = str(tmp_path / "bydate")
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("event_id"), (F.col("id") % 7).alias("day"))
+        df.write.partitionBy("day").parquet(out)
+        plan = (spark.read.parquet(out).filter(F.col("day") == 3)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "PartitionFilters" in plan
+        import re
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "day" in m.group(1)
+        # and the scan must NOT re-filter day as a data predicate
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert pf is None or "day" not in pf.group(1)
