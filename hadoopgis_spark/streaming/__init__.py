@@ -8,6 +8,7 @@ declarative plan, so the batch oracle validates the streaming logic.
 """
 
 from hadoopgis_spark.streaming.ann import ann_serve, grouped_topk, streaming_ann_topk
+from hadoopgis_spark.streaming.topk import topk_update
 from hadoopgis_spark.streaming.events import (
     hourly_event_rollup,
     streaming_containment,
@@ -35,4 +36,5 @@ __all__ = [
     "ann_serve",
     "grouped_topk",
     "streaming_ann_topk",
+    "topk_update",
 ]

@@ -1,0 +1,78 @@
+"""Bounded-state incremental top-k (``applyInPandasWithState``).
+
+``streaming.ann.grouped_topk`` ranks with a streaming aggregation whose
+state is the FULL candidate list per query (``collect_list``) — exact,
+but the state grows with every candidate a query ever sees. When the
+same key's candidates keep arriving across micro-batches (continuous
+re-scoring, long-lived queries, per-entity leaderboards), the right
+shape is a custom stateful operator whose state is the top-k ITSELF:
+O(k) per key, forever.
+
+``topk_update`` is that operator: per key, merge the incoming batch's
+(score, id) pairs with the stored top-k, keep the best k (score desc,
+id asc — the engine's standard ANN tie-break), store exactly those k,
+and re-emit the key's current top-k (update semantics). The merge is
+associative and arrival-order-insensitive, so ANY micro-batch split of
+the candidates converges to the same answer as one batch — the parity
+the pytest pins against ``grouped_topk``.
+
+Built on ``applyInPandasWithState`` (the GroupState API the engine's
+sessionization and funnel operators already use; Spark 4's
+``transformWithStateInPandas`` is the successor API but its Python
+driver worker needs protobuf, absent in this container — the operator
+semantics are API-independent). Streaming frames only; the batch face
+IS ``grouped_topk``, which plans the identical ranking as one
+aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["topk_update"]
+
+_OUT_SCHEMA = "q_id long, rank long, vec_id long, cosine double"
+_STATE_SCHEMA = "ids array<bigint>, scores array<double>"
+
+
+def topk_update(cand: DataFrame, k: int, *, round_to: int = 6) -> DataFrame:
+    """Incremental per-key top-k over a streaming ``(qid, id, cosine)``
+    candidate frame: ``(q_id, rank, vec_id, cosine)`` — the key's
+    CURRENT top-k after each micro-batch it appears in, with state
+    bounded at O(k) per key."""
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pairs: list = []
+        if state.exists:
+            ids, scores = state.get
+            pairs = list(zip(scores, ids))
+        for pdf in pdfs:
+            pairs.extend(zip(pdf["cosine"].tolist(), pdf["id"].tolist()))
+        pairs.sort(key=lambda t: (-t[0], t[1]))
+        pairs = pairs[:k]
+        state.update((
+            [int(i) for _, i in pairs],
+            [float(s) for s, _ in pairs],
+        ))
+        yield pd.DataFrame({
+            "q_id": [int(key[0])] * len(pairs),
+            "rank": [r + 1 for r in range(len(pairs))],
+            "vec_id": [int(i) for _, i in pairs],
+            "cosine": [round(float(s), round_to) for s, _ in pairs],
+        })
+
+    return cand.groupBy("qid").applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -2438,3 +2438,47 @@ class TestQuantileBins:
             bin_index("v", [3.0, 1.0])
         with _pytest.raises(ValueError, match="n_bins"):
             fit_quantile_bins(df, "v", 1)
+
+
+class TestTopkUpdateState:
+    """Bounded-state incremental top-k (streaming/topk.py)."""
+
+    def _cand(self, spark, rows):
+        return spark.createDataFrame(rows, "qid long, id long, cosine double")
+
+    def test_stream_matches_grouped_topk_and_merges_state(self, spark, tmp_path):
+        """The SAME key's candidates split across two micro-batches must
+        converge to the batch grouped_topk answer with only O(k) state."""
+        import random
+        from hadoopgis_spark.streaming.ann import grouped_topk
+        from hadoopgis_spark.streaming.topk import topk_update
+        rng = random.Random(9)
+        rows = [(q, i, round(rng.uniform(-1, 1), 4))
+                for q in (1, 2) for i in range(60)]
+        full = self._cand(spark, rows)
+        expect = {(r.q_id, r.rank, r.vec_id, r.cosine)
+                  for r in grouped_topk(full, 4).collect()}
+
+        # split so each key gets candidates in BOTH micro-batches
+        first = [r for r in rows if r[1] < 30]
+        second = [r for r in rows if r[1] >= 30]
+        src = str(tmp_path / "c")
+        self._cand(spark, first).coalesce(1).write.parquet(src)
+        self._cand(spark, second).coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(full.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        chk = str(tmp_path / "chk")
+        q = (topk_update(stream, 4)
+             .writeStream.format("memory").queryName("tk_out")
+             .option("checkpointLocation", chk)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        emitted = spark.sql("SELECT * FROM tk_out").collect()
+        # each key re-emits its current top-k every batch it appears in;
+        # the FINAL emission per key is the converged answer
+        final = {}
+        for r in emitted:  # memory sink preserves arrival order
+            final[(r.q_id, r.rank)] = (r.q_id, r.rank, r.vec_id, r.cosine)
+        assert set(final.values()) == expect
+        assert n_batches >= 2
