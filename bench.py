@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "src_orc_roundtrip",
     "src_partitioned_dates",
     "rel_corr",
+    "txt_sql_surface",
 ]
 
 

@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 
 from hadoopgis_spark.functions import spatial as S
 
-__all__ = ["register_all", "REGISTERED_FUNCTIONS"]
+__all__ = ["register_all", "register_text_sql", "REGISTERED_FUNCTIONS", "TEXT_SQL_FUNCTIONS"]
 
 REGISTERED_FUNCTIONS = {
     "st_intersects": S.st_intersects,
@@ -54,3 +54,41 @@ def register_all(spark: SparkSession, prefix: str = "") -> list[str]:
         spark.udf.register(full, fn)
         names.append(full)
     return names
+
+
+# Text helpers as Spark SQL SCALAR FUNCTIONS (Spark 4 `CREATE FUNCTION
+# ... RETURN <expr>`): unlike the Python geometry UDFs above, these are
+# INLINED into the calling query's plan — whole-stage codegen, zero
+# Python boundary — so the SQL surface costs the same as the Column API
+# (`functions.text`). Bodies mirror the text module's expressions.
+TEXT_SQL_FUNCTIONS: dict[str, str] = {
+    "hgs_norm": (
+        "(s STRING) RETURNS STRING RETURN "
+        "trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9 ]', ' '), ' +', ' '))"
+    ),
+    "hgs_token_count": (
+        "(s STRING) RETURNS INT RETURN "
+        "CASE WHEN hgs_norm(s) = '' THEN 0 ELSE size(split(hgs_norm(s), ' ')) END"
+    ),
+    "hgs_fingerprint": "(s STRING) RETURNS STRING RETURN md5(hgs_norm(s))",
+    "hgs_alpha_ratio": (
+        "(s STRING) RETURNS DOUBLE RETURN "
+        "CASE WHEN length(s) > 0 THEN "
+        "CAST(length(regexp_replace(s, '[^A-Za-z]', '')) AS DOUBLE) / length(s) "
+        "ELSE 0.0 END"
+    ),
+    "hgs_punct_ratio": (
+        "(s STRING) RETURNS DOUBLE RETURN "
+        "CASE WHEN length(s) > 0 THEN "
+        "CAST(length(s) - length(regexp_replace(s, '[.,!?;:]', '')) AS DOUBLE) / length(s) "
+        "ELSE 0.0 END"
+    ),
+}
+
+
+def register_text_sql(spark: SparkSession) -> list[str]:
+    """Register the text SQL functions (temporary, session-scoped);
+    returns the names. Order matters: later bodies call earlier ones."""
+    for name, sig in TEXT_SQL_FUNCTIONS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig}")
+    return list(TEXT_SQL_FUNCTIONS)

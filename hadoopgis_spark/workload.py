@@ -4817,6 +4817,41 @@ REL_RANGE_PRUNED_SQL = """
 """
 
 
+def txt_sql_surface(spark, sf):
+    """Text analysis via the SQL-function surface: the hgs_* SCALAR SQL
+    functions (Spark 4 `CREATE FUNCTION ... RETURN expr`) are INLINED
+    into the plan — whole-stage codegen, no Python boundary, unlike the
+    geometry UDF registry — so SQL users get the text module at Column-
+    API cost. Plan lint enforces no BatchEvalPython on this gate."""
+    from hadoopgis_spark.functions.register import register_text_sql
+
+    register_text_sql(spark)
+    _t(spark, sf, "documents").createOrReplaceTempView("hgs_sql_docs")
+    return spark.sql("""
+        SELECT doc_id,
+               hgs_token_count(text) AS n_tokens,
+               hgs_fingerprint(text) AS fp,
+               hgs_alpha_ratio(text) AS alpha_ratio,
+               hgs_punct_ratio(text) AS punct_ratio
+        FROM hgs_sql_docs
+    """)
+
+
+TXT_SQL_SURFACE_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN {_NORM_SQL} = '' THEN 0
+              ELSE LEN(STRING_SPLIT({_NORM_SQL}, ' ')) END AS n_tokens,
+         MD5({_NORM_SQL}) AS fp,
+         CASE WHEN LENGTH(text) > 0
+              THEN CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text)
+              ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN LENGTH(text) > 0
+              THEN CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / LENGTH(text)
+              ELSE 0.0 END AS punct_ratio
+  FROM documents
+"""
+
+
 def src_orc_roundtrip(spark, sf):
     """ORC sink/source roundtrip (columnar-format breadth beyond
     parquet/TSV/JSONL): documents → ORC → read back must be lossless,
@@ -5242,6 +5277,7 @@ REGISTRY: dict[str, Query] = {
     "rel_salted_join": Query(rel_salted_join, REL_SALTED_JOIN_SQL, "deterministic salted join (single-key hotspot splitter)"),
     "rel_quantile_bins": Query(rel_quantile_bins, REL_QUANTILE_BINS_SQL, "feature bucketization (Column-fold bin apply)"),
     "src_orc_roundtrip": Query(src_orc_roundtrip, SRC_JSONL_SQL, "ORC sink/source lossless roundtrip"),
+    "txt_sql_surface": Query(txt_sql_surface, TXT_SQL_SURFACE_SQL, "text module via inlined SQL scalar functions"),
     "src_partitioned_dates": Query(src_partitioned_dates, SRC_DATEPART_SQL, "date-partitioned sink + directory pruning"),
     "rel_corr": Query(rel_corr, REL_CORR_SQL, "corr/covar/stddev moment aggregates per group"),
     # displaced from the gated prefix to fit the round-5c additions: the
@@ -5280,7 +5316,7 @@ _R6_PREFIX = [
     "sim_ann_lsh_multiprobe", "rel_quantile_bins", "src_partitioned_dates", "rel_corr",
     "rel_range_appended", "stream_ann_batch", "rel_range_pruned", "sp_containment_pruned",
     "txt_top_ngrams", "rel_profile", "rel_salted_join",
-    "txt_vocab_coverage", "rel_q10_returns", "rel_q14_promo", "rel_q18_big_orders",
+    "txt_vocab_coverage", "rel_q10_returns", "txt_sql_surface", "rel_q18_big_orders",
     "dedup_edit_pairs", "txt_hash_embedding", "rel_q7_volume",
     "rel_lag_lead", "stream_temporal_tag_batch",
     "dedup_keep_best", "cur_take_n", "rel_asof_cobucketed",
