@@ -50,6 +50,7 @@ __all__ = [
     "save_range_sorted",
     "append_range_sorted",
     "save_spatial_clustered",
+    "append_spatial_clustered",
     "read_range",
     "read_window",
     "prune_files",
@@ -60,7 +61,12 @@ _FORMAT = 1
 
 
 def _encode(v) -> tuple[str, str]:
-    """(tag, string) for a footer stat value; round-trips exactly."""
+    """(tag, string) for a footer stat value; round-trips exactly.
+
+    Timestamps round-trip at microsecond precision — every writer in
+    this module is Spark, which emits TIMESTAMP(MICROS); a foreign
+    nanosecond-precision file would need its sub-µs digits handled
+    conservatively (min down, max up) before trusting its bounds."""
     if isinstance(v, bool):
         raise TypeError("boolean clustering columns are not supported")
     if isinstance(v, int):
@@ -226,6 +232,35 @@ def save_spatial_clustered(
     box columns — each file then covers a compact spatial neighborhood,
     so a window query's file-level bbox test prunes most of the table.
     """
+    _write_spatial(df, path, extent, bits, n_files, "overwrite")
+    _write_manifest(df.sparkSession, path, ["xmin", "ymin", "xmax", "ymax"])
+
+
+def append_spatial_clustered(
+    df: DataFrame,
+    path: str,
+    extent: tuple[float, float, float, float],
+    *,
+    bits: int = 10,
+    n_files: int = 4,
+) -> None:
+    """Incremental maintenance of a spatial layout: the new batch is
+    Hilbert-clustered into additional files and the manifest rebuilt
+    from footers only — the same contract (and the same
+    sharpness-decay-until-recluster caveat) as ``append_range_sorted``.
+    Use the SAME extent the layout was built with, or the new files'
+    curve order won't align with the old ones' (pruning stays correct
+    either way — bboxes are physical, not curve-derived)."""
+    spark = df.sparkSession
+    cols = sorted({r.col for r in _load_manifest(spark, path)})
+    if cols != ["xmax", "xmin", "ymax", "ymin"]:
+        raise ValueError(
+            f"manifest under {path!r} covers {cols}, not a spatial layout")
+    _write_spatial(df, path, extent, bits, n_files, "append")
+    _write_manifest(spark, path, ["xmin", "ymin", "xmax", "ymax"])
+
+
+def _write_spatial(df, path, extent, bits, n_files, mode):
     h = hilbert_index(
         (F.col("xmin") + F.col("xmax")) / 2.0,
         (F.col("ymin") + F.col("ymax")) / 2.0,
@@ -235,8 +270,7 @@ def save_spatial_clustered(
        .repartitionByRange(n_files, F.col("__h"))
        .sortWithinPartitions("__h")
        .drop("__h")
-       .write.mode("overwrite").parquet(path))
-    _write_manifest(df.sparkSession, path, ["xmin", "ymin", "xmax", "ymax"])
+       .write.mode(mode).parquet(path))
 
 
 def prune_files(

@@ -2482,3 +2482,35 @@ class TestTopkUpdateState:
             final[(r.q_id, r.rank)] = (r.q_id, r.rank, r.vec_id, r.cosine)
         assert set(final.values()) == expect
         assert n_batches >= 2
+
+
+class TestSpatialAppend:
+    def test_append_parity_and_refusal(self, spark, tmp_path):
+        import pytest as _pytest
+        import random
+        from hadoopgis_spark.sources.skipping import (
+            append_spatial_clustered, read_window, save_range_sorted,
+            save_spatial_clustered)
+        rng = random.Random(13)
+        rows = []
+        for i in range(1000):
+            x, y = rng.uniform(0, 500), rng.uniform(0, 500)
+            rows.append((i, x, y, x + 3, y + 3))
+        schema = "id int, xmin double, ymin double, xmax double, ymax double"
+        df = spark.createDataFrame(rows, schema)
+        path = str(tmp_path / "sp")
+        ext = (0, 0, 510, 510)
+        save_spatial_clustered(df.filter(F.col("id") < 500), path, ext, n_files=8)
+        append_spatial_clustered(df.filter(F.col("id") >= 500), path, ext, n_files=8)
+        w = (100.0, 100.0, 200.0, 200.0)
+        got = sorted(r.id for r in read_window(spark, path, w).collect())
+        expect = sorted(r.id for r in df.filter(
+            (F.col("xmin") <= w[2]) & (F.col("xmax") >= w[0])
+            & (F.col("ymin") <= w[3]) & (F.col("ymax") >= w[1])).collect())
+        assert got == expect and len(got) > 0
+        # refuses non-spatial layouts
+        other = str(tmp_path / "r")
+        save_range_sorted(spark.range(10).select(F.col("id").alias("k")),
+                          other, "k", n_files=2)
+        with _pytest.raises(ValueError, match="spatial"):
+            append_spatial_clustered(df, other, ext)
