@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "src_partitioned_dates",
     "rel_corr",
     "txt_sql_surface",
+    "rel_rolling",
 ]
 
 

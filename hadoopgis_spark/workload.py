@@ -4930,6 +4930,34 @@ REL_CORR_SQL = """
 """
 
 
+def rel_rolling(spark, sf):
+    """Rolling-frame window breadth beyond rank/lag: 7-row trailing sum
+    and mean per supplier over ship order (ROWS BETWEEN 6 PRECEDING AND
+    CURRENT ROW) — the moving-average feature shape. One window
+    partitioning; sums rounded (frame content is deterministic, frame
+    summation order is not)."""
+    l = _t(spark, sf, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = (Window.partitionBy("l_suppkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .rowsBetween(-6, 0))
+    return l.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.round(F.sum("l_extendedprice").over(w), 2).alias("roll_sum"),
+        F.round(F.avg("l_extendedprice").over(w), 2).alias("roll_avg"),
+    )
+
+
+REL_ROLLING_SQL = """
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         ROUND(SUM(l_extendedprice) OVER w, 2) AS roll_sum,
+         ROUND(AVG(l_extendedprice) OVER w, 2) AS roll_avg
+  FROM lineitem WHERE l_suppkey <= 10
+  WINDOW w AS (PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
 def rel_quantile_bins(spark, sf):
     """Feature bucketization: orders binned by fixed price cut points
     via the Column-fold bin_index (map-side, literal cuts — no UDF, no
@@ -5275,6 +5303,7 @@ REGISTRY: dict[str, Query] = {
     "rel_range_appended": Query(rel_range_appended, REL_RANGE_PRUNED_SQL, "incremental zonemap append (footer-only manifest rebuild)"),
     "rel_profile": Query(rel_profile, REL_PROFILE_SQL, "one-pass per-column profile (Expand multi-distinct)"),
     "rel_salted_join": Query(rel_salted_join, REL_SALTED_JOIN_SQL, "deterministic salted join (single-key hotspot splitter)"),
+    "rel_rolling": Query(rel_rolling, REL_ROLLING_SQL, "rolling-frame window sums (moving average shape)"),
     "rel_quantile_bins": Query(rel_quantile_bins, REL_QUANTILE_BINS_SQL, "feature bucketization (Column-fold bin apply)"),
     "src_orc_roundtrip": Query(src_orc_roundtrip, SRC_JSONL_SQL, "ORC sink/source lossless roundtrip"),
     "txt_sql_surface": Query(txt_sql_surface, TXT_SQL_SURFACE_SQL, "text module via inlined SQL scalar functions"),
@@ -5316,7 +5345,7 @@ _R6_PREFIX = [
     "sim_ann_lsh_multiprobe", "rel_quantile_bins", "src_partitioned_dates", "rel_corr",
     "rel_range_appended", "stream_ann_batch", "rel_range_pruned", "sp_containment_pruned",
     "txt_top_ngrams", "rel_profile", "rel_salted_join",
-    "txt_vocab_coverage", "rel_q10_returns", "txt_sql_surface", "rel_q18_big_orders",
+    "txt_vocab_coverage", "rel_q10_returns", "txt_sql_surface", "rel_rolling",
     "dedup_edit_pairs", "txt_hash_embedding", "rel_q7_volume",
     "rel_lag_lead", "stream_temporal_tag_batch",
     "dedup_keep_best", "cur_take_n", "rel_asof_cobucketed",
