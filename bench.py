@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "rel_corr",
     "txt_sql_surface",
     "rel_rolling",
+    "txt_char_entropy",
 ]
 
 

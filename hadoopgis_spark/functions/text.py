@@ -27,6 +27,7 @@ __all__ = [
     "lang_guess",
     "quality_score",
     "fingerprint",
+    "char_entropy",
     "winnow_fingerprints",
     "char_shingles",
     "md5_hash32",
@@ -211,6 +212,38 @@ def fingerprint(col) -> Column:
     """Normalization fingerprint: md5 of the normalized text — identical
     docs modulo case/punct/whitespace collide (rolling-hash analogue)."""
     return F.md5(normalize_text(col))
+
+
+# the normalized alphabet (everything normalize_text can emit)
+_NORM_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def char_entropy(col) -> Column:
+    """Shannon entropy (bits) of the normalized character distribution —
+    the classic gibberish/boilerplate detector (near-0 = one repeated
+    character, ~4.7 max over the 37-char alphabet; English prose sits
+    around 4).
+
+    Pure JVM single pass: the normalized text is let-bound once, each
+    character's count is ``length(n) - length(replace(n, ch))`` (37
+    cheap codegen terms, no explode/shuffle), and the entropy sum folds
+    over that count array IN FIXED ALPHABET ORDER — the oracle sums the
+    same literal order, so the only cross-engine wiggle is libm log
+    (rounded at the gate per the float discipline)."""
+
+    def body(n):
+        length = F.length(n).cast("double")
+        counts = F.array(*[
+            (F.length(n) - F.length(F.replace(n, F.lit(ch), F.lit("")))).cast("double")
+            for ch in _NORM_CHARS
+        ])
+        term = lambda acc, c: acc + F.when(
+            c > 0, (c / length) * F.log2(c / length)).otherwise(F.lit(0.0))
+        return F.when(
+            F.length(n) == 0, F.lit(0.0)
+        ).otherwise(-F.aggregate(counts, F.lit(0.0), term))
+
+    return F.transform(F.array(normalize_text(col)), body)[0]
 
 
 def winnow_fingerprints(col, k: int = 5, w: int = 8) -> Column:

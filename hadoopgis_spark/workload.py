@@ -4930,6 +4930,37 @@ REL_CORR_SQL = """
 """
 
 
+def txt_char_entropy(spark, sf):
+    """Character-distribution Shannon entropy per document (gibberish /
+    boilerplate signal) — 37 codegen count terms + one fixed-order
+    fold, no explode, no Python. Both engines sum the same literal
+    alphabet order; round(3) absorbs libm log differences."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", F.round(TXT.char_entropy(F.col("text")), 3).alias("entropy"))
+
+
+def _entropy_sql() -> str:
+    from hadoopgis_spark.functions.text import _NORM_CHARS
+    terms = []
+    for ch in _NORM_CHARS:
+        lit = "''''" if ch == "'" else ch
+        cnt = f"(LENGTH(nt) - LENGTH(REPLACE(nt, '{lit}', '')))"
+        terms.append(
+            f"CASE WHEN {cnt} > 0 THEN (CAST({cnt} AS DOUBLE) / LENGTH(nt))"
+            f" * LOG2(CAST({cnt} AS DOUBLE) / LENGTH(nt)) ELSE 0.0 END")
+    s = "\n         + ".join(terms)
+    return f"""
+  SELECT doc_id,
+         CASE WHEN LENGTH(nt) = 0 THEN 0.0
+              ELSE ROUND(-({s}), 3) END AS entropy
+  FROM (SELECT doc_id, {_NORM_SQL} AS nt FROM documents)
+"""
+
+
+TXT_CHAR_ENTROPY_SQL = _entropy_sql()
+
+
 def rel_rolling(spark, sf):
     """Rolling-frame window breadth beyond rank/lag: 7-row trailing sum
     and mean per supplier over ship order (ROWS BETWEEN 6 PRECEDING AND
@@ -5303,6 +5334,7 @@ REGISTRY: dict[str, Query] = {
     "rel_range_appended": Query(rel_range_appended, REL_RANGE_PRUNED_SQL, "incremental zonemap append (footer-only manifest rebuild)"),
     "rel_profile": Query(rel_profile, REL_PROFILE_SQL, "one-pass per-column profile (Expand multi-distinct)"),
     "rel_salted_join": Query(rel_salted_join, REL_SALTED_JOIN_SQL, "deterministic salted join (single-key hotspot splitter)"),
+    "txt_char_entropy": Query(txt_char_entropy, TXT_CHAR_ENTROPY_SQL, "char-distribution Shannon entropy (gibberish signal)"),
     "rel_rolling": Query(rel_rolling, REL_ROLLING_SQL, "rolling-frame window sums (moving average shape)"),
     "rel_quantile_bins": Query(rel_quantile_bins, REL_QUANTILE_BINS_SQL, "feature bucketization (Column-fold bin apply)"),
     "src_orc_roundtrip": Query(src_orc_roundtrip, SRC_JSONL_SQL, "ORC sink/source lossless roundtrip"),
@@ -5349,7 +5381,7 @@ _R6_PREFIX = [
     "dedup_edit_pairs", "txt_hash_embedding", "rel_q7_volume",
     "rel_lag_lead", "stream_temporal_tag_batch",
     "dedup_keep_best", "cur_take_n", "rel_asof_cobucketed",
-    "rel_q19_disjunct", "rel_cube",
+    "txt_char_entropy", "rel_cube",
     "stream_join_batch", "sim_ann_ivfpq_indexed", "sim_ann_sq",
     "sim_ann_ivf_appended",
 ]

@@ -2514,3 +2514,22 @@ class TestSpatialAppend:
                           other, "k", n_files=2)
         with _pytest.raises(ValueError, match="spatial"):
             append_spatial_clustered(df, other, ext)
+
+
+class TestCharEntropy:
+    def test_known_distributions(self, spark):
+        import math
+        from hadoopgis_spark.functions.text import char_entropy
+        df = spark.createDataFrame(
+            [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, "a b"),
+             (6, "AaBb!!")],
+            "i int, text string")
+        got = {r.i: r.e for r in
+               df.select("i", char_entropy(F.col("text")).alias("e")).collect()}
+        assert got[1] == 0.0                     # single symbol
+        assert abs(got[2] - 1.0) < 1e-12         # two equally likely
+        assert abs(got[3] - 2.0) < 1e-12         # four equally likely
+        assert got[4] == 0.0                     # empty
+        assert abs(got[5] - math.log2(3)) < 1e-12  # 'a',' ','b'
+        # normalization folds case and strips punctuation: "aabb"
+        assert abs(got[6] - 1.0) < 1e-12
