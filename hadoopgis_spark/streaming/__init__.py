@@ -8,6 +8,7 @@ declarative plan, so the batch oracle validates the streaming logic.
 """
 
 from hadoopgis_spark.streaming.ann import ann_serve, grouped_topk, streaming_ann_topk
+from hadoopgis_spark.streaming.ingest import ingest_batch_sorted, streaming_ingest_sorted
 from hadoopgis_spark.streaming.topk import topk_update
 from hadoopgis_spark.streaming.events import (
     hourly_event_rollup,
@@ -37,4 +38,6 @@ __all__ = [
     "grouped_topk",
     "streaming_ann_topk",
     "topk_update",
+    "ingest_batch_sorted",
+    "streaming_ingest_sorted",
 ]

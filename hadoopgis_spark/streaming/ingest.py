@@ -1,0 +1,72 @@
+"""Streaming ingestion into the zonemap (file-skipping) layout.
+
+The write half of a streaming lakehouse table: micro-batches land as
+range-clustered parquet files in a ``sources.skipping`` layout, and the
+footer min/max manifest is rebuilt after each batch — so the table is
+range-queryable with file pruning THE MOMENT a batch commits, while
+batch readers see an ordinary parquet directory.
+
+Exactly-once despite foreachBatch's at-least-once contract: each
+batch's files are written to a staging directory and MOVED in under
+deterministic ``b{batch_id}-`` names; a retried batch first deletes any
+files carrying its id, then re-lands them. Replays therefore overwrite
+themselves instead of duplicating rows (the same idempotency scheme
+Delta's transaction log provides, done here with batch-keyed file
+names). File moves use the local filesystem API — a cluster deployment
+swaps in the Hadoop FileSystem calls, same protocol.
+
+Appends accumulate value-range overlap exactly like
+``append_range_sorted`` — re-cluster with ``save_range_sorted`` (or
+``sources.compact``) when pruning sharpness degrades.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.sources.skipping import _write_manifest
+
+__all__ = ["ingest_batch_sorted", "streaming_ingest_sorted"]
+
+
+def ingest_batch_sorted(df: DataFrame, batch_id: int, path: str,
+                        order_col: str, *, n_files: int = 4) -> None:
+    """Land one micro-batch into the layout at ``path`` (idempotent per
+    ``batch_id``). Usable directly as a foreachBatch body via
+    functools.partial, or through :func:`streaming_ingest_sorted`."""
+    if df.isEmpty():
+        return
+    staging = f"{path}__stage_{batch_id}"
+    (df.repartitionByRange(n_files, F.col(order_col))
+       .sortWithinPartitions(order_col)
+       .write.mode("overwrite").parquet(staging))
+    os.makedirs(path, exist_ok=True)
+    prefix = f"b{batch_id}-"
+    for name in os.listdir(path):
+        if name.startswith(prefix):
+            os.remove(os.path.join(path, name))  # replayed batch: self-overwrite
+    for name in sorted(os.listdir(staging)):
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            os.replace(os.path.join(staging, name),
+                       os.path.join(path, prefix + name))
+    shutil.rmtree(staging)
+    _write_manifest(df.sparkSession, path, [order_col])
+
+
+def streaming_ingest_sorted(stream: DataFrame, path: str, order_col: str,
+                            *, n_files: int = 4, checkpoint: str,
+                            trigger: dict | None = None):
+    """Start the ingestion query: every micro-batch of ``stream`` lands
+    range-clustered under ``path`` with the manifest refreshed. Returns
+    the running StreamingQuery."""
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: ingest_batch_sorted(
+            df, bid, path, order_col, n_files=n_files)
+    ).option("checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -2533,3 +2533,38 @@ class TestCharEntropy:
         assert abs(got[5] - math.log2(3)) < 1e-12  # 'a',' ','b'
         # normalization folds case and strips punctuation: "aabb"
         assert abs(got[6] - 1.0) < 1e-12
+
+
+class TestStreamingIngest:
+    """foreachBatch ingestion into the zonemap layout (streaming/ingest)."""
+
+    def test_stream_lands_queryable_and_pruned(self, spark, tmp_path):
+        from hadoopgis_spark.sources.skipping import prune_files, read_range
+        from hadoopgis_spark.streaming.ingest import streaming_ingest_sorted
+        src = str(tmp_path / "src")
+        df = spark.range(0, 1000).select(F.col("id").alias("k"))
+        df.filter(F.col("k") < 500).coalesce(1).write.parquet(src)
+        df.filter(F.col("k") >= 500).coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("k bigint")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = str(tmp_path / "tbl")
+        q = streaming_ingest_sorted(
+            stream, out, "k", n_files=3,
+            checkpoint=str(tmp_path / "chk"),
+            trigger={"availableNow": True})
+        q.awaitTermination(180)
+        got = sorted(r.k for r in read_range(spark, out, "k", 250, 749).collect())
+        assert got == list(range(250, 750))
+        kept, total = prune_files(spark, out, {"k": (0, 100)})
+        assert total == 6 and len(kept) <= 2  # 2 batches x 3 files, pruned
+
+    def test_batch_replay_is_idempotent(self, spark, tmp_path):
+        from hadoopgis_spark.sources.skipping import read_range
+        from hadoopgis_spark.streaming.ingest import ingest_batch_sorted
+        out = str(tmp_path / "tbl")
+        b0 = spark.range(0, 100).select(F.col("id").alias("k"))
+        ingest_batch_sorted(b0, 0, out, "k", n_files=2)
+        ingest_batch_sorted(b0, 0, out, "k", n_files=2)  # replay
+        b1 = spark.range(100, 150).select(F.col("id").alias("k"))
+        ingest_batch_sorted(b1, 1, out, "k", n_files=2)
+        assert read_range(spark, out, "k").count() == 150  # no duplicates
