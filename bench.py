@@ -176,6 +176,8 @@ BENCH_QUERIES = [
     "txt_sql_surface",
     "rel_rolling",
     "txt_char_entropy",
+    "txt_unigram_logprob",
+    "rel_cooccur",
 ]
 
 

@@ -4961,6 +4961,62 @@ def _entropy_sql() -> str:
 TXT_CHAR_ENTROPY_SQL = _entropy_sql()
 
 
+def rel_cooccur(spark, sf):
+    """Co-occurrence graph projection: event-type pairs sharing a user,
+    with user counts — the bipartite-projection shape (market-basket /
+    co-engagement analytics). Per-user DISTINCT first bounds the
+    self-join fanout to |types|² per user regardless of event volume;
+    the pair aggregate is partial-agged on a tiny key space."""
+    e = _t(spark, sf, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("t1"))
+    b = ut.select("user_id", F.col("event_type").alias("t2"))
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+REL_COOCCUR_SQL = """
+  WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+"""
+
+
+def txt_unigram_logprob(spark, sf):
+    """Per-document mean log2-probability under the corpus unigram LM —
+    the language-model-based quality/typicality signal (low = unusual
+    token mix). One explode pass; the vocabulary-sized count table is
+    broadcast back onto the token stream (at web scale: cap the vocab +
+    OOV floor, same bounded-broadcast shape as vocab_coverage), so the
+    corpus is never shuffled on the Zipf-skewed token key."""
+    d = _t(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.count()  # bounded scalar (one partial-agg job)
+    j = toks.join(F.broadcast(counts), "tok")
+    lp = F.log2(F.col("cnt").cast("double") / F.lit(float(total)))
+    return j.groupBy("doc_id").agg(F.round(F.avg(lp), 3).alias("mean_log2p"))
+
+
+TXT_UNIGRAM_SQL = f"""
+  WITH t AS (
+    SELECT doc_id, UNNEST(STRING_SPLIT({_NORM_SQL}, ' ')) AS tok
+    FROM documents WHERE {_NORM_SQL} <> ''
+  ),
+  c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
+  n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM t)
+  SELECT doc_id, ROUND(AVG(LOG2(CAST(cnt AS DOUBLE) / total)), 3) AS mean_log2p
+  FROM t JOIN c USING (tok), n
+  GROUP BY doc_id
+"""
+
+
 def rel_rolling(spark, sf):
     """Rolling-frame window breadth beyond rank/lag: 7-row trailing sum
     and mean per supplier over ship order (ROWS BETWEEN 6 PRECEDING AND
@@ -5334,6 +5390,8 @@ REGISTRY: dict[str, Query] = {
     "rel_range_appended": Query(rel_range_appended, REL_RANGE_PRUNED_SQL, "incremental zonemap append (footer-only manifest rebuild)"),
     "rel_profile": Query(rel_profile, REL_PROFILE_SQL, "one-pass per-column profile (Expand multi-distinct)"),
     "rel_salted_join": Query(rel_salted_join, REL_SALTED_JOIN_SQL, "deterministic salted join (single-key hotspot splitter)"),
+    "rel_cooccur": Query(rel_cooccur, REL_COOCCUR_SQL, "co-occurrence pairs (bipartite projection)"),
+    "txt_unigram_logprob": Query(txt_unigram_logprob, TXT_UNIGRAM_SQL, "corpus unigram-LM mean log-prob (typicality signal)"),
     "txt_char_entropy": Query(txt_char_entropy, TXT_CHAR_ENTROPY_SQL, "char-distribution Shannon entropy (gibberish signal)"),
     "rel_rolling": Query(rel_rolling, REL_ROLLING_SQL, "rolling-frame window sums (moving average shape)"),
     "rel_quantile_bins": Query(rel_quantile_bins, REL_QUANTILE_BINS_SQL, "feature bucketization (Column-fold bin apply)"),
@@ -5377,11 +5435,11 @@ _R6_PREFIX = [
     "sim_ann_lsh_multiprobe", "rel_quantile_bins", "src_partitioned_dates", "rel_corr",
     "rel_range_appended", "stream_ann_batch", "rel_range_pruned", "sp_containment_pruned",
     "txt_top_ngrams", "rel_profile", "rel_salted_join",
-    "txt_vocab_coverage", "rel_q10_returns", "txt_sql_surface", "rel_rolling",
+    "txt_vocab_coverage", "rel_cooccur", "txt_sql_surface", "rel_rolling",
     "dedup_edit_pairs", "txt_hash_embedding", "rel_q7_volume",
     "rel_lag_lead", "stream_temporal_tag_batch",
     "dedup_keep_best", "cur_take_n", "rel_asof_cobucketed",
-    "txt_char_entropy", "rel_cube",
+    "txt_char_entropy", "txt_unigram_logprob",
     "stream_join_batch", "sim_ann_ivfpq_indexed", "sim_ann_sq",
     "sim_ann_ivf_appended",
 ]

@@ -2568,3 +2568,42 @@ class TestStreamingIngest:
         b1 = spark.range(100, 150).select(F.col("id").alias("k"))
         ingest_batch_sorted(b1, 1, out, "k", n_files=2)
         assert read_range(spark, out, "k").count() == 150  # no duplicates
+
+
+class TestBpeTraining:
+    """Distributed BPE training (operators/bpe.py): word-freq reduction
+    on Spark, Sennrich-style merge loop on the bounded table."""
+
+    def test_known_merges(self, spark):
+        from hadoopgis_spark.operators.bpe import apply_bpe, train_bpe
+        # "low" x5, "lower" x2, "newest" x6, "widest" x3 — the canonical
+        # Sennrich et al. example corpus
+        docs = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                                   "i int, text string")
+        merges = train_bpe(df, n_merges=4)
+        # the est</w> suffix dominates (count 9 from newest+widest); the
+        # documented tie-break (count, then lexicographic-max pair)
+        # builds it right-to-left: t</w>, s+t</w>, e+st</w>, then o+w (7)
+        assert merges[:4] == [
+            ("t", "</w>"), ("s", "t</w>"), ("e", "st</w>"), ("o", "w")]
+        assert apply_bpe("newest", merges) == ["n", "e", "w", "est</w>"]
+        assert apply_bpe("lowest", merges) == ["l", "ow", "est</w>"]
+
+    def test_word_frequencies_deterministic_cap(self, spark):
+        from hadoopgis_spark.operators.bpe import word_frequencies
+        df = spark.createDataFrame(
+            [(1, "b b b a a c"), (2, "a d")], "i int, text string")
+        wf = word_frequencies(df, max_words=3)
+        assert wf == [("a", 3), ("b", 3), ("c", 1)]  # ties: word asc
+
+    def test_merge_collision_accumulates(self, spark):
+        from hadoopgis_spark.operators.bpe import train_bpe
+        # force the ('ab','c')/('abc',) style collision path: words that
+        # share every prefix pair; just assert determinism + no crash
+        docs = ["abc abc abc ab ab abcd abcd"] * 3
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)],
+                                   "i int, text string")
+        m1 = train_bpe(df, n_merges=6)
+        m2 = train_bpe(df, n_merges=6)
+        assert m1 == m2 and len(m1) == 6
