@@ -501,3 +501,23 @@ class TestPartitionedSinkPruning:
         # and the scan must NOT re-filter day as a data predicate
         pf = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
         assert pf is None or "day" not in pf.group(1)
+
+
+class TestSkippingScanPlan:
+    def test_residual_filter_is_pushed(self, spark, tmp_path):
+        """read_range's residual range predicate must reach the parquet
+        scan as PushedFilters (row-group skipping inside the kept
+        files), and the plan must be a pure scan+filter — no exchange."""
+        from pyspark.sql import functions as F
+        from hadoopgis_spark.sources.skipping import read_range, save_range_sorted
+        path = str(tmp_path / "t")
+        save_range_sorted(
+            spark.range(0, 10000).select(F.col("id").alias("k")),
+            path, "k", n_files=8)
+        df = read_range(spark, path, "k", 2000, 2999)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        import re
+        m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert m and "GreaterThanOrEqual(k,2000)" in m.group(1), plan[:800]
+        assert "LessThanOrEqual(k,2999)" in m.group(1)
+        assert "Exchange" not in plan
