@@ -75,8 +75,10 @@ class TestSkippingProperties:
 
 class TestSaltedJoinProperties:
     @given(
-        lkeys=st.lists(st.integers(0, 5), min_size=0, max_size=25),
-        rkeys=st.lists(st.integers(0, 5), min_size=0, max_size=10),
+        lkeys=st.lists(st.one_of(st.none(), st.integers(0, 5)),
+                       min_size=0, max_size=25),
+        rkeys=st.lists(st.one_of(st.none(), st.integers(0, 5)),
+                       min_size=0, max_size=10),
         n_salt=st.integers(1, 5),
         how=st.sampled_from(["inner", "left"]),
     )
