@@ -454,10 +454,13 @@ def ivf_probe_candidates(
 
     On a batch ``queries`` frame the (tiny) probe side is broadcast
     onto the cid-keyed corpus — the DPP-pruning shape. On a STREAMING
-    frame the broadcast hint must ride on the static corpus side
-    instead (hinting the stream side is unsupported), so the join is
-    written stream-first; Spark still plans a per-micro-batch hash
-    join keyed on ≤ n_centroids cids."""
+    frame the probe side cannot carry a broadcast hint (unsupported on
+    streams), so the join is written stream-first and UNHINTED: Spark
+    broadcasts the static corpus when it fits the threshold, else
+    shuffles it per micro-batch — acceptable for modest indexes only.
+    For a large persisted index, serve streams via ``foreachBatch``
+    with the BATCH path (probe broadcast + DPP partition pruning);
+    that, not this join, is the at-scale streaming route."""
     qv = F.col(q_vec_col).cast("array<double>")
     probe_arr = _probe_slice(qv, n_centroids, dim, centroids, n_probe)
     probes = queries.select(

@@ -59,7 +59,14 @@ def salted_join(
     if overlap:
         raise ValueError(
             f"ambiguous non-key columns {sorted(overlap)} — rename before joining")
-    l = left.withColumn("__salt", F.pmod(md5_hash32(F.col(salt_col).cast("string")), F.lit(n_salt)))
+    # coalesce: md5(NULL) is NULL and a NULL salt would silently unmatch
+    # rows whose JOIN KEY is valid but whose salt_col is NULL — they all
+    # land in salt 0 instead (balance cost only, never correctness)
+    salt = F.coalesce(
+        F.pmod(md5_hash32(F.col(salt_col).cast("string")), F.lit(n_salt)),
+        F.lit(0),
+    )
+    l = left.withColumn("__salt", salt)
     r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
     out = l.join(r, keys + ["__salt"], how)
     return out.drop("__salt")

@@ -91,27 +91,55 @@ def _decode(tag: str, s: str):
     if tag == "float":
         return float(s)
     if tag == "ts":
-        return _dt.datetime.fromisoformat(s)
+        return _naive_utc(_dt.datetime.fromisoformat(s))
     if tag == "date":
         return _dt.date.fromisoformat(s)
     return s
 
 
-def _coerce(v):
-    """Normalize a user bound to the manifest's comparison domain."""
-    if isinstance(v, _dt.datetime):
-        return v.replace(tzinfo=None)
+def _naive_utc(v: _dt.datetime) -> _dt.datetime:
+    """tz-aware → the same instant as naive UTC (UTC-adjusted parquet
+    stats come back aware from pyarrow). CONVERT, never strip: dropping
+    the tzinfo of a +09:00 bound would shift the pruning window by 9
+    hours relative to Spark's residual filter and silently lose rows."""
+    if v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
     return v
 
 
-def _footer_stats(path: str, cols: Sequence[str]) -> list[dict]:
+def _coerce(v):
+    """Normalize a user bound to the manifest's comparison domain."""
+    if isinstance(v, _dt.datetime):
+        return _naive_utc(v)
+    return v
+
+
+def _align(a, b):
+    """Make a stat value and a bound comparable: promote a pure date to
+    midnight when the other side is a datetime (mixed date/ts layouts
+    would otherwise TypeError inside the prune loop)."""
+    if isinstance(a, _dt.datetime) and type(b) is _dt.date:
+        b = _dt.datetime(b.year, b.month, b.day)
+    elif isinstance(b, _dt.datetime) and type(a) is _dt.date:
+        a = _dt.datetime(a.year, a.month, a.day)
+    return a, b
+
+
+def _data_files(path: str) -> set[str]:
+    return {
+        n for n in os.listdir(path)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    }
+
+
+def _footer_stats(path: str, cols: Sequence[str],
+                  files: Sequence[str] | None = None) -> list[dict]:
     """One manifest row per data file from the parquet footers (no data
     scan). A column's stats are ``valid=False`` when any row group lacks
-    min/max for it — such files are never pruned."""
+    min/max for it — such files are never pruned. ``files`` restricts
+    the footer reads (incremental manifest maintenance)."""
     rows = []
-    for name in sorted(os.listdir(path)):
-        if name.startswith(("_", ".")) or not name.endswith(".parquet"):
-            continue
+    for name in sorted(files) if files is not None else sorted(_data_files(path)):
         md = _pq.read_metadata(os.path.join(path, name))
         schema_names = md.schema.to_arrow_schema().names
         idx = {c: schema_names.index(c) for c in cols}
@@ -140,16 +168,45 @@ def _footer_stats(path: str, cols: Sequence[str]) -> list[dict]:
     return rows
 
 
-def _write_manifest(spark: SparkSession, path: str, cols: Sequence[str]) -> None:
-    rows = _footer_stats(path, cols)
-    mdf = spark.createDataFrame(
-        [(r["file"], r["rows"], r["col"], r["vtype"], r["vmin"], r["vmax"],
-          r["valid"], _FORMAT) for r in rows],
-        "file string, rows bigint, col string, vtype string, "
-        "vmin string, vmax string, valid boolean, format int",
-    )
+_MANIFEST_SCHEMA = ("file string, rows bigint, col string, vtype string, "
+                    "vmin string, vmax string, valid boolean, format int")
+
+
+def _save_manifest(spark: SparkSession, path: str, tuples: list) -> None:
+    mdf = spark.createDataFrame(tuples, _MANIFEST_SCHEMA)
     mdf.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, _MANIFEST_DIR))
+
+
+def _write_manifest(spark: SparkSession, path: str, cols: Sequence[str]) -> None:
+    """Full manifest build: footer-reads EVERY data file. Initial saves
+    and re-clusters only — appends use :func:`_update_manifest`."""
+    rows = _footer_stats(path, cols)
+    _save_manifest(spark, path, [
+        (r["file"], r["rows"], r["col"], r["vtype"], r["vmin"], r["vmax"],
+         r["valid"], _FORMAT) for r in rows])
+
+
+def _update_manifest(spark: SparkSession, path: str, cols: Sequence[str],
+                     new_files: set[str]) -> None:
+    """INCREMENTAL manifest maintenance: keep existing rows for files
+    still on disk, footer-read ONLY ``new_files`` — O(batch) footer
+    round trips per append instead of O(table), which is the module's
+    own premise (a long-running ingest stream would otherwise re-pay
+    the full listing every micro-batch). Rows for files that vanished
+    (a replayed ingest batch's previous attempt) drop out here."""
+    present = _data_files(path)
+    old = [
+        (r.file, r.rows, r.col, r.vtype, r.vmin, r.vmax, r.valid, _FORMAT)
+        for r in _load_manifest(spark, path)
+        if r.file in present and r.file not in new_files
+    ]
+    fresh = [
+        (r["file"], r["rows"], r["col"], r["vtype"], r["vmin"], r["vmax"],
+         r["valid"], _FORMAT)
+        for r in _footer_stats(path, cols, sorted(new_files & present))
+    ]
+    _save_manifest(spark, path, old + fresh)
 
 
 def _load_manifest(spark: SparkSession, path: str) -> list:
@@ -213,10 +270,11 @@ def append_range_sorted(
     if order_col not in cols:
         raise ValueError(
             f"manifest under {path!r} covers {cols}, not {order_col!r}")
+    before = _data_files(path)
     (df.repartitionByRange(n_files, F.col(order_col))
        .sortWithinPartitions(order_col)
        .write.mode("append").parquet(path))
-    _write_manifest(spark, path, cols)
+    _update_manifest(spark, path, cols, _data_files(path) - before)
 
 
 def save_spatial_clustered(
@@ -256,8 +314,10 @@ def append_spatial_clustered(
     if cols != ["xmax", "xmin", "ymax", "ymin"]:
         raise ValueError(
             f"manifest under {path!r} covers {cols}, not a spatial layout")
+    before = _data_files(path)
     _write_spatial(df, path, extent, bits, n_files, "append")
-    _write_manifest(spark, path, ["xmin", "ymin", "xmax", "ymax"])
+    _update_manifest(spark, path, ["xmin", "ymin", "xmax", "ymax"],
+                     _data_files(path) - before)
 
 
 def _write_spatial(df, path, extent, bits, n_files, mode):
@@ -302,12 +362,16 @@ def prune_files(
                 continue
             vmin = _decode(st.vtype, st.vmin)
             vmax = _decode(st.vtype, st.vmax)
-            if lo is not None and vmax < _coerce(lo):
-                keep = False
-                break
-            if hi is not None and vmin > _coerce(hi):
-                keep = False
-                break
+            if lo is not None:
+                a, b = _align(vmax, _coerce(lo))
+                if a < b:
+                    keep = False
+                    break
+            if hi is not None:
+                a, b = _align(vmin, _coerce(hi))
+                if a > b:
+                    keep = False
+                    break
         if keep:
             kept.append(os.path.join(path, fname))
     return kept, total_files

@@ -28,7 +28,11 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hadoopgis_spark.sources.skipping import _write_manifest
+from hadoopgis_spark.sources.skipping import (
+    _load_manifest,
+    _update_manifest,
+    _write_manifest,
+)
 
 __all__ = ["ingest_batch_sorted", "streaming_ingest_sorted"]
 
@@ -37,9 +41,23 @@ def ingest_batch_sorted(df: DataFrame, batch_id: int, path: str,
                         order_col: str, *, n_files: int = 4) -> None:
     """Land one micro-batch into the layout at ``path`` (idempotent per
     ``batch_id``). Usable directly as a foreachBatch body via
-    functools.partial, or through :func:`streaming_ingest_sorted`."""
+    functools.partial, or through :func:`streaming_ingest_sorted`.
+
+    An EXISTING layout's manifest is honored, not replaced: its column
+    coverage (incl. any ``stat_cols``) carries forward, the footer
+    reads touch only this batch's files (O(batch), not O(table)), and
+    a layout clustered on a different column refuses — the same
+    guards as ``append_range_sorted``."""
     if df.isEmpty():
         return
+    spark = df.sparkSession
+    cols = [order_col]
+    existing = os.path.isdir(os.path.join(path, "_hgs_manifest"))
+    if existing:
+        cols = sorted({r.col for r in _load_manifest(spark, path)})
+        if order_col not in cols:
+            raise ValueError(
+                f"manifest under {path!r} covers {cols}, not {order_col!r}")
     staging = f"{path}__stage_{batch_id}"
     (df.repartitionByRange(n_files, F.col(order_col))
        .sortWithinPartitions(order_col)
@@ -49,12 +67,17 @@ def ingest_batch_sorted(df: DataFrame, batch_id: int, path: str,
     for name in os.listdir(path):
         if name.startswith(prefix):
             os.remove(os.path.join(path, name))  # replayed batch: self-overwrite
+    landed = set()
     for name in sorted(os.listdir(staging)):
         if name.endswith(".parquet") and not name.startswith(("_", ".")):
             os.replace(os.path.join(staging, name),
                        os.path.join(path, prefix + name))
+            landed.add(prefix + name)
     shutil.rmtree(staging)
-    _write_manifest(df.sparkSession, path, [order_col])
+    if existing:
+        _update_manifest(spark, path, cols, landed)
+    else:
+        _write_manifest(spark, path, cols)
 
 
 def streaming_ingest_sorted(stream: DataFrame, path: str, order_col: str,

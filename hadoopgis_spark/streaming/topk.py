@@ -9,12 +9,18 @@ shape is a custom stateful operator whose state is the top-k ITSELF:
 O(k) per key, forever.
 
 ``topk_update`` is that operator: per key, merge the incoming batch's
-(score, id) pairs with the stored top-k, keep the best k (score desc,
-id asc — the engine's standard ANN tie-break), store exactly those k,
-and re-emit the key's current top-k (update semantics). The merge is
-associative and arrival-order-insensitive, so ANY micro-batch split of
-the candidates converges to the same answer as one batch — the parity
-the pytest pins against ``grouped_topk``.
+(score, id) pairs with the stored top-k — keyed by id, so a re-scored
+candidate REPLACES its stored entry rather than occupying two slots —
+keep the best k (score desc, id asc — the engine's standard ANN
+tie-break), store exactly those k, and re-emit the key's current top-k
+(update semantics). For distinct candidate ids the merge is associative
+and arrival-order-insensitive, so ANY micro-batch split converges to
+the same answer as one batch — the parity the pytest pins against
+``grouped_topk``. Re-scoring contract, stated rather than hidden:
+latest score wins, and a DOWNWARD re-score of a stored entry cannot
+resurrect candidates already evicted from the O(k) state — if scores
+can decrease and exact answers matter, keep the aggregation-based
+``grouped_topk`` whose state is the full candidate list.
 
 Built on ``applyInPandasWithState`` (the GroupState API the engine's
 sessionization and funnel operators already use; Spark 4's
@@ -50,14 +56,18 @@ def topk_update(cand: DataFrame, k: int, *, round_to: int = 6) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        pairs: list = []
+        # keyed by id so a RE-SCORED candidate replaces its stored entry
+        # (stored first, then batch rows in arrival order — latest wins);
+        # a plain list concat would hold the same id twice, burning top-k
+        # slots and pinning the stale score
+        best: dict = {}
         if state.exists:
             ids, scores = state.get
-            pairs = list(zip(scores, ids))
+            best.update(zip(ids, scores))
         for pdf in pdfs:
-            pairs.extend(zip(pdf["cosine"].tolist(), pdf["id"].tolist()))
-        pairs.sort(key=lambda t: (-t[0], t[1]))
-        pairs = pairs[:k]
+            best.update(zip(pdf["id"].tolist(), pdf["cosine"].tolist()))
+        pairs = sorted(((s, i) for i, s in best.items()),
+                       key=lambda t: (-t[0], t[1]))[:k]
         state.update((
             [int(i) for _, i in pairs],
             [float(s) for s, _ in pairs],

@@ -2607,3 +2607,78 @@ class TestBpeTraining:
         m1 = train_bpe(df, n_merges=6)
         m2 = train_bpe(df, n_merges=6)
         assert m1 == m2 and len(m1) == 6
+
+
+class TestReviewFixes:
+    """Behaviors pinned by the round-6b self-review findings."""
+
+    def test_salted_join_null_salt_still_matches(self, spark):
+        from hadoopgis_spark.operators.skew import salted_join
+        left = spark.createDataFrame([(1, None), (1, 5)], "k int, rid int")
+        right = spark.createDataFrame([(1, "a")], "k int, tag string")
+        got = {(r.k, r.rid, r.tag) for r in
+               salted_join(left, right, "k", salt_col="rid", n_salt=4).collect()}
+        assert got == {(1, None, "a"), (1, 5, "a")}
+
+    def test_topk_rescore_replaces_not_duplicates(self, spark, tmp_path):
+        from hadoopgis_spark.streaming.topk import topk_update
+        schema = "qid long, id long, cosine double"
+        b1 = spark.createDataFrame(
+            [(1, 7, 0.9), (1, 8, 0.8), (1, 9, 0.7)], schema)
+        b2 = spark.createDataFrame([(1, 7, 0.5)], schema)  # re-score id 7 down
+        src = str(tmp_path / "c")
+        b1.coalesce(1).write.parquet(src)
+        b2.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (topk_update(stream, 2)
+             .writeStream.format("memory").queryName("rs_out")
+             .option("checkpointLocation", str(tmp_path / "chk"))
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        emitted = spark.sql("SELECT * FROM rs_out").collect()
+        final = {}
+        for r in emitted:
+            final[(r.q_id, r.rank)] = (r.vec_id, r.cosine)
+        # id 7 re-scored down to 0.5: it appears ONCE with the NEW score
+        # (no duplicate slot, stale 0.9 gone) and drops to rank 2. Note 9
+        # does NOT return: it was evicted from the O(k)=2 state in batch 1
+        # — exactly the documented downward-rescore caveat
+        assert final == {(1, 1): (8, 0.8), (1, 2): (7, 0.5)}
+
+    def test_ingest_preserves_stat_cols_and_refuses_mismatch(self, spark, tmp_path):
+        import pytest as _pytest
+        from hadoopgis_spark.sources.skipping import prune_files, save_range_sorted
+        from hadoopgis_spark.streaming.ingest import ingest_batch_sorted
+        out = str(tmp_path / "tbl")
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        save_range_sorted(df, out, "k", n_files=2, stat_cols=["v"])
+        b = spark.range(100, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        ingest_batch_sorted(b, 0, out, "k", n_files=2)
+        # v coverage survived the streamed batch
+        kept, total = prune_files(spark, out, {"v": (0, 100)})
+        assert total == 4 and len(kept) < 4
+        with _pytest.raises(ValueError, match="covers"):
+            ingest_batch_sorted(b, 1, out, "other", n_files=2)
+
+    def test_tz_aware_bound_converts_not_strips(self, spark, tmp_path):
+        import datetime as dt
+        from hadoopgis_spark.sources.skipping import read_range, save_range_sorted
+        out = str(tmp_path / "ts")
+        rows = [(i, dt.datetime(1995, 1, 1) + dt.timedelta(hours=i))
+                for i in range(48)]
+        df = spark.createDataFrame(rows, "i int, t timestamp")
+        save_range_sorted(df, out, "t", n_files=4)
+        # +09:00 bound == 1994-12-31T15:00 UTC: must return hours 0..23
+        lo = dt.datetime(1995, 1, 1, 9, 0,
+                         tzinfo=dt.timezone(dt.timedelta(hours=9)))
+        hi = dt.datetime(1995, 2, 1, 8, 59,
+                         tzinfo=dt.timezone(dt.timedelta(hours=9)))
+        got = sorted(r.i for r in read_range(spark, out, "t", lo, hi).collect())
+        assert got == list(range(0, 48))
+        lo2 = dt.datetime(1995, 1, 2, 9, 0,
+                          tzinfo=dt.timezone(dt.timedelta(hours=9)))
+        got2 = sorted(r.i for r in read_range(spark, out, "t", lo2, hi).collect())
+        assert got2 == list(range(24, 48))

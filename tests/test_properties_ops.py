@@ -86,8 +86,11 @@ class TestSaltedJoinProperties:
     def test_multiset_parity_with_plain_join(self, spark, lkeys, rkeys, n_salt, how):
         from collections import Counter
         from hadoopgis_spark.operators.skew import salted_join
+        # every 5th rid NULL: a NULL salt_col must still match (coalesced
+        # to salt 0), per the exact-multiset guarantee
         left = spark.createDataFrame(
-            [(k, i) for i, k in enumerate(lkeys)], "k int, rid int")
+            [(k, None if i % 5 == 4 else i) for i, k in enumerate(lkeys)],
+            "k int, rid int")
         right = spark.createDataFrame(
             [(k, 1000 + i) for i, k in enumerate(rkeys)], "k int, tag int")
         got = Counter((r.k, r.rid, r.tag) for r in
