@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 SETTINGS = dict(
     max_examples=8,
     deadline=None,
+    derandomize=True,  # gate runs must not flake on a fresh random seed
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
@@ -58,7 +59,7 @@ class TestSkippingProperties:
         width=st.integers(0, 40),
         n_files=st.integers(1, 6),
     )
-    @settings(max_examples=6, deadline=None,
+    @settings(max_examples=6, deadline=None, derandomize=True,
               suppress_health_check=[HealthCheck.function_scoped_fixture])
     def test_read_range_equals_brute_filter(self, spark, tmp_path_factory,
                                             keys, lo, width, n_files):
