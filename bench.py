@@ -178,6 +178,9 @@ BENCH_QUERIES = [
     "txt_char_entropy",
     "txt_unigram_logprob",
     "rel_cooccur",
+    "rel_q6_forecast",
+    "rel_q8_share",
+    "rel_q22_idle_cust",
 ]
 
 

@@ -4961,6 +4961,108 @@ def _entropy_sql() -> str:
 TXT_CHAR_ENTROPY_SQL = _entropy_sql()
 
 
+def rel_q6_forecast(spark, sf):
+    """TPC-H Q6 shape: forecast-revenue scalar — a fully pushable
+    conjunctive range filter feeding one aggregate; the canonical
+    predicate-pushdown probe."""
+    l = _t(spark, sf, "lineitem")
+    f = (
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.02, 0.04)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return l.filter(f).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+REL_Q6_SQL = """
+  SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+    AND l_discount BETWEEN 0.02 AND 0.04
+    AND l_quantity < 24.0
+"""
+
+
+def rel_q8_share(spark, sf):
+    """TPC-H Q8 shape: one nation's market share of PROMO-part order
+    volume per year — a ratio of conditional to total sums per group,
+    both rounded before the division (cross-engine determinism)."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat = F.round(F.sum(F.when(F.col("n_name") == "NATION_5", vol).otherwise(0.0)), 2)
+    tot = F.round(F.sum(vol), 2)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(nat.alias("nation_vol"), tot.alias("total_vol"),
+             (nat / tot).alias("share"))
+    )
+
+
+REL_Q8_SQL = """
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         ROUND(SUM(CASE WHEN n_name = 'NATION_5'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END), 2) AS nation_vol,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_vol,
+         ROUND(SUM(CASE WHEN n_name = 'NATION_5'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END), 2)
+           / ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS share
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_type = 'PROMO'
+  GROUP BY 1
+"""
+
+
+def rel_q22_idle_cust(spark, sf):
+    """TPC-H Q22 shape: above-average-balance customers with NO LARGE
+    orders — correlated scalar average + filtered anti join, grouped by
+    nation (plain no-orders is vacuously empty on this data: every
+    customer has orders)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    # round the threshold: both engines then compare against the same
+    # 2-dp literal instead of averages differing in the last ulp
+    avg_bal = round(c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")).collect()[0].a, 2)
+    rich = c.filter(F.col("c_acctbal") > avg_bal)
+    big = o.filter(F.col("o_totalprice") > 300000.0)
+    idle = rich.join(big, rich.c_custkey == big.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+REL_Q22_SQL = """
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+         ROUND(SUM(c_acctbal), 2) AS totacctbal
+  FROM customer
+  WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+  GROUP BY c_nationkey
+"""
+
+
 def rel_cooccur(spark, sf):
     """Co-occurrence graph projection: event-type pairs sharing a user,
     with user counts — the bipartite-projection shape (market-basket /
@@ -5390,6 +5492,9 @@ REGISTRY: dict[str, Query] = {
     "rel_range_appended": Query(rel_range_appended, REL_RANGE_PRUNED_SQL, "incremental zonemap append (footer-only manifest rebuild)"),
     "rel_profile": Query(rel_profile, REL_PROFILE_SQL, "one-pass per-column profile (Expand multi-distinct)"),
     "rel_salted_join": Query(rel_salted_join, REL_SALTED_JOIN_SQL, "deterministic salted join (single-key hotspot splitter)"),
+    "rel_q6_forecast": Query(rel_q6_forecast, REL_Q6_SQL, "Q6 pushable range-filter scalar"),
+    "rel_q8_share": Query(rel_q8_share, REL_Q8_SQL, "Q8 market-share ratio per year"),
+    "rel_q22_idle_cust": Query(rel_q22_idle_cust, REL_Q22_SQL, "Q22 above-avg-balance idle customers (anti join)"),
     "rel_cooccur": Query(rel_cooccur, REL_COOCCUR_SQL, "co-occurrence pairs (bipartite projection)"),
     "txt_unigram_logprob": Query(txt_unigram_logprob, TXT_UNIGRAM_SQL, "corpus unigram-LM mean log-prob (typicality signal)"),
     "txt_char_entropy": Query(txt_char_entropy, TXT_CHAR_ENTROPY_SQL, "char-distribution Shannon entropy (gibberish signal)"),
