@@ -4998,30 +4998,38 @@ def rel_q8_share(spark, sf):
     p = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    nat = F.round(F.sum(F.when(F.col("n_name") == "NATION_5", vol).otherwise(0.0)), 2)
-    tot = F.round(F.sum(vol), 2)
+    # exact-integer discipline (see rel_rolling): volume is a 4-dp
+    # decimal (2-dp price x 2-dp discount), so per-row e4 units
+    # round-trip exactly through double and the sums are exact BIGINTs
+    # in both engines — summation order cannot straddle a rounding
+    # boundary (an sf0.001 sweep caught round(sum(double)) red here)
+    vol4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    nat4 = F.sum(F.when(F.col("n_name") == "NATION_5", vol4).otherwise(F.lit(0).cast("long")))
+    tot4 = F.sum(vol4)
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(nat.alias("nation_vol"), tot.alias("total_vol"),
-             (nat / tot).alias("share"))
+        .agg((nat4 / F.lit(10000.0)).alias("nation_vol"),
+             (tot4 / F.lit(10000.0)).alias("total_vol"),
+             (nat4.cast("double") / tot4).alias("share"))
     )
 
 
 REL_Q8_SQL = """
   SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
-         ROUND(SUM(CASE WHEN n_name = 'NATION_5'
-                        THEN l_extendedprice * (1 - l_discount)
-                        ELSE 0.0 END), 2) AS nation_vol,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_vol,
-         ROUND(SUM(CASE WHEN n_name = 'NATION_5'
-                        THEN l_extendedprice * (1 - l_discount)
-                        ELSE 0.0 END), 2)
-           / ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS share
+         CAST(SUM(CASE WHEN n_name = 'NATION_5'
+                       THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) / CAST(10000.0 AS DOUBLE) AS nation_vol,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+              AS BIGINT) / CAST(10000.0 AS DOUBLE) AS total_vol,
+         CAST(SUM(CASE WHEN n_name = 'NATION_5'
+                       THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+           AS share
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN part ON l_partkey = p_partkey
@@ -5129,17 +5137,34 @@ def rel_rolling(spark, sf):
     w = (Window.partitionBy("l_suppkey")
          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
          .rowsBetween(-6, 0))
-    return l.select(
+    # exact-cents discipline: l_extendedprice is a 2-dp decimal, so
+    # per-row cents round-trip exactly through double and the window
+    # SUM is exact integer arithmetic in BOTH engines — no summation-
+    # order ulp can straddle a rounding boundary (an sf0.001 sweep
+    # caught round(sum(double)) differing by 0.01 on exactly one frame)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    base = l.select(
         "l_suppkey", "l_orderkey", "l_linenumber",
-        F.round(F.sum("l_extendedprice").over(w), 2).alias("roll_sum"),
-        F.round(F.avg("l_extendedprice").over(w), 2).alias("roll_avg"),
+        F.sum(cents).over(w).alias("__rc"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    )
+    # the avg can land EXACTLY on a half cent (e.g. 10001/2): Spark's
+    # round() decimal-rounds the shortest repr (-> .01 up) while DuckDB
+    # rounds the binary double (-> down) — so round half-up in INTEGER
+    # cents instead: (2a+n) div 2n, positive domain, engine-identical
+    return base.selectExpr(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        "__rc / CAST(100.0 AS DOUBLE) AS roll_sum",
+        "((2 * __rc + __n) div (2 * __n)) / CAST(100.0 AS DOUBLE) AS roll_avg",
     )
 
 
 REL_ROLLING_SQL = """
   SELECT l_suppkey, l_orderkey, l_linenumber,
-         ROUND(SUM(l_extendedprice) OVER w, 2) AS roll_sum,
-         ROUND(AVG(l_extendedprice) OVER w, 2) AS roll_avg
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) OVER w AS BIGINT)
+           / 100.0 AS roll_sum,
+         ((2 * CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) OVER w AS BIGINT)
+            + COUNT(*) OVER w) // (2 * COUNT(*) OVER w)) / 100.0 AS roll_avg
   FROM lineitem WHERE l_suppkey <= 10
   WINDOW w AS (PARTITION BY l_suppkey
                ORDER BY l_shipdate, l_orderkey, l_linenumber
