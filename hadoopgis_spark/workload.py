@@ -4622,19 +4622,21 @@ REL_Q7_SQL = """
 
 def rel_q10_returns(spark, sf):
     """TPC-H Q10 shape: top-20 customers by returned-item revenue. The
-    LIMIT boundary orders on the ROUNDED revenue + custkey so the
-    k-set is deterministic cross-engine (raw double sums are
-    association-ordered)."""
+    revenue is an exact e4-unit BIGINT sum divided back to dollars
+    (identical integer → identical double in both engines), so the
+    LIMIT boundary (revenue DESC, custkey) is deterministic
+    cross-engine — no ROUND(SUM(double)) latent red."""
     l = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
+    vol4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.sum(vol4) / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -4642,7 +4644,8 @@ def rel_q10_returns(spark, sf):
 
 REL_Q10_SQL = """
   SELECT c_custkey, c_name, c_acctbal, n_name,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+           / CAST(10000.0 AS DOUBLE) AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -4656,32 +4659,37 @@ REL_Q10_SQL = """
 
 def rel_q14_promo(spark, sf):
     """TPC-H Q14 shape: promo-type revenue share over a shipdate
-    window. Both sums are rounded BEFORE the ratio so the share is a
-    deterministic function of cross-engine-equal inputs."""
+    window. Exact e4-unit BIGINT sums for both numerator and total;
+    the share divides the two identical integers in double math, so
+    every output is a deterministic function of cross-engine-equal
+    integers (no ROUND(SUM(double)) latent red)."""
     l = _t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")))
     p = _t(spark, sf, "part")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
     j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-    promo = F.round(F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0)), 2)
-    total = F.round(F.sum(vol), 2)
+    promo4 = F.sum(F.when(F.col("p_type") == "PROMO", vol4).otherwise(F.lit(0).cast("long")))
+    total4 = F.sum(vol4)
     return j.agg(
-        promo.alias("promo_revenue"),
-        total.alias("total_revenue"),
-        (F.lit(100.0) * promo / total).alias("promo_share"),
+        (promo4 / F.lit(10000.0)).alias("promo_revenue"),
+        (total4 / F.lit(10000.0)).alias("total_revenue"),
+        (F.lit(100.0) * promo4.cast("double") / total4.cast("double")).alias("promo_share"),
     )
 
 
 REL_Q14_SQL = """
-  SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                        THEN l_extendedprice * (1 - l_discount)
-                        ELSE 0.0 END), 2) AS promo_revenue,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-         100.0 * ROUND(SUM(CASE WHEN p_type = 'PROMO'
-                                THEN l_extendedprice * (1 - l_discount)
-                                ELSE 0.0 END), 2)
-           / ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS promo_share
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) / CAST(10000.0 AS DOUBLE) AS promo_revenue,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+              AS BIGINT) / CAST(10000.0 AS DOUBLE) AS total_revenue,
+         CAST(100.0 AS DOUBLE)
+           * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+           AS promo_share
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE l_shipdate >= TIMESTAMP '1995-01-01'
     AND l_shipdate < TIMESTAMP '1996-01-01'
@@ -4734,14 +4742,16 @@ def rel_q19_disjunct(spark, sf):
         | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 25)
            & F.col("l_quantity").between(20, 30))
     )
+    vol4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        (F.sum(vol4) / F.lit(10000.0)).alias("revenue"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
 
 REL_Q19_SQL = """
-  SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+           / CAST(10000.0 AS DOUBLE) AS revenue,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM lineitem JOIN part ON l_partkey = p_partkey
   WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -4908,25 +4918,81 @@ SRC_DATEPART_SQL = """
 """
 
 
+# the derived-statistic formulas, evaluated over IDENTICAL exact-integer
+# moments in both engines: every double op below is IEEE-deterministic on
+# equal inputs, so NO final ROUND is needed (rounding is what made the
+# r6 driver row red — the ratio-of-moments class of the ROUND(SUM(double))
+# latent red). corr is scale-invariant, so cents in y cancel; covar and
+# stddev divide the cents scale back out via CAST(100 AS DOUBLE). The
+# SAME strings feed Spark selectExpr and the DuckDB oracle, so the IEEE
+# expression trees match by construction.
+_CORR_DERIVED = [
+    "(n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr_qty_price",
+    "(n*sxd - sx*sd) / (n*(n-1)) / CAST(100 AS DOUBLE) AS cov_qty_disc",
+    "SQRT((n*syy - sy*sy) / (n*(n-1))) / CAST(100 AS DOUBLE) AS sd_price",
+]
+
+
 def rel_corr(spark, sf):
     """Correlation/covariance aggregates per group — the feature-
     relationship profile (single pass, mergeable moment partials).
-    Rounded to 3 like every order-dependent float aggregate."""
+    Exact-integer moment sums (qty integral, price/discount 2-dp
+    decimals → cents), summed as DECIMAL (BIGINT-safe headroom: Σy² at
+    sf0.1 is ~7e19), then the statistics are derived from the identical
+    integers in double math with NO final ROUND — identical inputs +
+    identical IEEE expression trees ⇒ identical doubles cross-engine."""
     l = _t(spark, sf, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 3).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 3).alias("cov_qty_disc"),
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+    m = l.selectExpr(
+        "l_returnflag",
+        "CAST(ROUND(l_quantity) AS DECIMAL(18,0)) AS x",
+        "CAST(ROUND(l_extendedprice*100) AS DECIMAL(18,0)) AS y",
+        "CAST(ROUND(l_discount*100) AS DECIMAL(18,0)) AS d",
+    ).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.expr("x*y")).alias("sxy"),
+        F.sum(F.expr("x*x")).alias("sxx"),
+        F.sum(F.expr("y*y")).alias("syy"),
+        F.sum("d").alias("sd"),
+        F.sum(F.expr("x*d")).alias("sxd"),
     )
+    dbl = m.selectExpr(
+        "l_returnflag",
+        *[f"CAST({c} AS DOUBLE) AS {c}"
+          for c in ("n", "sx", "sy", "sxy", "sxx", "syy", "sd", "sxd")],
+    )
+    return dbl.selectExpr("l_returnflag", *_CORR_DERIVED)
 
 
-REL_CORR_SQL = """
+_CORR_DERIVED_JOINED = (",\n         ").join(_CORR_DERIVED)
+REL_CORR_SQL = f"""
+  WITH m AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(l_quantity) AS DECIMAL(18,0))) AS sx,
+           SUM(CAST(ROUND(l_extendedprice*100) AS DECIMAL(18,0))) AS sy,
+           SUM(CAST(ROUND(l_quantity) AS DECIMAL(18,0))
+               * CAST(ROUND(l_extendedprice*100) AS DECIMAL(18,0))) AS sxy,
+           SUM(CAST(ROUND(l_quantity) AS DECIMAL(18,0))
+               * CAST(ROUND(l_quantity) AS DECIMAL(18,0))) AS sxx,
+           SUM(CAST(ROUND(l_extendedprice*100) AS DECIMAL(18,0))
+               * CAST(ROUND(l_extendedprice*100) AS DECIMAL(18,0))) AS syy,
+           SUM(CAST(ROUND(l_discount*100) AS DECIMAL(18,0))) AS sd,
+           SUM(CAST(ROUND(l_quantity) AS DECIMAL(18,0))
+               * CAST(ROUND(l_discount*100) AS DECIMAL(18,0))) AS sxd
+    FROM lineitem
+    GROUP BY l_returnflag
+  ), d AS (
+    SELECT l_returnflag,
+           CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+           CAST(sy AS DOUBLE) AS sy, CAST(sxy AS DOUBLE) AS sxy,
+           CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+           CAST(sd AS DOUBLE) AS sd, CAST(sxd AS DOUBLE) AS sxd
+    FROM m
+  )
   SELECT l_returnflag,
-         ROUND(CORR(l_quantity, l_extendedprice), 3) AS corr_qty_price,
-         ROUND(COVAR_SAMP(l_quantity, l_discount), 3) AS cov_qty_disc,
-         ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price
-  FROM lineitem
-  GROUP BY l_returnflag
+         {_CORR_DERIVED_JOINED}
+  FROM d
 """
 
 
@@ -4972,14 +5038,19 @@ def rel_q6_forecast(spark, sf):
         & F.col("l_discount").between(0.02, 0.04)
         & (F.col("l_quantity") < 24.0)
     )
+    # exact-integer discipline (see rel_q8_share): price*discount is a
+    # 4-dp decimal, so per-row e4 units round-trip exactly through
+    # double and the sum is an exact BIGINT in both engines
+    vol4 = F.round(F.col("l_extendedprice") * F.col("l_discount") * 10000).cast("long")
     return l.filter(f).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        (F.sum(vol4) / F.lit(10000.0)).alias("revenue"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
 
 REL_Q6_SQL = """
-  SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+  SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT)
+           / CAST(10000.0 AS DOUBLE) AS revenue,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -5047,24 +5118,34 @@ def rel_q22_idle_cust(spark, sf):
     customer has orders)."""
     c = _t(spark, sf, "customer")
     o = _t(spark, sf, "orders")
-    # round the threshold: both engines then compare against the same
-    # 2-dp literal instead of averages differing in the last ulp
-    avg_bal = round(c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("a")).collect()[0].a, 2)
-    rich = c.filter(F.col("c_acctbal") > avg_bal)
+    # exact-integer threshold: half-up average balance in cents via the
+    # (2a+n) div (2n) pattern — both engines derive it from the SAME
+    # exact BIGINT sum/count, so no ulp or rounding-mode divergence
+    # (Python round() is half-even, DuckDB ROUND half-away — the r6
+    # ADVICE latent red). All quantities positive, so Python's floor
+    # division == DuckDB's // here.
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    row = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_c).alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    thr_c = (2 * row.s + row.n) // (2 * row.n)
+    rich = c.filter(bal_c > F.lit(thr_c))
     big = o.filter(F.col("o_totalprice") > 300000.0)
     idle = rich.join(big, rich.c_custkey == big.o_custkey, "left_anti")
     return idle.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        (F.sum(bal_c) / F.lit(100.0)).alias("totacctbal"),
     )
 
 
 REL_Q22_SQL = """
   SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
-         ROUND(SUM(c_acctbal), 2) AS totacctbal
+         CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS totacctbal
   FROM customer
-  WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2) FROM customer WHERE c_acctbal > 0.0)
+  WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) >
+        (SELECT (2 * CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 + COUNT(*)) // (2 * COUNT(*))
+         FROM customer WHERE c_acctbal > 0.0)
     AND NOT EXISTS (SELECT 1 FROM orders
                     WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
   GROUP BY c_nationkey
