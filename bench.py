@@ -204,13 +204,27 @@ def main():
             print(f"bench {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    failed = sorted(n for n, v in timings.items() if v < 0)
+    slowest = dict(sorted(
+        ((n, v) for n, v in timings.items() if v > 0),
+        key=lambda kv: -kv[1])[:10])
+    # The stdout line must stay SMALL: the driver's capture window
+    # truncated the full 151-entry map in rounds 5-6 ("parsed": null in
+    # BENCH_r05/r06.json). Headline + 10 slowest only; the complete
+    # per-query map goes to BENCH_DETAIL.json next to this script.
     out = {
         "metric": "workload_total_wall",
         "value": round(sum(v for v in timings.values() if v > 0), 3),
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "n_failed": len(failed),
+        "queries": slowest,
     }
+    detail = dict(out, queries=timings, failed=failed)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(out))
     spark.stop()
 
