@@ -91,7 +91,11 @@ def _decode(tag: str, s: str):
     if tag == "float":
         return float(s)
     if tag == "ts":
-        return _naive_utc(_dt.datetime.fromisoformat(s))
+        # tz-awareness preserved: an aware value marks a UTC-adjusted
+        # parquet column (stats are instants), a naive one marks
+        # TIMESTAMP_NTZ (stats are wall-clock values). prune_files uses
+        # the distinction to convert user bounds into the right domain.
+        return _dt.datetime.fromisoformat(s)
     if tag == "date":
         return _dt.date.fromisoformat(s)
     return s
@@ -107,11 +111,42 @@ def _naive_utc(v: _dt.datetime) -> _dt.datetime:
     return v
 
 
-def _coerce(v):
-    """Normalize a user bound to the manifest's comparison domain."""
-    if isinstance(v, _dt.datetime):
-        return _naive_utc(v)
-    return v
+def _session_tz(spark: SparkSession):
+    """The Spark session timezone as a tzinfo, or None when it can't be
+    resolved (then the host-local zone is the best proxy for the JVM
+    default Spark falls back to)."""
+    try:
+        name = spark.conf.get("spark.sql.session.timeZone", None)
+    except Exception:  # noqa: BLE001
+        name = None
+    if name:
+        try:
+            import zoneinfo
+            return zoneinfo.ZoneInfo(name)
+        except Exception:  # noqa: BLE001 — e.g. "GMT+8" style ids
+            pass
+    return None
+
+
+def _bound_to_utc(v: _dt.datetime, tz) -> _dt.datetime:
+    """User bound → naive UTC, the domain of UTC-adjusted footer stats.
+    A naive bound is interpreted in the SESSION timezone — exactly how
+    Spark's residual ``F.lit(bound)`` filter will interpret it — so
+    pruning and residual agree under any session tz (a naive-as-UTC
+    assumption over-pruned in non-UTC sessions)."""
+    if v.tzinfo is None:
+        v = v.replace(tzinfo=tz) if tz is not None else v.astimezone()
+    return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+
+
+def _bound_to_naive(v: _dt.datetime, tz) -> _dt.datetime:
+    """User bound → naive wall-clock, the domain of TIMESTAMP_NTZ footer
+    stats (Spark compares NTZ values tz-free, so a naive bound passes
+    through; an aware one is rendered in the session timezone first)."""
+    if v.tzinfo is None:
+        return v
+    v = v.astimezone(tz) if tz is not None else v.astimezone()
+    return v.replace(tzinfo=None)
 
 
 def _align(a, b):
@@ -344,7 +379,6 @@ def prune_files(
     misses ``[lo, hi]``; files without valid stats are always kept."""
     rows = _load_manifest(spark, path)
     by_file: dict[str, dict] = {}
-    total_files = len({r.file for r in rows})
     manifest_cols = {r.col for r in rows}
     missing = set(ranges) - manifest_cols
     if missing:
@@ -353,28 +387,51 @@ def prune_files(
             f"(covers {sorted(manifest_cols)}) — rewrite with stat_cols")
     for r in rows:
         by_file.setdefault(r.file, {})[r.col] = r
-    kept = []
+    # Crash safety: a failure between landing data files and rewriting
+    # the manifest (append_*/streaming ingest) leaves files on disk with
+    # no manifest row. Union with the on-disk listing and ALWAYS keep
+    # such orphans — they are unpruneable, exactly like stat-less files;
+    # dropping them would silently lose their rows. (Manifest rows for
+    # files that no longer exist are ignored symmetrically.)
+    on_disk = _data_files(path)
+    orphans = on_disk - set(by_file)
+    total_files = len(on_disk | set(by_file))
+    tz = _session_tz(spark)
+    kept = sorted(os.path.join(path, fname) for fname in orphans)
     for fname, stats in sorted(by_file.items()):
+        if fname not in on_disk:
+            continue
         keep = True
         for col, (lo, hi) in ranges.items():
-            st = stats[col]
-            if not st.valid:
+            st = stats.get(col)
+            if st is None or not st.valid:
                 continue
             vmin = _decode(st.vtype, st.vmin)
             vmax = _decode(st.vtype, st.vmax)
+            if isinstance(vmin, _dt.datetime):
+                # aware stats = UTC-adjusted column; naive = NTZ. Convert
+                # the USER bound into the matching domain (via the session
+                # tz, mirroring the residual filter's interpretation).
+                if vmin.tzinfo is not None:
+                    vmin, vmax = _naive_utc(vmin), _naive_utc(vmax)
+                    conv = lambda b: _bound_to_utc(b, tz) if isinstance(b, _dt.datetime) else b  # noqa: E731
+                else:
+                    conv = lambda b: _bound_to_naive(b, tz) if isinstance(b, _dt.datetime) else b  # noqa: E731
+            else:
+                conv = lambda b: b  # noqa: E731
             if lo is not None:
-                a, b = _align(vmax, _coerce(lo))
+                a, b = _align(vmax, conv(lo))
                 if a < b:
                     keep = False
                     break
             if hi is not None:
-                a, b = _align(vmin, _coerce(hi))
+                a, b = _align(vmin, conv(hi))
                 if a > b:
                     keep = False
                     break
         if keep:
             kept.append(os.path.join(path, fname))
-    return kept, total_files
+    return sorted(kept), total_files
 
 
 def read_range(

@@ -4805,7 +4805,9 @@ def rel_range_pruned(spark, sf):
     oracle pins the whole layout+manifest+prune roundtrip."""
     import datetime as dt
     from hadoopgis_spark.sources.skipping import read_range, save_range_sorted
-    path = f"{_skip_root(spark)}/lineitem_by_shipdate"
+    # sf tag in the path: the _memo key is sf-scoped, so an sf-agnostic
+    # path would let a dual-scale run serve the other scale's layout
+    path = f"{_skip_root(spark)}/lineitem_by_shipdate_{os.path.basename(os.path.normpath(sf))}"
     _memo(("skip_lineitem", spark.sparkContext.applicationId, sf),
           lambda: save_range_sorted(_t(spark, sf, "lineitem"), path,
                                     "l_shipdate", n_files=8) or True)
@@ -5317,7 +5319,8 @@ def rel_range_appended(spark, sf):
     import datetime as dt
     from hadoopgis_spark.sources.skipping import (
         append_range_sorted, read_range, save_range_sorted)
-    path = f"{_skip_root(spark)}/lineitem_appended"
+    # sf-tagged path: see rel_range_pruned
+    path = f"{_skip_root(spark)}/lineitem_appended_{os.path.basename(os.path.normpath(sf))}"
 
     def _build():
         l = _t(spark, sf, "lineitem")
@@ -5380,7 +5383,8 @@ def sp_containment_pruned(spark, sf):
     query scans only files whose bbox intersects it. Same result set
     as sp_containment — the oracle pins the clustered roundtrip."""
     from hadoopgis_spark.sources.skipping import read_window, save_spatial_clustered
-    path = f"{_skip_root(spark)}/part_boxes_hilbert"
+    # sf-tagged path: see rel_range_pruned
+    path = f"{_skip_root(spark)}/part_boxes_hilbert_{os.path.basename(os.path.normpath(sf))}"
     _memo(("skip_boxes", spark.sparkContext.applicationId, sf),
           lambda: save_spatial_clustered(part_boxes(spark, sf), path,
                                          (0.0, 0.0, 980.0, 900.0),

@@ -2239,6 +2239,52 @@ class TestFileSkipping:
         # residual filter still drops the null row
         assert read_range(spark, path, "k", 90, 99).count() == 10
 
+    def test_orphan_files_always_kept(self, spark, tmp_path):
+        # Crash safety: a failure between landing data files and the
+        # manifest rewrite leaves files with no manifest row; they are
+        # unpruneable (like stat-less files) and must never be dropped.
+        import os as _os
+        from hadoopgis_spark.sources.skipping import (
+            prune_files, read_range, save_range_sorted)
+        df = spark.range(0, 100).select(F.col("id").alias("k"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=4)
+        extra = spark.range(1000, 1010).select(F.col("id").alias("k"))
+        staging = str(tmp_path / "x")
+        extra.coalesce(1).write.parquet(staging)
+        src = [n for n in _os.listdir(staging) if n.endswith(".parquet")][0]
+        _os.rename(_os.path.join(staging, src),
+                   _os.path.join(path, "part-orphan.parquet"))
+        kept, total = prune_files(spark, path, {"k": (1000, 2000)})
+        assert total == 5 and any("orphan" in p for p in kept)
+        assert read_range(spark, path, "k", 1000, 2000).count() == 10
+        # even a query disjoint from the orphan's values keeps it: no
+        # stats means no proof of a miss
+        kept2, _ = prune_files(spark, path, {"k": (0, 10)})
+        assert any("orphan" in p for p in kept2)
+
+    def test_timestamp_prune_respects_session_tz(self, spark, tmp_path):
+        # Naive user bounds are interpreted in the SESSION timezone by
+        # the residual filter; pruning must use the same interpretation
+        # against the UTC-adjusted footer stats or boundary files (and
+        # their rows) silently vanish under a non-UTC session.
+        import datetime as dt
+        from hadoopgis_spark.sources.skipping import read_range, save_range_sorted
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i))
+                    for i in range(96)]
+            df = spark.createDataFrame(rows, "id long, ts timestamp")
+            path = str(tmp_path / "ts")
+            save_range_sorted(df, path, "ts", n_files=4)
+            lo, hi = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3)
+            expect = df.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
+            assert expect == 25
+            assert read_range(spark, path, "ts", lo, hi).count() == expect
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+
     def test_refusals(self, spark, tmp_path):
         import pytest as _pytest
         from hadoopgis_spark.sources.skipping import prune_files, read_range, save_range_sorted
