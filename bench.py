@@ -181,6 +181,13 @@ BENCH_QUERIES = [
     "rel_q6_forecast",
     "rel_q8_share",
     "rel_q22_idle_cust",
+    # round 7: adjacency/disjoint predicates end-to-end, S8 stage-skip
+    # proof, BPE corpus pass
+    "sp_adjacent_wkt",
+    "sp_disjoint_tile",
+    "sp_disjoint_global",
+    "src_memo_stage",
+    "txt_bpe_wordfreq",
 ]
 
 

@@ -35,21 +35,31 @@ from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions.text import tokens
 
-__all__ = ["word_frequencies", "train_bpe", "apply_bpe"]
+__all__ = ["word_frequency_table", "word_frequencies", "train_bpe", "apply_bpe"]
 
 _EOW = "</w>"
+
+
+def word_frequency_table(df: DataFrame, text_col: str = "text",
+                         max_words: int = 100_000) -> DataFrame:
+    """The corpus's single full pass as a DataFrame: normalize →
+    explode tokens → partial-aggregated groupBy count, capped at
+    ``max_words`` with the deterministic (count desc, word asc)
+    tie-break (TakeOrderedAndProject — per-partition heaps, never a
+    global sort). Bounded output regardless of corpus size."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(max_words)
+    )
 
 
 def word_frequencies(df: DataFrame, text_col: str = "text",
                      max_words: int = 100_000) -> list[tuple[str, int]]:
     """Deterministic capped word-frequency table: the corpus's single
     full pass. Returns ``[(word, count)]`` sorted (count desc, word)."""
-    wf = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), F.asc("w"))
-        .limit(max_words)
-    )
+    wf = word_frequency_table(df, text_col, max_words)
     return [(r.w, int(r.c)) for r in wf.collect()]
 
 

@@ -25,22 +25,30 @@ SF = "/root/testdata/sf0.001"
 
 # Labeled brute-force baselines / bounded pair enumerations: the
 # all-pairs product is deliberate, bounded, and documented at the
-# definition site. Everything else must plan keyed joins.
+# definition site. Everything else must plan keyed joins. Structured as
+# {gate: justification} so each exemption carries its reason; a
+# whitelisted name that leaves REGISTRY fails the staleness test below
+# (dead exemptions would silently widen the lint's blind spot).
 ALLOWED_ALL_PAIRS = {
-    "sim_ann_topk",      # exact-cosine baseline, queries broadcast
-    "sim_ann_pq",        # PQ code-scan baseline (IVF-PQ is the scale path)
-    "sim_ann_sq",        # SQ code-scan baseline (compose with IVF lists)
-    "sp_box_measures",   # bounded pairwise-measure enumeration
-    "sp_haversine",      # bounded pair set
-    "sp_knn",            # exact kNN: broadcast NLJ by construction
-    "sp_knn_capped",     # exact kNN with a distance cap
+    "sim_ann_topk": "exact-cosine baseline, queries broadcast (LSH/IVF are the scale path)",
+    "sim_ann_pq": "PQ code-scan baseline (IVF-PQ is the scale path)",
+    "sim_ann_sq": "SQ code-scan baseline (compose with IVF lists at scale)",
+    "sp_box_measures": "bounded pairwise-measure enumeration",
+    "sp_haversine": "bounded pair set",
+    "sp_knn": "exact kNN: broadcast NLJ by construction (tile mode is the scale path)",
+    "sp_knn_capped": "exact kNN with a distance cap, same baseline shape",
     # scalar-attach shape: crossJoin(broadcast(<1-row aggregate>)) — a
     # conditionless NLJ whose build side is one row by construction
-    "cur_mixture_alloc",  # total-weight scalar onto per-source stats
-    "cur_pipeline",       # corpus-relative quality threshold scalar
-    # tile mode with a single broadcast tile table (bounded build side)
-    "sp_knn_tile",
+    "cur_mixture_alloc": "total-weight scalar onto per-source stats",
+    "cur_pipeline": "corpus-relative quality threshold scalar",
+    "sp_knn_tile": "tile mode with a single broadcast tile table (bounded build side)",
+    "sp_disjoint_global": "true-global disjoint is inherently every-pair; A capped, B broadcast (tile complement is the scale path)",
 }
+
+
+def test_all_pairs_whitelist_not_stale():
+    stale = sorted(set(ALLOWED_ALL_PAIRS) - set(REGISTRY))
+    assert not stale, f"ALLOWED_ALL_PAIRS entries no longer in REGISTRY: {stale}"
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
