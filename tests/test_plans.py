@@ -521,3 +521,32 @@ class TestSkippingScanPlan:
         assert m and "GreaterThanOrEqual(k,2000)" in m.group(1), plan[:800]
         assert "LessThanOrEqual(k,2999)" in m.group(1)
         assert "Exchange" not in plan
+
+
+class TestRound7Plans:
+    """Round-7 additions: BPE corpus pass stays a bounded top-k (never a
+    global sort), and tile-mode st_disjoint keeps the intersects join
+    shape (the per-tile caveat costs no extra exchange)."""
+
+    def test_bpe_wordfreq_is_topk_not_global_sort(self, spark):
+        from hadoopgis_spark.operators.bpe import word_frequency_table
+        rows = [(i, "the quick brown fox " * (i % 5 + 1)) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        q = word_frequency_table(df, max_words=50)
+        plan = formatted_plan(q)
+        # cap = per-partition heaps, not Sort+Limit over the token space
+        assert "TakeOrderedAndProject" in plan, plan[:1500]
+        # one shuffle (the groupBy), with map-side partial aggregation
+        assert count_exchanges(q) == 1, plan[:2000]
+        assert "partial_count" in plan or "HashAggregate" in plan
+
+    def test_disjoint_tile_join_same_shape_as_intersects(self, spark):
+        rows_a = [(i, f"POLYGON (({i} 0, {i + 5} 0, {i} 5, {i} 0))")
+                  for i in range(200)]
+        a = spark.createDataFrame(rows_a, "id long, geom string")
+        rows_b = [(i, f"POINT ({i % 60} {i % 40})") for i in range(200)]
+        b = spark.createDataFrame(rows_b, "id long, geom string")
+        j = spatial_join(a, b, "st_disjoint", bucket_size=100)
+        plan = formatted_plan(j)
+        assert count_exchanges(j) == 2, plan[:2000]
+        assert "CartesianProduct" not in plan
