@@ -83,7 +83,11 @@ def windowed_event_counts(
     win = F.window("event_time", window, slide) if slide else F.window("event_time", window)
     return e.groupBy(win.alias("win"), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # exact fixed-point cents, not ROUND(SUM(double), 2): the sum is
+        # then order-independent across partitions/retries — a streaming
+        # re-aggregation yields bit-identical results, and the value can
+        # never straddle a rounding boundary by summation order
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("sum_value"),
     ).select(
         F.unix_timestamp("win.start").alias("window_start"),
         "event_type",

@@ -45,7 +45,8 @@ def sessionize(events: DataFrame, gap_ns: int = 1_800_000_000_000, ts_col: str =
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact cents (see streaming.events.windowed_event_counts)
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("sum_value"),
         )
     )
 
@@ -69,12 +70,17 @@ def sessionize_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        # value sums accumulate as exact integer CENTS in state (the
+        # same fixed-point discipline as the batch sessionize / window
+        # rollups): replays and out-of-order accumulation then yield
+        # bit-identical sums — a float accumulator would drift by
+        # summation order and round() at emit could flip the last cent.
         if state.hasTimedOut:
             if state.exists:
                 s_no, s_start, s_end, n, sv = state.get
                 state.remove()
                 yield pd.DataFrame(
-                    [(user_id, s_no, s_start, s_end, n, round(sv, 2))],
+                    [(user_id, s_no, s_start, s_end, n, sv / 100.0)],
                     columns=["user_id", "session_no", "session_start", "session_end", "n_events", "sum_value"],
                 )
             return
@@ -82,20 +88,21 @@ def sessionize_stream(
         if state.exists:
             s_no, s_start, s_end, n, sv = state.get
         else:
-            s_no, s_start, s_end, n, sv = 0, None, None, 0, 0.0
+            s_no, s_start, s_end, n, sv = 0, None, None, 0, 0
         closed = []
         for ts, value in zip(rows[ts_col], rows["value"]):
             ts = int(ts)
+            cents = int(round(float(value) * 100))
             if s_start is None:
-                s_start, s_end, n, sv = ts, ts, 1, float(value)
+                s_start, s_end, n, sv = ts, ts, 1, cents
             elif ts - s_end > gap_ns:
-                closed.append((user_id, s_no, s_start, s_end, n, round(sv, 2)))
+                closed.append((user_id, s_no, s_start, s_end, n, sv / 100.0))
                 s_no += 1
-                s_start, s_end, n, sv = ts, ts, 1, float(value)
+                s_start, s_end, n, sv = ts, ts, 1, cents
             else:
                 s_end = max(s_end, ts)
                 n += 1
-                sv += float(value)
+                sv += cents
         state.update((s_no, s_start, s_end, n, sv))
         state.setTimeoutDuration(state_timeout_ms)
         if closed:
@@ -107,7 +114,7 @@ def sessionize_stream(
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=SESSION_SCHEMA,
-        stateStructType="session_no long, session_start long, session_end long, n_events long, sum_value double",
+        stateStructType="session_no long, session_start long, session_end long, n_events long, sum_cents long",
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
@@ -136,7 +143,8 @@ def session_window_rollup(
         e.groupBy("user_id", F.session_window("event_time", gap).alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact cents (see streaming.events.windowed_event_counts)
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("sum_value"),
         )
         .select(
             "user_id",

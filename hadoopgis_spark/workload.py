@@ -186,15 +186,22 @@ def supplier_points(spark, sf):
 # ---------------------------------------------------------------------------
 
 def rel_q1_pricing(spark, sf):
+    # exact-integer money discipline: price in cents, price*(1-disc) in
+    # e4 units, discount in cents — every sum is an exact BIGINT in both
+    # engines, and the derived averages divide identical integers in
+    # double math (no ROUND on any order-dependent double sum)
     l = _t(spark, sf, "lineitem")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    vol4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            (F.sum(price_c) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(vol4) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(disc_c).cast("double") / F.count(F.lit(1)) / F.lit(100.0)).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -203,9 +210,12 @@ def rel_q1_pricing(spark, sf):
 REL_Q1_SQL = """
   SELECT l_returnflag, l_linestatus,
          SUM(l_quantity) AS sum_qty,
-         ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         ROUND(AVG(l_discount), 6) AS avg_disc,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+           / CAST(10000.0 AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) / CAST(100.0 AS DOUBLE) AS avg_disc,
          COUNT(*) AS count_order
   FROM lineitem
   WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -221,7 +231,8 @@ def rel_q3_top_orders(spark, sf):
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                    .cast("long")) / F.lit(10000.0)).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -229,7 +240,8 @@ def rel_q3_top_orders(spark, sf):
 
 REL_Q3_SQL = """
   SELECT o_orderkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+           / CAST(10000.0 AS DOUBLE) AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -257,13 +269,15 @@ def rel_q5_nation_revenue(spark, sf):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                    .cast("long")) / F.lit(10000.0)).alias("revenue"))
     )
 
 
 REL_Q5_SQL = """
   SELECT n_name,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+           / CAST(10000.0 AS DOUBLE) AS revenue
   FROM lineitem
   JOIN orders ON l_orderkey = o_orderkey
   JOIN customer ON o_custkey = c_custkey
@@ -361,7 +375,8 @@ def rel_events_hourly(spark, sf):
         e.groupBy(hour, "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact cents (value is a 2-dp decimal): order-independent
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("sum_value"),
         )
     )
 
@@ -370,7 +385,8 @@ REL_EVENTS_HOURLY_SQL = """
   SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
          event_type,
          COUNT(*) AS n_events,
-         ROUND(SUM(value), 2) AS sum_value
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS sum_value
   FROM events
   GROUP BY 1, 2
 """
@@ -1782,7 +1798,8 @@ STREAM_ROLLUP_SQL = """
   SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
          event_type,
          COUNT(*) AS n_events,
-         ROUND(SUM(value), 2) AS sum_value
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS sum_value
   FROM events
   GROUP BY 1, 2
 """
@@ -2102,7 +2119,8 @@ STREAM_SESSIONIZE_SQL = """
   )
   SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
          MIN(tus) AS session_start, MAX(tus) AS session_end,
-         COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+         COUNT(*) AS n_events, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS sum_value
   FROM numbered GROUP BY user_id, session_no
 """
 
@@ -4195,7 +4213,8 @@ STREAM_SLIDING_SQL = """
     FROM events
   )
   SELECT window_start, event_type, COUNT(*) AS n_events,
-         ROUND(SUM(value), 2) AS sum_value
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS sum_value
   FROM h GROUP BY 1, 2
 """
 
@@ -4368,7 +4387,8 @@ STREAM_SESSION_NATIVE_SQL = """
     FROM s
   )
   SELECT user_id, CAST(MIN(t_us) // 1000000 AS BIGINT) AS session_start,
-         COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+         COUNT(*) AS n_events, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS sum_value
   FROM g GROUP BY user_id, sid
 """
 
@@ -4378,7 +4398,8 @@ def rel_small_qty_revenue(spark, sf):
     whose quantity is below 20% of the part's average quantity. Spark
     formulates it as a broadcast of the tiny per-part aggregate; the
     oracle keeps the correlated subquery — two independent plans, one
-    answer. Sum rounded (2): order-dependent float add."""
+    answer. Revenue in exact cents (no ROUND(SUM(double)) latent red);
+    the avg threshold is exact by construction (integral quantities)."""
     l = _t(spark, sf, "lineitem")
     avg_q = l.groupBy("l_partkey").agg(
         (F.avg("l_quantity") * 0.2).alias("q_cut")
@@ -4387,13 +4408,15 @@ def rel_small_qty_revenue(spark, sf):
         F.col("l_quantity") < F.col("q_cut")
     )
     return j.agg(
-        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+         / F.lit(100.0)).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 REL_SMALL_QTY_SQL = """
-  SELECT ROUND(SUM(l_extendedprice), 2) AS revenue,
+  SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS revenue,
          CAST(COUNT(*) AS BIGINT) AS n_lines
   FROM lineitem l
   WHERE l_quantity < (
@@ -4596,17 +4619,18 @@ def rel_q7_volume(spark, sf):
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                    .cast("long")) / F.lit(10000.0)).alias("revenue"))
     )
 
 
 REL_Q7_SQL = """
   SELECT supp_nation, cust_nation, l_year,
-         ROUND(SUM(volume), 2) AS revenue
+         CAST(SUM(volume4) AS BIGINT) / CAST(10000.0 AS DOUBLE) AS revenue
   FROM (
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
-           l_extendedprice * (1 - l_discount) AS volume
+           CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS volume4
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -4814,14 +4838,16 @@ def rel_range_pruned(spark, sf):
     df = read_range(spark, path, "l_shipdate",
                     dt.datetime(1995, 1, 1), dt.datetime(1995, 6, 30))
     return df.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        (F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+               .cast("long")) / F.lit(10000.0)).alias("revenue"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
 
 REL_RANGE_PRUNED_SQL = """
   SELECT l_returnflag,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+           / CAST(10000.0 AS DOUBLE) AS revenue,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM lineitem
   WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-06-30'
@@ -4906,13 +4932,15 @@ def src_partitioned_dates(spark, sf):
     back = spark.read.parquet(out).filter(F.col("day") == day0)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # exact cents (see rel_events_hourly)
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("sum_value"),
     )
 
 
 SRC_DATEPART_SQL = """
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-         ROUND(SUM(value), 2) AS sum_value
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS sum_value
   FROM events
   WHERE CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 =
         (SELECT MIN(CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400) FROM events)
@@ -5269,7 +5297,8 @@ def rel_quantile_bins(spark, sf):
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             / F.lit(100.0)).alias("total"),
         )
     )
 
@@ -5279,7 +5308,8 @@ REL_QUANTILE_BINS_SQL = """
           + CASE WHEN o_totalprice >= 150000.0 THEN 1 ELSE 0 END
           + CASE WHEN o_totalprice >= 300000.0 THEN 1 ELSE 0 END) AS bin,
          CAST(COUNT(*) AS BIGINT) AS cnt,
-         ROUND(SUM(o_totalprice), 2) AS total
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS total
   FROM orders
   GROUP BY 1
 """
@@ -5296,13 +5326,16 @@ def rel_salted_join(spark, sf):
     c = _t(spark, sf, "customer").withColumnRenamed("c_custkey", "o_custkey")
     j = salted_join(o, c, "o_custkey", salt_col="o_orderkey", n_salt=8)
     return j.groupBy("c_mktsegment").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+         / F.lit(100.0)).alias("total"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
 
 REL_SALTED_JOIN_SQL = """
-  SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS total,
+  SELECT c_mktsegment,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS total,
          CAST(COUNT(*) AS BIGINT) AS cnt
   FROM orders JOIN customer ON o_custkey = c_custkey
   GROUP BY c_mktsegment
@@ -5334,7 +5367,8 @@ def rel_range_appended(spark, sf):
     df = read_range(spark, path, "l_shipdate",
                     dt.datetime(1995, 1, 1), dt.datetime(1995, 6, 30))
     return df.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        (F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+               .cast("long")) / F.lit(10000.0)).alias("revenue"),
         F.count(F.lit(1)).alias("cnt"),
     )
 
