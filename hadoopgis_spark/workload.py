@@ -5647,6 +5647,246 @@ TXT_BPE_WORDFREQ_SQL = f"""
 """
 
 
+def rel_q9_profit(spark, sf):
+    """TPC-H Q9 shape: product-type profit by supplier nation and order
+    year — the five-way star join with a computed per-line amount that
+    SUBTRACTS a cost term (this testdata has no partsupp, so unit cost
+    is modeled as 10% of p_retailprice; the plan shape — part-name
+    filter broadcast into the fact scan, two broadcast dims, two
+    shuffled fact joins — is Q9's). Profit in exact e4 units: vol4 and
+    cost4 are both exact BIGINTs per row (2-dp prices, integral
+    quantities), so the grouped sum is order-independent in both
+    engines. At petabyte scale the e4 sums would move to DECIMAL(38,0);
+    BIGINT holds to ~10^14 rows per group here."""
+    l = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    p = _t(spark, sf, "part").filter(F.col("p_name").contains("red"))
+    vol4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    cost4 = (F.round(F.col("p_retailprice") * 100).cast("long") * F.lit(10)
+             * F.round(F.col("l_quantity")).cast("long"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg((F.sum(vol4 - cost4) / F.lit(10000.0)).alias("sum_profit"))
+    )
+
+
+REL_Q9_SQL = """
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                  - CAST(ROUND(p_retailprice * 100) AS BIGINT) * 10
+                    * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+           / CAST(10000.0 AS DOUBLE) AS sum_profit
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+  GROUP BY 1, 2
+"""
+
+
+def rel_q11_important_parts(spark, sf):
+    """TPC-H Q11 shape: parts whose order-line revenue exceeds a fixed
+    FRACTION of the global total (no partsupp here, so line revenue
+    stands in for stock value) — the HAVING-against-global-scalar
+    shape, with Q11's scale-relative fraction: keep parts whose share
+    exceeds 1.3x the MEAN part share (rev4 * n_parts * 10 >
+    total4 * 13 — pure integer math, so no float threshold can diverge
+    cross-engine, and the selectivity survives any scale factor where a
+    fixed fraction would go vacuous). The global total and part count
+    are a bounded one-row collect (the Q22 threshold convention); the
+    per-part aggregate is one shuffle on the uniform part key; the
+    scalars cost one extra partial-agg job, never a second fact scan
+    (re-aggregated from the per-part frame)."""
+    l = _t(spark, sf, "lineitem")
+    vol4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    per = l.groupBy("l_partkey").agg(F.sum(vol4).alias("rev4")).persist()
+    row = per.agg(F.sum("rev4").alias("t"), F.count(F.lit(1)).alias("n")).collect()[0]
+    total4, n_parts = int(row.t), int(row.n)  # bounded scalars
+    return (
+        per.filter(F.col("rev4") * n_parts * 10 > F.lit(total4) * 13)
+        .select("l_partkey", (F.col("rev4") / F.lit(10000.0)).alias("value"))
+    )
+
+
+REL_Q11_SQL = """
+  WITH per AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                AS BIGINT) AS rev4
+    FROM lineitem GROUP BY 1
+  )
+  SELECT l_partkey, rev4 / CAST(10000.0 AS DOUBLE) AS value
+  FROM per
+  WHERE rev4 * (SELECT COUNT(*) FROM per) * 10
+        > (SELECT CAST(SUM(rev4) AS BIGINT) FROM per) * 13
+"""
+
+
+def rel_q12_priority_lines(spark, sf):
+    """TPC-H Q12 shape: conditional priority counts for late lines per
+    line status (this testdata has no l_shipmode/receiptdate — status
+    stands in for mode, 'late' = shipped >90 days after order date).
+    The non-equi lateness predicate rides the equi join as a residual;
+    the conditional counts are plain integer CASE sums on a 2-row
+    key space (fully partial-aggregated map-side)."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")))
+    o = _t(spark, sf, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, F.lit(1)).otherwise(F.lit(0))).alias("high_line_count"),
+            F.sum(F.when(hi, F.lit(0)).otherwise(F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+REL_Q12_SQL = """
+  SELECT l_linestatus,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+    AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  GROUP BY 1
+"""
+
+
+def rel_q13_custdist(spark, sf):
+    """TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    join with the filter INSIDE the join condition (customers with no
+    qualifying orders must survive with count 0), then a second
+    aggregate over the first. Spark expresses the on-clause filter by
+    pre-filtering the preserved-side-nullable input, which is
+    plan-equivalent for LEFT joins; counts are exact BIGINTs."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+REL_Q13_SQL = """
+  WITH per AS (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+    GROUP BY 1
+  )
+  SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+  FROM per GROUP BY 1
+"""
+
+
+def rel_q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape: the supplier(s) achieving the maximum quarterly
+    revenue — an aggregate joined back against its own MAX (the view +
+    scalar-subquery formulation in the oracle). Revenue stays an exact
+    e4 BIGINT through the max comparison, so the argmax tie-set is
+    bit-identical cross-engine; the 1-row max frame is broadcast."""
+    l = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    s = _t(spark, sf, "supplier")
+    vol4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
+    rev = l.groupBy("l_suppkey").agg(F.sum(vol4).alias("rev4"))
+    mx = rev.agg(F.max("rev4").alias("mx4"))
+    return (
+        rev.join(F.broadcast(mx), F.col("rev4") == F.col("mx4"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name",
+                (F.col("rev4") / F.lit(10000.0)).alias("total_revenue"))
+    )
+
+
+REL_Q15_SQL = """
+  WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                AS BIGINT) AS rev4
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+  )
+  SELECT s_suppkey, s_name, rev4 / CAST(10000.0 AS DOUBLE) AS total_revenue
+  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+  WHERE rev4 = (SELECT MAX(rev4) FROM rev)
+"""
+
+
+def rel_q20_dominant_supplier(spark, sf):
+    """TPC-H Q20 shape (nested aggregates feeding a supplier join): for
+    each part, the UNIQUE top shipper by total quantity (parts whose
+    max is tied contribute nothing — the uniqueness test replaces tie
+    ordering, so the leader set is deterministic without any
+    order-dependent argmax), then leaders counted per supplier. No
+    partsupp availqty in this testdata; this keeps Q20's plan — two
+    stacked aggregates over (part, supplier) sums, a correlated-max
+    comparison, then the supplier join — while staying non-vacuous at
+    every scale factor (a >50% dominance test selects nothing on
+    uniform data). All-integer math end to end."""
+    l = _t(spark, sf, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("sup_qty"))
+    mx = ps.groupBy("l_partkey").agg(F.max("sup_qty").alias("mx"))
+    leaders = (
+        ps.join(mx, "l_partkey")
+        .filter(F.col("sup_qty") == F.col("mx"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_at_max"), F.min("l_suppkey").alias("lead_supp"))
+        .filter(F.col("n_at_max") == 1)
+    )
+    s = _t(spark, sf, "supplier")
+    return (
+        leaders.groupBy("lead_supp")
+        .agg(F.count(F.lit(1)).alias("n_parts_led"))
+        .join(s, F.col("lead_supp") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "n_parts_led")
+    )
+
+
+REL_Q20_SQL = """
+  WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sup_qty
+    FROM lineitem GROUP BY 1, 2
+  ),
+  mx AS (
+    SELECT l_partkey, MAX(sup_qty) AS mx FROM ps GROUP BY 1
+  ),
+  leaders AS (
+    SELECT ps.l_partkey, MIN(ps.l_suppkey) AS lead_supp,
+           COUNT(*) AS n_at_max
+    FROM ps JOIN mx ON ps.l_partkey = mx.l_partkey AND ps.sup_qty = mx.mx
+    GROUP BY 1
+  )
+  SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS n_parts_led
+  FROM leaders JOIN supplier ON lead_supp = s_suppkey
+  WHERE n_at_max = 1
+  GROUP BY 1, 2
+"""
+
+
 # Ordering contract: the driver's CORRECTNESS gate runs a bounded prefix of
 # this registry (observed: first 50 entries). The DICT LITERAL below keeps
 # its historical (round-5) order for diff stability; the ACTUAL gate order
@@ -5834,6 +6074,13 @@ REGISTRY: dict[str, Query] = {
         # the error-vs-exact bound is pinned by TestApproxPercentiles
         "approx percentiles (t-digest sketch, the 100 TB path)",
     ),
+    # -- round 7: the remaining expressible TPC-H plan shapes --------------
+    "rel_q9_profit": Query(rel_q9_profit, REL_Q9_SQL, "TPC-H Q9 shape: profit star join with cost subtraction"),
+    "rel_q11_important_parts": Query(rel_q11_important_parts, REL_Q11_SQL, "TPC-H Q11 shape: HAVING vs global-scalar share"),
+    "rel_q12_priority_lines": Query(rel_q12_priority_lines, REL_Q12_SQL, "TPC-H Q12 shape: conditional priority counts on late lines"),
+    "rel_q13_custdist": Query(rel_q13_custdist, REL_Q13_SQL, "TPC-H Q13 shape: outer-join order-count distribution"),
+    "rel_q15_top_supplier": Query(rel_q15_top_supplier, REL_Q15_SQL, "TPC-H Q15 shape: aggregate joined back on its own MAX"),
+    "rel_q20_dominant_supplier": Query(rel_q20_dominant_supplier, REL_Q20_SQL, "TPC-H Q20 shape: nested-aggregate dominant-share semi join"),
 }
 
 # Round-7 gate prefix (the ordering contract: the driver gates
@@ -5858,36 +6105,37 @@ _R7_PREFIX = [
     "sp_adjacent_wkt", "sp_disjoint_tile", "sp_disjoint_global",
     "src_memo_stage", "txt_bpe_wordfreq",
     "rel_range_pruned", "rel_range_appended", "sp_containment_pruned",
-    # keepers: spatial core
-    "sp_join_boxes", "sp_join_self", "sp_containment_wkt",
-    "sp_dwithin_points", "sp_knn", "sp_fg_histogram",
-    # keepers: dedup surface
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_clusters", "dedup_jaccard_prefix", "dedup_keep_best",
-    # keepers: similarity surface
-    "sim_ann_topk", "sim_ann_ivf", "sim_ann_ivfpq_indexed", "sim_kmeans",
-    # keepers: text surface
-    "txt_stats", "txt_top_ngrams", "txt_sql_surface",
-    "txt_hash_embedding", "txt_char_entropy",
-    # keepers: curation surface
-    "cur_pack_sequences", "cur_split_assign", "cur_pipeline",
-    # keepers: streaming surface
-    "stream_rollup_batch", "stream_join_batch", "stream_ann_batch",
-    "stream_sessionize",
-    # keepers: relational surface
-    "rel_q1_pricing", "rel_rolling", "rel_asof_cobucketed",
-    "rel_salted_join",
+    # new round-7 TPC-H plan shapes (never driver-gated)
+    "rel_q9_profit", "rel_q11_important_parts", "rel_q12_priority_lines",
+    "rel_q13_custdist", "rel_q15_top_supplier", "rel_q20_dominant_supplier",
+    # churned this round by the exact-cents sweep (ROUND(SUM(double), 2)
+    # → exact BIGINT cent/e4 sums): driver-green with the OLD code only,
+    # so each re-earns its row under the new computation
+    "rel_q1_pricing", "rel_q3_top_orders", "rel_q5_nation_revenue",
+    "rel_q7_volume", "rel_events_hourly", "rel_small_qty_revenue",
+    "rel_quantile_bins", "rel_salted_join", "src_partitioned_dates",
+    "stream_rollup_batch", "stream_sessionize", "stream_sliding_batch",
+    "stream_session_native_batch",
+    # keepers: multi-round driver-green anchors across every surface
+    "sp_join_boxes", "sp_join_self", "sp_containment_wkt", "sp_knn",
+    "dedup_exact", "dedup_minhash_lsh",
+    "sim_ann_topk", "sim_ann_ivf", "sim_ann_ivfpq_indexed",
+    "txt_stats", "cur_pipeline",
+    "stream_ann_batch", "rel_asof_cobucketed",
 ]
 # Rotated OUT of the prefix (all driver-green r6, untouched this round):
-# cur_pack_streams/tokens, rel_asof_bucketed, sim_ann_ivfpq,
-# rel_exists_late_ship, rel_min_by_group, rel_supplier_cnt, mm_*,
-# op_discretize, sp_temporal_parse, sp_multi_interval_join, sim_semdedup,
-# cur_shuffle_shards, rel_small_qty_revenue, rel_top_waiting_suppliers,
-# sim_ann_ivf_indexed/appended, sim_ann_lsh*, rel_quantile_bins,
-# src_partitioned_dates, rel_profile, txt_vocab_coverage, rel_cooccur,
-# dedup_edit_pairs, rel_q7_volume, rel_lag_lead, stream_temporal_tag_batch,
-# cur_take_n, txt_unigram_logprob, sim_ann_sq. Rotated IN: every query
-# that is new in round 7, code-churned this round, or never driver-gated.
+# cur_pack_streams/tokens/sequences, cur_split_assign, rel_asof_bucketed,
+# sim_ann_ivfpq, rel_exists_late_ship, rel_min_by_group, rel_supplier_cnt,
+# mm_*, op_discretize, sp_temporal_parse, sp_multi_interval_join,
+# sim_semdedup, sim_kmeans, cur_shuffle_shards, rel_top_waiting_suppliers,
+# sim_ann_ivf_indexed/appended, sim_ann_lsh*, rel_profile, rel_rolling,
+# txt_vocab_coverage, txt_top_ngrams, txt_sql_surface, txt_hash_embedding,
+# txt_char_entropy, rel_cooccur, dedup_edit_pairs, dedup_simhash,
+# dedup_clusters, dedup_jaccard_prefix, dedup_keep_best, rel_lag_lead,
+# stream_temporal_tag_batch, stream_join_batch, cur_take_n,
+# txt_unigram_logprob, sim_ann_sq, sp_dwithin_points, sp_fg_histogram.
+# Rotated IN: every query that is new in round 7, code-churned this
+# round, or never driver-gated.
 assert len(_R7_PREFIX) == 50 and len(set(_R7_PREFIX)) == 50
 REGISTRY = {
     **{n: REGISTRY[n] for n in _R7_PREFIX},
