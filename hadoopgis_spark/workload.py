@@ -5808,7 +5808,9 @@ def rel_q15_top_supplier(spark, sf):
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
     s = _t(spark, sf, "supplier")
     vol4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000).cast("long")
-    rev = l.groupBy("l_suppkey").agg(F.sum(vol4).alias("rev4"))
+    # persist the supplier-sized aggregate: both the argmax probe and the
+    # MAX scalar read the cache, so the fact table is scanned ONCE
+    rev = l.groupBy("l_suppkey").agg(F.sum(vol4).alias("rev4")).persist()
     mx = rev.agg(F.max("rev4").alias("mx4"))
     return (
         rev.join(F.broadcast(mx), F.col("rev4") == F.col("mx4"))
@@ -5847,7 +5849,9 @@ def rel_q20_dominant_supplier(spark, sf):
     uniform data). All-integer math end to end."""
     l = _t(spark, sf, "lineitem")
     qty = F.round(F.col("l_quantity")).cast("long")
-    ps = l.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("sup_qty"))
+    # persist the (part, supplier)-sized aggregate: the max branch and
+    # the probe branch both read the cache — ONE fact scan, not two
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("sup_qty")).persist()
     mx = ps.groupBy("l_partkey").agg(F.max("sup_qty").alias("mx"))
     leaders = (
         ps.join(mx, "l_partkey")

@@ -550,3 +550,46 @@ class TestRound7Plans:
         plan = formatted_plan(j)
         assert count_exchanges(j) == 2, plan[:2000]
         assert "CartesianProduct" not in plan
+
+
+class TestTpchShapePlans:
+    """Round-7 TPC-H shapes: the fact table is scanned once per query
+    (self-referencing aggregate branches read a bounded cache, never a
+    second scan), dimensions broadcast, outer-join semantics survive
+    the optimizer."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _plan(self, q):
+        return q._jdf.queryExecution().executedPlan().toString()
+
+    def test_q9_single_fact_scan_broadcast_dims(self, spark):
+        from hadoopgis_spark.workload import rel_q9_profit
+        q = rel_q9_profit(spark, self.SF)
+        plan = self._plan(q)
+        assert plan.count("lineitem.parquet") == 1, plan[:3000]
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q20_nested_aggs_share_one_materialization(self, spark):
+        from hadoopgis_spark.workload import rel_q20_dominant_supplier
+        q = rel_q20_dominant_supplier(spark, self.SF)
+        plan = self._plan(q)
+        # the (part, supplier) aggregate is cached: both the max branch
+        # and the probe branch read InMemoryTableScan — one fact scan
+        assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
+        assert "CartesianProduct" not in plan
+
+    def test_q15_argmax_probe_reads_cache(self, spark):
+        from hadoopgis_spark.workload import rel_q15_top_supplier
+        q = rel_q15_top_supplier(spark, self.SF)
+        plan = self._plan(q)
+        assert plan.count("InMemoryTableScan") >= 2, plan[:3000]
+        assert "CartesianProduct" not in plan
+
+    def test_q13_outer_join_survives_optimizer(self, spark):
+        from hadoopgis_spark.workload import rel_q13_custdist
+        q = rel_q13_custdist(spark, self.SF)
+        plan = self._plan(q)
+        # COUNT(o_orderkey) must not let Catalyst rewrite LEFT to INNER
+        assert "LeftOuter" in plan, plan[:3000]
