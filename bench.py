@@ -16,179 +16,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_QUERIES = [
-    "rel_q1_pricing",
-    "rel_q3_top_orders",
-    "rel_q5_nation_revenue",
-    "rel_events_hourly",
-    "rel_window_rank",
-    "sp_mbb_extent",
-    "sp_fg_histogram",
-    "sp_join_boxes",
-    "sp_join_self",
-    "sp_dwithin_points",
-    "sp_knn",
-    "sp_containment",
-    "sp_box_measures",
-    "txt_stats",
-    "txt_fingerprint",
-    "txt_lang_guess",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_jaccard_pairs",
-    "dedup_simhash",
-    "sim_ann_topk",
-    "sim_embed_dup",
-    "txt_quality_filter",
-    "agg_partition_stats",
-    "stream_rollup_batch",
-    "rel_semi_join",
-    "rel_anti_join",
-    "rel_rollup",
-    "sp_interval_join",
-    "sp_join_fields",
-    "sp_containment_wkt",
-    "sp_join_boxes_hc",
-    "sp_join_boxes_2level",
-    "sp_join_broadcast",
-    "sp_join_3d",
-    "stream_sessionize",
-    "dedup_clusters",
-    "txt_tfidf_topterms",
-    "rel_pivot",
-    "rel_percentiles",
-    # round 3: boundary predicates, partitioner zoo, kNN modes, ANN scale
-    # path, loader roundtrip, transform gates
-    "sp_touches_wkt",
-    "sp_within_wkt",
-    "sp_overlaps_wkt",
-    "sp_equals_wkt",
-    "sp_crosses_wkt",
-    "sp_join_boxes_str",
-    "sp_join_boxes_slc",
-    "sp_join_boxes_bos",
-    "sp_knn_tile",
-    "sp_knn_capped",
-    "sim_ann_lsh",
-    "sp_loaded_containment",
-    "op_uniqpart",
-    "op_discretize",
-    # round 3b: multimodal plumbing, malformed skip, containfile, SQL
-    # surface, IVF ANN, BPE token budget
-    "mm_decode_meta",
-    "mm_frame_sample",
-    "sp_malformed_filter",
-    "sp_containment_file",
-    "sp_sql_surface",
-    "sim_ann_ivf",
-    "txt_token_bpe",
-    "stream_dedup_batch",
-    # round 4: co-bucketed storage join (zero-shuffle repeated joins) +
-    # streaming spatial filter parity
-    "sp_join_bucketed",
-    "stream_containment_batch",
-    "stream_zone_tag_batch",
-    "txt_line_dedup",
-    "txt_repetition",
-    "mm_resize",
-    "mm_features",
-    "txt_winnow",
-    "src_jsonl_roundtrip",
-    "sp_geojson_parse",
-    "rel_percentiles_approx",
-    # round 5: padded bucketed distance join (zero-shuffle dwithin) +
-    # composite geometry kinds through the exact kernel
-    "sp_join_bucketed_dwithin",
-    "sp_mixed_types",
-    "dedup_jaccard_prefix",
-    # round 5b: deterministic curation ops (split/sample/pack/decontam)
-    "cur_split_assign",
-    "cur_stratified_sample",
-    "cur_pack_sequences",
-    "cur_contamination",
-    "stream_near_dedup_batch",
-    "txt_dup_passages",
-    "sim_ann_ivf_indexed",
-    "dedup_incremental",
-    "cur_quality_cut",
-    "stream_contamination_batch",
-    "cur_pipeline",
-    "sim_ann_lsh_multiprobe",
-    # round 5c: temporal analytics, k-means surface, PII, DSIR weighting
-    "rel_asof_join",
-    "rel_funnel",
-    "sim_kmeans",
-    "txt_pii_scrub",
-    "cur_dsir_weights",
-    "stream_sliding_batch",
-    "cur_chunk_docs",
-    "cur_mixture_alloc",
-    "stream_asof_batch",
-    "stream_session_native_batch",
-    "rel_asof_bucketed",
-    "sim_ann_pq",
-    "sim_ann_ivfpq",
-    "txt_dup_spans",
-    "rel_exists_late_ship",
-    "rel_min_by_group",
-    "rel_supplier_cnt",
-    # round 6: multi-interval temporal objects, SemDeDup, deterministic
-    # training shuffle, Q17/Q21 relational shapes, cur_pack micro-gates
-    "sp_temporal_parse",
-    "sp_multi_interval_join",
-    "sim_semdedup",
-    "cur_shuffle_shards",
-    "rel_small_qty_revenue",
-    "rel_top_waiting_suppliers",
-    "cur_pack_streams",
-    "cur_pack_tokens",
-    "stream_join_batch",
-    "sim_ann_ivfpq_indexed",
-    "sim_ann_sq",
-    "rel_lag_lead",
-    "rel_distinct_approx",
-    "dedup_edit_pairs",
-    "txt_hash_embedding",
-    "dedup_keep_best",
-    "cur_take_n",
-    "stream_temporal_tag_batch",
-    "sim_ann_ivf_appended",
-    "rel_asof_cobucketed",
-    # round 6b: vocabulary heavy hitters + coverage QA, zonemap skipping
-    "txt_top_ngrams",
-    "txt_vocab_coverage",
-    "rel_range_pruned",
-    "sp_containment_pruned",
-    "rel_q7_volume",
-    "rel_q10_returns",
-    "rel_q14_promo",
-    "rel_q18_big_orders",
-    "rel_q19_disjunct",
-    "rel_cube",
-    "stream_ann_batch",
-    "rel_range_appended",
-    "rel_profile",
-    "rel_salted_join",
-    "rel_quantile_bins",
-    "src_orc_roundtrip",
-    "src_partitioned_dates",
-    "rel_corr",
-    "txt_sql_surface",
-    "rel_rolling",
-    "txt_char_entropy",
-    "txt_unigram_logprob",
-    "rel_cooccur",
-    "rel_q6_forecast",
-    "rel_q8_share",
-    "rel_q22_idle_cust",
-    # round 7: adjacency/disjoint predicates end-to-end, S8 stage-skip
-    # proof, BPE corpus pass
-    "sp_adjacent_wkt",
-    "sp_disjoint_tile",
-    "sp_disjoint_global",
-    "src_memo_stage",
-    "txt_bpe_wordfreq",
-]
+def bench_queries():
+    """The bench list IS the registry — generated, not hand-maintained,
+    so it can never drift from REGISTRY again (round-7 verdict found 10
+    driver-green queries that were never benched). Ordering follows the
+    registry (gated prefix first), which keeps per-round BENCH_DETAIL
+    diffs stable."""
+    from hadoopgis_spark.workload import REGISTRY
+    return list(REGISTRY)
 
 
 def main():
@@ -201,7 +36,7 @@ def main():
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries():
         q = REGISTRY[name]
         t0 = time.time()
         try:
@@ -217,8 +52,12 @@ def main():
         key=lambda kv: -kv[1])[:10])
     # The stdout line must stay SMALL: the driver's capture window
     # truncated the full 151-entry map in rounds 5-6 ("parsed": null in
-    # BENCH_r05/r06.json). Headline + 10 slowest only; the complete
-    # per-query map goes to BENCH_DETAIL.json next to this script.
+    # BENCH_r05/r06.json). The driver contract requires a "queries"
+    # key, so it stays — but it holds ONLY the 10 slowest entries, and
+    # that truncation is now explicit ("queries_truncated" flag +
+    # "detail" pointer) so a consumer summing "queries" as the full
+    # per-query map fails loudly instead of silently undercounting.
+    # The complete map goes to BENCH_DETAIL.json next to this script.
     out = {
         "metric": "workload_total_wall",
         "value": round(sum(v for v in timings.values() if v > 0), 3),
@@ -227,8 +66,10 @@ def main():
         "n_queries": len(timings),
         "n_failed": len(failed),
         "queries": slowest,
+        "queries_truncated": True,
+        "detail": "BENCH_DETAIL.json",
     }
-    detail = dict(out, queries=timings, failed=failed)
+    detail = dict(out, queries=timings, queries_truncated=False, failed=failed)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)

@@ -36,6 +36,7 @@ pyarrow filesystem — local here, S3/HDFS on a cluster.
 
 from __future__ import annotations
 
+import contextlib as _ctx
 import datetime as _dt
 import os
 from typing import Iterable, Sequence
@@ -58,6 +59,29 @@ __all__ = [
 
 _MANIFEST_DIR = "_hgs_manifest"
 _FORMAT = 1
+
+
+@_ctx.contextmanager
+def _stats_friendly_writer(spark: SparkSession):
+    """Force TIMESTAMP_MICROS for parquet writes inside the block.
+
+    Spark's DEFAULT parquet timestamp encoding is legacy INT96 (Hive
+    compat), and INT96 columns carry NO min/max statistics — a
+    timestamp-clustered layout written under the default silently never
+    prunes (every file gets ``valid=False`` and is conservatively
+    kept; results stay correct but the module's whole point is lost).
+    Found when the round-8 fine-granularity tz test asserted the kept
+    file set instead of just row parity."""
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def _encode(v) -> tuple[str, str]:
@@ -128,14 +152,16 @@ def _session_tz(spark: SparkSession):
     return None
 
 
-def _bound_to_utc(v: _dt.datetime, tz) -> _dt.datetime:
+def _bound_to_utc(v: _dt.datetime) -> _dt.datetime:
     """User bound → naive UTC, the domain of UTC-adjusted footer stats.
-    A naive bound is interpreted in the SESSION timezone — exactly how
-    Spark's residual ``F.lit(bound)`` filter will interpret it — so
-    pruning and residual agree under any session tz (a naive-as-UTC
-    assumption over-pruned in non-UTC sessions)."""
+    A naive bound is interpreted HOST-locally — exactly how Spark's
+    residual ``F.lit(bound)`` converts it (``TimestampType.toInternal``
+    uses ``time.mktime``; verified empirically that the SESSION timezone
+    does NOT affect a naive datetime literal) — so pruning and residual
+    agree on one instant. ``read_range`` additionally normalizes naive
+    bounds to aware ones up front, making this path unambiguous."""
     if v.tzinfo is None:
-        v = v.replace(tzinfo=tz) if tz is not None else v.astimezone()
+        v = v.astimezone()
     return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
 
 
@@ -275,9 +301,10 @@ def save_range_sorted(
     slice of the domain, which is what makes min/max pruning sharp.
     """
     cols = [order_col, *stat_cols]
-    (df.repartitionByRange(n_files, F.col(order_col))
-       .sortWithinPartitions(order_col)
-       .write.mode("overwrite").parquet(path))
+    with _stats_friendly_writer(df.sparkSession):
+        (df.repartitionByRange(n_files, F.col(order_col))
+           .sortWithinPartitions(order_col)
+           .write.mode("overwrite").parquet(path))
     _write_manifest(df.sparkSession, path, cols)
 
 
@@ -306,9 +333,10 @@ def append_range_sorted(
         raise ValueError(
             f"manifest under {path!r} covers {cols}, not {order_col!r}")
     before = _data_files(path)
-    (df.repartitionByRange(n_files, F.col(order_col))
-       .sortWithinPartitions(order_col)
-       .write.mode("append").parquet(path))
+    with _stats_friendly_writer(spark):
+        (df.repartitionByRange(n_files, F.col(order_col))
+           .sortWithinPartitions(order_col)
+           .write.mode("append").parquet(path))
     _update_manifest(spark, path, cols, _data_files(path) - before)
 
 
@@ -361,11 +389,12 @@ def _write_spatial(df, path, extent, bits, n_files, mode):
         (F.col("ymin") + F.col("ymax")) / 2.0,
         extent, bits=bits,
     ).alias("__h")
-    (df.select("*", h)
-       .repartitionByRange(n_files, F.col("__h"))
-       .sortWithinPartitions("__h")
-       .drop("__h")
-       .write.mode(mode).parquet(path))
+    with _stats_friendly_writer(df.sparkSession):
+        (df.select("*", h)
+           .repartitionByRange(n_files, F.col("__h"))
+           .sortWithinPartitions("__h")
+           .drop("__h")
+           .write.mode(mode).parquet(path))
 
 
 def prune_files(
@@ -410,11 +439,13 @@ def prune_files(
             vmax = _decode(st.vtype, st.vmax)
             if isinstance(vmin, _dt.datetime):
                 # aware stats = UTC-adjusted column; naive = NTZ. Convert
-                # the USER bound into the matching domain (via the session
-                # tz, mirroring the residual filter's interpretation).
+                # the USER bound into the matching domain, mirroring the
+                # residual filter's interpretation (host-local for naive
+                # bounds vs UTC-adjusted stats; session tz only when
+                # rendering an aware bound against NTZ wall-clock stats).
                 if vmin.tzinfo is not None:
                     vmin, vmax = _naive_utc(vmin), _naive_utc(vmax)
-                    conv = lambda b: _bound_to_utc(b, tz) if isinstance(b, _dt.datetime) else b  # noqa: E731
+                    conv = lambda b: _bound_to_utc(b) if isinstance(b, _dt.datetime) else b  # noqa: E731
                 else:
                     conv = lambda b: _bound_to_naive(b, tz) if isinstance(b, _dt.datetime) else b  # noqa: E731
             else:
@@ -434,6 +465,44 @@ def prune_files(
     return sorted(kept), total_files
 
 
+def _normalize_bound(spark, coltype, v):
+    """(prune value, residual literal Column) for one user bound, chosen
+    so pruning and the residual filter share ONE interpretation of the
+    bound. Ambiguity exists only for timestamp columns:
+
+    * TIMESTAMP (UTC-adjusted): a naive bound is converted to an aware
+      one HOST-locally (``v.astimezone()``), matching how
+      ``TimestampType.toInternal`` converts a naive ``F.lit`` (the
+      session tz does NOT affect naive literals — verified). A pure
+      ``date`` bound is promoted to SESSION-tz midnight, matching
+      Spark's ``DATE → TIMESTAMP`` cast in the residual comparison.
+      Aware values are already unambiguous on both sides.
+    * TIMESTAMP_NTZ: comparisons are pure wall-clock; the literal is
+      built from an ISO string cast to ``timestamp_ntz`` so no tz is
+      consulted anywhere. An aware bound is rendered in the session tz
+      (Spark's own NTZ↔LTZ coercion rule).
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if isinstance(coltype, TimestampType):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.astimezone()
+        elif isinstance(v, _dt.date):
+            tz = _session_tz(spark)
+            mid = _dt.datetime(v.year, v.month, v.day)
+            v = mid.replace(tzinfo=tz) if tz is not None else mid.astimezone()
+        return v, F.lit(v)
+    if isinstance(coltype, TimestampNTZType):
+        if isinstance(v, _dt.datetime):
+            v = _bound_to_naive(v, _session_tz(spark))
+            return v, F.lit(v.isoformat(sep=" ")).cast("timestamp_ntz")
+        if isinstance(v, _dt.date):
+            v = _dt.datetime(v.year, v.month, v.day)
+            return v, F.lit(v.isoformat(sep=" ")).cast("timestamp_ntz")
+    return v, F.lit(v)
+
+
 def read_range(
     spark: SparkSession,
     path: str,
@@ -444,15 +513,26 @@ def read_range(
     """Rows with ``lo <= order_col <= hi`` (inclusive; either bound
     optional), scanning only manifest-intersecting files. The residual
     filter is re-applied, so the result is exact however coarse the
-    file ranges are."""
+    file ranges are. Datetime/date bounds are normalized ONCE (see
+    :func:`_normalize_bound`) and the SAME value drives both pruning
+    and the residual — under any session/host timezone combination the
+    two sides agree on the instant, so pruning can never drop a file
+    whose rows the residual would keep."""
+    lit_lo = lit_hi = None
+    if isinstance(lo, _dt.date) or isinstance(hi, _dt.date):
+        coltype = spark.read.parquet(path).schema[order_col].dataType
+        if lo is not None:
+            lo, lit_lo = _normalize_bound(spark, coltype, lo)
+        if hi is not None:
+            hi, lit_hi = _normalize_bound(spark, coltype, hi)
     kept, _ = prune_files(spark, path, {order_col: (lo, hi)})
     if not kept:
         return spark.read.parquet(path).filter(F.lit(False))
     df = spark.read.parquet(*kept)
     if lo is not None:
-        df = df.filter(F.col(order_col) >= F.lit(lo))
+        df = df.filter(F.col(order_col) >= (F.lit(lo) if lit_lo is None else lit_lo))
     if hi is not None:
-        df = df.filter(F.col(order_col) <= F.lit(hi))
+        df = df.filter(F.col(order_col) <= (F.lit(hi) if lit_hi is None else lit_hi))
     return df
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from hadoopgis_spark.sources.skipping import (
     _load_manifest,
+    _stats_friendly_writer,
     _update_manifest,
     _write_manifest,
 )
@@ -59,9 +60,10 @@ def ingest_batch_sorted(df: DataFrame, batch_id: int, path: str,
             raise ValueError(
                 f"manifest under {path!r} covers {cols}, not {order_col!r}")
     staging = f"{path}__stage_{batch_id}"
-    (df.repartitionByRange(n_files, F.col(order_col))
-       .sortWithinPartitions(order_col)
-       .write.mode("overwrite").parquet(staging))
+    with _stats_friendly_writer(spark):
+        (df.repartitionByRange(n_files, F.col(order_col))
+           .sortWithinPartitions(order_col)
+           .write.mode("overwrite").parquet(staging))
     os.makedirs(path, exist_ok=True)
     prefix = f"b{batch_id}-"
     for name in os.listdir(path):

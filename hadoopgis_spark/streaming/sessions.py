@@ -62,6 +62,15 @@ def sessionize_stream(
     Emits a row for every session **closed** in a micro-batch (a new
     event arriving after the gap closes the previous session); the
     still-open session stays in state and is flushed on state timeout.
+
+    .. warning:: **State-schema change (round 7).** The state struct's
+       value accumulator changed from ``sum_value double`` to
+       ``sum_cents long`` (exact fixed-point cents). Spark's state
+       store pins the state schema at checkpoint creation, so a
+       streaming query resuming from a checkpoint written by the
+       pre-round-7 operator will fail schema validation (or, on
+       engines that skip it, misread state). Restart such queries with
+       a FRESH checkpoint directory; there is no in-place migration.
     """
 
     def update(

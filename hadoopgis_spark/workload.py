@@ -6145,3 +6145,5 @@ REGISTRY = {
     **{n: REGISTRY[n] for n in _R7_PREFIX},
     **{n: q for n, q in REGISTRY.items() if n not in set(_R7_PREFIX)},
 }
+# Stable alias for tests/tools: the driver gates REGISTRY[:len(GATED_PREFIX)].
+GATED_PREFIX = _R7_PREFIX

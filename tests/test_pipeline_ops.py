@@ -2264,12 +2264,18 @@ class TestFileSkipping:
         assert any("orphan" in p for p in kept2)
 
     def test_timestamp_prune_respects_session_tz(self, spark, tmp_path):
-        # Naive user bounds are interpreted in the SESSION timezone by
-        # the residual filter; pruning must use the same interpretation
-        # against the UTC-adjusted footer stats or boundary files (and
-        # their rows) silently vanish under a non-UTC session.
+        # Naive user bounds are interpreted HOST-locally by the residual
+        # filter (F.lit via TimestampType.toInternal's mktime — the
+        # SESSION tz does NOT apply to naive literals); pruning must use
+        # the same interpretation against the UTC-adjusted footer stats
+        # or boundary files (and their rows) silently vanish whenever
+        # session tz != host tz. Files span 2h — finer than the 5h
+        # NY/UTC offset — so a bound shifted by the zone offset would
+        # visibly prune needed files (the old 24h-granularity test could
+        # not detect this).
         import datetime as dt
-        from hadoopgis_spark.sources.skipping import read_range, save_range_sorted
+        from hadoopgis_spark.sources.skipping import (
+            prune_files, read_range, save_range_sorted)
         old = spark.conf.get("spark.sql.session.timeZone")
         try:
             spark.conf.set("spark.sql.session.timeZone", "America/New_York")
@@ -2277,11 +2283,82 @@ class TestFileSkipping:
                     for i in range(96)]
             df = spark.createDataFrame(rows, "id long, ts timestamp")
             path = str(tmp_path / "ts")
-            save_range_sorted(df, path, "ts", n_files=4)
+            save_range_sorted(df, path, "ts", n_files=48)  # ~2h per file
             lo, hi = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3)
-            expect = df.filter((F.col("ts") >= lo) & (F.col("ts") <= hi)).count()
-            assert expect == 25
-            assert read_range(spark, path, "ts", lo, hi).count() == expect
+            expect = df.filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+            n_expect = expect.count()
+            assert n_expect == 25
+            got = read_range(spark, path, "ts", lo, hi)
+            assert got.count() == n_expect
+            assert sorted(r.id for r in got.collect()) == sorted(
+                r.id for r in expect.collect())
+            # kept-file set check, independent of the residual: every
+            # hour the residual keeps must come from a kept file. The
+            # rows were created via the same host-local toInternal path
+            # as F.lit, so the instant set is self-consistent.
+            kept, total = prune_files(spark, path, {"ts": (lo, hi)})
+            assert total >= 24  # ~2h per file (empty range partitions may skip)
+            ids_in_kept = sorted(
+                r.id for r in spark.read.parquet(*kept).collect())
+            need = sorted(r.id for r in expect.collect())
+            assert set(need) <= set(ids_in_kept)
+            # and pruning still prunes: a 25h window over 96h keeps
+            # roughly a quarter of the fine-grained files, not all
+            assert len(kept) < total * 0.6
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+
+    def test_timestamp_prune_session_host_mismatch_no_row_loss(
+            self, spark, tmp_path):
+        """Regression for the round-7 advisor finding: with session tz
+        != host tz, prune_files must not drop files whose rows the
+        residual F.lit filter keeps. Also pins the date-bound path
+        (DATE → TIMESTAMP residual cast uses the SESSION tz, unlike
+        naive datetime literals)."""
+        import datetime as dt
+        from hadoopgis_spark.sources.skipping import read_range, save_range_sorted
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+            rows = [(i, dt.datetime(2024, 6, 1) + dt.timedelta(hours=i))
+                    for i in range(96)]
+            df = spark.createDataFrame(rows, "id long, ts timestamp")
+            path = str(tmp_path / "ts2")
+            save_range_sorted(df, path, "ts", n_files=48)
+            # naive datetime bounds: host-local on both sides
+            lo, hi = dt.datetime(2024, 6, 2), dt.datetime(2024, 6, 3, 12)
+            expect = df.filter((F.col("ts") >= lo) & (F.col("ts") <= hi))
+            got = read_range(spark, path, "ts", lo, hi)
+            assert sorted(r.id for r in got.collect()) == sorted(
+                r.id for r in expect.collect())
+            # pure-date bounds: session-tz midnight on both sides
+            dlo, dhi = dt.date(2024, 6, 2), dt.date(2024, 6, 3)
+            dexpect = df.filter((F.col("ts") >= F.lit(dlo))
+                                & (F.col("ts") <= F.lit(dhi)))
+            dgot = read_range(spark, path, "ts", dlo, dhi)
+            assert sorted(r.id for r in dgot.collect()) == sorted(
+                r.id for r in dexpect.collect())
+            assert dgot.count() > 0
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old)
+
+    def test_timestamp_ntz_prune_wallclock(self, spark, tmp_path):
+        """NTZ columns: pruning and residual are both pure wall-clock —
+        no tz consulted — under a non-UTC session."""
+        import datetime as dt
+        from hadoopgis_spark.sources.skipping import read_range, save_range_sorted
+        old = spark.conf.get("spark.sql.session.timeZone")
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+            rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=i))
+                    for i in range(96)]
+            df = spark.createDataFrame(rows, "id long, ts timestamp_ntz")
+            path = str(tmp_path / "ntz")
+            save_range_sorted(df, path, "ts", n_files=48)
+            lo, hi = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3)
+            got = sorted(r.id for r in
+                         read_range(spark, path, "ts", lo, hi).collect())
+            assert got == list(range(24, 49))  # exact wall-clock window
         finally:
             spark.conf.set("spark.sql.session.timeZone", old)
 
