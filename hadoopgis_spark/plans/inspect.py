@@ -88,10 +88,26 @@ def lint_plan(df: DataFrame, big_tables: list[str] | None = None) -> list[str]:
     warnings: list[str] = []
     if "CartesianProduct" in plan:
         warnings.append("CartesianProduct: all-pairs join, no equi-keys planned")
-    if "NestedLoopJoin" in plan and "Join condition: None" in plan:
-        warnings.append(
-            "conditionless nested-loop join: |stream| x |build| row blowup"
+    # per-NODE check: the condition must be missing on the NLJ node
+    # itself. A whole-plan substring test false-positived whenever a
+    # conditioned tile-assignment BNLJ coexisted with an ordinary
+    # equi-join whose (legitimate) residual line reads
+    # 'Join condition: None' (found by sp_disjoint_global_scaled).
+    for node in re.split(r"\n(?=\(\d+\) )", plan):
+        head = node.split("\n", 1)[0]
+        if "NestedLoopJoin" not in head:
+            continue
+        conditionless = (
+            "Join condition: None" in node
+            # formatted BNLJ nodes may carry the condition inline in
+            # 'Arguments: BuildSide, JoinType[, condition]'
+            or re.search(r"Arguments: Build(Left|Right), \w+\s*$", node, re.M)
         )
+        if conditionless:
+            warnings.append(
+                "conditionless nested-loop join: |stream| x |build| row blowup"
+            )
+            break
     if re.search(r"SinglePartition", plan) and (
         big_tables is None or any(t in plan for t in big_tables)
     ):

@@ -5647,6 +5647,114 @@ TXT_BPE_WORDFREQ_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Round-8 gates: the SCALE formulation of true-global st_disjoint
+# (count-complement of the tile intersects-join — no all-pairs stage
+# anywhere in the plan) and the T5 rect-union partition-quality metric
+# faced against an oracle for the first time.
+# ---------------------------------------------------------------------------
+
+def sp_disjoint_global_scaled(spark, sf):
+    """TRUE-global per-geometry st_disjoint counts at scale: the
+    complement identity ``n_disjoint(a) = |B| − n_intersecting(a)``
+    turns global disjoint (inherently all-pairs as a PAIR SET,
+    reference spjoin_2d.hpp:159-161 caveat) into the ordinary
+    partitioned st_intersects tile join plus one broadcast left join —
+    NO BroadcastNestedLoopJoin / cartesian stage exists in the plan,
+    unlike the deliberately |A|-capped ``sp_disjoint_global`` gate
+    whose broadcast all-pairs shape this replaces for 100 TB use.
+    Uncapped A side (every triangle, including ones intersecting
+    nothing — the left join keeps them at n_disjoint = |B|). |B| is a
+    1-row dimension count, the whitelisted bounded-scalar tier."""
+    a = tri_polys(spark, sf)
+    b = grid_points(spark, sf)
+    n_b = b.count()  # bounded scalar: dimension-table row count
+    j = spatial_join(a, b, "st_intersects", bucket_size=500)
+    hits = j.groupBy("id_1").agg(F.count(F.lit(1)).alias("n_int"))
+    return (
+        a.select(F.col("id").alias("id_1"))
+        .join(hits, "id_1", "left")
+        .select(
+            "id_1",
+            (F.lit(n_b) - F.coalesce(F.col("n_int"), F.lit(0)))
+            .cast("long").alias("n_disjoint"),
+        )
+    )
+
+
+SP_DISJOINT_GLOBAL_SCALED_SQL = f"""
+  WITH t AS ({TRI_SQL}), q AS ({PTS_SQL}),
+  nb AS (SELECT COUNT(*) AS n FROM q),
+  hit AS (
+    SELECT t.id, COUNT(*) AS n_int
+    FROM t JOIN q
+      ON q.px >= t.x0 AND q.px <= t.x1 AND q.py >= t.y0 AND q.py <= t.y1
+     AND (q.px - t.x0) * (t.y1 - t.y0) + (q.py - t.y0) * (t.x1 - t.x0)
+         < (t.x1 - t.x0) * (t.y1 - t.y0)
+    GROUP BY t.id
+  )
+  SELECT t.id AS id_1,
+         CAST(nb.n - COALESCE(hit.n_int, 0) AS BIGINT) AS n_disjoint
+  FROM t CROSS JOIN nb LEFT JOIN hit ON hit.id = t.id
+"""
+
+
+def op_rect_union(spark, sf):
+    """T5 rect-union area (reference utilities/tile_rectangle.h:23-158)
+    faced against an oracle: exact union area of an overlapping
+    integer-coordinate rectangle set derived from ``part``. The
+    operator is deliberately driver-side
+    (``operators.transforms.rect_union_area`` — a partition-quality
+    metric computed over the O(n/bucket) TILE table, the same
+    bounded-collect tier as centroid fitting); this gate pins its
+    coordinate-compression sweep semantics against a DuckDB sweep
+    oracle. Integer coordinates keep every cell area an exact BIGINT
+    in both engines (no float summation order anywhere)."""
+    import numpy as np
+
+    from hadoopgis_spark.operators.transforms import rect_union_area
+
+    r = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_partkey") <= 1200)
+        .select(
+            ((F.col("p_partkey") % 30) * 6).alias("x0"),
+            (F.expr("(p_partkey DIV 30) % 25") * 6).alias("y0"),
+            ((F.col("p_partkey") % 30) * 6 + 4 + F.col("p_partkey") % 7).alias("x1"),
+            (F.expr("(p_partkey DIV 30) % 25") * 6 + 3 + F.col("p_partkey") % 9).alias("y1"),
+        )
+    )
+    rows = r.collect()  # bounded: tile-table-sized by construction
+    tiles = np.array([[t.x0, t.y0, t.x1, t.y1] for t in rows], dtype=np.float64)
+    area = int(round(rect_union_area(tiles)))
+    return spark.createDataFrame([(area,)], "union_area bigint")
+
+
+OP_RECT_UNION_SQL = """
+  WITH r AS (
+    SELECT CAST((p_partkey % 30) * 6 AS BIGINT) AS x0,
+           CAST(((p_partkey // 30) % 25) * 6 AS BIGINT) AS y0,
+           CAST((p_partkey % 30) * 6 + 4 + p_partkey % 7 AS BIGINT) AS x1,
+           CAST(((p_partkey // 30) % 25) * 6 + 3 + p_partkey % 9 AS BIGINT) AS y1
+    FROM part WHERE p_partkey <= 1200
+  ),
+  xs AS (SELECT DISTINCT x FROM (SELECT x0 AS x FROM r UNION ALL SELECT x1 FROM r)),
+  ys AS (SELECT DISTINCT y FROM (SELECT y0 AS y FROM r UNION ALL SELECT y1 FROM r)),
+  xi AS (SELECT x AS cx0, LEAD(x) OVER (ORDER BY x) AS cx1 FROM xs),
+  yi AS (SELECT y AS cy0, LEAD(y) OVER (ORDER BY y) AS cy1 FROM ys),
+  cell AS (
+    SELECT cx0, cx1, cy0, cy1 FROM xi, yi
+    WHERE cx1 IS NOT NULL AND cy1 IS NOT NULL
+  ),
+  cov AS (
+    SELECT DISTINCT c.cx0, c.cx1, c.cy0, c.cy1
+    FROM cell c JOIN r
+      ON c.cx0 >= r.x0 AND c.cx1 <= r.x1 AND c.cy0 >= r.y0 AND c.cy1 <= r.y1
+  )
+  SELECT CAST(SUM((cx1 - cx0) * (cy1 - cy0)) AS BIGINT) AS union_area FROM cov
+"""
+
+
 def rel_q9_profit(spark, sf):
     """TPC-H Q9 shape: product-type profit by supplier nation and order
     year — the five-way star join with a computed per-line amount that
@@ -6066,6 +6174,9 @@ REGISTRY: dict[str, Query] = {
     "sp_disjoint_global": Query(sp_disjoint_global, SP_DISJOINT_GLOBAL_SQL, "st_disjoint, true-global broadcast semantics"),
     "src_memo_stage": Query(src_memo_stage, SRC_MEMO_SQL, "S8 stage memoization: overwrite=False skip proven by mtime"),
     "txt_bpe_wordfreq": Query(txt_bpe_wordfreq, TXT_BPE_WORDFREQ_SQL, "BPE corpus pass: capped word-frequency table"),
+    # round 8
+    "sp_disjoint_global_scaled": Query(sp_disjoint_global_scaled, SP_DISJOINT_GLOBAL_SCALED_SQL, "global disjoint counts via tile-join complement (no all-pairs stage)"),
+    "op_rect_union": Query(op_rect_union, OP_RECT_UNION_SQL, "T5 rect-union area vs coordinate-compression sweep oracle"),
     # displaced from the gated prefix to fit the round-5c additions: the
     # least-risky ungated entries (rows-only by design / md5-exact fake
     # codec unchanged for two rounds) — both stay repo-oracle-checked

@@ -16,6 +16,7 @@ from hadoopgis_spark.plans import (
     count_exchanges,
     formatted_plan,
     has_broadcast,
+    lint_plan,
     pushed_filters,
     scan_read_schema,
 )
@@ -593,3 +594,40 @@ class TestTpchShapePlans:
         plan = self._plan(q)
         # COUNT(o_orderkey) must not let Catalyst rewrite LEFT to INNER
         assert "LeftOuter" in plan, plan[:3000]
+
+
+class TestRound8Plans:
+    """Round-8 additions: the SCALE formulation of global disjoint
+    (count-complement) must plan zero all-pairs stages — the whole
+    point of replacing the capped broadcast gate — and the lint that
+    polices this must stay per-node accurate (its whole-plan substring
+    form false-positived on exactly this query)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_disjoint_global_scaled_no_all_pairs(self, spark):
+        from hadoopgis_spark.workload import REGISTRY
+        df = REGISTRY["sp_disjoint_global_scaled"].fn(spark, self.SF)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        # lint-clean WITHOUT a whitelist entry: the only NLJ is the
+        # conditioned broadcast tile assignment, and the complement is
+        # a keyed left join onto the intersects counts
+        assert lint_plan(df, big_tables=[]) == [], plan[:3000]
+        assert "LeftOuter" in plan, plan[:3000]
+
+    def test_lint_flags_truly_conditionless_nlj(self, spark):
+        a = spark.range(10)
+        b = spark.range(10).withColumnRenamed("id", "id2")
+        flagged = lint_plan(a.crossJoin(b), big_tables=[])
+        assert any("nested-loop" in w or "Cartesian" in w for w in flagged)
+
+    def test_lint_ignores_residual_none_on_equi_join(self, spark):
+        # equi left join (Join condition: None on the SMJ node) next to
+        # a CONDITIONED broadcast NLJ must not be flagged
+        a = spark.range(100).withColumn("k", F.col("id") % 10)
+        b = spark.range(10).withColumnRenamed("id", "k2")
+        nlj = a.join(F.broadcast(b), a.k < b.k2)  # conditioned NLJ
+        agg = nlj.groupBy("k").count()
+        out = a.join(agg, "k", "left")
+        assert lint_plan(out, big_tables=[]) == []
