@@ -52,12 +52,14 @@ __all__ = [
     "append_range_sorted",
     "save_spatial_clustered",
     "append_spatial_clustered",
+    "compact_range_sorted",
     "read_range",
     "read_window",
     "prune_files",
 ]
 
 _MANIFEST_DIR = "_hgs_manifest"
+_COMPACT_DIR = "_hgs_compact"  # record.json (commit marker) + stage/
 _FORMAT = 1
 
 
@@ -191,6 +193,186 @@ def _data_files(path: str) -> set[str]:
         n for n in os.listdir(path)
         if n.endswith(".parquet") and not n.startswith(("_", "."))
     }
+
+
+# ---------------------------------------------------------------------------
+# Compaction commit protocol. ``compact_range_sorted`` merges the small
+# files appends accrete WITHOUT rewriting the big ones — but deletion-
+# based maintenance collides with the crash-safe orphan rule (files on
+# disk with no manifest row are ALWAYS read), so visibility is governed
+# by a tiny commit record, the Delta/Iceberg snapshot idea in miniature:
+#
+#   record.json = {"old": [...], "new": [...]}  (atomic os.replace)
+#   new ⊆ on_disk  → compaction COMMITTED: old files invisible even if
+#                    their deletion hasn't finished;
+#   otherwise      → UNCOMMITTED: any already-moved new files invisible,
+#                    old files serve (as unprunable orphans at worst).
+#
+# Every crash point therefore reads exactly-once data; a later writer
+# (or the next compact) calls _settle_compaction to roll the dangling
+# record forward (staging still holds every missing new file) or back.
+# Single-writer like the rest of the module; readers during the swap
+# window are safe at every step EXCEPT they may momentarily lose
+# pruning sharpness (orphans are unprunable), never correctness.
+# ---------------------------------------------------------------------------
+
+
+_CRASH_POINT: str | None = None  # test hook: simulated crash at a protocol step
+
+
+def _maybe_crash(tag: str) -> None:
+    if _CRASH_POINT == tag:
+        raise RuntimeError(f"simulated crash at {tag}")
+
+
+def _record_path(path: str) -> str:
+    return os.path.join(path, _COMPACT_DIR, "record.json")
+
+
+def _stage_dir(path: str) -> str:
+    return os.path.join(path, _COMPACT_DIR, "stage")
+
+
+def _load_compact_record(path: str) -> dict | None:
+    import json
+    try:
+        with open(_record_path(path)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _write_compact_record(path: str, rec: dict) -> None:
+    import json
+    os.makedirs(os.path.dirname(_record_path(path)), exist_ok=True)
+    tmp = _record_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, _record_path(path))  # atomic commit marker
+
+
+def _active_files(path: str) -> set[str]:
+    """The data files a reader may see: the on-disk listing with a
+    pending compaction record applied (committed → old files out;
+    uncommitted → partially-moved new files out)."""
+    on_disk = _data_files(path)
+    rec = _load_compact_record(path)
+    if rec is not None:
+        new, old = set(rec["new"]), set(rec["old"])
+        return on_disk - (old if new <= on_disk else new)
+    return on_disk
+
+
+def _settle_compaction(spark: SparkSession, path: str) -> None:
+    """Finish (or undo) a compaction a crash left dangling. Roll
+    FORWARD when staging still holds every not-yet-moved new file
+    (work is preserved); otherwise roll back to the old files and
+    rebuild the manifest over what's visible. No-op without a record."""
+    import shutil
+    rec = _load_compact_record(path)
+    if rec is None:
+        if os.path.isdir(_stage_dir(path)):  # pre-record crash leftovers
+            shutil.rmtree(_stage_dir(path))
+        return
+    on_disk = _data_files(path)
+    new, old = set(rec["new"]), set(rec["old"])
+    missing = new - on_disk
+    staged = set(os.listdir(_stage_dir(path))) if os.path.isdir(_stage_dir(path)) else set()
+    if missing <= staged:
+        for name in sorted(missing):  # roll forward: complete the moves
+            os.replace(os.path.join(_stage_dir(path), name),
+                       os.path.join(path, name))
+        for name in sorted(old & _data_files(path)):
+            os.remove(os.path.join(path, name))
+    else:
+        # roll back: drop whatever moved, serve the old files
+        for name in sorted(new & on_disk):
+            os.remove(os.path.join(path, name))
+    os.remove(_record_path(path))
+    if os.path.isdir(_stage_dir(path)):
+        shutil.rmtree(_stage_dir(path))
+    # the crash may predate or postdate the manifest rewrite — a full
+    # footer rebuild over the settled file set is correct either way
+    # (settle runs once post-crash; O(table) footer reads are fine here)
+    cols = sorted({r.col for r in _load_manifest(spark, path)})
+    _write_manifest(spark, path, cols)
+
+
+def compact_range_sorted(
+    spark: SparkSession,
+    path: str,
+    order_col: str,
+    *,
+    small_bytes: int = 32 * 1024 * 1024,
+    n_files: int = 1,
+) -> dict:
+    """Merge the layout's SMALL data files (< ``small_bytes``, i.e. the
+    per-batch files ``append_range_sorted`` / streaming ingest accrete)
+    into ``n_files`` freshly range-sorted files, leaving every large
+    file untouched — incremental maintenance's other half: appends
+    never rewrite existing data, compaction bounds the resulting file
+    count so the manifest's pruning stays sharp and the listing stays
+    O(table/target) on an object store. Returns
+    ``{"compacted", "files_before", "files_after"}``.
+
+    Crash-safe via the commit record (see module protocol note):
+    stage → record → manifest → move → delete → clear, with
+    exactly-once reads at every intermediate state.
+    """
+    import shutil
+    import uuid
+    _settle_compaction(spark, path)
+    cols = sorted({r.col for r in _load_manifest(spark, path)})
+    if order_col not in cols:
+        raise ValueError(
+            f"manifest under {path!r} covers {cols}, not {order_col!r}")
+    files = sorted(_data_files(path))
+    small = [f for f in files
+             if os.path.getsize(os.path.join(path, f)) < small_bytes]
+    if len(small) < 2:
+        return {"compacted": 0, "files_before": len(files),
+                "files_after": len(files)}
+    stage = _stage_dir(path)
+    with _stats_friendly_writer(spark):
+        (spark.read.parquet(*(os.path.join(path, f) for f in small))
+             .repartitionByRange(n_files, F.col(order_col))
+             .sortWithinPartitions(order_col)
+             .write.mode("overwrite").parquet(stage))
+    tag = uuid.uuid4().hex[:12]
+    new = []
+    for i, name in enumerate(sorted(os.listdir(stage))):
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out = f"compact-{tag}-{i:05d}.parquet"
+            os.replace(os.path.join(stage, name), os.path.join(stage, out))
+            new.append(out)
+    _maybe_crash("staged")
+    _write_compact_record(path, {"old": small, "new": new})
+    _maybe_crash("record")
+    # manifest: survivors' rows + footer stats of the staged new files
+    keep = [
+        (r.file, r.rows, r.col, r.vtype, r.vmin, r.vmax, r.valid, _FORMAT)
+        for r in _load_manifest(spark, path)
+        if r.file not in set(small)
+    ]
+    fresh = [
+        (r["file"], r["rows"], r["col"], r["vtype"], r["vmin"], r["vmax"],
+         r["valid"], _FORMAT)
+        for r in _footer_stats(stage, cols, new)
+    ]
+    _save_manifest(spark, path, keep + fresh)
+    _maybe_crash("manifest")
+    for i, name in enumerate(new):  # commit = the instant the LAST move lands
+        os.replace(os.path.join(stage, name), os.path.join(path, name))
+        if i == 0:
+            _maybe_crash("mid-move")
+    for i, name in enumerate(small):
+        os.remove(os.path.join(path, name))
+        if i == 0:
+            _maybe_crash("mid-delete")
+    os.remove(_record_path(path))
+    shutil.rmtree(os.path.join(path, _COMPACT_DIR))
+    return {"compacted": len(small), "files_before": len(files),
+            "files_after": len(files) - len(small) + len(new)}
 
 
 def _footer_stats(path: str, cols: Sequence[str],
@@ -328,6 +510,7 @@ def append_range_sorted(
     coverage — a batch missing one of those columns fails the footer
     read rather than silently narrowing coverage."""
     spark = df.sparkSession
+    _settle_compaction(spark, path)  # finish/undo any dangling compaction
     cols = sorted({r.col for r in _load_manifest(spark, path)})
     if order_col not in cols:
         raise ValueError(
@@ -373,6 +556,7 @@ def append_spatial_clustered(
     curve order won't align with the old ones' (pruning stays correct
     either way — bboxes are physical, not curve-derived)."""
     spark = df.sparkSession
+    _settle_compaction(spark, path)  # finish/undo any dangling compaction
     cols = sorted({r.col for r in _load_manifest(spark, path)})
     if cols != ["xmax", "xmin", "ymax", "ymin"]:
         raise ValueError(
@@ -421,8 +605,10 @@ def prune_files(
     # no manifest row. Union with the on-disk listing and ALWAYS keep
     # such orphans — they are unpruneable, exactly like stat-less files;
     # dropping them would silently lose their rows. (Manifest rows for
-    # files that no longer exist are ignored symmetrically.)
-    on_disk = _data_files(path)
+    # files that no longer exist are ignored symmetrically.) The listing
+    # first applies any pending compaction record — a file superseded by
+    # a committed compaction is NOT an orphan, it's a duplicate.
+    on_disk = _active_files(path)
     orphans = on_disk - set(by_file)
     total_files = len(on_disk | set(by_file))
     tz = _session_tz(spark)

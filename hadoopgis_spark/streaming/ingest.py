@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from hadoopgis_spark.sources.skipping import (
     _load_manifest,
+    _settle_compaction,
     _stats_friendly_writer,
     _update_manifest,
     _write_manifest,
@@ -55,6 +56,7 @@ def ingest_batch_sorted(df: DataFrame, batch_id: int, path: str,
     cols = [order_col]
     existing = os.path.isdir(os.path.join(path, "_hgs_manifest"))
     if existing:
+        _settle_compaction(spark, path)  # finish/undo a dangling compaction
         cols = sorted({r.col for r in _load_manifest(spark, path)})
         if order_col not in cols:
             raise ValueError(

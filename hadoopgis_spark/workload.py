@@ -4967,22 +4967,28 @@ def rel_corr(spark, sf):
     """Correlation/covariance aggregates per group — the feature-
     relationship profile (single pass, mergeable moment partials).
     Exact-integer moment sums (qty integral, price/discount 2-dp
-    decimals → cents), summed as DECIMAL (BIGINT-safe headroom: Σy² at
-    sf0.1 is ~7e19), then the statistics are derived from the identical
-    integers in double math with NO final ROUND — identical inputs +
-    identical IEEE expression trees ⇒ identical doubles cross-engine."""
+    decimals → cents), then the statistics are derived from the
+    identical integers in double math with NO final ROUND — identical
+    inputs + identical IEEE expression trees ⇒ identical doubles
+    cross-engine. Width discipline: ONLY Σy² needs DECIMAL (price²
+    ≈ 1e14/row × 6e5 rows at sf0.1 ≈ 7e19 > BIGINT max); the other
+    five moments sum in BIGINT with ≥1e4× headroom at sf0.1 (worst is
+    Σxy ≈ 3e14) — the all-DECIMAL form that closed round 6's red cost
+    4.3× (round-7 verdict item 7). DuckDB's wider-than-needed sums on
+    the oracle side are harmless: equality is on the identical integer
+    VALUES after the shared double cast."""
     l = _t(spark, sf, "lineitem")
     m = l.selectExpr(
         "l_returnflag",
-        "CAST(ROUND(l_quantity) AS DECIMAL(18,0)) AS x",
-        "CAST(ROUND(l_extendedprice*100) AS DECIMAL(18,0)) AS y",
-        "CAST(ROUND(l_discount*100) AS DECIMAL(18,0)) AS d",
+        "CAST(ROUND(l_quantity) AS BIGINT) AS x",
+        "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y",
+        "CAST(ROUND(l_discount*100) AS BIGINT) AS d",
     ).groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"), F.sum("y").alias("sy"),
         F.sum(F.expr("x*y")).alias("sxy"),
         F.sum(F.expr("x*x")).alias("sxx"),
-        F.sum(F.expr("y*y")).alias("syy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(18,0)) * y")).alias("syy"),
         F.sum("d").alias("sd"),
         F.sum(F.expr("x*d")).alias("sxd"),
     )
@@ -5730,6 +5736,48 @@ def op_rect_union(spark, sf):
     return spark.createDataFrame([(area,)], "union_area bigint")
 
 
+def rel_range_compacted(spark, sf):
+    """Compaction closes the incremental-maintenance loop: half of
+    lineitem range-clustered, two small batches APPENDED (fragmenting
+    the layout), then ``compact_range_sorted`` merges the small files
+    under the crash-safe commit record. Same query and oracle as
+    rel_range_pruned — parity pins that compaction loses no rows and
+    double-reads none; the gate additionally asserts the file count
+    dropped and the commit record cleared (the protocol reached its
+    steady state)."""
+    import datetime as dt
+    from hadoopgis_spark.sources.skipping import (
+        _data_files, _load_compact_record, append_range_sorted,
+        compact_range_sorted, read_range, save_range_sorted)
+    path = f"{_skip_root(spark)}/lineitem_compacted_{os.path.basename(os.path.normpath(sf))}"
+
+    def _build():
+        l = _t(spark, sf, "lineitem")
+        save_range_sorted(l.filter(F.col("l_orderkey") % 2 == 0), path,
+                          "l_shipdate", n_files=4)
+        append_range_sorted(l.filter(F.col("l_orderkey") % 4 == 1), path,
+                            "l_shipdate", n_files=2)
+        append_range_sorted(l.filter(F.col("l_orderkey") % 4 == 3), path,
+                            "l_shipdate", n_files=2)
+        before = len(_data_files(path))
+        stats = compact_range_sorted(spark, path, "l_shipdate",
+                                     small_bytes=1 << 30, n_files=2)
+        if stats["files_after"] >= before:
+            raise AssertionError(f"compaction did not shrink the layout: {stats}")
+        if _load_compact_record(path) is not None:
+            raise AssertionError("compaction left a dangling commit record")
+        return True
+
+    _memo(("skip_lineitem_cmp", spark.sparkContext.applicationId, sf), _build)
+    df = read_range(spark, path, "l_shipdate",
+                    dt.datetime(1995, 1, 1), dt.datetime(1995, 6, 30))
+    return df.groupBy("l_returnflag").agg(
+        (F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+               .cast("long")) / F.lit(10000.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
 OP_RECT_UNION_SQL = """
   WITH r AS (
     SELECT CAST((p_partkey % 30) * 6 AS BIGINT) AS x0,
@@ -6177,6 +6225,7 @@ REGISTRY: dict[str, Query] = {
     # round 8
     "sp_disjoint_global_scaled": Query(sp_disjoint_global_scaled, SP_DISJOINT_GLOBAL_SCALED_SQL, "global disjoint counts via tile-join complement (no all-pairs stage)"),
     "op_rect_union": Query(op_rect_union, OP_RECT_UNION_SQL, "T5 rect-union area vs coordinate-compression sweep oracle"),
+    "rel_range_compacted": Query(rel_range_compacted, REL_RANGE_PRUNED_SQL, "crash-safe small-file compaction of an appended zonemap layout"),
     # displaced from the gated prefix to fit the round-5c additions: the
     # least-risky ungated entries (rows-only by design / md5-exact fake
     # codec unchanged for two rounds) — both stay repo-oracle-checked
@@ -6252,9 +6301,31 @@ _R7_PREFIX = [
 # Rotated IN: every query that is new in round 7, code-churned this
 # round, or never driver-gated.
 assert len(_R7_PREFIX) == 50 and len(set(_R7_PREFIX)) == 50
+
+# Round-8 rotation. Slots 1-7 are the round-8 new/churned set:
+#   1-3  the three new gates (sp_disjoint_global_scaled, op_rect_union,
+#        rel_range_compacted)
+#   4-6  zonemap gates over the round-8 skipping.py churn (host-vs-
+#        session literal interpretation fix, forced TIMESTAMP_MICROS
+#        stats, compaction commit protocol in prune_files)
+#   7    rel_corr, re-earning its row after the BIGINT-moment trim
+# Slots 8-50 are the round-7 prefix minus its three deepest-green
+# keepers (sp_join_boxes r1-r7, dedup_exact r3-r7, txt_stats r1-r7 —
+# all untouched in r8), which rotate out to make room. Every member
+# therefore is either new/churned this round or has a prior green
+# driver row.
+_R8_PREFIX = [
+    "sp_disjoint_global_scaled", "op_rect_union", "rel_range_compacted",
+    "rel_range_pruned", "rel_range_appended", "sp_containment_pruned",
+    "rel_corr",
+] + [n for n in _R7_PREFIX if n not in {
+    "rel_corr", "rel_range_pruned", "rel_range_appended",
+    "sp_containment_pruned", "sp_join_boxes", "dedup_exact", "txt_stats",
+}]
+assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 REGISTRY = {
-    **{n: REGISTRY[n] for n in _R7_PREFIX},
-    **{n: q for n, q in REGISTRY.items() if n not in set(_R7_PREFIX)},
+    **{n: REGISTRY[n] for n in _R8_PREFIX},
+    **{n: q for n, q in REGISTRY.items() if n not in set(_R8_PREFIX)},
 }
 # Stable alias for tests/tools: the driver gates REGISTRY[:len(GATED_PREFIX)].
-GATED_PREFIX = _R7_PREFIX
+GATED_PREFIX = _R8_PREFIX

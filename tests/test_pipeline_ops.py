@@ -2400,6 +2400,106 @@ class TestFileSkipping:
         assert total == 16 and len(kept) < 16
 
 
+    # ---- compaction (round 8): the other half of incremental maintenance
+
+    def _fragmented(self, spark, tmp_path):
+        """A range-sorted layout plus 3 small appended batches; base
+        rows carry a wide payload so base files are 10x+ the appended
+        ones (lets tests separate 'small' from 'large' by size)."""
+        from hadoopgis_spark.sources.skipping import (
+            append_range_sorted, save_range_sorted)
+        path = str(tmp_path / "cmp")
+        base = (spark.range(0, 4000).withColumnRenamed("id", "k")
+                .withColumn("pad", F.expr("repeat(cast(k as string), 200)")))
+        save_range_sorted(base, path, "k", n_files=4)
+        for i in range(3):
+            b = (spark.range(4000 + i * 100, 4000 + (i + 1) * 100)
+                 .withColumnRenamed("id", "k")
+                 .withColumn("pad", F.expr("repeat(cast(k as string), 200)")))
+            append_range_sorted(b, path, "k", n_files=2)
+        return path
+
+    def test_compact_merges_small_files_lossless(self, spark, tmp_path):
+        import os
+        from hadoopgis_spark.sources import skipping as sk
+        path = self._fragmented(spark, tmp_path)
+        sizes = {f: os.path.getsize(os.path.join(path, f))
+                 for f in sk._data_files(path)}
+        thresh = (max(sizes.values()) + min(sizes.values())) // 2
+        big = {f for f, s in sizes.items() if s >= thresh}
+        assert 2 <= len(big) <= 4 and len(sizes) == len(big) + 6
+        expect = sorted(r.k for r in
+                        sk.read_range(spark, path, "k").collect())
+        stats = sk.compact_range_sorted(
+            spark, path, "k", small_bytes=thresh, n_files=2)
+        assert stats["compacted"] == 6
+        after_files = sk._data_files(path)
+        assert big <= after_files  # large files untouched
+        assert len(after_files) == len(big) + 2
+        got = sorted(r.k for r in sk.read_range(spark, path, "k").collect())
+        assert got == expect
+        assert sk._load_compact_record(path) is None
+        # the merged tail is one disjoint range again: pruning is sharp
+        kept, total = sk.prune_files(spark, path, {"k": (4000, 4299)})
+        assert total == len(after_files)
+        assert len(kept) <= 2
+
+    def test_compact_noop_below_two_small_files(self, spark, tmp_path):
+        from hadoopgis_spark.sources import skipping as sk
+        path = self._fragmented(spark, tmp_path)
+        n = len(sk._data_files(path))
+        stats = sk.compact_range_sorted(spark, path, "k", small_bytes=1)
+        assert stats == {"compacted": 0, "files_before": n,
+                         "files_after": n}
+
+    @pytest.mark.parametrize(
+        "crash", ["staged", "record", "manifest", "mid-move", "mid-delete"])
+    def test_compact_crash_points_read_exactly_once(
+            self, spark, tmp_path, crash):
+        """Kill the protocol at each step: a reader of the crashed state
+        sees every row exactly once, and settle converges the layout."""
+        from hadoopgis_spark.sources import skipping as sk
+        path = self._fragmented(spark, tmp_path)
+        expect = sorted(r.k for r in
+                        sk.read_range(spark, path, "k").collect())
+        sk._CRASH_POINT = crash
+        try:
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                sk.compact_range_sorted(
+                    spark, path, "k", small_bytes=1 << 30, n_files=2)
+        finally:
+            sk._CRASH_POINT = None
+        got = sorted(r.k for r in sk.read_range(spark, path, "k").collect())
+        assert got == expect, f"crashed state at {crash} lost/duped rows"
+        sk._settle_compaction(spark, path)
+        assert sk._load_compact_record(path) is None
+        again = sorted(r.k for r in
+                       sk.read_range(spark, path, "k").collect())
+        assert again == expect
+        kept, total = sk.prune_files(spark, path, {"k": (0, 99)})
+        assert len(kept) < total  # manifest rebuilt, pruning sharp
+
+    def test_append_settles_dangling_compaction(self, spark, tmp_path):
+        from hadoopgis_spark.sources import skipping as sk
+        path = self._fragmented(spark, tmp_path)
+        expect = sorted(r.k for r in
+                        sk.read_range(spark, path, "k").collect())
+        sk._CRASH_POINT = "mid-move"
+        try:
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                sk.compact_range_sorted(
+                    spark, path, "k", small_bytes=1 << 30, n_files=2)
+        finally:
+            sk._CRASH_POINT = None
+        batch = (spark.range(9000, 9100).withColumnRenamed("id", "k")
+                 .withColumn("pad", F.expr("repeat(cast(k as string), 200)")))
+        sk.append_range_sorted(batch, path, "k", n_files=1)  # settles first
+        assert sk._load_compact_record(path) is None
+        got = sorted(r.k for r in sk.read_range(spark, path, "k").collect())
+        assert got == expect + list(range(9000, 9100))
+
+
+
 class TestStreamingAnn:
     """Stream face of ANN serving: micro-batched query vectors against
     the persisted IVF index (streaming/ann.py)."""
