@@ -53,6 +53,7 @@ __all__ = [
     "save_spatial_clustered",
     "append_spatial_clustered",
     "compact_range_sorted",
+    "compact_spatial_clustered",
     "read_range",
     "read_window",
     "prune_files",
@@ -319,13 +320,59 @@ def compact_range_sorted(
     stage → record → manifest → move → delete → clear, with
     exactly-once reads at every intermediate state.
     """
+    def rewrite(df, stage):
+        (df.repartitionByRange(n_files, F.col(order_col))
+           .sortWithinPartitions(order_col)
+           .write.mode("overwrite").parquet(stage))
+
+    def check(cols):
+        if order_col not in cols:
+            raise ValueError(
+                f"manifest under {path!r} covers {cols}, not {order_col!r}")
+
+    return _compact(spark, path, small_bytes, rewrite, check)
+
+
+def compact_spatial_clustered(
+    spark: SparkSession,
+    path: str,
+    extent: tuple[float, float, float, float],
+    *,
+    bits: int = 10,
+    small_bytes: int = 32 * 1024 * 1024,
+    n_files: int = 1,
+) -> dict:
+    """Spatial twin of :func:`compact_range_sorted`: the small files are
+    re-clustered on the Hilbert index of the box center (use the SAME
+    extent/bits as the layout), restoring per-file spatial locality the
+    per-batch appends fragmented. Same commit protocol, same
+    exactly-once guarantee."""
+    def rewrite(df, stage):
+        h = hilbert_index(
+            (F.col("xmin") + F.col("xmax")) / 2.0,
+            (F.col("ymin") + F.col("ymax")) / 2.0,
+            extent, bits=bits,
+        ).alias("__h")
+        (df.select("*", h)
+           .repartitionByRange(n_files, F.col("__h"))
+           .sortWithinPartitions("__h")
+           .drop("__h")
+           .write.mode("overwrite").parquet(stage))
+
+    def check(cols):
+        if cols != ["xmax", "xmin", "ymax", "ymin"]:
+            raise ValueError(
+                f"manifest under {path!r} covers {cols}, not a spatial layout")
+
+    return _compact(spark, path, small_bytes, rewrite, check)
+
+
+def _compact(spark, path, small_bytes, rewrite, check) -> dict:
     import shutil
     import uuid
     _settle_compaction(spark, path)
     cols = sorted({r.col for r in _load_manifest(spark, path)})
-    if order_col not in cols:
-        raise ValueError(
-            f"manifest under {path!r} covers {cols}, not {order_col!r}")
+    check(cols)
     files = sorted(_data_files(path))
     small = [f for f in files
              if os.path.getsize(os.path.join(path, f)) < small_bytes]
@@ -334,10 +381,8 @@ def compact_range_sorted(
                 "files_after": len(files)}
     stage = _stage_dir(path)
     with _stats_friendly_writer(spark):
-        (spark.read.parquet(*(os.path.join(path, f) for f in small))
-             .repartitionByRange(n_files, F.col(order_col))
-             .sortWithinPartitions(order_col)
-             .write.mode("overwrite").parquet(stage))
+        rewrite(spark.read.parquet(*(os.path.join(path, f) for f in small)),
+                stage)
     tag = uuid.uuid4().hex[:12]
     new = []
     for i, name in enumerate(sorted(os.listdir(stage))):

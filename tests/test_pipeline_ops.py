@@ -2479,6 +2479,52 @@ class TestFileSkipping:
         kept, total = sk.prune_files(spark, path, {"k": (0, 99)})
         assert len(kept) < total  # manifest rebuilt, pruning sharp
 
+
+    def test_compact_spatial_restores_locality(self, spark, tmp_path):
+        import random
+        from hadoopgis_spark.sources.skipping import (
+            append_spatial_clustered, compact_spatial_clustered,
+            prune_files, read_window, save_spatial_clustered)
+        from hadoopgis_spark.sources import skipping as sk
+        rng = random.Random(29)
+        rows = []
+        for i in range(2000):
+            x, y = rng.uniform(0, 500), rng.uniform(0, 500)
+            rows.append((i, x, y, x + 3, y + 3))
+        schema = "id int, xmin double, ymin double, xmax double, ymax double"
+        df = spark.createDataFrame(rows, schema)
+        path = str(tmp_path / "spc")
+        ext = (0, 0, 510, 510)
+        save_spatial_clustered(df.filter(F.col("id") < 1000), path, ext,
+                               n_files=8)
+        # two appends, each Hilbert-clustered over the FULL extent: the
+        # per-batch files overlap the whole space -> window pruning decays
+        for lo, hi in ((1000, 1500), (1500, 2000)):
+            append_spatial_clustered(
+                df.filter((F.col("id") >= lo) & (F.col("id") < hi)),
+                path, ext, n_files=4)
+        w = (100.0, 100.0, 160.0, 160.0)
+        ranges = {"xmin": (None, w[2]), "xmax": (w[0], None),
+                  "ymin": (None, w[3]), "ymax": (w[1], None)}
+        kept_frag, total_frag = prune_files(spark, path, ranges)
+        stats = compact_spatial_clustered(spark, path, ext,
+                                          small_bytes=1 << 30, n_files=8)
+        assert stats["compacted"] == total_frag
+        assert sk._load_compact_record(path) is None
+        got = sorted(r.id for r in read_window(spark, path, w).collect())
+        expect = sorted(r.id for r in df.filter(
+            (F.col("xmin") <= w[2]) & (F.col("xmax") >= w[0])
+            & (F.col("ymin") <= w[3]) & (F.col("ymax") >= w[1])).collect())
+        assert got == expect and len(got) > 0
+        kept_cmp, total_cmp = prune_files(spark, path, ranges)
+        assert total_cmp == 8
+        # a ~1.4% window over re-clustered files prunes most of them,
+        # and strictly more sharply (fraction-wise) than the fragmented
+        # layout did
+        assert len(kept_cmp) / total_cmp <= len(kept_frag) / total_frag
+        assert len(kept_cmp) < total_cmp
+
+
     def test_append_settles_dangling_compaction(self, spark, tmp_path):
         from hadoopgis_spark.sources import skipping as sk
         path = self._fragmented(spark, tmp_path)

@@ -42,7 +42,7 @@ ALLOWED_ALL_PAIRS = {
     "cur_mixture_alloc": "total-weight scalar onto per-source stats",
     "cur_pipeline": "corpus-relative quality threshold scalar",
     "sp_knn_tile": "tile mode with a single broadcast tile table (bounded build side)",
-    "sp_disjoint_global": "true-global disjoint is inherently every-pair; A capped, B broadcast (tile complement is the scale path)",
+    "sp_disjoint_global": "true-global disjoint PAIR SET is inherently every-pair; A capped, B broadcast (sp_disjoint_global_scaled is the lint-clean count-complement scale path)",
 }
 
 
