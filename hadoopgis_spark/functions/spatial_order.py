@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hilbert_index", "cluster_spatially"]
+__all__ = ["hilbert_index", "cluster_spatially", "zorder_index"]
 
 
 def _c(v) -> Column:
@@ -100,3 +100,44 @@ def cluster_spatially(
         .sortWithinPartitions("_hilbert")
         .drop("_hilbert")
     )
+
+
+def zorder_index(cols, bounds, bits: int = 10) -> Column:
+    """Morton (Z-order) index of k numeric columns: each value is
+    linearly bucketed onto a 2^bits grid over its ``bounds[i] =
+    (lo, hi)``, then the k bucket numbers' bits are interleaved.
+
+    The multi-column generalization of :func:`hilbert_index` (which
+    keeps marginally better locality but is 2-D-only): clustering a
+    table by this index gives EVERY input column correlated per-file
+    min/max stats, so a zonemap manifest prunes selective ranges on any
+    single column or conjunction — the standard multi-dimensional
+    data-skipping layout (Databricks ZORDER, here over plain parquet).
+
+    Pure integer/double Column arithmetic, statically unrolled to
+    ``k * bits`` shift-and-mask terms (flat SUM, no nesting — each term
+    is independent) — whole-stage codegen, no UDF. ``bits`` is clamped
+    so the result fits a signed 64-bit long.
+    """
+    k = len(cols)
+    if k == 0 or len(bounds) != k:
+        raise ValueError("cols and bounds must be non-empty and same length")
+    bits = min(bits, 62 // k)
+    side = 1 << bits
+    terms = []
+    for i, (c, (lo, hi)) in enumerate(zip(cols, bounds)):
+        # bucket in DOUBLE math (ANSI-safe; monotonicity is all we need)
+        q = F.least(
+            F.lit(side - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((_c(c) - float(lo)) / max(float(hi) - float(lo), 1e-300) * side).cast("long"),
+            ),
+        )
+        for b in range(bits):
+            terms.append(
+                F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)), b * k + i))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z

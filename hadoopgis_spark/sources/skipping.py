@@ -54,7 +54,9 @@ __all__ = [
     "append_spatial_clustered",
     "compact_range_sorted",
     "compact_spatial_clustered",
+    "save_zorder_sorted",
     "read_range",
+    "read_multi",
     "read_window",
     "prune_files",
 ]
@@ -790,3 +792,83 @@ def read_window(
         (F.col("xmin") <= x1) & (F.lit(x0) <= F.col("xmax"))
         & (F.col("ymin") <= y1) & (F.lit(y0) <= F.col("ymax"))
     )
+
+
+def save_zorder_sorted(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    *,
+    bits: int = 10,
+    n_files: int = 8,
+) -> None:
+    """Multi-dimensional zonemap clustering: write ``df`` range-
+    partitioned + sorted on the Morton (Z-order) interleave of the
+    NUMERIC columns ``cols`` and build the manifest over all of them.
+
+    A single-column sort gives only that column tight per-file ranges;
+    Z-order gives EVERY listed column correlated file-local ranges, so
+    :func:`read_multi` prunes a selective range on any one of them (or
+    any conjunction) — the standard multi-dim data-skipping layout
+    (Databricks ZORDER), here over plain parquet + the footer manifest.
+    Per-column bounds come from ONE min/max aggregate (bounded scalar
+    read); appends/compaction work unchanged (the protocol is layout-
+    agnostic — pruning stays correct, sharpness decays until
+    re-cluster, exactly like the 1-D form).
+    """
+    from hadoopgis_spark.functions.spatial_order import zorder_index
+
+    aggs: list = []
+    for c in cols:
+        aggs += [F.min(c), F.max(c)]
+    row = df.agg(*aggs).collect()[0]  # bounded: 1 row, 2k scalars
+    bounds = [(float(row[2 * i]), float(row[2 * i + 1]))
+              for i in range(len(cols))]
+    z = zorder_index([F.col(c) for c in cols], bounds, bits=bits).alias("__z")
+    with _stats_friendly_writer(df.sparkSession):
+        (df.select("*", z)
+           .repartitionByRange(n_files, F.col("__z"))
+           .sortWithinPartitions("__z")
+           .drop("__z")
+           .write.mode("overwrite").parquet(path))
+    _write_manifest(df.sparkSession, path, list(cols))
+
+
+def read_multi(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple],
+) -> DataFrame:
+    """Rows satisfying a CONJUNCTION of inclusive range constraints
+    ``{col: (lo, hi)}`` (either bound may be None), scanning only
+    manifest-intersecting files; every residual is re-applied, so the
+    result is exact however coarse the pruning. Datetime/date bounds
+    get the same one-normalization treatment as :func:`read_range`
+    (pruning and residual share one instant under any session/host tz).
+    Sharp on Z-ordered layouts for any subset of the z columns."""
+    lits: dict[str, tuple] = {}
+    norm: dict[str, tuple] = {}
+    schema = None
+    for col, (lo, hi) in ranges.items():
+        lit_lo = lit_hi = None
+        if isinstance(lo, _dt.date) or isinstance(hi, _dt.date):
+            if schema is None:
+                schema = spark.read.parquet(path).schema
+            coltype = schema[col].dataType
+            if lo is not None:
+                lo, lit_lo = _normalize_bound(spark, coltype, lo)
+            if hi is not None:
+                hi, lit_hi = _normalize_bound(spark, coltype, hi)
+        norm[col] = (lo, hi)
+        lits[col] = (lit_lo, lit_hi)
+    kept, _ = prune_files(spark, path, norm)
+    if not kept:
+        return spark.read.parquet(path).filter(F.lit(False))
+    df = spark.read.parquet(*kept)
+    for col, (lo, hi) in norm.items():
+        lit_lo, lit_hi = lits[col]
+        if lo is not None:
+            df = df.filter(F.col(col) >= (F.lit(lo) if lit_lo is None else lit_lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= (F.lit(hi) if lit_hi is None else lit_hi))
+    return df

@@ -5736,6 +5736,36 @@ def op_rect_union(spark, sf):
     return spark.createDataFrame([(area,)], "union_area bigint")
 
 
+def rel_zorder_pruned(spark, sf):
+    """Multi-dimensional zonemap: lineitem Z-ORDER-clustered on
+    (l_orderkey, l_partkey); the gate queries a selective range on the
+    SECOND dimension alone — exactly the query a 1-D sort cannot prune
+    for its non-sort column — plus the exact residual, so parity pins
+    layout + interleave + manifest + prune + residual end-to-end.
+    Exact-integer sums per the money discipline."""
+    from hadoopgis_spark.sources.skipping import read_multi, save_zorder_sorted
+    path = f"{_skip_root(spark)}/lineitem_zorder_{os.path.basename(os.path.normpath(sf))}"
+    _memo(("skip_lineitem_zorder", spark.sparkContext.applicationId, sf),
+          lambda: save_zorder_sorted(_t(spark, sf, "lineitem"), path,
+                                     ["l_orderkey", "l_partkey"],
+                                     n_files=16) or True)
+    df = read_multi(spark, path, {"l_partkey": (100, 400)})
+    return df.groupBy("l_returnflag").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+REL_ZORDER_PRUNED_SQL = """
+  SELECT l_returnflag,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem
+  WHERE l_partkey BETWEEN 100 AND 400
+  GROUP BY l_returnflag
+"""
+
+
 def rel_range_compacted(spark, sf):
     """Compaction closes the incremental-maintenance loop: half of
     lineitem range-clustered, two small batches APPENDED (fragmenting
@@ -6226,6 +6256,7 @@ REGISTRY: dict[str, Query] = {
     "sp_disjoint_global_scaled": Query(sp_disjoint_global_scaled, SP_DISJOINT_GLOBAL_SCALED_SQL, "global disjoint counts via tile-join complement (no all-pairs stage)"),
     "op_rect_union": Query(op_rect_union, OP_RECT_UNION_SQL, "T5 rect-union area vs coordinate-compression sweep oracle"),
     "rel_range_compacted": Query(rel_range_compacted, REL_RANGE_PRUNED_SQL, "crash-safe small-file compaction of an appended zonemap layout"),
+    "rel_zorder_pruned": Query(rel_zorder_pruned, REL_ZORDER_PRUNED_SQL, "multi-dim Z-order zonemap: pruning on the non-primary dimension"),
     # displaced from the gated prefix to fit the round-5c additions: the
     # least-risky ungated entries (rows-only by design / md5-exact fake
     # codec unchanged for two rounds) — both stay repo-oracle-checked
@@ -6302,25 +6333,27 @@ _R7_PREFIX = [
 # round, or never driver-gated.
 assert len(_R7_PREFIX) == 50 and len(set(_R7_PREFIX)) == 50
 
-# Round-8 rotation. Slots 1-7 are the round-8 new/churned set:
-#   1-3  the three new gates (sp_disjoint_global_scaled, op_rect_union,
-#        rel_range_compacted)
-#   4-6  zonemap gates over the round-8 skipping.py churn (host-vs-
+# Round-8 rotation. Slots 1-8 are the round-8 new/churned set:
+#   1-4  the four new gates (sp_disjoint_global_scaled, op_rect_union,
+#        rel_range_compacted, rel_zorder_pruned)
+#   5-7  zonemap gates over the round-8 skipping.py churn (host-vs-
 #        session literal interpretation fix, forced TIMESTAMP_MICROS
 #        stats, compaction commit protocol in prune_files)
-#   7    rel_corr, re-earning its row after the BIGINT-moment trim
-# Slots 8-50 are the round-7 prefix minus its three deepest-green
-# keepers (sp_join_boxes r1-r7, dedup_exact r3-r7, txt_stats r1-r7 —
-# all untouched in r8), which rotate out to make room. Every member
-# therefore is either new/churned this round or has a prior green
-# driver row.
+#   8    rel_corr, re-earning its row after the BIGINT-moment trim
+# Slots 9-50 are the round-7 prefix minus its four deepest-green
+# keepers (sp_join_boxes r1-r7, dedup_exact r3-r7, txt_stats r1-r7,
+# sim_ann_topk r1-r7 — all untouched in r8), which rotate out to make
+# room. Every member therefore is either new/churned this round or has
+# a prior green driver row.
 _R8_PREFIX = [
     "sp_disjoint_global_scaled", "op_rect_union", "rel_range_compacted",
+    "rel_zorder_pruned",
     "rel_range_pruned", "rel_range_appended", "sp_containment_pruned",
     "rel_corr",
 ] + [n for n in _R7_PREFIX if n not in {
     "rel_corr", "rel_range_pruned", "rel_range_appended",
     "sp_containment_pruned", "sp_join_boxes", "dedup_exact", "txt_stats",
+    "sim_ann_topk",
 }]
 assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 REGISTRY = {

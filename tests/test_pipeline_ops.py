@@ -2525,6 +2525,52 @@ class TestFileSkipping:
         assert len(kept_cmp) < total_cmp
 
 
+
+    def test_zorder_prunes_on_every_dimension(self, spark, tmp_path):
+        """Z-order layout: a selective range on EITHER column alone
+        prunes files (the case a 1-D sort cannot serve for its
+        non-sort column), and conjunctions compose; results exact."""
+        import random
+        from hadoopgis_spark.sources.skipping import (
+            prune_files, read_multi, save_zorder_sorted)
+        rng = random.Random(41)
+        rows = [(i, rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16))
+                for i in range(60_000)]
+        df = spark.createDataFrame(rows, "id long, a long, b long")
+        path = str(tmp_path / "zo")
+        save_zorder_sorted(df, path, ["a", "b"], n_files=64)
+        # ~6% range on each dim alone
+        for col in ("a", "b"):
+            lo, hi = 10_000, 14_000
+            kept, total = prune_files(spark, path, {col: (lo, hi)})
+            assert total == 64
+            assert len(kept) <= total // 2, (col, len(kept))
+            got = sorted(r.id for r in
+                         read_multi(spark, path, {col: (lo, hi)}).collect())
+            expect = sorted(
+                r.id for r in df.filter(F.col(col).between(lo, hi)).collect())
+            assert got == expect and len(got) > 0
+        # conjunction: sharper than either alone
+        ranges = {"a": (10_000, 14_000), "b": (40_000, 44_000)}
+        kept2, _ = prune_files(spark, path, ranges)
+        assert len(kept2) <= len(kept)
+        got = sorted(r.id for r in read_multi(spark, path, ranges).collect())
+        expect = sorted(r.id for r in df.filter(
+            F.col("a").between(10_000, 14_000)
+            & F.col("b").between(40_000, 44_000)).collect())
+        assert got == expect
+
+    def test_zorder_index_interleaves(self, spark):
+        from hadoopgis_spark.functions.spatial_order import zorder_index
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long")
+        z = zorder_index([F.col("x"), F.col("y")], [(0, 8), (0, 8)], bits=3)
+        vals = [r.z for r in df.select(z.alias("z")).collect()]
+        # bits=3, side=8, bucket == value; interleave x at even bits,
+        # y at odd: (3,5) -> x=011, y=101 -> z = 0b100111 = 39
+        assert vals == [0, 1, 2, 39]
+
+
     def test_append_settles_dangling_compaction(self, spark, tmp_path):
         from hadoopgis_spark.sources import skipping as sk
         path = self._fragmented(spark, tmp_path)
