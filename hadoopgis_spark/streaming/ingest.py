@@ -16,8 +16,10 @@ names). File moves use the local filesystem API — a cluster deployment
 swaps in the Hadoop FileSystem calls, same protocol.
 
 Appends accumulate value-range overlap exactly like
-``append_range_sorted`` — re-cluster with ``save_range_sorted`` (or
-``sources.compact``) when pruning sharpness degrades.
+``append_range_sorted`` — pass ``compact_every`` to fold the crash-safe
+small-file compaction (``skipping.compact_range_sorted``) into the
+ingest loop every N batches, or re-cluster with ``save_range_sorted``
+for a full rewrite.
 """
 
 from __future__ import annotations
@@ -86,14 +88,28 @@ def ingest_batch_sorted(df: DataFrame, batch_id: int, path: str,
 
 def streaming_ingest_sorted(stream: DataFrame, path: str, order_col: str,
                             *, n_files: int = 4, checkpoint: str,
-                            trigger: dict | None = None):
+                            trigger: dict | None = None,
+                            compact_every: int | None = None,
+                            compact_small_bytes: int = 32 * 1024 * 1024,
+                            compact_n_files: int = 1):
     """Start the ingestion query: every micro-batch of ``stream`` lands
-    range-clustered under ``path`` with the manifest refreshed. Returns
-    the running StreamingQuery."""
-    writer = stream.writeStream.foreachBatch(
-        lambda df, bid: ingest_batch_sorted(
-            df, bid, path, order_col, n_files=n_files)
-    ).option("checkpointLocation", checkpoint)
+    range-clustered under ``path`` with the manifest refreshed. With
+    ``compact_every=N``, every Nth batch additionally folds the
+    accumulated small files into ``compact_n_files`` freshly-sorted ones
+    (crash-safe commit record; a retried batch re-settles first), so a
+    long-running ingest keeps a bounded file count without ever pausing
+    the stream for a full rewrite. Returns the running StreamingQuery."""
+    from hadoopgis_spark.sources.skipping import compact_range_sorted
+
+    def _body(df: DataFrame, bid: int) -> None:
+        ingest_batch_sorted(df, bid, path, order_col, n_files=n_files)
+        if compact_every and (bid + 1) % compact_every == 0:
+            compact_range_sorted(df.sparkSession, path, order_col,
+                                 small_bytes=compact_small_bytes,
+                                 n_files=compact_n_files)
+
+    writer = stream.writeStream.foreachBatch(_body).option(
+        "checkpointLocation", checkpoint)
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()

@@ -2885,6 +2885,40 @@ class TestStreamingIngest:
         assert read_range(spark, out, "k").count() == 150  # no duplicates
 
 
+    def test_stream_auto_compaction(self, spark, tmp_path):
+        """compact_every folds compaction into the ingest loop: after N
+        batches the small per-batch files merge under the commit record,
+        the stream keeps landing batches afterwards, and the table stays
+        exact + range-prunable throughout."""
+        from hadoopgis_spark.sources import skipping as sk
+        from hadoopgis_spark.streaming.ingest import streaming_ingest_sorted
+        src = str(tmp_path / "src")
+        df = spark.range(0, 1200).select(F.col("id").alias("k"))
+        for i in range(6):
+            (df.filter((F.col("k") >= i * 200) & (F.col("k") < (i + 1) * 200))
+               .coalesce(1).write.mode("append").parquet(src))
+        stream = (spark.readStream.schema("k bigint")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = str(tmp_path / "tbl")
+        q = streaming_ingest_sorted(
+            stream, out, "k", n_files=2,
+            checkpoint=str(tmp_path / "chk"),
+            trigger={"availableNow": True},
+            compact_every=3, compact_n_files=1)
+        q.awaitTermination(240)
+        # 6 batches x 2 files = 12 landed; compaction fired at batches 2
+        # and 5, folding everything seen so far into 1 file each time:
+        # final layout = 1 (compacted batches 0-5 at bid5)... plus any
+        # batches after the last compaction (none here) — assert bounded
+        files = sk._data_files(out)
+        assert len(files) <= 3, sorted(files)
+        assert sk._load_compact_record(out) is None
+        got = sorted(r.k for r in sk.read_range(spark, out, "k").collect())
+        assert got == list(range(0, 1200))
+        kept, total = sk.prune_files(spark, out, {"k": (0, 100)})
+        assert len(kept) <= 1 and total == len(files)
+
+
 class TestBpeTraining:
     """Distributed BPE training (operators/bpe.py): word-freq reduction
     on Spark, Sennrich-style merge loop on the bounded table."""
