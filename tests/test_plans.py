@@ -631,3 +631,21 @@ class TestRound8Plans:
         agg = nlj.groupBy("k").count()
         out = a.join(agg, "k", "left")
         assert lint_plan(out, big_tables=[]) == []
+
+    def test_zorder_read_is_scan_only_with_pushdown(self, spark, tmp_path_factory):
+        from hadoopgis_spark.sources.skipping import read_multi, save_zorder_sorted
+        path = str(tmp_path_factory.mktemp("zo") / "tbl")
+        df = spark.range(0, 50_000).select(
+            F.col("id").alias("rid"),
+            (F.col("id") * 7919 % 10_000).alias("a"),
+            (F.col("id") * 104729 % 10_000).alias("b"))
+        save_zorder_sorted(df, path, ["a", "b"], n_files=16)
+        q = read_multi(spark, path, {"a": (100, 300), "b": (4000, 6000)})
+        out = q.select("rid")
+        plan = formatted_plan(out)
+        # pruned scan + residual only: no Exchange, residuals pushed to
+        # the parquet reader on BOTH dimensions, rid+a+b pruned schema
+        assert count_exchanges(out) == 0, plan[:2000]
+        pushed = " ".join(pushed_filters(out))
+        assert "GreaterThanOrEqual(a 100)" in pushed, pushed
+        assert "LessThanOrEqual(b 6000)" in pushed, pushed
