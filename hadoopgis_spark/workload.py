@@ -5736,6 +5736,58 @@ def op_rect_union(spark, sf):
     return spark.createDataFrame([(area,)], "union_area bigint")
 
 
+def src_stream_ingest(spark, sf):
+    """The streaming-ingest loop end-to-end as a gate: three
+    micro-batches of orders land through ``ingest_batch_sorted``
+    (batch 1 deliberately landed TWICE — the batch-keyed file names
+    must make the replay overwrite itself, foreachBatch's at-least-once
+    contract), compaction folds the per-batch files under the commit
+    record, and the table serves through ``read_range``. Parity with a
+    plain range filter pins exactly-once landing + compaction +
+    pruning; the build additionally asserts the record cleared and the
+    file count shrank."""
+    from hadoopgis_spark.sources.skipping import (
+        _data_files, _load_compact_record, compact_range_sorted, read_range)
+    from hadoopgis_spark.streaming.ingest import ingest_batch_sorted
+    path = f"{_skip_root(spark)}/orders_ingested_{os.path.basename(os.path.normpath(sf))}"
+
+    def _build():
+        o = _t(spark, sf, "orders")
+        for b in range(3):
+            batch = o.filter(F.col("o_orderkey") % 3 == b)
+            ingest_batch_sorted(batch, b, path, "o_orderkey", n_files=2)
+            if b == 1:  # at-least-once replay: must self-overwrite
+                ingest_batch_sorted(batch, b, path, "o_orderkey", n_files=2)
+        before = len(_data_files(path))
+        stats = compact_range_sorted(spark, path, "o_orderkey",
+                                     small_bytes=1 << 30, n_files=2)
+        if stats["files_after"] >= before:
+            raise AssertionError(f"ingest compaction did not shrink: {stats}")
+        if _load_compact_record(path) is not None:
+            raise AssertionError("ingest compaction left a dangling record")
+        return True
+
+    _memo(("stream_ingest_orders", spark.sparkContext.applicationId, sf), _build)
+    # bounds non-empty at every test scale (sf0.001 keys reach ~6000)
+    df = read_range(spark, path, "o_orderkey", 100, 2_000)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+         / F.lit(100.0)).alias("total"),
+    )
+
+
+SRC_STREAM_INGEST_SQL = """
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS total
+  FROM orders
+  WHERE o_orderkey BETWEEN 100 AND 2000
+  GROUP BY o_orderstatus
+"""
+
+
 def rel_zorder_pruned(spark, sf):
     """Multi-dimensional zonemap: lineitem Z-ORDER-clustered on
     (l_orderkey, l_partkey); the gate queries a selective range on the
@@ -6257,6 +6309,7 @@ REGISTRY: dict[str, Query] = {
     "op_rect_union": Query(op_rect_union, OP_RECT_UNION_SQL, "T5 rect-union area vs coordinate-compression sweep oracle"),
     "rel_range_compacted": Query(rel_range_compacted, REL_RANGE_PRUNED_SQL, "crash-safe small-file compaction of an appended zonemap layout"),
     "rel_zorder_pruned": Query(rel_zorder_pruned, REL_ZORDER_PRUNED_SQL, "multi-dim Z-order zonemap: pruning on the non-primary dimension"),
+    "src_stream_ingest": Query(src_stream_ingest, SRC_STREAM_INGEST_SQL, "streaming ingest loop: idempotent replay + compaction + pruned serve"),
     # displaced from the gated prefix to fit the round-5c additions: the
     # least-risky ungated entries (rows-only by design / md5-exact fake
     # codec unchanged for two rounds) — both stay repo-oracle-checked
@@ -6333,27 +6386,27 @@ _R7_PREFIX = [
 # round, or never driver-gated.
 assert len(_R7_PREFIX) == 50 and len(set(_R7_PREFIX)) == 50
 
-# Round-8 rotation. Slots 1-8 are the round-8 new/churned set:
-#   1-4  the four new gates (sp_disjoint_global_scaled, op_rect_union,
-#        rel_range_compacted, rel_zorder_pruned)
-#   5-7  zonemap gates over the round-8 skipping.py churn (host-vs-
+# Round-8 rotation. Slots 1-9 are the round-8 new/churned set:
+#   1-5  the five new gates (sp_disjoint_global_scaled, op_rect_union,
+#        rel_range_compacted, rel_zorder_pruned, src_stream_ingest)
+#   6-8  zonemap gates over the round-8 skipping.py churn (host-vs-
 #        session literal interpretation fix, forced TIMESTAMP_MICROS
 #        stats, compaction commit protocol in prune_files)
-#   8    rel_corr, re-earning its row after the BIGINT-moment trim
-# Slots 9-50 are the round-7 prefix minus its four deepest-green
+#   9    rel_corr, re-earning its row after the BIGINT-moment trim
+# Slots 10-50 are the round-7 prefix minus its five deepest-green
 # keepers (sp_join_boxes r1-r7, dedup_exact r3-r7, txt_stats r1-r7,
-# sim_ann_topk r1-r7 — all untouched in r8), which rotate out to make
-# room. Every member therefore is either new/churned this round or has
-# a prior green driver row.
+# sim_ann_topk r1-r7, dedup_minhash_lsh r1-r7 — all untouched in r8),
+# which rotate out to make room. Every member therefore is either
+# new/churned this round or has a prior green driver row.
 _R8_PREFIX = [
     "sp_disjoint_global_scaled", "op_rect_union", "rel_range_compacted",
-    "rel_zorder_pruned",
+    "rel_zorder_pruned", "src_stream_ingest",
     "rel_range_pruned", "rel_range_appended", "sp_containment_pruned",
     "rel_corr",
 ] + [n for n in _R7_PREFIX if n not in {
     "rel_corr", "rel_range_pruned", "rel_range_appended",
     "sp_containment_pruned", "sp_join_boxes", "dedup_exact", "txt_stats",
-    "sim_ann_topk",
+    "sim_ann_topk", "dedup_minhash_lsh",
 }]
 assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 REGISTRY = {
