@@ -484,18 +484,34 @@ def _update_manifest(spark: SparkSession, path: str, cols: Sequence[str],
     round trips per append instead of O(table), which is the module's
     own premise (a long-running ingest stream would otherwise re-pay
     the full listing every micro-batch). Rows for files that vanished
-    (a replayed ingest batch's previous attempt) drop out here."""
-    present = _data_files(path)
+    (a replayed ingest batch's previous attempt) drop out here.
+    Present-but-rowless files (orphans a crash left behind — an append
+    that died before its manifest rewrite, or a settle that died after
+    its commit) are ADOPTED: footer-read alongside the batch, so one
+    later write self-heals pruning sharpness instead of leaving
+    always-kept orphans forever."""
+    present = _active_files(path)
+    rows = _load_manifest(spark, path)
     old = [
         (r.file, r.rows, r.col, r.vtype, r.vmin, r.vmax, r.valid, _FORMAT)
-        for r in _load_manifest(spark, path)
+        for r in rows
         if r.file in present and r.file not in new_files
     ]
+    covered = {r.file for r in rows}
     fresh = [
         (r["file"], r["rows"], r["col"], r["vtype"], r["vmin"], r["vmax"],
          r["valid"], _FORMAT)
         for r in _footer_stats(path, cols, sorted(new_files & present))
     ]
+    for orphan in sorted(present - covered - new_files):
+        try:  # lenient: a foreign file stays an (always-kept) orphan
+            fresh += [
+                (r["file"], r["rows"], r["col"], r["vtype"], r["vmin"],
+                 r["vmax"], r["valid"], _FORMAT)
+                for r in _footer_stats(path, cols, [orphan])
+            ]
+        except Exception:  # noqa: BLE001
+            pass
     _save_manifest(spark, path, old + fresh)
 
 

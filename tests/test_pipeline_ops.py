@@ -2263,6 +2263,48 @@ class TestFileSkipping:
         kept2, _ = prune_files(spark, path, {"k": (0, 10)})
         assert any("orphan" in p for p in kept2)
 
+
+    def test_append_adopts_orphans_restoring_pruning(self, spark, tmp_path):
+        """A later append self-heals crash orphans: the incremental
+        manifest rewrite footer-reads present-but-rowless files, so a
+        disjoint query prunes them again; a FOREIGN file lacking the
+        clustering column survives as a lenient always-kept orphan."""
+        import os as _os
+        from hadoopgis_spark.sources.skipping import (
+            append_range_sorted, prune_files, read_range, save_range_sorted)
+        df = spark.range(0, 100).select(F.col("id").alias("k"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=4)
+        extra = spark.range(1000, 1010).select(F.col("id").alias("k"))
+        staging = str(tmp_path / "x")
+        extra.coalesce(1).write.parquet(staging)
+        src = [n for n in _os.listdir(staging) if n.endswith(".parquet")][0]
+        _os.rename(_os.path.join(staging, src),
+                   _os.path.join(path, "part-orphan.parquet"))
+        append_range_sorted(
+            spark.range(200, 220).select(F.col("id").alias("k")),
+            path, "k", n_files=1)
+        # the adopted orphan now has stats: a disjoint query prunes it,
+        # a matching one reads its rows
+        kept, total = prune_files(spark, path, {"k": (0, 10)})
+        assert not any("part-orphan" in p for p in kept), kept
+        assert read_range(spark, path, "k", 1000, 2000).count() == 10
+        # a FOREIGN file lacking the clustering column must not crash
+        # the next append — it stays a lenient always-kept orphan
+        # (reading a schema-incompatible file is the user's problem)
+        foreign = str(tmp_path / "f")
+        spark.range(3).select(F.col("id").alias("other")).coalesce(1)\
+            .write.parquet(foreign)
+        fsrc = [n for n in _os.listdir(foreign) if n.endswith(".parquet")][0]
+        _os.rename(_os.path.join(foreign, fsrc),
+                   _os.path.join(path, "part-foreign.parquet"))
+        append_range_sorted(
+            spark.range(220, 240).select(F.col("id").alias("k")),
+            path, "k", n_files=1)
+        kept2, _ = prune_files(spark, path, {"k": (0, 10)})
+        assert any("part-foreign" in p for p in kept2)
+
+
     def test_timestamp_prune_respects_session_tz(self, spark, tmp_path):
         # Naive user bounds are interpreted HOST-locally by the residual
         # filter (F.lit via TimestampType.toInternal's mktime — the
