@@ -57,6 +57,7 @@ __all__ = [
     "save_zorder_sorted",
     "read_range",
     "read_multi",
+    "layout_health",
     "read_window",
     "prune_files",
 ]
@@ -888,3 +889,54 @@ def read_multi(
         if hi is not None:
             df = df.filter(F.col(col) <= (F.lit(hi) if lit_hi is None else lit_hi))
     return df
+
+
+def layout_health(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    *,
+    small_bytes: int = 32 * 1024 * 1024,
+) -> dict:
+    """Layout diagnostics from the manifest + listing alone (no data
+    scan) — the operational signal for WHEN to compact/re-cluster:
+
+    * ``files`` / ``small_files`` / ``orphans`` / ``rows``
+    * ``overlap_factor``: the mean number of OTHER files whose
+      ``col`` range a file's [min, max] intersects. A freshly
+      clustered layout is ~0 (disjoint slices); every append wave
+      raises it (each batch's files span the whole domain), and with
+      it the number of files a selective query must open. Trigger
+      compaction when it crosses your listing-cost budget.
+
+    O(n log n) driver-side sweep over the manifest intervals.
+    """
+    import heapq
+
+    rows = _load_manifest(spark, path)
+    on_disk = _active_files(path)
+    by_file = {r.file: r for r in rows if r.col == col and r.file in on_disk}
+    orphans = on_disk - set(by_file)
+    n_rows = sum(r.rows for r in by_file.values())
+    small = sum(
+        1 for f in on_disk
+        if os.path.getsize(os.path.join(path, f)) < small_bytes)
+    ivals = sorted(
+        (_decode(r.vtype, r.vmin), _decode(r.vtype, r.vmax))
+        for r in by_file.values() if r.valid
+    )
+    pairs = 0
+    ends: list = []  # min-heap of active interval ends
+    for lo, hi in ivals:
+        while ends and ends[0] < lo:
+            heapq.heappop(ends)
+        pairs += len(ends)  # every still-active interval overlaps [lo, hi]
+        heapq.heappush(ends, hi)
+    n = len(ivals)
+    return {
+        "files": len(on_disk),
+        "small_files": small,
+        "orphans": len(orphans),
+        "rows": n_rows,
+        "overlap_factor": round(2.0 * pairs / n, 3) if n else 0.0,
+    }

@@ -2613,6 +2613,34 @@ class TestFileSkipping:
         assert vals == [0, 1, 2, 39]
 
 
+
+    def test_layout_health_tracks_fragmentation(self, spark, tmp_path):
+        """overlap_factor is the compaction trigger: ~0 when freshly
+        clustered (disjoint slices), rising with each append wave
+        (batch files span the whole domain), back down after compact."""
+        from hadoopgis_spark.sources.skipping import (
+            append_range_sorted, compact_range_sorted, layout_health,
+            save_range_sorted)
+        path = str(tmp_path / "lh")
+        df = spark.range(0, 4000).select(F.col("id").alias("k"))
+        save_range_sorted(df, path, "k", n_files=4)
+        h0 = layout_health(spark, path, "k")
+        assert h0["files"] == 4 and h0["rows"] == 4000
+        assert h0["overlap_factor"] == 0.0
+        for _ in range(2):  # each append spans the full key domain
+            append_range_sorted(
+                spark.range(0, 4000, 7).select(F.col("id").alias("k")),
+                path, "k", n_files=2)
+        h1 = layout_health(spark, path, "k")
+        assert h1["files"] == 8
+        assert h1["overlap_factor"] > 1.0, h1
+        compact_range_sorted(spark, path, "k", small_bytes=1 << 30,
+                             n_files=4)
+        h2 = layout_health(spark, path, "k")
+        assert h2["files"] == 4 and h2["rows"] == h1["rows"]
+        assert h2["overlap_factor"] == 0.0, h2
+
+
     def test_append_settles_dangling_compaction(self, spark, tmp_path):
         from hadoopgis_spark.sources import skipping as sk
         path = self._fragmented(spark, tmp_path)
