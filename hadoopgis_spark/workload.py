@@ -5736,6 +5736,39 @@ def op_rect_union(spark, sf):
     return spark.createDataFrame([(area,)], "union_area bigint")
 
 
+def sp_window_compacted(spark, sf):
+    """Spatial compaction end-to-end: half the boxes Hilbert-clustered,
+    the other half APPENDED (per-batch files span the whole extent —
+    window pruning decays), then ``compact_spatial_clustered``
+    re-Hilberts the small files under the commit record. Same window
+    and oracle as sp_containment_pruned — parity pins that spatial
+    compaction loses no boxes and double-reads none; the build asserts
+    the file count shrank and the record cleared."""
+    from hadoopgis_spark.sources.skipping import (
+        _data_files, _load_compact_record, append_spatial_clustered,
+        compact_spatial_clustered, read_window, save_spatial_clustered)
+    path = f"{_skip_root(spark)}/part_boxes_hilbert_cmp_{os.path.basename(os.path.normpath(sf))}"
+    ext = (0.0, 0.0, 980.0, 900.0)
+
+    def _build():
+        b = part_boxes(spark, sf)
+        save_spatial_clustered(b.filter(F.col("id") % 2 == 0), path, ext,
+                               n_files=4)
+        append_spatial_clustered(b.filter(F.col("id") % 2 == 1), path, ext,
+                                 n_files=2)
+        before = len(_data_files(path))
+        stats = compact_spatial_clustered(spark, path, ext,
+                                          small_bytes=1 << 30, n_files=4)
+        if stats["files_after"] >= before:
+            raise AssertionError(f"spatial compaction did not shrink: {stats}")
+        if _load_compact_record(path) is not None:
+            raise AssertionError("spatial compaction left a dangling record")
+        return True
+
+    _memo(("skip_boxes_cmp", spark.sparkContext.applicationId, sf), _build)
+    return read_window(spark, path, (200.0, 150.0, 600.0, 500.0))
+
+
 def src_stream_ingest(spark, sf):
     """The streaming-ingest loop end-to-end as a gate: three
     micro-batches of orders land through ``ingest_batch_sorted``
@@ -6314,6 +6347,7 @@ REGISTRY: dict[str, Query] = {
     "rel_range_compacted": Query(rel_range_compacted, REL_RANGE_PRUNED_SQL, "crash-safe small-file compaction of an appended zonemap layout"),
     "rel_zorder_pruned": Query(rel_zorder_pruned, REL_ZORDER_PRUNED_SQL, "multi-dim Z-order zonemap: pruning on the non-primary dimension"),
     "src_stream_ingest": Query(src_stream_ingest, SRC_STREAM_INGEST_SQL, "streaming ingest loop: idempotent replay + compaction + pruned serve"),
+    "sp_window_compacted": Query(sp_window_compacted, SP_CONTAINMENT_SQL, "spatial (Hilbert) compaction under the commit record, lossless window"),
     # displaced from the gated prefix to fit the round-5c additions: the
     # least-risky ungated entries (rows-only by design / md5-exact fake
     # codec unchanged for two rounds) — both stay repo-oracle-checked
@@ -6390,27 +6424,28 @@ _R7_PREFIX = [
 # round, or never driver-gated.
 assert len(_R7_PREFIX) == 50 and len(set(_R7_PREFIX)) == 50
 
-# Round-8 rotation. Slots 1-9 are the round-8 new/churned set:
-#   1-5  the five new gates (sp_disjoint_global_scaled, op_rect_union,
-#        rel_range_compacted, rel_zorder_pruned, src_stream_ingest)
+# Round-8 rotation. Slots 1-10 are the round-8 new/churned set:
+#   1-6  the six new gates (sp_disjoint_global_scaled, op_rect_union,
+#        rel_range_compacted, rel_zorder_pruned, src_stream_ingest,
+#        sp_window_compacted)
 #   6-8  zonemap gates over the round-8 skipping.py churn (host-vs-
 #        session literal interpretation fix, forced TIMESTAMP_MICROS
 #        stats, compaction commit protocol in prune_files)
 #   9    rel_corr, re-earning its row after the BIGINT-moment trim
-# Slots 10-50 are the round-7 prefix minus its five deepest-green
+# Slots 11-50 are the round-7 prefix minus its six deepest-green
 # keepers (sp_join_boxes r1-r7, dedup_exact r3-r7, txt_stats r1-r7,
-# sim_ann_topk r1-r7, dedup_minhash_lsh r1-r7 — all untouched in r8),
-# which rotate out to make room. Every member therefore is either
+# sim_ann_topk r1-r7, dedup_minhash_lsh r1-r7, cur_pipeline r4-r7 —
+# all untouched in r8), which rotate out to make room. Every member therefore is either
 # new/churned this round or has a prior green driver row.
 _R8_PREFIX = [
     "sp_disjoint_global_scaled", "op_rect_union", "rel_range_compacted",
-    "rel_zorder_pruned", "src_stream_ingest",
+    "rel_zorder_pruned", "src_stream_ingest", "sp_window_compacted",
     "rel_range_pruned", "rel_range_appended", "sp_containment_pruned",
     "rel_corr",
 ] + [n for n in _R7_PREFIX if n not in {
     "rel_corr", "rel_range_pruned", "rel_range_appended",
     "sp_containment_pruned", "sp_join_boxes", "dedup_exact", "txt_stats",
-    "sim_ann_topk", "dedup_minhash_lsh",
+    "sim_ann_topk", "dedup_minhash_lsh", "cur_pipeline",
 }]
 assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 REGISTRY = {
