@@ -6166,6 +6166,245 @@ REL_Q20_SQL = """
 """
 
 
+def rel_q2_min_cost_supplier(spark, sf):
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    achieving the minimum supply cost — the correlated-MIN-subquery
+    shape. No partsupp in this testdata, so supply cost is the minimum
+    line price (exact cents) this supplier ever charged for the part.
+    The region->nation->supplier dim chain is broadcast into the fact
+    scan; the (part, supplier) aggregate is persisted so the correlated
+    min and the probe both read ONE fact scan (the Q15/Q20 convention);
+    ties at the min are all returned (deterministic set, no LIMIT)."""
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf, "nation").join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    euro = (
+        _t(spark, sf, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    ps = (
+        _t(spark, sf, "lineitem")
+        .join(F.broadcast(euro.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(cents).alias("cost_c"))
+        .persist()
+    )
+    mn = ps.groupBy("l_partkey").agg(F.min("cost_c").alias("mn_c"))
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD"))
+    return (
+        ps.join(mn, "l_partkey")
+        .filter(F.col("cost_c") == F.col("mn_c"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(euro), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                (F.col("cost_c") / F.lit(100.0)).alias("supply_cost"))
+    )
+
+
+REL_Q2_SQL = """
+  WITH euro AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+  ),
+  ps AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cost_c
+    FROM lineitem JOIN euro ON l_suppkey = s_suppkey
+    GROUP BY 1, 2
+  )
+  SELECT s_acctbal, s_name, n_name, p_partkey,
+         cost_c / CAST(100.0 AS DOUBLE) AS supply_cost
+  FROM ps
+  JOIN part ON l_partkey = p_partkey
+  JOIN euro ON l_suppkey = s_suppkey
+  WHERE p_size <= 10 AND p_type = 'STANDARD'
+    AND cost_c = (SELECT MIN(p2.cost_c) FROM ps p2
+                  WHERE p2.l_partkey = ps.l_partkey)
+"""
+
+
+def rel_q4_priority_check(spark, sf):
+    """TPC-H Q4 shape: order-priority counts for one quarter's orders
+    that have at least one late line (EXISTS subquery — no
+    commitdate/receiptdate in this testdata, so 'late' = shipped >30
+    days after order date, the Q12 convention). The EXISTS becomes a
+    LEFT SEMI join whose non-equi lateness predicate rides the orderkey
+    equi-join as a residual; the 5-row priority aggregate is fully
+    partial-aggregated map-side."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp")))
+    l = _t(spark, sf, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+REL_Q4_SQL = """
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+    AND o_orderdate < TIMESTAMP '1995-10-01'
+    AND EXISTS (SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+  GROUP BY 1
+"""
+
+
+def rel_q16_supplier_cnt(spark, sf):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) bucket, excluding one brand/type and a NOT-IN supplier
+    blacklist (no partsupp or comment column here: the part-supplier
+    relationship is the distinct (l_partkey, l_suppkey) pair set, and
+    the 'complaints' blacklist is suppliers with negative balance).
+    The blacklist is a broadcast ANTI join (NOT IN on a non-null key);
+    part attributes broadcast into the pair set; COUNT(DISTINCT) runs
+    on the (brand, type, size) shuffle."""
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    rel = (
+        _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    return (
+        rel.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+REL_Q16_SQL = """
+  SELECT p_brand, p_type, p_size,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) rel
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_brand <> 'Brand#13' AND p_type <> 'MEDIUM'
+    AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  GROUP BY 1, 2, 3
+"""
+
+
+def rel_q17_small_qty_avg(spark, sf):
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders for one brand's parts stopped — lines with quantity below
+    0.2x the part's average quantity (the correlated-AVG shape). The
+    fractional threshold is evaluated in EXACT integer math
+    (5*qty*cnt < total_qty, quantities are integral in this testdata)
+    so no float threshold can diverge cross-engine; the brand's line
+    slice is persisted so the per-part threshold and the probe read ONE
+    fact scan; revenue sums exact cents and divides by 700.0 once
+    (100 cents x Q17's constant 7.0) — a single IEEE division of
+    identical integers."""
+    p = _t(spark, sf, "part").filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    bl = (
+        _t(spark, sf, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            F.round(F.col("l_quantity")).cast("long").alias("q"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .persist()
+    )
+    th = bl.groupBy("l_partkey").agg(
+        F.sum("q").alias("tq"), F.count(F.lit(1)).alias("cnt"))
+    return (
+        bl.join(F.broadcast(th), "l_partkey")
+        .filter(F.lit(5) * F.col("q") * F.col("cnt") < F.col("tq"))
+        .agg((F.sum("cents") / F.lit(700.0)).alias("avg_yearly"))
+    )
+
+
+REL_Q17_SQL = """
+  WITH bl AS (
+    SELECT l_partkey,
+           CAST(ROUND(l_quantity) AS BIGINT) AS q,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#23'
+  ),
+  th AS (
+    SELECT l_partkey, CAST(SUM(q) AS BIGINT) AS tq,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bl GROUP BY 1
+  )
+  SELECT CAST(SUM(cents) AS BIGINT) / CAST(700.0 AS DOUBLE) AS avg_yearly
+  FROM bl JOIN th USING (l_partkey)
+  WHERE 5 * q * cnt < tq
+"""
+
+
+def rel_q21_waiting_supplier(spark, sf):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    finished multi-supplier order (EXISTS + NOT EXISTS in the classic
+    formulation; 'late' = shipped >60 days after order date, no
+    receipt/commit dates here). The oracle keeps the textbook
+    correlated EXISTS/NOT-EXISTS pair; the Spark plan replaces the two
+    extra fact self-joins with ONE per-order aggregate — distinct
+    suppliers, distinct late suppliers, the sole late supplier, and its
+    late-line count — then filters (n_supp > 1, n_late_supp == 1) and
+    sums late lines per supplier, matching the oracle's per-l1-row
+    COUNT(*) exactly. The groupBy rides the orderkey partitioning the
+    join just produced (no extra shuffle)."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    l = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum(F.when(late, F.lit(1)).otherwise(F.lit(0))).alias("n_late_lines"),
+        )
+    )
+    s = _t(spark, sf, "supplier")
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .groupBy("late_supp")
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "numwait")
+    )
+
+
+REL_Q21_SQL = """
+  SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM lineitem l1
+  JOIN orders ON l1.l_orderkey = o_orderkey
+  JOIN supplier ON l1.l_suppkey = s_suppkey
+  WHERE o_orderstatus = 'F'
+    AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+  GROUP BY 1, 2
+"""
+
+
 # Ordering contract: the driver's CORRECTNESS gate runs a bounded prefix of
 # this registry (observed: first 50 entries). The DICT LITERAL below keeps
 # its historical (round-5) order for diff stability; the ACTUAL gate order
@@ -6367,6 +6606,11 @@ REGISTRY: dict[str, Query] = {
     "rel_q13_custdist": Query(rel_q13_custdist, REL_Q13_SQL, "TPC-H Q13 shape: outer-join order-count distribution"),
     "rel_q15_top_supplier": Query(rel_q15_top_supplier, REL_Q15_SQL, "TPC-H Q15 shape: aggregate joined back on its own MAX"),
     "rel_q20_dominant_supplier": Query(rel_q20_dominant_supplier, REL_Q20_SQL, "TPC-H Q20 shape: nested-aggregate dominant-share semi join"),
+    "rel_q2_min_cost_supplier": Query(rel_q2_min_cost_supplier, REL_Q2_SQL, "TPC-H Q2 shape: correlated-MIN supplier per part"),
+    "rel_q4_priority_check": Query(rel_q4_priority_check, REL_Q4_SQL, "TPC-H Q4 shape: EXISTS semi join with residual lateness"),
+    "rel_q16_supplier_cnt": Query(rel_q16_supplier_cnt, REL_Q16_SQL, "TPC-H Q16 shape: NOT-IN anti join + COUNT DISTINCT buckets"),
+    "rel_q17_small_qty_avg": Query(rel_q17_small_qty_avg, REL_Q17_SQL, "TPC-H Q17 shape: correlated-AVG threshold, exact integer form"),
+    "rel_q21_waiting_supplier": Query(rel_q21_waiting_supplier, REL_Q21_SQL, "TPC-H Q21 shape: EXISTS+NOT EXISTS as one per-order aggregate"),
 }
 
 # Round-7 gate prefix (the ordering contract: the driver gates
@@ -6442,10 +6686,20 @@ _R8_PREFIX = [
     "rel_zorder_pruned", "src_stream_ingest", "sp_window_compacted",
     "rel_range_pruned", "rel_range_appended", "sp_containment_pruned",
     "rel_corr",
+    # round-8 late additions: the last five classic TPC-H plan shapes
+    # (the registry now covers all 22) — new, so they gate this round,
+    # displacing five more multi-round-green keepers (sp_containment_wkt
+    # r1-r7, sp_knn r1-r7, sp_join_self r7, sim_ann_ivf r5-r7,
+    # stream_ann_batch r7 — all untouched in r8)
+    "rel_q2_min_cost_supplier", "rel_q4_priority_check",
+    "rel_q16_supplier_cnt", "rel_q17_small_qty_avg",
+    "rel_q21_waiting_supplier",
 ] + [n for n in _R7_PREFIX if n not in {
     "rel_corr", "rel_range_pruned", "rel_range_appended",
     "sp_containment_pruned", "sp_join_boxes", "dedup_exact", "txt_stats",
     "sim_ann_topk", "dedup_minhash_lsh", "cur_pipeline",
+    "sp_containment_wkt", "sp_knn", "sp_join_self", "sim_ann_ivf",
+    "stream_ann_batch",
 }]
 assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 REGISTRY = {
