@@ -85,11 +85,30 @@ def _canon(v):
         "and use read_range instead)")
 
 
+_M64 = (1 << 64) - 1
+_SM_GAMMA = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+
+
+def _splitmix64(z: int) -> int:
+    """Fixed 64-bit finalizer (Steele et al.'s SplitMix64) — pure
+    integer arithmetic, so the build (numpy, executors) and the probe
+    (python ints, driver) agree forever, independent of any library
+    version. Used for INT keys; strings go through md5."""
+    z = (z + _SM_GAMMA) & _M64
+    z = ((z ^ (z >> 30)) * _SM_M1) & _M64
+    z = ((z ^ (z >> 27)) * _SM_M2) & _M64
+    return z ^ (z >> 31)
+
+
 def _hash_pair(v) -> tuple[int, int]:
     v = _canon(v)
-    tag = "int" if isinstance(v, int) else "str"
+    if isinstance(v, int):
+        u = v & _M64  # two's-complement wrap, same as numpy uint64 view
+        return _splitmix64(u), _splitmix64(u ^ _M64)
     d = hashlib.md5(
-        f"{tag}:{v}".encode("utf-8", "surrogateescape")).digest()
+        f"str:{v}".encode("utf-8", "surrogateescape")).digest()
     return (int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big"))
 
 
@@ -97,6 +116,43 @@ def _positions(v, m_bits: int, k: int) -> list[int]:
     h1, h2 = _hash_pair(v)
     h2 = h2 % m_bits or 1  # zero stride would collapse all k probes
     return [(h1 + i * h2) % m_bits for i in range(k)]
+
+
+def _set_bits_vectorized(bits, values, m_bits: int, k: int) -> None:
+    """OR the k probe positions of every value into ``bits`` (uint8
+    array). Integer arrays go through the numpy splitmix64 path (the
+    build's hot loop — ~100x the per-value python loop); everything
+    else falls back to the scalar path. MUST stay bit-identical to
+    :func:`_positions` — pinned by a test."""
+    import numpy as np
+
+    arr = np.asarray(values)
+    if arr.dtype.kind not in ("i", "u"):
+        for v in values:
+            for pos in _positions(v, m_bits, k):
+                bits[pos >> 3] |= np.uint8(1 << (pos & 7))
+        return
+    with np.errstate(over="ignore"):
+        z = arr.astype(np.uint64)
+
+        def mix(z):
+            z = z + np.uint64(_SM_GAMMA)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(_SM_M1)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM_M2)
+            return z ^ (z >> np.uint64(31))
+
+        h1 = mix(z)
+        h2 = mix(z ^ np.uint64(_M64)) % np.uint64(m_bits)
+        h2[h2 == 0] = 1
+        i = np.arange(k, dtype=np.uint64)[None, :]
+        # h1 + i*h2 stays < 2^64: h2 < m_bits (< 2^40 in practice) and
+        # k is single-digit, so no wrap ambiguity vs the scalar path —
+        # python ints don't wrap, numpy would; keep the sum exact
+        pos = (h1[:, None] % np.uint64(m_bits)
+               + i * h2[:, None]) % np.uint64(m_bits)
+    idx = (pos >> np.uint64(3)).ravel()
+    msk = np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8).ravel()
+    np.bitwise_or.at(bits, idx, msk)
 
 
 def _params(n_items: int, fpp: float) -> tuple[int, int]:
@@ -172,9 +228,8 @@ def build_bloom_index(
                     base = _basename(fname)
                     for c in cols:
                         bits = np.zeros(m_bits // 8, dtype=np.uint8)
-                        for v in pd.unique(g[c].dropna()):
-                            for pos in _positions(v, m_bits, k):
-                                bits[pos >> 3] |= 1 << (pos & 7)
+                        _set_bits_vectorized(
+                            bits, pd.unique(g[c].dropna()), m_bits, k)
                         out.append((base, c, m_bits, k, bits.tobytes(),
                                     _BLOOM_FORMAT))
                 if out:
@@ -225,6 +280,57 @@ def build_bloom_index(
     return {"indexed": len(missing), "total": len(active)}
 
 
+# Driver-side index cache: point lookups are interactive (an id probe
+# should cost microseconds, not a Spark job), so indexes up to this
+# many bytes are pyarrow-read ONCE per (path, index fingerprint) and
+# probed in pure Python. Larger indexes (the true 100k-file case, GBs
+# of bitsets) fall back to one distributed map over the index table in
+# which each row tests its own file — only (file, miss) pairs reach
+# the driver, never the bits.
+_DRIVER_CACHE_MAX = 256 * 1024 * 1024
+_index_cache: dict[tuple, dict] = {}
+
+
+def _index_fingerprint(bpath: str) -> tuple:
+    names = sorted(
+        n for n in os.listdir(bpath)
+        if n.endswith(".parquet") and not n.startswith(("_", ".")))
+    sizes = tuple(
+        (n, os.path.getsize(os.path.join(bpath, n)),
+         os.path.getmtime(os.path.join(bpath, n))) for n in names)
+    return (bpath, sizes)
+
+
+def _cached_index(bpath: str) -> dict | None:
+    """{(file, col): (m_bits, k, bits)} driver-side, or None when the
+    index is too big to cache (use the distributed probe)."""
+    import pyarrow.parquet as pq
+
+    fp = _index_fingerprint(bpath)
+    total = sum(s for _, s, _ in fp[1])
+    if total > _DRIVER_CACHE_MAX:
+        return None
+    hit = _index_cache.get(bpath)
+    if hit is not None and hit["fp"] == fp:
+        return hit["idx"]
+    t = pq.read_table(bpath)
+    d = t.to_pydict()
+    idx = {
+        (f, c): (m, k, bits)
+        for f, c, m, k, bits in zip(
+            d["file"], d["col"], d["m_bits"], d["k"], d["bits"])
+    }
+    _index_cache.clear()  # bound memory: one cached index at a time
+    _index_cache[bpath] = {"fp": fp, "idx": idx}
+    return idx
+
+
+def _absent(bits: bytes, v, m_bits: int, k: int) -> bool:
+    return any(
+        not (bits[p >> 3] >> (p & 7)) & 1
+        for p in _positions(v, m_bits, k))
+
+
 def prune_files_eq(
     spark: SparkSession,
     path: str,
@@ -234,37 +340,40 @@ def prune_files_eq(
     equality constraints ``{col: value}``. A file is pruned only when
     some constrained column HAS an index row whose filter proves the
     value absent; files without index rows (fresh appends, crash
-    orphans, foreign files) are always kept. The bit tests run
-    DISTRIBUTED over the index table — only file names reach the
-    driver."""
+    orphans, foreign files) are always kept. Small indexes are cached
+    driver-side (repeat probes are pure bit math, no Spark job); large
+    ones are tested DISTRIBUTED over the index table — only file names
+    reach the driver."""
     for v in eq.values():
         _canon(v)  # fail fast on unsupported key types
     active = _active_files(path)
-    idx = _index_df(spark, path)
-    if idx is None or not eq:
+    bpath = os.path.join(path, _BLOOM_DIR)
+    if not os.path.isdir(bpath) or not eq:
         return sorted(os.path.join(path, f) for f in active), len(active)
-    qcols = sorted(eq)
-    rows = idx.filter(F.col("col").isin(qcols))
+    cached = _cached_index(bpath)
+    if cached is not None:
+        pruned = {
+            f for (f, c), (m, k, bits) in cached.items()
+            if c in eq and _absent(bits, eq[c], int(m), int(k))
+        }
+    else:
+        qcols = sorted(eq)
+        rows = _index_df(spark, path).filter(F.col("col").isin(qcols))
 
-    def _test(batches):
-        import numpy as np
-        import pandas as pd
+        def _test(batches):
+            import pandas as pd
 
-        for pdf in batches:
-            miss = []
-            for _, r in pdf.iterrows():
-                bits = np.frombuffer(r["bits"], dtype=np.uint8)
-                pos = _positions(eq[r["col"]], int(r["m_bits"]), int(r["k"]))
-                absent = any(not (bits[p >> 3] >> (p & 7)) & 1 for p in pos)
-                miss.append(absent)
-            yield pd.DataFrame({"file": pdf["file"], "miss": miss})
+            for pdf in batches:
+                miss = [
+                    _absent(r["bits"], eq[r["col"]],
+                            int(r["m_bits"]), int(r["k"]))
+                    for _, r in pdf.iterrows()
+                ]
+                yield pd.DataFrame({"file": pdf["file"], "miss": miss})
 
-    verdict = (
-        rows.mapInPandas(_test, "file string, miss boolean")
-        .groupBy("file").agg(F.max("miss").alias("miss"))
-        .collect()  # bounded: one (name, bool) per indexed file
-    )
-    pruned = {r.file for r in verdict if r.miss}
+        verdict = rows.mapInPandas(_test, "file string, miss boolean") \
+            .collect()  # bounded: one (name, bool) per (file, col) row
+        pruned = {r.file for r in verdict if r.miss}
     kept = sorted(os.path.join(path, f) for f in active - pruned)
     return kept, len(active)
 

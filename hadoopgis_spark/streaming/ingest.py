@@ -91,14 +91,25 @@ def streaming_ingest_sorted(stream: DataFrame, path: str, order_col: str,
                             trigger: dict | None = None,
                             compact_every: int | None = None,
                             compact_small_bytes: int = 32 * 1024 * 1024,
-                            compact_n_files: int = 1):
+                            compact_n_files: int = 1,
+                            bloom_cols: tuple[str, ...] = (),
+                            bloom_n_items: int = 100_000):
     """Start the ingestion query: every micro-batch of ``stream`` lands
     range-clustered under ``path`` with the manifest refreshed. With
     ``compact_every=N``, every Nth batch additionally folds the
     accumulated small files into ``compact_n_files`` freshly-sorted ones
     (crash-safe commit record; a retried batch re-settles first), so a
     long-running ingest keeps a bounded file count without ever pausing
-    the stream for a full rewrite. Returns the running StreamingQuery."""
+    the stream for a full rewrite. With ``bloom_cols``, the per-file
+    bloom index over those point-lookup keys is extended incrementally
+    after each batch — O(batch) work, since ``build_bloom_index`` reads
+    only files that lack index rows (fresh batch files, and compaction
+    outputs right after a fold) — so equality probes via
+    ``sources.bloom.read_eq`` stay sharp for the whole table while the
+    stream runs. A replayed batch's re-landed files get fresh rows (the
+    old files vanished, so their rows drop out on the same rebuild).
+    Returns the running StreamingQuery."""
+    from hadoopgis_spark.sources.bloom import build_bloom_index
     from hadoopgis_spark.sources.skipping import compact_range_sorted
 
     def _body(df: DataFrame, bid: int) -> None:
@@ -107,6 +118,9 @@ def streaming_ingest_sorted(stream: DataFrame, path: str, order_col: str,
             compact_range_sorted(df.sparkSession, path, order_col,
                                  small_bytes=compact_small_bytes,
                                  n_files=compact_n_files)
+        if bloom_cols:
+            build_bloom_index(df.sparkSession, path, list(bloom_cols),
+                              n_items=bloom_n_items)
 
     writer = stream.writeStream.foreachBatch(_body).option(
         "checkpointLocation", checkpoint)

@@ -4819,6 +4819,20 @@ def _skip_root(spark) -> str:
     return _bucket_root(spark) + "_skip"
 
 
+def _lineitem_shipdate_layout(spark, sf) -> str:
+    """Memoized shipdate-clustered lineitem layout shared by the
+    zonemap (rel_range_pruned) and bloom (rel_bloom_pruned) gates —
+    one layout, two indexes, the way a real deployment layers them.
+    sf tag in the path: the _memo key is sf-scoped, so an sf-agnostic
+    path would let a dual-scale run serve the other scale's layout."""
+    from hadoopgis_spark.sources.skipping import save_range_sorted
+    path = f"{_skip_root(spark)}/lineitem_by_shipdate_{os.path.basename(os.path.normpath(sf))}"
+    _memo(("skip_lineitem", spark.sparkContext.applicationId, sf),
+          lambda: save_range_sorted(_t(spark, sf, "lineitem"), path,
+                                    "l_shipdate", n_files=8) or True)
+    return path
+
+
 def rel_range_pruned(spark, sf):
     """Zonemap scan: lineitem is rewritten once range-clustered on
     l_shipdate with a footer min/max manifest; the Q1-style aggregate
@@ -4828,13 +4842,8 @@ def rel_range_pruned(spark, sf):
     residual filter is re-applied, so parity with the direct-scan
     oracle pins the whole layout+manifest+prune roundtrip."""
     import datetime as dt
-    from hadoopgis_spark.sources.skipping import read_range, save_range_sorted
-    # sf tag in the path: the _memo key is sf-scoped, so an sf-agnostic
-    # path would let a dual-scale run serve the other scale's layout
-    path = f"{_skip_root(spark)}/lineitem_by_shipdate_{os.path.basename(os.path.normpath(sf))}"
-    _memo(("skip_lineitem", spark.sparkContext.applicationId, sf),
-          lambda: save_range_sorted(_t(spark, sf, "lineitem"), path,
-                                    "l_shipdate", n_files=8) or True)
+    from hadoopgis_spark.sources.skipping import read_range
+    path = _lineitem_shipdate_layout(spark, sf)
     df = read_range(spark, path, "l_shipdate",
                     dt.datetime(1995, 1, 1), dt.datetime(1995, 6, 30))
     return df.groupBy("l_returnflag").agg(
@@ -4852,6 +4861,42 @@ REL_RANGE_PRUNED_SQL = """
   FROM lineitem
   WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-06-30'
   GROUP BY l_returnflag
+"""
+
+
+def rel_bloom_pruned(spark, sf):
+    """Bloom-index point lookup: the shipdate-clustered layout's
+    min/max manifest cannot prune an ``l_orderkey = K`` probe (order
+    keys scatter across every file), so a per-file bloom index over
+    l_orderkey is built once (one distributed Arrow pass, OR-merged
+    bitsets) and the probe scans only maybe-present files — at 100 TB
+    this is the id-lookup path: O(files-hit + fpp*files) instead of
+    O(table). The equality residual is re-applied, so parity with the
+    direct-scan oracle pins build, probe, and read end to end. The
+    probed key is the max order key (bounded 1-row scalar, the Q22
+    threshold convention)."""
+    from hadoopgis_spark.sources.bloom import build_bloom_index, read_eq
+    path = _lineitem_shipdate_layout(spark, sf)
+    _memo(("bloom_lineitem", spark.sparkContext.applicationId, sf),
+          lambda: build_bloom_index(spark, path, ["l_orderkey"]) or True)
+    key = int(_t(spark, sf, "lineitem")
+              .agg(F.max("l_orderkey")).collect()[0][0])  # bounded scalar
+    df = read_eq(spark, path, {"l_orderkey": key})
+    return df.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+         / F.lit(100.0)).alias("revenue"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+    )
+
+
+REL_BLOOM_PRUNED_SQL = """
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS revenue,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem
+  WHERE l_orderkey = (SELECT MAX(l_orderkey) FROM lineitem)
 """
 
 
@@ -6551,6 +6596,7 @@ REGISTRY: dict[str, Query] = {
     "txt_top_ngrams": Query(txt_top_ngrams, TXT_TOP_NGRAMS_SQL, "corpus heavy hitters: top-k bigrams"),
     "txt_vocab_coverage": Query(txt_vocab_coverage, TXT_VOCAB_COVERAGE_SQL, "per-source token coverage of a top-k vocab"),
     "rel_range_pruned": Query(rel_range_pruned, REL_RANGE_PRUNED_SQL, "zonemap file-skipping scan (range-clustered lineitem)"),
+    "rel_bloom_pruned": Query(rel_bloom_pruned, REL_BLOOM_PRUNED_SQL, "bloom-index point lookup on a non-clustered key"),
     "sp_containment_pruned": Query(sp_containment_pruned, SP_CONTAINMENT_SQL, "J3 window over Hilbert-clustered zonemap layout"),
     "rel_q7_volume": Query(rel_q7_volume, REL_Q7_SQL, "Q7 nation-pair shipping volume by year"),
     "rel_q10_returns": Query(rel_q10_returns, REL_Q10_SQL, "Q10 top returned-item customers"),
@@ -6687,19 +6733,20 @@ _R8_PREFIX = [
     "rel_range_pruned", "rel_range_appended", "sp_containment_pruned",
     "rel_corr",
     # round-8 late additions: the last five classic TPC-H plan shapes
-    # (the registry now covers all 22) — new, so they gate this round,
-    # displacing five more multi-round-green keepers (sp_containment_wkt
-    # r1-r7, sp_knn r1-r7, sp_join_self r7, sim_ann_ivf r5-r7,
-    # stream_ann_batch r7 — all untouched in r8)
+    # (the registry now covers all 22) and the bloom point-lookup gate —
+    # new, so they gate this round, displacing six more multi-round-green
+    # keepers (sp_containment_wkt r1-r7, sp_knn r1-r7, sp_join_self r7,
+    # sim_ann_ivf r5-r7, stream_ann_batch r7, sim_ann_ivfpq_indexed
+    # r5-r7 — all untouched in r8)
     "rel_q2_min_cost_supplier", "rel_q4_priority_check",
     "rel_q16_supplier_cnt", "rel_q17_small_qty_avg",
-    "rel_q21_waiting_supplier",
+    "rel_q21_waiting_supplier", "rel_bloom_pruned",
 ] + [n for n in _R7_PREFIX if n not in {
     "rel_corr", "rel_range_pruned", "rel_range_appended",
     "sp_containment_pruned", "sp_join_boxes", "dedup_exact", "txt_stats",
     "sim_ann_topk", "dedup_minhash_lsh", "cur_pipeline",
     "sp_containment_wkt", "sp_knn", "sp_join_self", "sim_ann_ivf",
-    "stream_ann_batch",
+    "stream_ann_batch", "sim_ann_ivfpq_indexed",
 }]
 assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 REGISTRY = {
