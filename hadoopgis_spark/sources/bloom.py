@@ -331,33 +331,51 @@ def _absent(bits: bytes, v, m_bits: int, k: int) -> bool:
         for p in _positions(v, m_bits, k))
 
 
+def _values(v) -> list:
+    """Normalize one eq constraint: a scalar, or a non-empty collection
+    for IN-list semantics (file pruned only when EVERY candidate is
+    provably absent)."""
+    vals = list(v) if isinstance(v, (list, tuple, set, frozenset)) else [v]
+    if not vals:
+        raise ValueError("empty IN-list constraint matches nothing — "
+                         "filter literally instead of probing the index")
+    for x in vals:
+        _canon(x)  # fail fast on unsupported key types
+    return vals
+
+
 def prune_files_eq(
     spark: SparkSession,
     path: str,
     eq: dict,
 ) -> tuple[list[str], int]:
     """(kept file paths, total active file count) for a conjunction of
-    equality constraints ``{col: value}``. A file is pruned only when
-    some constrained column HAS an index row whose filter proves the
-    value absent; files without index rows (fresh appends, crash
-    orphans, foreign files) are always kept. Small indexes are cached
-    driver-side (repeat probes are pure bit math, no Spark job); large
-    ones are tested DISTRIBUTED over the index table — only file names
-    reach the driver."""
-    for v in eq.values():
-        _canon(v)  # fail fast on unsupported key types
+    equality constraints ``{col: value_or_values}``. A collection value
+    is an IN-list: the file survives that column if ANY candidate is
+    maybe-present. A file is pruned only when some constrained column
+    HAS an index row whose filter proves every candidate absent; files
+    without index rows (fresh appends, crash orphans, foreign files)
+    are always kept. Small indexes are cached driver-side (repeat
+    probes are pure bit math, no Spark job); large ones are tested
+    DISTRIBUTED over the index table — only file names reach the
+    driver."""
+    vals = {c: _values(v) for c, v in eq.items()}
     active = _active_files(path)
     bpath = os.path.join(path, _BLOOM_DIR)
     if not os.path.isdir(bpath) or not eq:
         return sorted(os.path.join(path, f) for f in active), len(active)
+
+    def _all_absent(bits, c, m, k):
+        return all(_absent(bits, x, m, k) for x in vals[c])
+
     cached = _cached_index(bpath)
     if cached is not None:
         pruned = {
             f for (f, c), (m, k, bits) in cached.items()
-            if c in eq and _absent(bits, eq[c], int(m), int(k))
+            if c in vals and _all_absent(bits, c, int(m), int(k))
         }
     else:
-        qcols = sorted(eq)
+        qcols = sorted(vals)
         rows = _index_df(spark, path).filter(F.col("col").isin(qcols))
 
         def _test(batches):
@@ -365,8 +383,8 @@ def prune_files_eq(
 
             for pdf in batches:
                 miss = [
-                    _absent(r["bits"], eq[r["col"]],
-                            int(r["m_bits"]), int(r["k"]))
+                    _all_absent(r["bits"], r["col"],
+                                int(r["m_bits"]), int(r["k"]))
                     for _, r in pdf.iterrows()
                 ]
                 yield pd.DataFrame({"file": pdf["file"], "miss": miss})
@@ -383,22 +401,26 @@ def read_eq(
     path: str,
     eq: dict,
 ) -> DataFrame:
-    """Rows with ``col == value`` for every entry of ``eq``, scanning
-    only files the bloom index (and, when the zonemap manifest also
-    covers a queried column, its min/max ranges) cannot rule out. The
-    equality residual is always re-applied — correct at any fpp."""
+    """Rows with ``col == value`` (or ``col IN (values)`` for a
+    collection) for every entry of ``eq``, scanning only files the
+    bloom index (and, when the zonemap manifest also covers a queried
+    column, its min/max ranges) cannot rule out. The equality residual
+    is always re-applied — correct at any fpp."""
     from hadoopgis_spark.sources import skipping as _skip
 
+    vals = {c: _values(v) for c, v in eq.items()}
     kept, _ = prune_files_eq(spark, path, eq)
     keep_names = {os.path.basename(p) for p in kept}
     # intersect with zonemap pruning for manifest-covered columns: a
-    # point is just a degenerate range, and the clustering column's
-    # min/max often rules out files the bloom keeps (and vice versa)
+    # point (or an IN-list's [min, max] envelope) is just a range, and
+    # the clustering column's min/max often rules out files the bloom
+    # keeps (and vice versa)
     try:
         manifest_cols = {r.col for r in _skip._load_manifest(spark, path)}
     except ValueError:
         manifest_cols = set()
-    ranged = {c: (v, v) for c, v in eq.items() if c in manifest_cols}
+    ranged = {c: (min(v), max(v)) for c, v in vals.items()
+              if c in manifest_cols}
     if ranged:
         zkept, _ = _skip.prune_files(spark, path, ranged)
         keep_names &= {os.path.basename(p) for p in zkept}
@@ -406,6 +428,7 @@ def read_eq(
         return spark.read.parquet(path).filter(F.lit(False))
     df = spark.read.parquet(
         *(os.path.join(path, n) for n in sorted(keep_names)))
-    for c, v in eq.items():
-        df = df.filter(F.col(c) == F.lit(v))
+    for c, v in vals.items():
+        df = df.filter(
+            F.col(c) == F.lit(v[0]) if len(v) == 1 else F.col(c).isin(v))
     return df

@@ -933,10 +933,26 @@ def layout_health(
         pairs += len(ends)  # every still-active interval overlaps [lo, hi]
         heapq.heappush(ends, hi)
     n = len(ivals)
-    return {
+    out = {
         "files": len(on_disk),
         "small_files": small,
         "orphans": len(orphans),
         "rows": n_rows,
         "overlap_factor": round(2.0 * pairs / n, 3) if n else 0.0,
     }
+    # bloom-index coverage (when one exists): per indexed column, how
+    # many active files lack a row — those are always-kept for equality
+    # probes, so a growing count is the re-run-build_bloom_index signal
+    # (same manifest-only discipline: file/col names, no bitsets read)
+    bdir = os.path.join(path, "_hgs_bloom")
+    if os.path.isdir(bdir):
+        parts = [os.path.join(bdir, f) for f in sorted(os.listdir(bdir))
+                 if f.endswith(".parquet")]
+        pairs_fc = _pq.read_table(parts, columns=["file", "col"]).to_pydict()
+        have: dict[str, set] = {}
+        for f, c in zip(pairs_fc["file"], pairs_fc["col"]):
+            have.setdefault(c, set()).add(f)
+        out["bloom_unindexed"] = {
+            c: len(on_disk - files) for c, files in sorted(have.items())
+        }
+    return out

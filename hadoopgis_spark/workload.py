@@ -4900,6 +4900,38 @@ REL_BLOOM_PRUNED_SQL = """
 """
 
 
+def rel_bloom_isin(spark, sf):
+    """Bloom-index IN-list lookup (id-batch retrieval, the other shape
+    of the point-lookup path): both probe keys ride ONE index pass —
+    a file survives if ANY candidate is maybe-present — and the
+    residual ``isin`` is re-applied. Shares the layout and index the
+    equality gate built (memoized); keys are the min and max order
+    keys, two bounded scalars from one 1-row aggregate."""
+    from hadoopgis_spark.sources.bloom import build_bloom_index, read_eq
+    path = _lineitem_shipdate_layout(spark, sf)
+    _memo(("bloom_lineitem", spark.sparkContext.applicationId, sf),
+          lambda: build_bloom_index(spark, path, ["l_orderkey"]) or True)
+    row = _t(spark, sf, "lineitem").agg(
+        F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+    keys = [int(row[0]), int(row[1])]  # bounded scalars
+    df = read_eq(spark, path, {"l_orderkey": keys})
+    return df.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+    )
+
+
+REL_BLOOM_ISIN_SQL = """
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem
+  WHERE l_orderkey IN ((SELECT MIN(l_orderkey) FROM lineitem),
+                       (SELECT MAX(l_orderkey) FROM lineitem))
+  GROUP BY 1
+"""
+
+
 def txt_sql_surface(spark, sf):
     """Text analysis via the SQL-function surface: the hgs_* SCALAR SQL
     functions (Spark 4 `CREATE FUNCTION ... RETURN expr`) are INLINED
@@ -6597,6 +6629,7 @@ REGISTRY: dict[str, Query] = {
     "txt_vocab_coverage": Query(txt_vocab_coverage, TXT_VOCAB_COVERAGE_SQL, "per-source token coverage of a top-k vocab"),
     "rel_range_pruned": Query(rel_range_pruned, REL_RANGE_PRUNED_SQL, "zonemap file-skipping scan (range-clustered lineitem)"),
     "rel_bloom_pruned": Query(rel_bloom_pruned, REL_BLOOM_PRUNED_SQL, "bloom-index point lookup on a non-clustered key"),
+    "rel_bloom_isin": Query(rel_bloom_isin, REL_BLOOM_ISIN_SQL, "bloom-index IN-list lookup (id-batch retrieval)"),
     "sp_containment_pruned": Query(sp_containment_pruned, SP_CONTAINMENT_SQL, "J3 window over Hilbert-clustered zonemap layout"),
     "rel_q7_volume": Query(rel_q7_volume, REL_Q7_SQL, "Q7 nation-pair shipping volume by year"),
     "rel_q10_returns": Query(rel_q10_returns, REL_Q10_SQL, "Q10 top returned-item customers"),
@@ -6733,20 +6766,21 @@ _R8_PREFIX = [
     "rel_range_pruned", "rel_range_appended", "sp_containment_pruned",
     "rel_corr",
     # round-8 late additions: the last five classic TPC-H plan shapes
-    # (the registry now covers all 22) and the bloom point-lookup gate —
-    # new, so they gate this round, displacing six more multi-round-green
-    # keepers (sp_containment_wkt r1-r7, sp_knn r1-r7, sp_join_self r7,
-    # sim_ann_ivf r5-r7, stream_ann_batch r7, sim_ann_ivfpq_indexed
-    # r5-r7 — all untouched in r8)
+    # (the registry now covers all 22) and the two bloom point-lookup
+    # gates — new, so they gate this round, displacing seven more
+    # multi-round-green keepers (sp_containment_wkt r1-r7, sp_knn r1-r7,
+    # sp_join_self r7, sim_ann_ivf r5-r7, stream_ann_batch r7,
+    # sim_ann_ivfpq_indexed r5-r7, stream_sessionize r4-r7 — all
+    # untouched in r8)
     "rel_q2_min_cost_supplier", "rel_q4_priority_check",
     "rel_q16_supplier_cnt", "rel_q17_small_qty_avg",
-    "rel_q21_waiting_supplier", "rel_bloom_pruned",
+    "rel_q21_waiting_supplier", "rel_bloom_pruned", "rel_bloom_isin",
 ] + [n for n in _R7_PREFIX if n not in {
     "rel_corr", "rel_range_pruned", "rel_range_appended",
     "sp_containment_pruned", "sp_join_boxes", "dedup_exact", "txt_stats",
     "sim_ann_topk", "dedup_minhash_lsh", "cur_pipeline",
     "sp_containment_wkt", "sp_knn", "sp_join_self", "sim_ann_ivf",
-    "stream_ann_batch", "sim_ann_ivfpq_indexed",
+    "stream_ann_batch", "sim_ann_ivfpq_indexed", "stream_sessionize",
 }]
 assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 REGISTRY = {

@@ -84,6 +84,37 @@ class TestBloomMath:
         assert np.array_equal(sbits, sexpect)
 
 
+class TestBloomProperties:
+    def test_no_false_negatives_property(self):
+        """Hypothesis: for random int/str key sets and filter params,
+        every inserted key tests present (bloom's defining invariant —
+        a false negative would silently lose rows)."""
+        from hypothesis import given, settings, strategies as st
+
+        import numpy as np
+
+        from hadoopgis_spark.sources.bloom import (
+            _params, _positions, _set_bits_vectorized)
+
+        @settings(max_examples=30, deadline=None)
+        @given(
+            ints=st.lists(st.integers(-(2**63), 2**63 - 1), max_size=60),
+            strs=st.lists(st.text(max_size=12), max_size=40),
+            n_items=st.integers(1, 500),
+            fpp=st.floats(0.001, 0.2),
+        )
+        def run(ints, strs, n_items, fpp):
+            m, k = _params(n_items, fpp)
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            _set_bits_vectorized(bits, np.array(ints, dtype=np.int64), m, k)
+            _set_bits_vectorized(bits, np.array(strs, dtype=object), m, k)
+            for v in ints + strs:
+                assert all(
+                    (bits[p >> 3] >> (p & 7)) & 1 for p in _positions(v, m, k))
+
+        run()
+
+
 class TestBloomBuildProbe:
     def test_no_false_negatives_and_sharp(self, spark, tmp_path):
         path = str(tmp_path / "t")
@@ -134,6 +165,45 @@ class TestBloomBuildProbe:
         build_bloom_index(spark, path, ["id"], n_items=500)
         with pytest.raises(TypeError):
             prune_files_eq(spark, path, {"id": 1.5})
+        with pytest.raises(ValueError):
+            prune_files_eq(spark, path, {"id": []})
+
+    def test_in_list_probe(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        n = _write_scattered(spark, path, n=10_000, n_files=16)
+        build_bloom_index(spark, path, ["id"], n_items=1_000)
+        keys = [3, 4444, 9_999]
+        # union semantics: keeps the union of each key's files, prunes
+        # the rest; residual isin returns exactly the 3 rows
+        kept, total = prune_files_eq(spark, path, {"id": keys})
+        assert total == 16 and 1 <= len(kept) <= 6
+        got = sorted(r.id for r in read_eq(spark, path, {"id": keys}).collect())
+        assert got == keys
+        # mixed present/absent: absent members add nothing
+        got = read_eq(spark, path, {"id": [3, n + 123456]}).collect()
+        assert [r.id for r in got] == [3]
+
+    def test_layout_health_reports_bloom_coverage(self, spark, tmp_path):
+        from hadoopgis_spark.sources.skipping import (
+            layout_health, save_range_sorted)
+
+        path = str(tmp_path / "t")
+        df = (spark.range(4_000)
+              .withColumn("ts", F.col("id"))
+              .withColumn("id", (F.col("id") * 7919) % 4_000))
+        save_range_sorted(df, path, "ts", n_files=4)
+        h = layout_health(spark, path, "ts")
+        assert "bloom_unindexed" not in h  # no index yet
+        build_bloom_index(spark, path, ["id"], n_items=1_000)
+        assert layout_health(spark, path, "ts")["bloom_unindexed"] == {"id": 0}
+        extra = spark.range(1).select(
+            F.lit(9_999).alias("ts"), F.lit(8_888).alias("id"))
+        from hadoopgis_spark.sources.skipping import append_range_sorted
+        append_range_sorted(extra, path, "ts", n_files=1)
+        h = layout_health(spark, path, "ts")
+        assert h["bloom_unindexed"] == {"id": 1}  # the re-index signal
+        build_bloom_index(spark, path, ["id"], n_items=1_000)
+        assert layout_health(spark, path, "ts")["bloom_unindexed"] == {"id": 0}
 
 
 class TestBloomMaintenance:
