@@ -21,7 +21,12 @@ parquet) is:
 
 The residual predicate is always re-applied to the rows read, so
 results are correct regardless of how coarse the pruning is; files
-whose footer lacks stats (nulls, old writers) are always kept.
+whose footer lacks min/max (old writers, all-null groups) are always
+kept. Columns with SOME nulls still prune on their non-null min/max —
+range/equality predicates are null-excluding, and every reader here
+re-applies one, so a NULL row can never be a false prune victim (a
+caller composing its own predicates over ``prune_files`` output must
+preserve that null-excluding property).
 
 The manifest is parquet under ``{path}/_hgs_manifest`` — underscore
 paths are invisible to Spark's file index, so the data directory stays
@@ -427,8 +432,15 @@ def _footer_stats(path: str, cols: Sequence[str],
                   files: Sequence[str] | None = None) -> list[dict]:
     """One manifest row per data file from the parquet footers (no data
     scan). A column's stats are ``valid=False`` when any row group lacks
-    min/max for it — such files are never pruned. ``files`` restricts
-    the footer reads (incremental manifest maintenance)."""
+    min/max for it (old writers, all-null groups) — such files are never
+    pruned. Parquet min/max are over NON-NULL values, so a file with
+    some nulls still gets valid, prunable bounds: range/equality
+    predicates are null-excluding in SQL semantics (every reader in
+    this module re-applies such a residual), so a NULL row can never be
+    a false prune victim. (Before round 8 any null made the whole file
+    permanently unprunable — a 0.1%-null column disabled skipping
+    entirely.) ``files`` restricts the footer reads (incremental
+    manifest maintenance)."""
     rows = []
     for name in sorted(files) if files is not None else sorted(_data_files(path)):
         md = _pq.read_metadata(os.path.join(path, name))
@@ -439,10 +451,7 @@ def _footer_stats(path: str, cols: Sequence[str],
             valid = md.num_rows > 0
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[col]).statistics
-                if st is None or not st.has_min_max or st.null_count is None:
-                    valid = False
-                    break
-                if st.null_count > 0:
+                if st is None or not st.has_min_max:
                     valid = False
                     break
                 vmin = st.min if vmin is None else min(vmin, st.min)

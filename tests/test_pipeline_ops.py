@@ -2227,17 +2227,40 @@ class TestFileSkipping:
         assert read_range(spark, path, "k", 1000, 2000).count() == 0
         assert read_range(spark, path, "k").count() == 100
 
-    def test_null_stats_files_always_kept(self, spark, tmp_path):
-        from hadoopgis_spark.sources.skipping import prune_files, read_range, save_range_sorted
+    def test_nullable_column_still_prunes_on_nonnull_bounds(self, spark, tmp_path):
+        """Nulls must not disable skipping: parquet min/max cover the
+        NON-null values, and every reader's residual is null-excluding,
+        so a partially-null column keeps sharp, correct pruning (before
+        round 8 one null made the file permanently unprunable)."""
+        from hadoopgis_spark.sources.skipping import (
+            prune_files, read_range, save_range_sorted)
         df = spark.createDataFrame(
             [(None, "a")] + [(i, "b") for i in range(100)], "k int, tag string")
         path = str(tmp_path / "t")
         save_range_sorted(df, path, "k", n_files=4)
-        # the file holding the null row has no valid stats -> never pruned
         kept, total = prune_files(spark, path, {"k": (90, 99)})
-        assert len(kept) >= 1
-        # residual filter still drops the null row
+        assert total == 4 and 1 <= len(kept) < total  # nulls didn't kill pruning
+        # residual is null-excluding: exact result even if the null
+        # row's file was pruned or kept
         assert read_range(spark, path, "k", 90, 99).count() == 10
+        assert read_range(spark, path, "k").count() == 101  # unbounded keeps all
+
+    def test_all_null_file_never_pruned(self, spark, tmp_path):
+        from hadoopgis_spark.sources.skipping import (
+            _update_manifest, prune_files, read_range, save_range_sorted)
+        df = spark.range(0, 100).select(F.col("id").alias("k"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=4)
+        before = set(os.listdir(path))
+        allnull = spark.createDataFrame([(None,)], "k int")
+        allnull.coalesce(1).write.mode("append").parquet(path)
+        new = {f for f in os.listdir(path)
+               if f.endswith(".parquet") and f not in before}
+        _update_manifest(spark, path, ["k"], new)
+        # no min/max exists for an all-null file -> conservatively kept
+        kept, total = prune_files(spark, path, {"k": (1000, 2000)})
+        assert total == 5 and len(kept) == 1
+        assert read_range(spark, path, "k", 0, 99).count() == 100
 
     def test_orphan_files_always_kept(self, spark, tmp_path):
         # Crash safety: a failure between landing data files and the
