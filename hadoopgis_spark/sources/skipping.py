@@ -61,6 +61,7 @@ __all__ = [
     "compact_spatial_clustered",
     "save_zorder_sorted",
     "read_range",
+    "count_range",
     "read_multi",
     "layout_health",
     "read_window",
@@ -69,7 +70,12 @@ __all__ = [
 
 _MANIFEST_DIR = "_hgs_manifest"
 _COMPACT_DIR = "_hgs_compact"  # record.json (commit marker) + stage/
-_FORMAT = 1
+# format 2 adds per-(file, col) null counts (enables metadata-only
+# counts via count_range); format-1 manifests load with nulls=unknown
+# — everything still prunes, only the metadata-count fast path treats
+# those files as must-scan
+_FORMAT = 2
+_KNOWN_FORMATS = {1, 2}
 
 
 @_ctx.contextmanager
@@ -403,13 +409,13 @@ def _compact(spark, path, small_bytes, rewrite, check) -> dict:
     _maybe_crash("record")
     # manifest: survivors' rows + footer stats of the staged new files
     keep = [
-        (r.file, r.rows, r.col, r.vtype, r.vmin, r.vmax, r.valid, _FORMAT)
+        (r.file, r.rows, r.col, r.vtype, r.vmin, r.vmax, r.valid, _FORMAT, r.nulls)
         for r in _load_manifest(spark, path)
         if r.file not in set(small)
     ]
     fresh = [
         (r["file"], r["rows"], r["col"], r["vtype"], r["vmin"], r["vmax"],
-         r["valid"], _FORMAT)
+         r["valid"], _FORMAT, r["nulls"])
         for r in _footer_stats(stage, cols, new)
     ]
     _save_manifest(spark, path, keep + fresh)
@@ -448,11 +454,17 @@ def _footer_stats(path: str, cols: Sequence[str],
         idx = {c: schema_names.index(c) for c in cols}
         for col in cols:
             vmin = vmax = None
+            nulls: int | None = 0
             valid = md.num_rows > 0
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[col]).statistics
+                if st is not None and st.null_count is not None and nulls is not None:
+                    nulls += st.null_count
+                else:
+                    nulls = None  # unknown: count_range must scan this file
                 if st is None or not st.has_min_max:
                     valid = False
+                    nulls = None  # partial sum would understate
                     break
                 vmin = st.min if vmin is None else min(vmin, st.min)
                 vmax = st.max if vmax is None else max(vmax, st.max)
@@ -464,12 +476,14 @@ def _footer_stats(path: str, cols: Sequence[str],
             rows.append({
                 "file": name, "rows": md.num_rows, "col": col,
                 "vtype": tag, "vmin": smin, "vmax": smax, "valid": valid,
+                "nulls": nulls,
             })
     return rows
 
 
 _MANIFEST_SCHEMA = ("file string, rows bigint, col string, vtype string, "
-                    "vmin string, vmax string, valid boolean, format int")
+                    "vmin string, vmax string, valid boolean, format int, "
+                    "nulls bigint")
 
 
 def _save_manifest(spark: SparkSession, path: str, tuples: list) -> None:
@@ -484,7 +498,7 @@ def _write_manifest(spark: SparkSession, path: str, cols: Sequence[str]) -> None
     rows = _footer_stats(path, cols)
     _save_manifest(spark, path, [
         (r["file"], r["rows"], r["col"], r["vtype"], r["vmin"], r["vmax"],
-         r["valid"], _FORMAT) for r in rows])
+         r["valid"], _FORMAT, r["nulls"]) for r in rows])
 
 
 def _update_manifest(spark: SparkSession, path: str, cols: Sequence[str],
@@ -503,21 +517,21 @@ def _update_manifest(spark: SparkSession, path: str, cols: Sequence[str],
     present = _active_files(path)
     rows = _load_manifest(spark, path)
     old = [
-        (r.file, r.rows, r.col, r.vtype, r.vmin, r.vmax, r.valid, _FORMAT)
+        (r.file, r.rows, r.col, r.vtype, r.vmin, r.vmax, r.valid, _FORMAT, r.nulls)
         for r in rows
         if r.file in present and r.file not in new_files
     ]
     covered = {r.file for r in rows}
     fresh = [
         (r["file"], r["rows"], r["col"], r["vtype"], r["vmin"], r["vmax"],
-         r["valid"], _FORMAT)
+         r["valid"], _FORMAT, r["nulls"])
         for r in _footer_stats(path, cols, sorted(new_files & present))
     ]
     for orphan in sorted(present - covered - new_files):
         try:  # lenient: a foreign file stays an (always-kept) orphan
             fresh += [
                 (r["file"], r["rows"], r["col"], r["vtype"], r["vmin"],
-                 r["vmax"], r["valid"], _FORMAT)
+                 r["vmax"], r["valid"], _FORMAT, r["nulls"])
                 for r in _footer_stats(path, cols, [orphan])
             ]
         except Exception:  # noqa: BLE001
@@ -525,18 +539,51 @@ def _update_manifest(spark: SparkSession, path: str, cols: Sequence[str],
     _save_manifest(spark, path, old + fresh)
 
 
+import collections as _collections
+
+_MRow = _collections.namedtuple(
+    "_MRow", "file rows col vtype vmin vmax valid format nulls")
+# Driver-side manifest cache: the manifest is KBs, but loading it
+# through a Spark job adds ~0.2 s of fixed latency to EVERY prune —
+# interactive point lookups and metadata counts should not pay a
+# cluster round trip to read kilobytes. pyarrow reads it directly;
+# a (name, size, mtime) fingerprint invalidates on any rewrite
+# (appends, compaction, settle). One table cached at a time.
+_manifest_cache: dict[str, dict] = {}
+
+
 def _load_manifest(spark: SparkSession, path: str) -> list:
     mpath = os.path.join(path, _MANIFEST_DIR)
     try:
-        rows = spark.read.parquet(mpath).collect()
+        parts = sorted(
+            n for n in os.listdir(mpath)
+            if n.endswith(".parquet") and not n.startswith(("_", ".")))
+        fp = tuple(
+            (n, os.path.getsize(os.path.join(mpath, n)),
+             os.path.getmtime(os.path.join(mpath, n))) for n in parts)
+        hit = _manifest_cache.get(mpath)
+        if hit is not None and hit["fp"] == fp:
+            return hit["rows"]
+        t = _pq.read_table([os.path.join(mpath, n) for n in parts])
+        d = t.to_pydict()
+        if "nulls" not in d:  # format-1 manifest: nulls unknown
+            d["nulls"] = [None] * t.num_rows
+        rows = [
+            _MRow(*vals) for vals in zip(
+                d["file"], d["rows"], d["col"], d["vtype"], d["vmin"],
+                d["vmax"], d["valid"], d["format"], d["nulls"])
+        ]
     except Exception as exc:  # noqa: BLE001 — absent/corrupt manifest
         raise ValueError(
             f"no file-skipping manifest under {path!r} — write the table "
             "with save_range_sorted/save_spatial_clustered first"
         ) from exc
-    bad = {r.format for r in rows} - {_FORMAT}
+    bad = {r.format for r in rows} - _KNOWN_FORMATS
     if bad:
-        raise ValueError(f"manifest format {bad} not supported (expect {_FORMAT})")
+        raise ValueError(
+            f"manifest format {bad} not supported (expect ⊆ {_KNOWN_FORMATS})")
+    _manifest_cache.clear()
+    _manifest_cache[mpath] = {"fp": fp, "rows": rows}
     return rows
 
 
@@ -658,11 +705,20 @@ def prune_files(
     spark: SparkSession,
     path: str,
     ranges: dict[str, tuple],
-) -> tuple[list[str], int]:
+    *,
+    classify: bool = False,
+) -> tuple:
     """(kept file paths, total file count) for a conjunction of range
     constraints ``{col: (lo, hi)}`` (either bound may be None). A file
     is kept unless some constrained column's footer range provably
-    misses ``[lo, hi]``; files without valid stats are always kept."""
+    misses ``[lo, hi]``; files without valid stats are always kept.
+
+    With ``classify=True`` a third element is returned:
+    ``{kept file path: row count}`` for the INTERIOR files — those whose
+    every constrained column provably satisfies the range for ALL rows
+    (valid stats, zero nulls, [min, max] ⊆ [lo, hi]). Interior files
+    need no scan at all for null-excluding range predicates — the basis
+    of :func:`count_range`'s metadata-only aggregation."""
     rows = _load_manifest(spark, path)
     by_file: dict[str, dict] = {}
     manifest_cols = {r.col for r in rows}
@@ -686,13 +742,19 @@ def prune_files(
     total_files = len(on_disk | set(by_file))
     tz = _session_tz(spark)
     kept = sorted(os.path.join(path, fname) for fname in orphans)
+    interior: dict[str, int] = {}
     for fname, stats in sorted(by_file.items()):
         if fname not in on_disk:
             continue
         keep = True
+        # orphan-free interior candidacy: proven for EVERY constrained
+        # column, disproven by any unknown (invalid stats, unknown or
+        # nonzero null count — a NULL row never matches a range)
+        inner = bool(ranges)
         for col, (lo, hi) in ranges.items():
             st = stats.get(col)
             if st is None or not st.valid:
+                inner = False
                 continue
             vmin = _decode(st.vtype, st.vmin)
             vmax = _decode(st.vtype, st.vmax)
@@ -709,18 +771,31 @@ def prune_files(
                     conv = lambda b: _bound_to_naive(b, tz) if isinstance(b, _dt.datetime) else b  # noqa: E731
             else:
                 conv = lambda b: b  # noqa: E731
+            if st.nulls != 0:  # None (unknown) or > 0
+                inner = False
             if lo is not None:
                 a, b = _align(vmax, conv(lo))
                 if a < b:
                     keep = False
                     break
+                a, b = _align(vmin, conv(lo))
+                if a < b:
+                    inner = False
             if hi is not None:
                 a, b = _align(vmin, conv(hi))
                 if a > b:
                     keep = False
                     break
+                a, b = _align(vmax, conv(hi))
+                if a > b:
+                    inner = False
         if keep:
             kept.append(os.path.join(path, fname))
+            if inner and classify:
+                interior[os.path.join(path, fname)] = next(
+                    iter(stats.values())).rows
+    if classify:
+        return sorted(kept), total_files, interior
     return sorted(kept), total_files
 
 
@@ -793,6 +868,45 @@ def read_range(
     if hi is not None:
         df = df.filter(F.col(order_col) <= (F.lit(hi) if lit_hi is None else lit_hi))
     return df
+
+
+def count_range(
+    spark: SparkSession,
+    path: str,
+    order_col: str,
+    lo=None,
+    hi=None,
+) -> int:
+    """EXACT ``COUNT(*) WHERE lo <= order_col <= hi`` answered mostly
+    from metadata: interior files (footer [min, max] ⊆ [lo, hi], zero
+    nulls) contribute their manifest row counts with NO scan; only
+    boundary files — on a clustered layout, ~2 per query regardless of
+    table size — are scanned with the residual. At 100 TB this is the
+    difference between a count that opens two files and one that reads
+    the table. Bounds get the same one-normalization treatment as
+    :func:`read_range`, so the metadata tier and the residual tier
+    agree on the instant under any session/host timezone."""
+    lit_lo = lit_hi = None
+    if isinstance(lo, _dt.date) or isinstance(hi, _dt.date):
+        coltype = spark.read.parquet(path).schema[order_col].dataType
+        if lo is not None:
+            lo, lit_lo = _normalize_bound(spark, coltype, lo)
+        if hi is not None:
+            hi, lit_hi = _normalize_bound(spark, coltype, hi)
+    kept, _, interior = prune_files(
+        spark, path, {order_col: (lo, hi)}, classify=True)
+    n = sum(interior.values())
+    boundary = [p for p in kept if p not in interior]
+    if boundary:
+        df = spark.read.parquet(*boundary)
+        if lo is not None:
+            df = df.filter(
+                F.col(order_col) >= (F.lit(lo) if lit_lo is None else lit_lo))
+        if hi is not None:
+            df = df.filter(
+                F.col(order_col) <= (F.lit(hi) if lit_hi is None else lit_hi))
+        n += df.count()
+    return n
 
 
 def read_window(

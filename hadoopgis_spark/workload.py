@@ -4900,6 +4900,29 @@ REL_BLOOM_PRUNED_SQL = """
 """
 
 
+def rel_count_pruned(spark, sf):
+    """Metadata-only COUNT: interior files of the shipdate-clustered
+    layout (footer [min,max] inside the bounds, zero nulls) contribute
+    their manifest row counts with NO scan; only the ~2 boundary files
+    are read with the residual. At 100 TB a time-range count opens two
+    files instead of the table. Parity with the direct-scan oracle pins
+    the classify tier, the null discipline, and the bound
+    normalization end to end."""
+    import datetime as dt
+    from hadoopgis_spark.sources.skipping import count_range
+    path = _lineitem_shipdate_layout(spark, sf)
+    n = count_range(spark, path, "l_shipdate",
+                    dt.datetime(1995, 1, 1), dt.datetime(1997, 12, 31))
+    return spark.createDataFrame([(n,)], "n_lines bigint")
+
+
+REL_COUNT_PRUNED_SQL = """
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'
+"""
+
+
 def rel_bloom_isin(spark, sf):
     """Bloom-index IN-list lookup (id-batch retrieval, the other shape
     of the point-lookup path): both probe keys ride ONE index pass —
@@ -6630,6 +6653,7 @@ REGISTRY: dict[str, Query] = {
     "rel_range_pruned": Query(rel_range_pruned, REL_RANGE_PRUNED_SQL, "zonemap file-skipping scan (range-clustered lineitem)"),
     "rel_bloom_pruned": Query(rel_bloom_pruned, REL_BLOOM_PRUNED_SQL, "bloom-index point lookup on a non-clustered key"),
     "rel_bloom_isin": Query(rel_bloom_isin, REL_BLOOM_ISIN_SQL, "bloom-index IN-list lookup (id-batch retrieval)"),
+    "rel_count_pruned": Query(rel_count_pruned, REL_COUNT_PRUNED_SQL, "metadata-only COUNT from manifest row counts + boundary scan"),
     "sp_containment_pruned": Query(sp_containment_pruned, SP_CONTAINMENT_SQL, "J3 window over Hilbert-clustered zonemap layout"),
     "rel_q7_volume": Query(rel_q7_volume, REL_Q7_SQL, "Q7 nation-pair shipping volume by year"),
     "rel_q10_returns": Query(rel_q10_returns, REL_Q10_SQL, "Q10 top returned-item customers"),
@@ -6766,21 +6790,24 @@ _R8_PREFIX = [
     "rel_range_pruned", "rel_range_appended", "sp_containment_pruned",
     "rel_corr",
     # round-8 late additions: the last five classic TPC-H plan shapes
-    # (the registry now covers all 22) and the two bloom point-lookup
-    # gates — new, so they gate this round, displacing seven more
-    # multi-round-green keepers (sp_containment_wkt r1-r7, sp_knn r1-r7,
-    # sp_join_self r7, sim_ann_ivf r5-r7, stream_ann_batch r7,
-    # sim_ann_ivfpq_indexed r5-r7, stream_sessionize r4-r7 — all
+    # (the registry now covers all 22), the two bloom point-lookup
+    # gates, and the metadata-only count — new, so they gate this
+    # round, displacing eight more multi-round-green keepers
+    # (sp_containment_wkt r1-r7, sp_knn r1-r7, sp_join_self r7,
+    # sim_ann_ivf r5-r7, stream_ann_batch r7, sim_ann_ivfpq_indexed
+    # r5-r7, stream_sessionize r4-r7, stream_sliding_batch r4-r7 — all
     # untouched in r8)
     "rel_q2_min_cost_supplier", "rel_q4_priority_check",
     "rel_q16_supplier_cnt", "rel_q17_small_qty_avg",
     "rel_q21_waiting_supplier", "rel_bloom_pruned", "rel_bloom_isin",
+    "rel_count_pruned",
 ] + [n for n in _R7_PREFIX if n not in {
     "rel_corr", "rel_range_pruned", "rel_range_appended",
     "sp_containment_pruned", "sp_join_boxes", "dedup_exact", "txt_stats",
     "sim_ann_topk", "dedup_minhash_lsh", "cur_pipeline",
     "sp_containment_wkt", "sp_knn", "sp_join_self", "sim_ann_ivf",
     "stream_ann_batch", "sim_ann_ivfpq_indexed", "stream_sessionize",
+    "stream_sliding_batch",
 }]
 assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 REGISTRY = {

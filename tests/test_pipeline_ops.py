@@ -2227,6 +2227,75 @@ class TestFileSkipping:
         assert read_range(spark, path, "k", 1000, 2000).count() == 0
         assert read_range(spark, path, "k").count() == 100
 
+    def test_count_range_metadata_only_interior(self, spark, tmp_path):
+        """count_range answers interior files from manifest row counts
+        (zero scan) and scans only the boundary files — exact at every
+        bound placement, including bounds aligned to file edges."""
+        from hadoopgis_spark.sources.skipping import (
+            count_range, prune_files, save_range_sorted)
+        df = spark.range(0, 1000).select(F.col("id").alias("k"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=8)
+        for lo, hi in [(110, 640), (0, 999), (125, 249), (None, 499),
+                       (500, None), (None, None), (1500, 2000), (7, 7)]:
+            expect = sum(
+                1 for v in range(1000)
+                if (lo is None or v >= lo) and (hi is None or v <= hi))
+            assert count_range(spark, path, "k", lo, hi) == expect, (lo, hi)
+        # a mid-table query really is metadata-mostly: interior files
+        # cover everything except the two boundary files
+        kept, total, interior = prune_files(
+            spark, path, {"k": (110, 640)}, classify=True)
+        assert total == 8 and len(interior) == len(kept) - 2
+        assert sum(interior.values()) > 0
+
+    def test_format1_manifest_loads_and_counts_via_scan(self, spark, tmp_path):
+        """A pre-round-8 (format-1, no nulls column) manifest keeps
+        working: pruning unchanged, count_range exact — interior
+        candidacy is simply disproven (nulls unknown), so every kept
+        file is scanned instead of metadata-counted."""
+        import os as _os
+        from hadoopgis_spark.sources.skipping import (
+            _MANIFEST_DIR, count_range, prune_files, read_range,
+            save_range_sorted)
+        df = spark.range(0, 400).select(F.col("id").alias("k"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=4)
+        # rewrite the manifest as format 1 (drop nulls, stamp format=1)
+        mpath = _os.path.join(path, _MANIFEST_DIR)
+        v1 = (spark.read.parquet(mpath).drop("nulls")
+              .withColumn("format", F.lit(1)))
+        v1.collect()  # materialize before overwriting the source
+        import shutil as _sh
+        tmp_m = str(tmp_path / "m1")
+        v1.coalesce(1).write.parquet(tmp_m)
+        _sh.rmtree(mpath)
+        _os.rename(tmp_m, mpath)
+        kept, total, interior = prune_files(
+            spark, path, {"k": (150, 249)}, classify=True)
+        assert total == 4 and len(kept) < 4 and interior == {}
+        assert count_range(spark, path, "k", 150, 249) == 100
+        assert read_range(spark, path, "k", 150, 249).count() == 100
+
+    def test_count_range_nulls_and_appends_force_scan_not_error(
+            self, spark, tmp_path):
+        from hadoopgis_spark.sources.skipping import (
+            append_range_sorted, count_range, save_range_sorted)
+        df = spark.createDataFrame(
+            [(None,)] + [(i,) for i in range(100)], "k int")
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=4)
+        # null-bearing files are never interior -> scanned, count exact
+        assert count_range(spark, path, "k", 10, 59) == 50
+        # unbounded count = COUNT(*) with no predicate: the null row
+        # counts (its file lands in the scan tier, which applies no
+        # filter; null-free files come straight from metadata)
+        assert count_range(spark, path, "k") == 101
+        append_range_sorted(
+            spark.range(100, 150).select(F.col("id").cast("int").alias("k")),
+            path, "k", n_files=1)
+        assert count_range(spark, path, "k", 90, 120) == 31
+
     def test_nullable_column_still_prunes_on_nonnull_bounds(self, spark, tmp_path):
         """Nulls must not disable skipping: parquet min/max cover the
         NON-null values, and every reader's residual is null-excluding,
@@ -2252,7 +2321,7 @@ class TestFileSkipping:
         path = str(tmp_path / "t")
         save_range_sorted(df, path, "k", n_files=4)
         before = set(os.listdir(path))
-        allnull = spark.createDataFrame([(None,)], "k int")
+        allnull = spark.createDataFrame([(None,)], "k bigint")
         allnull.coalesce(1).write.mode("append").parquet(path)
         new = {f for f in os.listdir(path)
                if f.endswith(".parquet") and f not in before}

@@ -121,6 +121,37 @@ def bench_zorder(spark) -> None:
               f"n={r.n} s={r.s}")
 
 
+def bench_count(spark) -> None:
+    """Metadata-only COUNT vs a full scan-count on a 20M-row layout:
+    interior files come from manifest row counts, only the 2 boundary
+    files are read."""
+    from hadoopgis_spark.sources.skipping import (
+        count_range, prune_files, save_range_sorted)
+
+    path = "/tmp/hgs_ab_count"
+    shutil.rmtree(path, ignore_errors=True)
+    df = spark.range(0, N_ROWS).select(
+        F.col("id").alias("k"), (F.col("id") % 97).cast("double").alias("v"))
+    save_range_sorted(df, path, "k", n_files=64)
+    lo, hi = 1_000_000, 18_123_456  # ~86%: almost all interior
+    kept, total, interior = prune_files(
+        spark, path, {"k": (lo, hi)}, classify=True)
+    t_meta, t_scan = [], []
+    for _ in range(3):
+        t0 = time.time()
+        n_meta = count_range(spark, path, "k", lo, hi)
+        t_meta.append(time.time() - t0)
+        t0 = time.time()
+        n_scan = (spark.read.parquet(path)
+                  .filter((F.col("k") >= lo) & (F.col("k") <= hi)).count())
+        t_scan.append(time.time() - t0)
+    assert n_meta == n_scan == hi - lo + 1
+    print(f"count: interior {len(interior)}/{len(kept)} kept files "
+          f"({sum(interior.values())} of {n_meta} rows from metadata), "
+          f"count_range min {min(t_meta):.2f}s vs scan-count min "
+          f"{min(t_scan):.2f}s, exact")
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -128,6 +159,8 @@ def main() -> None:
         bench_compact(spark)
     if which in ("zorder", "all"):
         bench_zorder(spark)
+    if which in ("count", "all"):
+        bench_count(spark)
     spark.stop()
 
 
