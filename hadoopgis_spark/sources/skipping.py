@@ -62,6 +62,7 @@ __all__ = [
     "save_zorder_sorted",
     "read_range",
     "count_range",
+    "minmax_range",
     "read_multi",
     "layout_health",
     "read_window",
@@ -907,6 +908,82 @@ def count_range(
                 F.col(order_col) <= (F.lit(hi) if lit_hi is None else lit_hi))
         n += df.count()
     return n
+
+
+def minmax_range(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    where: dict[str, tuple] | None = None,
+) -> tuple:
+    """EXACT ``(MIN(col), MAX(col)) WHERE <where ranges>`` answered
+    mostly from metadata: for files that provably satisfy ``where``
+    entirely (the :func:`prune_files` interior tier — zero nulls in the
+    constrained columns), the target column's own footer min/max are
+    candidates directly (MIN/MAX ignore nulls, so the TARGET column may
+    contain them as long as its stats are valid); boundary and
+    stat-less files are scanned with the residual. ``col`` must be
+    manifest-covered (``stat_cols``). Returns ``(None, None)`` when no
+    row matches."""
+    where = dict(where or {})
+    rows = _load_manifest(spark, path)
+    by_file: dict[str, dict] = {}
+    for r in rows:
+        by_file.setdefault(r.file, {})[r.col] = r
+    if not any(col in stats for stats in by_file.values()):
+        raise ValueError(
+            f"manifest under {path!r} has no stats for {col!r} — "
+            "rewrite with stat_cols")
+    # one-normalization for datetime/date bounds (read_range discipline:
+    # pruning and residual must share one instant)
+    lits: dict[str, tuple] = {}
+    schema = None
+    for c, (wlo, whi) in list(where.items()):
+        lit_lo = lit_hi = None
+        if isinstance(wlo, _dt.date) or isinstance(whi, _dt.date):
+            if schema is None:
+                schema = spark.read.parquet(path).schema
+            if wlo is not None:
+                wlo, lit_lo = _normalize_bound(spark, schema[c].dataType, wlo)
+            if whi is not None:
+                whi, lit_hi = _normalize_bound(spark, schema[c].dataType, whi)
+            where[c] = (wlo, whi)
+        lits[c] = (lit_lo, lit_hi)
+    kept, _, interior = prune_files(spark, path, where, classify=True)
+    lo = hi = None
+    scan: list[str] = []
+    for p in kept:
+        st = by_file.get(os.path.basename(p), {}).get(col)
+        # no constraints → every file with valid target stats is pure
+        # metadata (MIN/MAX need no null bookkeeping: stats are over
+        # non-null values, and SQL MIN/MAX ignore nulls)
+        if (p in interior or not where) and st is not None and st.valid:
+            vmin, vmax = _decode(st.vtype, st.vmin), _decode(st.vtype, st.vmax)
+            if isinstance(vmin, _dt.datetime) and vmin.tzinfo is not None:
+                # UTC-adjusted footer stats come back aware; the scan
+                # tier's collect() yields host-local NAIVE datetimes —
+                # render both in the same domain before merging
+                vmin = vmin.astimezone().replace(tzinfo=None)
+                vmax = vmax.astimezone().replace(tzinfo=None)
+            lo = vmin if lo is None else min(*_align(lo, vmin))
+            hi = vmax if hi is None else max(*_align(hi, vmax))
+        else:
+            scan.append(p)
+    if scan:
+        df = spark.read.parquet(*scan)
+        for c, (wlo, whi) in where.items():
+            lit_lo, lit_hi = lits.get(c, (None, None))
+            if wlo is not None:
+                df = df.filter(
+                    F.col(c) >= (F.lit(wlo) if lit_lo is None else lit_lo))
+            if whi is not None:
+                df = df.filter(
+                    F.col(c) <= (F.lit(whi) if lit_hi is None else lit_hi))
+        row = df.agg(F.min(col), F.max(col)).collect()[0]
+        if row[0] is not None:
+            lo = row[0] if lo is None else min(*_align(lo, row[0]))
+            hi = row[1] if hi is None else max(*_align(hi, row[1]))
+    return lo, hi
 
 
 def read_window(

@@ -4829,7 +4829,8 @@ def _lineitem_shipdate_layout(spark, sf) -> str:
     path = f"{_skip_root(spark)}/lineitem_by_shipdate_{os.path.basename(os.path.normpath(sf))}"
     _memo(("skip_lineitem", spark.sparkContext.applicationId, sf),
           lambda: save_range_sorted(_t(spark, sf, "lineitem"), path,
-                                    "l_shipdate", n_files=8) or True)
+                                    "l_shipdate", n_files=8,
+                                    stat_cols=["l_extendedprice"]) or True)
     return path
 
 
@@ -4918,6 +4919,31 @@ def rel_count_pruned(spark, sf):
 
 REL_COUNT_PRUNED_SQL = """
   SELECT CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'
+"""
+
+
+def rel_minmax_pruned(spark, sf):
+    """Metadata-only MIN/MAX: for interior files of the time window the
+    target column's own footer min/max are the candidates (no scan —
+    and no null bookkeeping, MIN/MAX ignore nulls); only the ~2
+    boundary files are read. Same footer-aggregate family as
+    rel_count_pruned; doubles are picked values (order-independent), so
+    no rounding is needed cross-engine."""
+    import datetime as dt
+    from hadoopgis_spark.sources.skipping import minmax_range
+    path = _lineitem_shipdate_layout(spark, sf)
+    lo, hi = minmax_range(
+        spark, path, "l_extendedprice",
+        {"l_shipdate": (dt.datetime(1995, 1, 1), dt.datetime(1997, 12, 31))})
+    return spark.createDataFrame(
+        [(lo, hi)], "min_price double, max_price double")
+
+
+REL_MINMAX_PRUNED_SQL = """
+  SELECT MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price
   FROM lineitem
   WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'
 """
@@ -6654,6 +6680,7 @@ REGISTRY: dict[str, Query] = {
     "rel_bloom_pruned": Query(rel_bloom_pruned, REL_BLOOM_PRUNED_SQL, "bloom-index point lookup on a non-clustered key"),
     "rel_bloom_isin": Query(rel_bloom_isin, REL_BLOOM_ISIN_SQL, "bloom-index IN-list lookup (id-batch retrieval)"),
     "rel_count_pruned": Query(rel_count_pruned, REL_COUNT_PRUNED_SQL, "metadata-only COUNT from manifest row counts + boundary scan"),
+    "rel_minmax_pruned": Query(rel_minmax_pruned, REL_MINMAX_PRUNED_SQL, "metadata-only MIN/MAX from footer stats + boundary scan"),
     "sp_containment_pruned": Query(sp_containment_pruned, SP_CONTAINMENT_SQL, "J3 window over Hilbert-clustered zonemap layout"),
     "rel_q7_volume": Query(rel_q7_volume, REL_Q7_SQL, "Q7 nation-pair shipping volume by year"),
     "rel_q10_returns": Query(rel_q10_returns, REL_Q10_SQL, "Q10 top returned-item customers"),
@@ -6791,23 +6818,24 @@ _R8_PREFIX = [
     "rel_corr",
     # round-8 late additions: the last five classic TPC-H plan shapes
     # (the registry now covers all 22), the two bloom point-lookup
-    # gates, and the metadata-only count — new, so they gate this
-    # round, displacing eight more multi-round-green keepers
-    # (sp_containment_wkt r1-r7, sp_knn r1-r7, sp_join_self r7,
-    # sim_ann_ivf r5-r7, stream_ann_batch r7, sim_ann_ivfpq_indexed
-    # r5-r7, stream_sessionize r4-r7, stream_sliding_batch r4-r7 — all
+    # gates, and the metadata-only footer aggregates (count, min/max) —
+    # new, so they gate this round, displacing nine more
+    # multi-round-green keepers (sp_containment_wkt r1-r7, sp_knn r1-r7,
+    # sp_join_self r7, sim_ann_ivf r5-r7, stream_ann_batch r7,
+    # sim_ann_ivfpq_indexed r5-r7, stream_sessionize r4-r7,
+    # stream_sliding_batch r4-r7, src_partitioned_dates r5-r7 — all
     # untouched in r8)
     "rel_q2_min_cost_supplier", "rel_q4_priority_check",
     "rel_q16_supplier_cnt", "rel_q17_small_qty_avg",
     "rel_q21_waiting_supplier", "rel_bloom_pruned", "rel_bloom_isin",
-    "rel_count_pruned",
+    "rel_count_pruned", "rel_minmax_pruned",
 ] + [n for n in _R7_PREFIX if n not in {
     "rel_corr", "rel_range_pruned", "rel_range_appended",
     "sp_containment_pruned", "sp_join_boxes", "dedup_exact", "txt_stats",
     "sim_ann_topk", "dedup_minhash_lsh", "cur_pipeline",
     "sp_containment_wkt", "sp_knn", "sp_join_self", "sim_ann_ivf",
     "stream_ann_batch", "sim_ann_ivfpq_indexed", "stream_sessionize",
-    "stream_sliding_batch",
+    "stream_sliding_batch", "src_partitioned_dates",
 }]
 assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 REGISTRY = {

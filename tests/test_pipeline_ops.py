@@ -2249,6 +2249,31 @@ class TestFileSkipping:
         assert total == 8 and len(interior) == len(kept) - 2
         assert sum(interior.values()) > 0
 
+    def test_minmax_range_metadata_and_boundary(self, spark, tmp_path):
+        """minmax_range merges footer min/max of interior files with a
+        scan of the boundary files — exact for bounded, unbounded, and
+        no-match queries, with nulls in the target column ignored
+        (SQL MIN/MAX semantics)."""
+        from hadoopgis_spark.sources.skipping import (
+            minmax_range, save_range_sorted)
+        rows = [(i, float(7 * i % 1000)) for i in range(1000)]
+        rows[500] = (500, None)  # a null v inside an interior file
+        df = spark.createDataFrame(rows, "k bigint, v double")
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=8, stat_cols=["v"])
+        for wlo, whi in [(110, 640), (None, None), (0, 999), (130, 131)]:
+            vals = [v for k, v in rows
+                    if v is not None
+                    and (wlo is None or k >= wlo) and (whi is None or k <= whi)]
+            assert minmax_range(spark, path, "v",
+                                {"k": (wlo, whi)} if wlo is not None else None
+                                ) == (min(vals), max(vals)), (wlo, whi)
+        assert minmax_range(spark, path, "v", {"k": (5000, 6000)}) == (None, None)
+        # target col must be manifest-covered
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            minmax_range(spark, path, "nope")
+
     def test_format1_manifest_loads_and_counts_via_scan(self, spark, tmp_path):
         """A pre-round-8 (format-1, no nulls column) manifest keeps
         working: pruning unchanged, count_range exact — interior
