@@ -66,6 +66,7 @@ __all__ = [
     "read_multi",
     "layout_health",
     "read_window",
+    "count_window",
     "prune_files",
 ]
 
@@ -1009,6 +1010,38 @@ def read_window(
         (F.col("xmin") <= x1) & (F.lit(x0) <= F.col("xmax"))
         & (F.col("ymin") <= y1) & (F.lit(y0) <= F.col("ymax"))
     )
+
+
+def count_window(
+    spark: SparkSession,
+    path: str,
+    window: tuple[float, float, float, float],
+) -> int:
+    """EXACT count of boxes intersecting ``window`` from a
+    spatially-clustered table, answered mostly from metadata: the
+    window-intersection constraint set (``xmin <= x1 AND xmax >= x0 AND
+    ymin <= y1 AND ymax >= y0``) makes :func:`prune_files`'s interior
+    proof — every per-file bound inside its range — read "EVERY box in
+    this file intersects the window", so interior files contribute
+    manifest row counts with no scan and only true boundary files are
+    read with the residual. The spatial twin of :func:`count_range`."""
+    x0, y0, x1, y1 = window
+    ranges = {
+        "xmin": (None, x1),
+        "xmax": (x0, None),
+        "ymin": (None, y1),
+        "ymax": (y0, None),
+    }
+    kept, _, interior = prune_files(spark, path, ranges, classify=True)
+    n = sum(interior.values())
+    boundary = [p for p in kept if p not in interior]
+    if boundary:
+        n += (
+            spark.read.parquet(*boundary)
+            .filter((F.col("xmin") <= x1) & (F.lit(x0) <= F.col("xmax"))
+                    & (F.col("ymin") <= y1) & (F.lit(y0) <= F.col("ymax")))
+            .count())
+    return n
 
 
 def save_zorder_sorted(

@@ -5548,14 +5548,43 @@ def sp_containment_pruned(spark, sf):
     locality → 1-D file locality) with per-file bbox stats; the window
     query scans only files whose bbox intersects it. Same result set
     as sp_containment — the oracle pins the clustered roundtrip."""
-    from hadoopgis_spark.sources.skipping import read_window, save_spatial_clustered
-    # sf-tagged path: see rel_range_pruned
+    from hadoopgis_spark.sources.skipping import read_window
+    path = _part_boxes_hilbert_layout(spark, sf)
+    return read_window(spark, path, (200.0, 150.0, 600.0, 500.0))
+
+
+def _part_boxes_hilbert_layout(spark, sf) -> str:
+    """Memoized Hilbert-clustered box layout shared by the spatial
+    window gates (sf-tagged path: see rel_range_pruned)."""
+    from hadoopgis_spark.sources.skipping import save_spatial_clustered
     path = f"{_skip_root(spark)}/part_boxes_hilbert_{os.path.basename(os.path.normpath(sf))}"
     _memo(("skip_boxes", spark.sparkContext.applicationId, sf),
           lambda: save_spatial_clustered(part_boxes(spark, sf), path,
                                          (0.0, 0.0, 980.0, 900.0),
                                          n_files=8) or True)
-    return read_window(spark, path, (200.0, 150.0, 600.0, 500.0))
+    return path
+
+
+def sp_count_window(spark, sf):
+    """Metadata-only spatial COUNT: on the Hilbert-clustered layout a
+    file whose per-file bounds all sit inside the window's constraint
+    ranges provably has EVERY box intersecting the window — those files
+    contribute manifest row counts with no scan; only true boundary
+    files are read. The spatial twin of rel_count_pruned (window tuned
+    empirically: (5,5,955,885) yields 5/8 interior files at sf0.01 and
+    7/8 at sf0.001, so BOTH tiers — metadata and boundary scan — are
+    exercised at both gate scales)."""
+    from hadoopgis_spark.sources.skipping import count_window
+    path = _part_boxes_hilbert_layout(spark, sf)
+    n = count_window(spark, path, (5.0, 5.0, 955.0, 885.0))
+    return spark.createDataFrame([(n,)], "n_boxes bigint")
+
+
+SP_COUNT_WINDOW_SQL = f"""
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_boxes
+  FROM ({PART_BOXES_SQL}) b
+  WHERE b.xmin <= 955 AND 5 <= b.xmax AND b.ymin <= 885 AND 5 <= b.ymax
+"""
 
 
 def txt_top_ngrams(spark, sf):
@@ -6681,6 +6710,7 @@ REGISTRY: dict[str, Query] = {
     "rel_bloom_isin": Query(rel_bloom_isin, REL_BLOOM_ISIN_SQL, "bloom-index IN-list lookup (id-batch retrieval)"),
     "rel_count_pruned": Query(rel_count_pruned, REL_COUNT_PRUNED_SQL, "metadata-only COUNT from manifest row counts + boundary scan"),
     "rel_minmax_pruned": Query(rel_minmax_pruned, REL_MINMAX_PRUNED_SQL, "metadata-only MIN/MAX from footer stats + boundary scan"),
+    "sp_count_window": Query(sp_count_window, SP_COUNT_WINDOW_SQL, "metadata-only spatial window COUNT (interior-file proof)"),
     "sp_containment_pruned": Query(sp_containment_pruned, SP_CONTAINMENT_SQL, "J3 window over Hilbert-clustered zonemap layout"),
     "rel_q7_volume": Query(rel_q7_volume, REL_Q7_SQL, "Q7 nation-pair shipping volume by year"),
     "rel_q10_returns": Query(rel_q10_returns, REL_Q10_SQL, "Q10 top returned-item customers"),
@@ -6818,24 +6848,24 @@ _R8_PREFIX = [
     "rel_corr",
     # round-8 late additions: the last five classic TPC-H plan shapes
     # (the registry now covers all 22), the two bloom point-lookup
-    # gates, and the metadata-only footer aggregates (count, min/max) —
-    # new, so they gate this round, displacing nine more
-    # multi-round-green keepers (sp_containment_wkt r1-r7, sp_knn r1-r7,
-    # sp_join_self r7, sim_ann_ivf r5-r7, stream_ann_batch r7,
-    # sim_ann_ivfpq_indexed r5-r7, stream_sessionize r4-r7,
-    # stream_sliding_batch r4-r7, src_partitioned_dates r5-r7 — all
-    # untouched in r8)
+    # gates, and the metadata-only footer aggregates (count, min/max,
+    # spatial window count) — new, so they gate this round, displacing
+    # ten more multi-round-green keepers (sp_containment_wkt r1-r7,
+    # sp_knn r1-r7, sp_join_self r7, sim_ann_ivf r5-r7,
+    # stream_ann_batch r7, sim_ann_ivfpq_indexed r5-r7,
+    # stream_sessionize r4-r7, stream_sliding_batch r4-r7,
+    # src_partitioned_dates r5-r7, rel_cube r7 — all untouched in r8)
     "rel_q2_min_cost_supplier", "rel_q4_priority_check",
     "rel_q16_supplier_cnt", "rel_q17_small_qty_avg",
     "rel_q21_waiting_supplier", "rel_bloom_pruned", "rel_bloom_isin",
-    "rel_count_pruned", "rel_minmax_pruned",
+    "rel_count_pruned", "rel_minmax_pruned", "sp_count_window",
 ] + [n for n in _R7_PREFIX if n not in {
     "rel_corr", "rel_range_pruned", "rel_range_appended",
     "sp_containment_pruned", "sp_join_boxes", "dedup_exact", "txt_stats",
     "sim_ann_topk", "dedup_minhash_lsh", "cur_pipeline",
     "sp_containment_wkt", "sp_knn", "sp_join_self", "sim_ann_ivf",
     "stream_ann_batch", "sim_ann_ivfpq_indexed", "stream_sessionize",
-    "stream_sliding_batch", "src_partitioned_dates",
+    "stream_sliding_batch", "src_partitioned_dates", "rel_cube",
 }]
 assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 REGISTRY = {

@@ -2249,6 +2249,33 @@ class TestFileSkipping:
         assert total == 8 and len(interior) == len(kept) - 2
         assert sum(interior.values()) > 0
 
+    def test_count_window_metadata_and_boundary(self, spark, tmp_path):
+        """Spatial metadata count: interior files (every per-file bound
+        inside the window constraints → all boxes intersect) come from
+        manifest rows; boundary files are scanned — exact everywhere."""
+        from hadoopgis_spark.sources.skipping import (
+            count_window, prune_files, save_spatial_clustered)
+        boxes = [(i, float(i % 31) * 10, float(i % 29) * 10,
+                  float(i % 31) * 10 + 8, float(i % 29) * 10 + 8)
+                 for i in range(600)]
+        df = spark.createDataFrame(
+            boxes, "id bigint, xmin double, ymin double, "
+                   "xmax double, ymax double")
+        path = str(tmp_path / "t")
+        save_spatial_clustered(df, path, (0.0, 0.0, 320.0, 300.0), n_files=8)
+        for w in [(15.0, 15.0, 290.0, 270.0), (0.0, 0.0, 320.0, 300.0),
+                  (100.0, 90.0, 140.0, 150.0), (5000.0, 5000.0, 6000.0, 6000.0)]:
+            x0, y0, x1, y1 = w
+            expect = sum(
+                1 for _, a, b, c, d in boxes
+                if a <= x1 and x0 <= c and b <= y1 and y0 <= d)
+            assert count_window(spark, path, w) == expect, w
+        # the broad-but-not-total window really uses the metadata tier
+        _, _, interior = prune_files(spark, path, {
+            "xmin": (None, 290.0), "xmax": (15.0, None),
+            "ymin": (None, 270.0), "ymax": (15.0, None)}, classify=True)
+        assert len(interior) >= 1
+
     def test_minmax_range_metadata_and_boundary(self, spark, tmp_path):
         """minmax_range merges footer min/max of interior files with a
         scan of the boundary files — exact for bounded, unbounded, and
