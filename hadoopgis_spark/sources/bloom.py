@@ -179,7 +179,7 @@ def _index_df(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def build_bloom_index(
-    df_or_spark,
+    spark,
     path: str,
     cols: Sequence[str],
     *,
@@ -189,13 +189,15 @@ def build_bloom_index(
     """Build (or incrementally extend) the bloom index for ``cols`` over
     the parquet table at ``path``. Only active files with no index row
     for ALL of ``cols`` are read — call it again after appends or
-    compaction and it pays O(new files), not O(table). Returns
-    ``{"indexed": n_new_files, "total": n_active_files}``.
+    compaction and it pays O(new files), not O(table); a call with
+    nothing new to index (and no stale rows to purge) is a pure no-op.
+    Returns ``{"indexed": n_new_files, "total": n_active_files}``.
 
     ``n_items`` is the expected distinct-key count PER FILE (sizes the
     filter: ~1.2 bytes/key at the default 1% fpp); all files share one
     (m, k) per column so partial filters stay OR-mergeable."""
-    spark = df_or_spark if isinstance(df_or_spark, SparkSession) else df_or_spark.sparkSession
+    if not isinstance(spark, SparkSession):
+        spark = spark.sparkSession
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
@@ -204,13 +206,20 @@ def build_bloom_index(
     active = _active_files(path)
     old = _index_df(spark, path)
     covered: set[str] = set()
+    old_files: set[str] = set()
     if old is not None:
         have = {
             (r.file, r.col)
             for r in old.select("file", "col").collect()  # names only
         }
+        old_files = {f for f, _ in have}
         covered = {f for f in active if all((f, c) in have for c in cols)}
     missing = sorted(active - covered)
+    if not missing and old_files <= active:
+        # nothing new to index and no stale rows for vanished files —
+        # skip the rewrite entirely (probes ignore non-active rows, so
+        # staleness is a space concern, not a correctness one)
+        return {"indexed": 0, "total": len(active)}
     if missing:
         src = (
             spark.read.parquet(*(os.path.join(path, f) for f in missing))
