@@ -96,6 +96,25 @@ def main() -> None:
     print(f"bloom: absent-key sweep — {fp} files kept over "
           f"{200 * total} tests (measured fpp {fp / (200 * total):.4f} "
           f"vs 0.01 target)")
+
+    # incremental maintenance really is O(batch): append 50k rows, then
+    # extend the index — only the new file is read
+    batch = spark.range(N_ROWS, N_ROWS + 50_000).select(
+        F.col("id").alias("ts"), F.col("id").alias("id"),
+        (F.col("id") % 97).alias("v"))
+    batch.coalesce(1).write.mode("append").parquet(path)
+    t0 = time.time()
+    info = build_bloom_index(spark, path, ["id"],
+                             n_items=N_ROWS // N_FILES, fpp=0.01)
+    t_inc = time.time() - t0
+    t0 = time.time()
+    noop = build_bloom_index(spark, path, ["id"],
+                             n_items=N_ROWS // N_FILES, fpp=0.01)
+    print(f"bloom: incremental build after 50k-row append {t_inc:.1f}s "
+          f"{info}; repeat call (no-op) {time.time() - t0:.2f}s {noop}")
+    assert info["indexed"] == 1 and noop["indexed"] == 0
+    kept, total = prune_files_eq(spark, path, {"id": N_ROWS + 7})
+    assert 1 <= len(kept) <= 3 and total == 65
     spark.stop()
 
 
