@@ -62,6 +62,7 @@ __all__ = [
     "save_zorder_sorted",
     "read_range",
     "count_range",
+    "count_multi",
     "minmax_range",
     "read_multi",
     "layout_health",
@@ -888,25 +889,47 @@ def count_range(
     the table. Bounds get the same one-normalization treatment as
     :func:`read_range`, so the metadata tier and the residual tier
     agree on the instant under any session/host timezone."""
-    lit_lo = lit_hi = None
-    if isinstance(lo, _dt.date) or isinstance(hi, _dt.date):
-        coltype = spark.read.parquet(path).schema[order_col].dataType
-        if lo is not None:
-            lo, lit_lo = _normalize_bound(spark, coltype, lo)
-        if hi is not None:
-            hi, lit_hi = _normalize_bound(spark, coltype, hi)
-    kept, _, interior = prune_files(
-        spark, path, {order_col: (lo, hi)}, classify=True)
+    return count_multi(spark, path, {order_col: (lo, hi)})
+
+
+def count_multi(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple],
+) -> int:
+    """EXACT count under a CONJUNCTION of inclusive range constraints
+    ``{col: (lo, hi)}`` — the multi-dimensional form of
+    :func:`count_range`: on a Z-ordered layout every constrained column
+    has correlated per-file bounds, so most kept files are interior for
+    the whole conjunction and only the shell is scanned."""
+    lits: dict[str, tuple] = {}
+    norm: dict[str, tuple] = {}
+    schema = None
+    for col, (lo, hi) in ranges.items():
+        lit_lo = lit_hi = None
+        if isinstance(lo, _dt.date) or isinstance(hi, _dt.date):
+            if schema is None:
+                schema = spark.read.parquet(path).schema
+            coltype = schema[col].dataType
+            if lo is not None:
+                lo, lit_lo = _normalize_bound(spark, coltype, lo)
+            if hi is not None:
+                hi, lit_hi = _normalize_bound(spark, coltype, hi)
+        norm[col] = (lo, hi)
+        lits[col] = (lit_lo, lit_hi)
+    kept, _, interior = prune_files(spark, path, norm, classify=True)
     n = sum(interior.values())
     boundary = [p for p in kept if p not in interior]
     if boundary:
         df = spark.read.parquet(*boundary)
-        if lo is not None:
-            df = df.filter(
-                F.col(order_col) >= (F.lit(lo) if lit_lo is None else lit_lo))
-        if hi is not None:
-            df = df.filter(
-                F.col(order_col) <= (F.lit(hi) if lit_hi is None else lit_hi))
+        for col, (lo, hi) in norm.items():
+            lit_lo, lit_hi = lits[col]
+            if lo is not None:
+                df = df.filter(
+                    F.col(col) >= (F.lit(lo) if lit_lo is None else lit_lo))
+            if hi is not None:
+                df = df.filter(
+                    F.col(col) <= (F.lit(hi) if lit_hi is None else lit_hi))
         n += df.count()
     return n
 

@@ -6010,6 +6010,36 @@ REL_ZORDER_PRUNED_SQL = """
 """
 
 
+def rel_count_multi(spark, sf):
+    """Metadata-mostly COUNT under a CONJUNCTION on the Z-ordered
+    layout: both interleaved dimensions constrained broadly, so the
+    bulk of kept files is interior for the whole conjunction (manifest
+    row counts, no scan) and only the shell is read — count_range's
+    multi-dimensional form on the layout rel_zorder_pruned already
+    builds."""
+    from hadoopgis_spark.sources.skipping import count_multi, save_zorder_sorted
+    path = f"{_skip_root(spark)}/lineitem_zorder_{os.path.basename(os.path.normpath(sf))}"
+    _memo(("skip_lineitem_zorder", spark.sparkContext.applicationId, sf),
+          lambda: save_zorder_sorted(_t(spark, sf, "lineitem"), path,
+                                     ["l_orderkey", "l_partkey"],
+                                     n_files=16) or True)
+    hi_o = int(_t(spark, sf, "lineitem")
+               .agg(F.max("l_orderkey")).collect()[0][0])  # bounded scalar
+    n = count_multi(spark, path, {
+        "l_orderkey": (None, (hi_o * 9) // 10),
+        "l_partkey": (50, None),
+    })
+    return spark.createDataFrame([(n,)], "n_lines bigint")
+
+
+REL_COUNT_MULTI_SQL = """
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  WHERE l_orderkey <= (SELECT MAX(l_orderkey) FROM lineitem) * 9 // 10
+    AND l_partkey >= 50
+"""
+
+
 def rel_range_compacted(spark, sf):
     """Compaction closes the incremental-maintenance loop: half of
     lineitem range-clustered, two small batches APPENDED (fragmenting
@@ -6711,6 +6741,7 @@ REGISTRY: dict[str, Query] = {
     "rel_count_pruned": Query(rel_count_pruned, REL_COUNT_PRUNED_SQL, "metadata-only COUNT from manifest row counts + boundary scan"),
     "rel_minmax_pruned": Query(rel_minmax_pruned, REL_MINMAX_PRUNED_SQL, "metadata-only MIN/MAX from footer stats + boundary scan"),
     "sp_count_window": Query(sp_count_window, SP_COUNT_WINDOW_SQL, "metadata-only spatial window COUNT (interior-file proof)"),
+    "rel_count_multi": Query(rel_count_multi, REL_COUNT_MULTI_SQL, "metadata-mostly COUNT under a conjunction on the Z-ordered layout"),
     "sp_containment_pruned": Query(sp_containment_pruned, SP_CONTAINMENT_SQL, "J3 window over Hilbert-clustered zonemap layout"),
     "rel_q7_volume": Query(rel_q7_volume, REL_Q7_SQL, "Q7 nation-pair shipping volume by year"),
     "rel_q10_returns": Query(rel_q10_returns, REL_Q10_SQL, "Q10 top returned-item customers"),
@@ -6849,16 +6880,18 @@ _R8_PREFIX = [
     # round-8 late additions: the last five classic TPC-H plan shapes
     # (the registry now covers all 22), the two bloom point-lookup
     # gates, and the metadata-only footer aggregates (count, min/max,
-    # spatial window count) — new, so they gate this round, displacing
-    # ten more multi-round-green keepers (sp_containment_wkt r1-r7,
-    # sp_knn r1-r7, sp_join_self r7, sim_ann_ivf r5-r7,
-    # stream_ann_batch r7, sim_ann_ivfpq_indexed r5-r7,
-    # stream_sessionize r4-r7, stream_sliding_batch r4-r7,
-    # src_partitioned_dates r5-r7, rel_cube r7 — all untouched in r8)
+    # spatial window count, z-order conjunction count) — new, so they
+    # gate this round, displacing eleven more multi-round-green keepers
+    # (sp_containment_wkt r1-r7, sp_knn r1-r7, sp_join_self r7,
+    # sim_ann_ivf r5-r7, stream_ann_batch r7, sim_ann_ivfpq_indexed
+    # r5-r7, stream_sessionize r4-r7, stream_sliding_batch r4-r7,
+    # src_partitioned_dates r5-r7, rel_cube r7, src_orc_roundtrip r7 —
+    # all untouched in r8)
     "rel_q2_min_cost_supplier", "rel_q4_priority_check",
     "rel_q16_supplier_cnt", "rel_q17_small_qty_avg",
     "rel_q21_waiting_supplier", "rel_bloom_pruned", "rel_bloom_isin",
     "rel_count_pruned", "rel_minmax_pruned", "sp_count_window",
+    "rel_count_multi",
 ] + [n for n in _R7_PREFIX if n not in {
     "rel_corr", "rel_range_pruned", "rel_range_appended",
     "sp_containment_pruned", "sp_join_boxes", "dedup_exact", "txt_stats",
@@ -6866,6 +6899,7 @@ _R8_PREFIX = [
     "sp_containment_wkt", "sp_knn", "sp_join_self", "sim_ann_ivf",
     "stream_ann_batch", "sim_ann_ivfpq_indexed", "stream_sessionize",
     "stream_sliding_batch", "src_partitioned_dates", "rel_cube",
+    "src_orc_roundtrip",
 }]
 assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 REGISTRY = {

@@ -2249,6 +2249,28 @@ class TestFileSkipping:
         assert total == 8 and len(interior) == len(kept) - 2
         assert sum(interior.values()) > 0
 
+    def test_count_multi_on_zorder_layout(self, spark, tmp_path):
+        """count_multi over a Z-ordered layout: the conjunction's
+        interior covers most kept files on BOTH dims; exact everywhere."""
+        from hadoopgis_spark.sources.skipping import (
+            count_multi, prune_files, save_zorder_sorted)
+        rows = [(i, (i * 7919) % 4096, (i * 104729) % 4096)
+                for i in range(20_000)]
+        df = spark.createDataFrame(rows, "id bigint, a bigint, b bigint")
+        path = str(tmp_path / "t")
+        save_zorder_sorted(df, path, ["a", "b"], n_files=16)
+        for ra, rb in [((100, 3000), (200, 3900)), ((None, None), (0, 4095)),
+                       ((500, 501), (None, None)), ((9999, 10000), (0, 1))]:
+            expect = sum(
+                1 for _, a, b in rows
+                if (ra[0] is None or a >= ra[0]) and (ra[1] is None or a <= ra[1])
+                and (rb[0] is None or b >= rb[0]) and (rb[1] is None or b <= rb[1]))
+            got = count_multi(spark, path, {"a": ra, "b": rb})
+            assert got == expect, (ra, rb, got, expect)
+        _, _, interior = prune_files(
+            spark, path, {"a": (100, 3000), "b": (200, 3900)}, classify=True)
+        assert len(interior) >= 1  # the broad conjunction hits metadata
+
     def test_count_window_metadata_and_boundary(self, spark, tmp_path):
         """Spatial metadata count: interior files (every per-file bound
         inside the window constraints → all boxes intersect) come from
