@@ -226,6 +226,20 @@ def build_bloom_index(
             .select(*cols)
             .withColumn("__file", F.input_file_name())
         )
+        # Arrow→pandas null-padding turns a NULLABLE int64 column into
+        # float64 inside mapInPandas; after dropna the values are exact
+        # integer-valued floats, but _canon would (correctly) refuse
+        # float keys — so remember which requested columns are integral
+        # in the SPARK schema and cast back post-dropna. Without this, a
+        # single null key in one micro-batch aborts a streaming ingest's
+        # every subsequent bloom refresh (round-9 advisor finding).
+        from pyspark.sql.types import (ByteType, IntegerType, LongType,
+                                       ShortType)
+        int_cols = {
+            f.name for f in src.schema.fields
+            if isinstance(f.dataType,
+                          (ByteType, ShortType, IntegerType, LongType))
+        }
 
         def _partials(batches):
             import numpy as np
@@ -236,9 +250,12 @@ def build_bloom_index(
                 for fname, g in pdf.groupby("__file"):
                     base = _basename(fname)
                     for c in cols:
+                        vals = pd.unique(g[c].dropna())
+                        if c in int_cols and getattr(
+                                vals.dtype, "kind", "") == "f":
+                            vals = vals.astype("int64")  # exact: was int64
                         bits = np.zeros(m_bits // 8, dtype=np.uint8)
-                        _set_bits_vectorized(
-                            bits, pd.unique(g[c].dropna()), m_bits, k)
+                        _set_bits_vectorized(bits, vals, m_bits, k)
                         out.append((base, c, m_bits, k, bits.tobytes(),
                                     _BLOOM_FORMAT))
                 if out:
@@ -271,8 +288,16 @@ def build_bloom_index(
     # build (same failure posture as a missing zonemap manifest row).
     keep_old = None
     if old is not None:
+        # per-(file, col) preservation: a rebuild for a SUBSET of the
+        # indexed columns must not drop the other columns' rows for the
+        # files being re-read — keep every old row whose file is active
+        # and whose (file, col) is not regenerated by this build (round-9
+        # advisor finding: build(['id']) then build(['name']) used to
+        # silently discard all 'id' rows)
         keep_old = old.filter(
-            F.col("file").isin(sorted(active - set(missing))))
+            F.col("file").isin(sorted(active - set(missing)))
+            | (F.col("file").isin(sorted(missing))
+               & ~F.col("col").isin(cols)))
     combined = (
         fresh if keep_old is None
         else keep_old if fresh is None

@@ -557,6 +557,10 @@ _manifest_cache: dict[str, dict] = {}
 
 def _load_manifest(spark: SparkSession, path: str) -> list:
     mpath = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mpath):
+        raise ValueError(
+            f"no file-skipping manifest under {path!r} — write the table "
+            "with save_range_sorted/save_spatial_clustered first")
     try:
         parts = sorted(
             n for n in os.listdir(mpath)
@@ -576,10 +580,15 @@ def _load_manifest(spark: SparkSession, path: str) -> list:
                 d["file"], d["rows"], d["col"], d["vtype"], d["vmin"],
                 d["vmax"], d["valid"], d["format"], d["nulls"])
         ]
-    except Exception as exc:  # noqa: BLE001 — absent/corrupt manifest
+    except Exception as exc:  # noqa: BLE001 — PRESENT but unreadable
+        # distinct headline from the absent case above: a corrupt or
+        # schema-drifted manifest (or a permission error mid-listing) is
+        # real damage the operator should see, not "table was never
+        # written with save_range_sorted" (round-9 advisor finding)
         raise ValueError(
-            f"no file-skipping manifest under {path!r} — write the table "
-            "with save_range_sorted/save_spatial_clustered first"
+            f"file-skipping manifest under {path!r} exists but could not "
+            f"be read ({type(exc).__name__}: {exc}) — rebuild it by "
+            "re-saving the layout"
         ) from exc
     bad = {r.format for r in rows} - _KNOWN_FORMATS
     if bad:

@@ -247,6 +247,57 @@ class TestBloomMaintenance:
         kept, _ = prune_files_eq(spark, path, {"id": 5})
         assert len(kept) <= 3  # id rows survived the swap
 
+    def test_null_int_keys_build_and_probe(self, spark, tmp_path):
+        """A NULLABLE int key column must index its non-null keys: the
+        Arrow->pandas null-padding turns int64 into float64 inside
+        mapInPandas, and the dropna'd values used to reach _canon as
+        floats and abort the build (round-9 advisor finding — one null
+        key in a micro-batch killed a streaming ingest's bloom loop)."""
+        path = str(tmp_path / "t")
+        df = (spark.range(2_000)
+              .withColumn("ts", F.col("id"))
+              .withColumn("id", F.when(F.col("id") % 100 == 7, None)
+                          .otherwise((F.col("id") * 7919) % 2_000)))
+        (df.repartitionByRange(4, "ts").sortWithinPartitions("ts")
+           .write.mode("overwrite").parquet(path))
+        info = build_bloom_index(spark, path, ["id"], n_items=1_000)
+        assert info == {"indexed": 4, "total": 4}
+        # non-null keys resolve exactly through the pruned read
+        got = read_eq(spark, path, {"id": (13 * 7919) % 2_000}).collect()
+        assert len(got) >= 1
+        # an absent key prunes every file (no false 'present' from the
+        # float round-trip)
+        kept, total = prune_files_eq(spark, path, {"id": 10_000_000})
+        assert total == 4 and len(kept) <= 1
+
+    def test_subset_rebuild_preserves_other_columns(self, spark, tmp_path):
+        """Rebuilding for a SUBSET of the indexed columns must keep the
+        other columns' rows per (file, col) — build(['id']) then
+        build(['name']) used to silently drop every 'id' row (round-9
+        advisor finding)."""
+        path = str(tmp_path / "t")
+        _write_scattered(spark, path, n=2_000, n_files=4)
+        build_bloom_index(spark, path, ["id"], n_items=1_000)
+        info = build_bloom_index(spark, path, ["name"], n_items=1_000)
+        assert info["indexed"] == 4  # name rows were missing everywhere
+        # id rows survived: an id probe still prunes (not kept-everywhere)
+        kept, total = prune_files_eq(spark, path, {"id": 42})
+        assert total == 4 and len(kept) <= 2
+        assert read_eq(spark, path, {"id": 42}).count() == 1
+        # and name rows exist too
+        kept, _ = prune_files_eq(spark, path, {"name": "u5"})
+        assert len(kept) <= 2
+        # same per-(file,col) rule on an append: only the new file's id
+        # rows regenerate; old files keep BOTH columns' rows
+        extra = (spark.range(1).select(
+            F.lit(99_999).alias("ts"), F.lit(55_555).alias("id"),
+            F.lit("u55555").alias("name"), F.lit(0).alias("val")))
+        extra.coalesce(1).write.mode("append").parquet(path)
+        build_bloom_index(spark, path, ["id"], n_items=1_000)
+        kept, total = prune_files_eq(spark, path, {"name": "u5"})
+        assert total == 5
+        assert len(kept) <= 3  # old name rows still prune
+
     def test_combines_with_zonemap_manifest(self, spark, tmp_path):
         from hadoopgis_spark.sources.skipping import save_range_sorted
 

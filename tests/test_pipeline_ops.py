@@ -2583,6 +2583,28 @@ class TestFileSkipping:
         with _pytest.raises(ValueError, match="no stats"):
             prune_files(spark, path, {"s": ("a", "z")})
 
+    def test_corrupt_manifest_distinct_from_absent(self, spark, tmp_path):
+        """A PRESENT-but-unreadable manifest must not masquerade as 'the
+        table was never written with save_range_sorted' — the operator
+        should see corruption, not absence (round-9 advisor finding)."""
+        import os
+        import pytest as _pytest
+        from hadoopgis_spark.sources.skipping import (
+            _load_manifest, _manifest_cache, read_range, save_range_sorted)
+        df = spark.range(0, 10).select(F.col("id").alias("k"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=2)
+        mdir = os.path.join(path, "_hgs_manifest")
+        part = next(n for n in os.listdir(mdir) if n.endswith(".parquet"))
+        with open(os.path.join(mdir, part), "wb") as fh:
+            fh.write(b"not parquet at all")
+        _manifest_cache.clear()
+        with _pytest.raises(ValueError, match="could not be read"):
+            _load_manifest(spark, path)
+        # the absent case keeps its original headline
+        with _pytest.raises(ValueError, match="no file-skipping manifest"):
+            read_range(spark, str(tmp_path / "never_written"), "k", 0, 1)
+
     def test_spatial_window_parity_and_prune(self, spark, tmp_path):
         from hadoopgis_spark.sources.skipping import (
             prune_files, read_window, save_spatial_clustered)
