@@ -64,11 +64,14 @@ __all__ = [
     "count_range",
     "count_multi",
     "minmax_range",
+    "sum_range",
+    "build_agg_index",
     "read_multi",
     "layout_health",
     "read_window",
     "count_window",
     "prune_files",
+    "register_pruned_view",
 ]
 
 _MANIFEST_DIR = "_hgs_manifest"
@@ -606,6 +609,7 @@ def save_range_sorted(
     *,
     n_files: int = 8,
     stat_cols: Iterable[str] = (),
+    agg_cols: Iterable[str] = (),
 ) -> None:
     """Write ``df`` range-partitioned + sorted on ``order_col`` and
     build the skipping manifest over ``order_col`` (+ any ``stat_cols``).
@@ -613,6 +617,10 @@ def save_range_sorted(
     ``repartitionByRange`` samples the column to cut balanced,
     NON-overlapping value ranges — each output file owns a disjoint
     slice of the domain, which is what makes min/max pruning sharp.
+
+    ``agg_cols`` declares INTEGER columns to carry per-file exact sums
+    (one extra distributed pass at save time) — :func:`sum_range` then
+    answers SUM/AVG over them mostly from metadata.
     """
     cols = [order_col, *stat_cols]
     with _stats_friendly_writer(df.sparkSession):
@@ -620,6 +628,8 @@ def save_range_sorted(
            .sortWithinPartitions(order_col)
            .write.mode("overwrite").parquet(path))
     _write_manifest(df.sparkSession, path, cols)
+    if agg_cols:
+        build_agg_index(df.sparkSession, path, list(agg_cols))
 
 
 def append_range_sorted(
@@ -653,6 +663,9 @@ def append_range_sorted(
            .sortWithinPartitions(order_col)
            .write.mode("append").parquet(path))
     _update_manifest(spark, path, cols, _data_files(path) - before)
+    acols = sorted({c for _, c in _load_aggs(path)})
+    if acols:  # keep the sum manifest sharp too: O(batch), new files only
+        build_agg_index(spark, path, acols)
 
 
 def save_spatial_clustered(
@@ -901,16 +914,18 @@ def count_range(
     return count_multi(spark, path, {order_col: (lo, hi)})
 
 
-def count_multi(
+def _norm_ranges(
     spark: SparkSession,
     path: str,
     ranges: dict[str, tuple],
-) -> int:
-    """EXACT count under a CONJUNCTION of inclusive range constraints
-    ``{col: (lo, hi)}`` — the multi-dimensional form of
-    :func:`count_range`: on a Z-ordered layout every constrained column
-    has correlated per-file bounds, so most kept files are interior for
-    the whole conjunction and only the shell is scanned."""
+) -> tuple[dict, dict]:
+    """One-normalization of a range-constraint dict: returns
+    ``(norm, lits)`` where ``norm[col]`` holds the prune-side bound
+    values and ``lits[col]`` the matching residual literal Columns (None
+    when a plain ``F.lit`` suffices). Datetime/date bounds are resolved
+    ONCE via :func:`_normalize_bound` so pruning and the residual share
+    a single instant under any session/host timezone — the shared
+    discipline of every multi-constraint reader here."""
     lits: dict[str, tuple] = {}
     norm: dict[str, tuple] = {}
     schema = None
@@ -926,20 +941,37 @@ def count_multi(
                 hi, lit_hi = _normalize_bound(spark, coltype, hi)
         norm[col] = (lo, hi)
         lits[col] = (lit_lo, lit_hi)
+    return norm, lits
+
+
+def _residual(df: DataFrame, norm: dict, lits: dict) -> DataFrame:
+    for col, (lo, hi) in norm.items():
+        lit_lo, lit_hi = lits[col]
+        if lo is not None:
+            df = df.filter(
+                F.col(col) >= (F.lit(lo) if lit_lo is None else lit_lo))
+        if hi is not None:
+            df = df.filter(
+                F.col(col) <= (F.lit(hi) if lit_hi is None else lit_hi))
+    return df
+
+
+def count_multi(
+    spark: SparkSession,
+    path: str,
+    ranges: dict[str, tuple],
+) -> int:
+    """EXACT count under a CONJUNCTION of inclusive range constraints
+    ``{col: (lo, hi)}`` — the multi-dimensional form of
+    :func:`count_range`: on a Z-ordered layout every constrained column
+    has correlated per-file bounds, so most kept files are interior for
+    the whole conjunction and only the shell is scanned."""
+    norm, lits = _norm_ranges(spark, path, ranges)
     kept, _, interior = prune_files(spark, path, norm, classify=True)
     n = sum(interior.values())
     boundary = [p for p in kept if p not in interior]
     if boundary:
-        df = spark.read.parquet(*boundary)
-        for col, (lo, hi) in norm.items():
-            lit_lo, lit_hi = lits[col]
-            if lo is not None:
-                df = df.filter(
-                    F.col(col) >= (F.lit(lo) if lit_lo is None else lit_lo))
-            if hi is not None:
-                df = df.filter(
-                    F.col(col) <= (F.lit(hi) if lit_hi is None else lit_hi))
-        n += df.count()
+        n += _residual(spark.read.parquet(*boundary), norm, lits).count()
     return n
 
 
@@ -1017,6 +1049,168 @@ def minmax_range(
             lo = row[0] if lo is None else min(*_align(lo, row[0]))
             hi = row[1] if hi is None else max(*_align(hi, row[1]))
     return lo, hi
+
+
+# ---------------------------------------------------------------------------
+# Per-file aggregate manifest → metadata-mostly SUM/AVG.
+#
+# count_range/minmax_range close COUNT/MIN/MAX from footers alone, but a
+# Q6-class ``SUM(revenue) WHERE date BETWEEN …`` still scans every kept
+# file. The missing piece is a per-file EXACT sum for declared integer
+# columns (the repo's cents discipline makes money columns mergeable
+# BIGINTs): interior files then contribute stored sums with no scan and
+# only the ~2 boundary files are read — the same interior/boundary split
+# as count_multi, extended to SUM and AVG.
+#
+# Layout: one parquet table under ``{path}/_hgs_aggs`` with one row per
+# (data file, column): the column's per-file sum (as a decimal STRING —
+# driver-side accumulation is arbitrary-precision python int, so no
+# overflow at any table size) and its non-null count (for AVG and for
+# the null discipline: SUM ignores nulls, so a file with nulls in the
+# SUM column is still pure metadata as long as the WHERE columns prove
+# interior). Maintenance mirrors the bloom index: ``build_agg_index``
+# reads ONLY active files with no row yet (appends, compaction outputs)
+# — a file without a row is always scanned, never wrong.
+# ---------------------------------------------------------------------------
+
+_AGG_DIR = "_hgs_aggs"
+_AGG_NEXT = "_hgs_aggs_next"
+_AGG_FORMAT = 1
+_AGG_SCHEMA = "file string, col string, sum string, nnn bigint, format int"
+
+
+def _integral_type(dtype) -> bool:
+    from pyspark.sql.types import (ByteType, DecimalType, IntegerType,
+                                   LongType, ShortType)
+    if isinstance(dtype, DecimalType):
+        return dtype.scale == 0
+    return isinstance(dtype, (ByteType, ShortType, IntegerType, LongType))
+
+
+def _load_aggs(path: str) -> dict[tuple[str, str], tuple[int, int]]:
+    """{(file, col): (sum, non-null count)} from the agg manifest, or
+    {} when none exists. Tiny (one row per file·col): pyarrow-read
+    driver-side, no Spark job — same posture as the zonemap manifest."""
+    apath = os.path.join(path, _AGG_DIR)
+    if not os.path.isdir(apath):
+        return {}
+    parts = [os.path.join(apath, n) for n in sorted(os.listdir(apath))
+             if n.endswith(".parquet") and not n.startswith(("_", "."))]
+    d = _pq.read_table(parts).to_pydict()
+    return {
+        (f, c): (int(s), int(n))
+        for f, c, s, n in zip(d["file"], d["col"], d["sum"], d["nnn"])
+    }
+
+
+def build_agg_index(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+) -> dict:
+    """Build (or incrementally extend) the per-file sum manifest for the
+    INTEGER columns ``cols``. Only active files with no row for all of
+    ``cols`` are scanned — after appends or compaction this costs
+    O(new files), not O(table); a fully-covered call is a pure no-op.
+    Returns ``{"indexed": n_new_files, "total": n_active_files}``.
+
+    Refuses non-integral columns: per-file sums must merge EXACTLY, and
+    float sums are order-dependent — store money as integer cents (the
+    repo-wide discipline) and divide once at the end."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    schema = spark.read.parquet(path).schema
+    for c in cols:
+        if not _integral_type(schema[c].dataType):
+            raise TypeError(
+                f"sum manifest requires an integer column, got {c!r}: "
+                f"{schema[c].dataType.simpleString()} (store money as "
+                "exact integer cents; float sums are order-dependent)")
+    active = _active_files(path)
+    old = _load_aggs(path)
+    old_files = {f for f, _ in old}
+    covered = {f for f in active if all((f, c) in old for c in cols)}
+    missing = sorted(active - covered)
+    if not missing and old_files <= active:
+        return {"indexed": 0, "total": len(active)}
+    fresh: list[tuple] = []
+    if missing:
+        src = (
+            spark.read.parquet(*(os.path.join(path, f) for f in missing))
+            .select(*cols)
+            .withColumn("__file", F.input_file_name())
+        )
+        aggs = []
+        for c in cols:
+            # decimal(38,0) sum: exact for any realistic per-file volume
+            # (the driver-side cross-file merge is python int — unbounded)
+            aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(f"s_{c}"))
+            aggs.append(F.count(F.col(c)).alias(f"n_{c}"))
+        rows = src.groupBy("__file").agg(*aggs).collect()  # 1 row/file
+        for r in rows:
+            base = os.path.basename(r["__file"])
+            for c in cols:
+                s = r[f"s_{c}"]
+                fresh.append((base, c, str(int(s)) if s is not None else "0",
+                              int(r[f"n_{c}"]), _AGG_FORMAT))
+    # per-(file, col) preservation on partial rebuilds + purge of rows
+    # for vanished files — the bloom index's maintenance rule verbatim
+    keep = [
+        (f, c, str(s), n, _AGG_FORMAT)
+        for (f, c), (s, n) in sorted(old.items())
+        if f in active and not (f in set(missing) and c in set(cols))
+    ]
+    mdf = spark.createDataFrame(keep + fresh, _AGG_SCHEMA)
+    nxt = os.path.join(path, _AGG_NEXT)
+    mdf.coalesce(1).write.mode("overwrite").parquet(nxt)
+    import shutil
+    cur = os.path.join(path, _AGG_DIR)
+    if os.path.isdir(cur):
+        shutil.rmtree(cur)
+    os.rename(nxt, cur)
+    return {"indexed": len(missing), "total": len(active)}
+
+
+def sum_range(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    where: dict[str, tuple] | None = None,
+) -> tuple[int | None, int]:
+    """EXACT ``(SUM(col), COUNT(col)) WHERE <where ranges>`` answered
+    mostly from metadata: interior files (every WHERE column's footer
+    [min, max] inside its bounds, zero WHERE-column nulls) contribute
+    their stored per-file sums and non-null counts with NO scan; only
+    boundary files — ~2 on a clustered layout — and files the agg
+    manifest doesn't cover yet are scanned with the residual. The
+    driver-side merge is python-int arithmetic, so the result is exact
+    at any scale; AVG is ``sum / count`` on the two exact integers.
+    Returns ``(None, 0)`` when no row matches (SQL SUM-over-empty)."""
+    where = dict(where or {})
+    norm, lits = _norm_ranges(spark, path, where)
+    kept, _, interior = prune_files(spark, path, norm, classify=True)
+    aggs = _load_aggs(path)
+    total = 0
+    nnn = 0
+    scan: list[str] = []
+    for p in kept:
+        hit = aggs.get((os.path.basename(p), col))
+        if hit is not None and (p in interior or not where):
+            total += hit[0]
+            nnn += hit[1]
+        else:
+            scan.append(p)
+    if scan:
+        row = (
+            _residual(spark.read.parquet(*scan), norm, lits)
+            .agg(F.sum(F.col(col).cast("decimal(38,0)")).alias("s"),
+                 F.count(F.col(col)).alias("n"))
+            .collect()[0])  # bounded: one scalar row
+        if row["s"] is not None:
+            total += int(row["s"])
+        nnn += int(row["n"])
+    return (total if nnn else None), nnn
 
 
 def read_window(
@@ -1220,4 +1414,62 @@ def layout_health(
         out["bloom_unindexed"] = {
             c: len(on_disk - files) for c, files in sorted(have.items())
         }
+    # sum-manifest coverage: files without an agg row are must-scan for
+    # sum_range — the growing count is the re-run-build_agg_index signal
+    aggs = _load_aggs(path)
+    if aggs:
+        have_a: dict[str, set] = {}
+        for f, c in aggs:
+            have_a.setdefault(c, set()).add(f)
+        out["agg_uncovered"] = {
+            c: len(on_disk - files) for c, files in sorted(have_a.items())
+        }
     return out
+
+
+def register_pruned_view(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    *,
+    ranges: dict[str, tuple] | None = None,
+    eq: dict | None = None,
+) -> dict:
+    """SQL-surface access to the skipping layer: prune the layout's file
+    list with the zonemap manifest (``ranges``) and/or the bloom index
+    (``eq``), apply the residual predicates, and register the result as
+    a TEMP VIEW ``name`` — so a plain ``spark.sql`` user keeps the
+    manifest win (a bare ``spark.read.parquet(path)`` would list and
+    footer-open every file). Returns ``{"kept": n, "total": n_active}``
+    so callers can assert pruning took effect.
+
+    The view is a snapshot of the CURRENT file list (temp views resolve
+    their scan at registration) — re-register after appends/compaction,
+    exactly like any engine's manifest-pinned snapshot read. Residuals
+    are re-applied inside the view, so queries over it are exact at any
+    pruning coarseness; datetime/date bounds get the one-normalization
+    treatment (pruning and residual share one instant)."""
+    if not ranges and not eq:
+        raise ValueError("pass ranges= and/or eq= — an unpruned view is "
+                         "just spark.read.parquet(path)")
+    norm, lits = _norm_ranges(spark, path, ranges or {})
+    kept: set[str] | None = None
+    total = 0
+    if ranges:
+        kr, total = prune_files(spark, path, norm)
+        kept = set(kr)
+    if eq:
+        from hadoopgis_spark.sources.bloom import prune_files_eq
+        ke, total = prune_files_eq(spark, path, eq)
+        kept = set(ke) if kept is None else kept & set(ke)
+    assert kept is not None
+    if not kept:
+        df = spark.read.parquet(path).filter(F.lit(False))
+    else:
+        df = _residual(spark.read.parquet(*sorted(kept)), norm, lits)
+        for c, v in (eq or {}).items():
+            vals = list(v) if isinstance(v, (list, tuple, set)) else [v]
+            df = df.filter(F.col(c) == F.lit(vals[0]) if len(vals) == 1
+                           else F.col(c).isin(vals))
+    df.createOrReplaceTempView(name)
+    return {"kept": len(kept), "total": total}

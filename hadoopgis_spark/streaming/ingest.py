@@ -93,7 +93,8 @@ def streaming_ingest_sorted(stream: DataFrame, path: str, order_col: str,
                             compact_small_bytes: int = 32 * 1024 * 1024,
                             compact_n_files: int = 1,
                             bloom_cols: tuple[str, ...] = (),
-                            bloom_n_items: int = 100_000):
+                            bloom_n_items: int = 100_000,
+                            agg_cols: tuple[str, ...] = ()):
     """Start the ingestion query: every micro-batch of ``stream`` lands
     range-clustered under ``path`` with the manifest refreshed. With
     ``compact_every=N``, every Nth batch additionally folds the
@@ -108,9 +109,13 @@ def streaming_ingest_sorted(stream: DataFrame, path: str, order_col: str,
     ``sources.bloom.read_eq`` stay sharp for the whole table while the
     stream runs. A replayed batch's re-landed files get fresh rows (the
     old files vanished, so their rows drop out on the same rebuild).
+    ``agg_cols`` does the same for the per-file sum manifest (integer
+    columns; ``sources.skipping.sum_range``) — metadata-mostly SUM/AVG
+    keeps up with the stream at O(batch) per refresh.
     Returns the running StreamingQuery."""
     from hadoopgis_spark.sources.bloom import build_bloom_index
-    from hadoopgis_spark.sources.skipping import compact_range_sorted
+    from hadoopgis_spark.sources.skipping import (build_agg_index,
+                                                  compact_range_sorted)
 
     def _body(df: DataFrame, bid: int) -> None:
         ingest_batch_sorted(df, bid, path, order_col, n_files=n_files)
@@ -121,6 +126,8 @@ def streaming_ingest_sorted(stream: DataFrame, path: str, order_col: str,
         if bloom_cols:
             build_bloom_index(df.sparkSession, path, list(bloom_cols),
                               n_items=bloom_n_items)
+        if agg_cols:
+            build_agg_index(df.sparkSession, path, list(agg_cols))
 
     writer = stream.writeStream.foreachBatch(_body).option(
         "checkpointLocation", checkpoint)

@@ -4821,16 +4821,25 @@ def _skip_root(spark) -> str:
 
 def _lineitem_shipdate_layout(spark, sf) -> str:
     """Memoized shipdate-clustered lineitem layout shared by the
-    zonemap (rel_range_pruned) and bloom (rel_bloom_pruned) gates —
-    one layout, two indexes, the way a real deployment layers them.
-    sf tag in the path: the _memo key is sf-scoped, so an sf-agnostic
-    path would let a dual-scale run serve the other scale's layout."""
+    zonemap (rel_range_pruned), bloom (rel_bloom_pruned), sum-manifest
+    (rel_sum_pruned), and SQL-view (rel_sql_pruned) gates — one layout,
+    three indexes, the way a real deployment layers them. The extra
+    ``l_extprice_c`` column is the exact-integer-cents form of
+    l_extendedprice (the repo-wide money discipline), declared as an
+    ``agg_cols`` sum column so interior files answer SUM/AVG from
+    metadata. sf tag in the path: the _memo key is sf-scoped, so an
+    sf-agnostic path would let a dual-scale run serve the other
+    scale's layout."""
     from hadoopgis_spark.sources.skipping import save_range_sorted
     path = f"{_skip_root(spark)}/lineitem_by_shipdate_{os.path.basename(os.path.normpath(sf))}"
     _memo(("skip_lineitem", spark.sparkContext.applicationId, sf),
-          lambda: save_range_sorted(_t(spark, sf, "lineitem"), path,
-                                    "l_shipdate", n_files=8,
-                                    stat_cols=["l_extendedprice"]) or True)
+          lambda: save_range_sorted(
+              _t(spark, sf, "lineitem").withColumn(
+                  "l_extprice_c",
+                  F.round(F.col("l_extendedprice") * 100).cast("long")),
+              path, "l_shipdate", n_files=8,
+              stat_cols=["l_extendedprice"],
+              agg_cols=["l_extprice_c"]) or True)
     return path
 
 
@@ -4922,6 +4931,64 @@ REL_COUNT_PRUNED_SQL = """
   FROM lineitem
   WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'
 """
+
+
+def rel_sum_pruned(spark, sf):
+    """Metadata-mostly SUM/AVG (the Q6 class): interior files of the
+    shipdate window contribute their STORED per-file exact-integer
+    cent sums and non-null counts with no scan; only the ~2 boundary
+    files are read with the residual. The driver-side merge is python
+    ints (exact at any scale); revenue is the one double division at
+    the end — identical IEEE inputs + identical expression in both
+    engines, the ratio-of-integers discipline. At 100 TB this turns a
+    two-year revenue total from a table scan into two file reads."""
+    import datetime as dt
+    from hadoopgis_spark.sources.skipping import sum_range
+    path = _lineitem_shipdate_layout(spark, sf)
+    s, n = sum_range(
+        spark, path, "l_extprice_c",
+        {"l_shipdate": (dt.datetime(1995, 1, 1), dt.datetime(1996, 12, 31))})
+    return spark.createDataFrame(
+        [(int(s), int(n))], "sum_cents bigint, n_lines bigint"
+    ).selectExpr(
+        "sum_cents", "n_lines",
+        "CAST(sum_cents AS DOUBLE) / CAST(100.0 AS DOUBLE) AS revenue")
+
+
+REL_SUM_PRUNED_SQL = """
+  SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(COUNT(l_extendedprice) AS BIGINT) AS n_lines,
+         CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS DOUBLE)
+           / CAST(100.0 AS DOUBLE) AS revenue
+  FROM lineitem
+  WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+"""
+
+
+def rel_sql_pruned(spark, sf):
+    """SQL-surface pruning: register_pruned_view materializes the
+    manifest-pruned file list (+ the one-normalized residual) as a temp
+    view, so a plain spark.sql user keeps the zonemap win — the gate
+    raises if pruning did NOT drop files, then runs the same Q1-style
+    aggregate as rel_range_pruned as ordinary SQL text over the view.
+    Parity with the direct-scan oracle pins the whole SQL face."""
+    import datetime as dt
+    from hadoopgis_spark.sources.skipping import register_pruned_view
+    path = _lineitem_shipdate_layout(spark, sf)
+    stats = register_pruned_view(
+        spark, path, "hgs_pruned_lineitem",
+        ranges={"l_shipdate": (dt.datetime(1995, 1, 1),
+                               dt.datetime(1995, 6, 30))})
+    if not stats["kept"] < stats["total"]:
+        raise AssertionError(f"pruned view kept every file: {stats}")
+    return spark.sql("""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+                 / CAST(10000.0 AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM hgs_pruned_lineitem
+        GROUP BY l_returnflag
+    """)
 
 
 def rel_minmax_pruned(spark, sf):
@@ -6802,6 +6869,9 @@ REGISTRY: dict[str, Query] = {
     "rel_q16_supplier_cnt": Query(rel_q16_supplier_cnt, REL_Q16_SQL, "TPC-H Q16 shape: NOT-IN anti join + COUNT DISTINCT buckets"),
     "rel_q17_small_qty_avg": Query(rel_q17_small_qty_avg, REL_Q17_SQL, "TPC-H Q17 shape: correlated-AVG threshold, exact integer form"),
     "rel_q21_waiting_supplier": Query(rel_q21_waiting_supplier, REL_Q21_SQL, "TPC-H Q21 shape: EXISTS+NOT EXISTS as one per-order aggregate"),
+    # round 9
+    "rel_sum_pruned": Query(rel_sum_pruned, REL_SUM_PRUNED_SQL, "metadata-mostly SUM/AVG from the per-file exact-integer sum manifest"),
+    "rel_sql_pruned": Query(rel_sql_pruned, REL_RANGE_PRUNED_SQL, "SQL-surface zonemap pruning via register_pruned_view"),
 }
 
 # Round-7 gate prefix (the ordering contract: the driver gates

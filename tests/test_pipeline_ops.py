@@ -2323,6 +2323,119 @@ class TestFileSkipping:
         with _pytest.raises(ValueError):
             minmax_range(spark, path, "nope")
 
+    def test_sum_range_metadata_and_boundary(self, spark, tmp_path):
+        """sum_range merges stored per-file integer sums of interior
+        files with a residual scan of the boundary — exact (python-int
+        merge) at every bound placement, SUM/COUNT null semantics, and
+        (None, 0) over empty matches."""
+        from hadoopgis_spark.sources.skipping import (
+            prune_files, save_range_sorted, sum_range)
+        rows = [(i, (i * 7919) % 100_000 if i % 50 != 7 else None)
+                for i in range(1000)]
+        df = spark.createDataFrame(rows, "k bigint, v bigint")
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=8, agg_cols=["v"])
+        for lo, hi in [(110, 640), (0, 999), (None, 499), (500, None),
+                       (None, None), (1500, 2000), (7, 7)]:
+            vals = [v for k, v in rows
+                    if v is not None
+                    and (lo is None or k >= lo) and (hi is None or k <= hi)]
+            s, n = sum_range(spark, path, "v", {"k": (lo, hi)})
+            assert (s, n) == (sum(vals) if vals else None, len(vals)), (lo, hi)
+        # unconstrained: every covered file is pure metadata
+        s, n = sum_range(spark, path, "v")
+        allv = [v for _, v in rows if v is not None]
+        assert (s, n) == (sum(allv), len(allv))
+        # the mid-table query really is metadata-mostly
+        _, _, interior = prune_files(
+            spark, path, {"k": (110, 640)}, classify=True)
+        assert len(interior) >= 1
+
+    def test_agg_index_refusals_and_uncovered_scan(self, spark, tmp_path):
+        """Float columns are refused (order-dependent sums can't merge
+        exactly); an UNDECLARED column still answers exactly via the
+        all-scan path — the manifest is an accelerator, never a gate."""
+        import pytest as _pytest
+        from hadoopgis_spark.sources.skipping import (
+            build_agg_index, save_range_sorted, sum_range)
+        rows = [(i, i * 3, float(i)) for i in range(400)]
+        df = spark.createDataFrame(rows, "k bigint, v bigint, f double")
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=4, agg_cols=["v"])
+        with _pytest.raises(TypeError, match="integer"):
+            build_agg_index(spark, path, ["f"])
+        # undeclared integer column: exact through the scan tier
+        s, n = sum_range(spark, path, "k", {"k": (100, 199)})
+        assert (s, n) == (sum(range(100, 200)), 100)
+        # covered call is a pure no-op
+        assert build_agg_index(spark, path, ["v"]) == {
+            "indexed": 0, "total": 4}
+
+    def test_agg_index_append_and_health(self, spark, tmp_path):
+        """append_range_sorted refreshes the sum manifest incrementally
+        (O(batch): only the new files are read); layout_health reports
+        coverage; sums stay exact across the append."""
+        from hadoopgis_spark.sources.skipping import (
+            append_range_sorted, layout_health, save_range_sorted,
+            sum_range)
+        df = spark.range(0, 800).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=4, agg_cols=["v"])
+        extra = spark.range(800, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+        append_range_sorted(extra, path, "k", n_files=1)
+        h = layout_health(spark, path, "k")
+        assert h["agg_uncovered"] == {"v": 0}  # refreshed with the append
+        s, n = sum_range(spark, path, "v", {"k": (700, 899)})
+        assert (s, n) == (sum(3 * k for k in range(700, 900)), 200)
+        # whole-table sum is pure metadata after the refresh
+        s, n = sum_range(spark, path, "v")
+        assert (s, n) == (sum(3 * k for k in range(1000)), 1000)
+
+    # ---- register_pruned_view: the skipping layer's SQL surface ------
+
+    def test_range_view_prunes_and_is_exact(self, spark, tmp_path):
+        from hadoopgis_spark.sources.skipping import (
+            register_pruned_view, save_range_sorted)
+        df = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=10)
+        stats = register_pruned_view(
+            spark, path, "pruned_t", ranges={"k": (2500, 3499)})
+        assert stats["total"] == 10 and stats["kept"] <= 2
+        got = spark.sql(
+            "SELECT COUNT(*) AS n, SUM(v) AS s FROM pruned_t").collect()[0]
+        exp = df.filter((F.col("k") >= 2500) & (F.col("k") <= 3499)).agg(
+            F.count(F.lit(1)), F.sum("v")).collect()[0]
+        assert (got["n"], got["s"]) == (exp[0], exp[1])
+
+    def test_eq_view_uses_bloom_and_combined(self, spark, tmp_path):
+        from hadoopgis_spark.sources.bloom import build_bloom_index
+        from hadoopgis_spark.sources.skipping import (
+            register_pruned_view, save_range_sorted)
+        n = 8_000
+        df = (spark.range(n)
+              .withColumn("ts", F.col("id"))
+              .withColumn("id", (F.col("id") * 7919) % n))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "ts", n_files=8)
+        build_bloom_index(spark, path, ["id"], n_items=1_500)
+        stats = register_pruned_view(spark, path, "pt", eq={"id": 4242})
+        assert stats["total"] == 8 and stats["kept"] <= 3
+        rows = spark.sql("SELECT id, ts FROM pt").collect()
+        assert len(rows) == 1 and rows[0]["id"] == 4242
+        # combined ranges+eq intersects both prunings, residuals both
+        stats = register_pruned_view(
+            spark, path, "pt2", ranges={"ts": (0, 3999)}, eq={"id": 4242})
+        expect_n = 1 if (4242 * pow(7919, -1, n)) % n <= 3999 else 0
+        assert spark.sql("SELECT COUNT(*) AS n FROM pt2").collect()[0]["n"] \
+            == expect_n
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="unpruned"):
+            register_pruned_view(spark, path, "nope")
+
     def test_format1_manifest_loads_and_counts_via_scan(self, spark, tmp_path):
         """A pre-round-8 (format-1, no nulls column) manifest keeps
         working: pruning unchanged, count_range exact — interior
