@@ -10,9 +10,18 @@ Spark restatement:
 
 * ``mode="tile"`` — reference semantics: candidates are tile-co-located
   pairs, ranked by distance, ``row_number() <= k``.
-* ``mode="exact"`` — true kNN: distance-bounded candidate join with the
-  reference's density radius heuristic, then a driver loop that ×√2-
-  expands the radius **only for objects still short of k matches**.
+* ``mode="exact"`` — true kNN as a TWO-ROUND tile formulation (the
+  100 TB path; before round 9 this was a data×data nested-loop join):
+  round 1 = tile-local candidates give each object with ≥ k co-located
+  candidates a provable radius bound (its k-th smallest upper-bound
+  distance); round 2 re-probes the object's MBB expanded by that bound
+  through the same tile join, which provably contains every true
+  neighbor because the plane-covering tiles make "b within u of a" ⇒
+  "a's expanded box and b's box meet in some tile". Objects with fewer
+  than k tile candidates iterate the reference's ×√2 radius expansion
+  (``knn_2d.hpp:146-180``), also as tile joins. Every join is a tile
+  equi-join plus the hinted-broadcast tile-table assignment — no
+  unbounded nested-loop stage anywhere.
 
 Both modes use MBB **distance bounds** in place of the reference's
 R-tree pruning: ``box_distance`` (lower bound on the true geometry
@@ -193,61 +202,148 @@ def knn_join(
             max_distance, out_cols,
         )
 
-    # ---- exact mode: UDF-free rounds via distance bounds ---------------
+    # ---- exact mode: two-round tile formulation (no data×data NLJ) -----
     bx0, by0, bx1, by1, n_b = space_extent(b.select(*MBB_COLS))
     if n_b == 0:
         return _empty(a, b, sfx1, sfx2)
     space_area = max((bx1 - bx0) * (by1 - by0), 1e-12)
-    # the radius cap must cover the farthest A-to-B distance: A objects
-    # can live far outside B's extent, so use the UNION extent diagonal
-    # (capping at B's own diagonal silently starved far-away objects)
-    ax0, ay0, ax1, ay1, n_a = space_extent(a.select(*MBB_COLS))
-    if n_a == 0:
-        return _empty(a, b, sfx1, sfx2)
-    diag = math.hypot(
-        max(ax1, bx1) - min(ax0, bx0), max(ay1, by1) - min(ay0, by0)
+    mbb_union = a.select(*MBB_COLS) if self_join else (
+        a.select(*MBB_COLS).unionByName(b.select(*MBB_COLS))
     )
-    # density radius heuristic, knn_2d.hpp:86-93
-    r = max_distance or max(1e-9, 1.5 * math.sqrt(space_area * k / n_b))
+    x0, y0, x1, y1, n_total = space_extent(mbb_union)
+    if n_total == 0:
+        return _empty(a, b, sfx1, sfx2)
+    # the straggler radius cap must cover the farthest A-to-B distance:
+    # A objects can live far outside B's extent, so use the UNION extent
+    # diagonal (capping at B's own diagonal silently starved far-away
+    # objects)
+    diag = math.hypot(x1 - x0, y1 - y0)
 
-    remaining = _suffix_all(a, sfx1)
-    bt = _suffix_all(b, sfx2)
-    collected: DataFrame | None = None
+    # plane-covering tiles are the correctness backbone of both rounds
+    # (any a-box/b-box overlap meets in SOME tile), so a data
+    # partitioner (hc/str) — whose tiles cover only the sampled MBRs —
+    # falls back to bsp here; tile mode keeps the user's choice because
+    # its per-tile semantics never rely on plane cover
+    from hadoopgis_spark.partition.algos import SPACE_PARTITIONERS
+    alg = partitioner if partitioner in SPACE_PARTITIONERS else "bsp"
+    bucket = bucket_size or default_bucket_size(n_total, a.sparkSession)
+    sample = sample_mbbs(mbb_union, n_total, max_sample)
+    scaled = max(1, int(bucket * min(1.0, max_sample / n_total)))
+    tiles = partition_tiles(sample, scaled, alg, cover_plane=True)
+    tiles_df = tiles_dataframe(a.sparkSession, tiles)
+
+    at = _suffix_all(a, sfx1)
+    # b's tile assignment is reused by every round — checkpoint once
+    bt = assign_tiles(_suffix_all(b, sfx2), tiles_df, mbb_cols=tuple(m2)).drop(
+        "t_xmin", "t_ymin", "t_xmax", "t_ymax"
+    ).transform(durable_checkpoint)
+    sel_cols = at.columns + [c for c in bt.columns if c != "tile_id"]
     lo = B.box_distance(*[F.col(c) for c in m1], *[F.col(c) for c in m2])
-    rounds = 0
-    while rounds < max_rounds:
-        rounds += 1
-        if rounds == max_rounds and max_distance is None:
-            # final round safety net: sweep the whole union extent so no
-            # straggler is left without its k list
-            r = max(r, diag)
-        cond = B.box_intersects(*[F.col(c) for c in m1], *[F.col(c) for c in m2], pad=r)
-        cand = remaining.join(bt, cond)
-        if self_join:
-            cand = cand.filter(F.col(idc1) != F.col(idc2))
-        # lower bound ≤ r is a superset of the true ≤ r matches; an object
-        # is provably satisfied once ≥ k candidates have UPPER bound ≤ r
-        cand = cand.withColumn("_lo", lo).filter(F.col("_lo") <= r)
-        cand = cand.withColumn("_hi", _box_maxdist(m1, m2)).transform(durable_checkpoint)
-        counts = cand.filter(F.col("_hi") <= r).groupBy(idc1).agg(
-            F.count(F.lit(1)).alias("_n")
+
+    def tile_cand(aa: DataFrame, pad) -> DataFrame:
+        """Tile-co-located (a, b) pairs with a's box padded by ``pad``
+        (Column or scalar) for the assignment. Superset guarantee: any b
+        with box_distance(a, b) <= pad overlaps the padded a-box, and
+        the overlap point lies in a tile both sides were multicast to."""
+        c = (
+            assign_tiles(aa, tiles_df, mbb_cols=tuple(m1), pad=pad)
+            .drop("t_xmin", "t_ymin", "t_xmax", "t_ymax")
+            .join(bt, "tile_id")
         )
-        sat_ids = counts.filter(F.col("_n") >= k).select(idc1)
-        done = cand.join(sat_ids, idc1, "left_semi")
-        collected = done if collected is None else collected.unionByName(done)
-        # checkpoint: without it the anti-join lineage accumulates and
-        # every round recomputes all previous rounds' candidate joins
-        remaining = remaining.join(sat_ids, idc1, "left_anti").transform(durable_checkpoint)
-        if max_distance is not None or r >= diag:
-            # capped search (st_nearest) or whole space covered: remaining
-            # objects keep whatever neighbors exist within the cap
-            leftover = cand.join(sat_ids, idc1, "left_anti")
+        if self_join:
+            c = c.filter(F.col(idc1) != F.col(idc2))
+        return c
+
+    if max_distance is not None:
+        # capped search (st_nearest's -d, knn_2d.hpp:187-195): one
+        # padded tile join IS the complete candidate set
+        cand = (
+            tile_cand(at, max_distance)
+            .filter(lo <= max_distance)
+            .select(*sel_cols)
+            .dropDuplicates([idc1, idc2])
+        )
+        return _rank_k_refined(
+            cand, idc1, idc2, k, wkt_mode, geography, g1, g2, m1, m2,
+            max_distance, out_cols,
+        )
+
+    # round 1: tile-local candidates → per-object provable radius bound
+    # u = k-th smallest upper-bound distance among tile candidates (k
+    # real neighbors exist within u, so the true k-th distance <= u).
+    # Per-(tile, object) top-k by upper bound first: the k-th smallest
+    # global _thi lives inside the union of per-tile top-k lists, so the
+    # wide dedup+window sees O(k · tiles-per-object) rows per object.
+    c1 = tile_cand(at, 0.0).withColumn("_thi", _box_maxdist(m1, m2))
+    w_tile = Window.partitionBy("tile_id", idc1).orderBy(
+        F.col("_thi").asc(), F.col(idc2).asc()
+    )
+    c1 = c1.withColumn("_trn", F.row_number().over(w_tile)).filter(
+        F.col("_trn") <= k
+    )
+    c1 = c1.select(*sel_cols, "_thi").dropDuplicates([idc1, idc2])
+    w = Window.partitionBy(idc1).orderBy(F.col("_thi").asc(), F.col(idc2).asc())
+    u = (
+        c1.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == k)
+        .select(idc1, F.col("_thi").alias("_u"))
+        .transform(durable_checkpoint)  # consumed by join AND anti-join
+    )
+
+    # round 2: re-probe each bounded object with its own radius — the
+    # padded tile join is a provable superset of its true k nearest
+    bounded = at.join(u, idc1)
+    c2 = (
+        tile_cand(bounded, F.col("_u"))
+        .filter(lo <= F.col("_u"))
+        .select(*sel_cols)
+        .dropDuplicates([idc1, idc2])
+    )
+
+    # stragglers (< k tile candidates — sparse corners): the reference's
+    # ×√2 expanding search, each probe a padded tile join over ONLY the
+    # still-unsatisfied objects; final round sweeps the union diagonal
+    collected = c2
+    remaining = at.join(u, idc1, "left_anti").transform(durable_checkpoint)
+    # density radius heuristic, knn_2d.hpp:86-93
+    r = max(1e-9, 1.5 * math.sqrt(space_area * k / n_b))
+    rounds = 0
+    while rounds < max_rounds and not remaining.isEmpty():
+        rounds += 1
+        if rounds == max_rounds:
+            r = max(r, diag)  # safety net: whole-space sweep terminates
+        cand = (
+            tile_cand(remaining, r)
+            .withColumn("_lo", lo)
+            .filter(F.col("_lo") <= r)
+            .select(*sel_cols)
+            .dropDuplicates([idc1, idc2])
+            .withColumn("_shi", _box_maxdist(m1, m2))
+            .transform(durable_checkpoint)
+        )
+        # an object is provably satisfied once >= k candidates have
+        # UPPER bound <= r (its candidate set then contains all true
+        # neighbors: k-th distance <= r and every lo <= r pair is in)
+        sat_ids = (
+            cand.filter(F.col("_shi") <= r)
+            .groupBy(idc1)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= k)
+            .select(idc1)
+        )
+        done = cand.join(sat_ids, idc1, "left_semi").drop("_shi")
+        collected = collected.unionByName(done)
+        if r >= diag:
+            # whole space covered: the rest keep whatever neighbors exist
+            leftover = cand.join(sat_ids, idc1, "left_anti").drop("_shi")
             collected = collected.unionByName(leftover)
             break
-        if remaining.isEmpty():
-            break
+        # checkpoint: without it the anti-join lineage accumulates and
+        # every round recomputes all previous rounds' candidate joins
+        remaining = remaining.join(sat_ids, idc1, "left_anti").transform(
+            durable_checkpoint
+        )
         r *= math.sqrt(2.0)  # reference expansion factor, knn_2d.hpp:146-180
-    collected = collected.drop("_lo", "_hi")
     return _rank_k_refined(
         collected, idc1, idc2, k, wkt_mode, geography, g1, g2, m1, m2,
         max_distance, out_cols,

@@ -585,6 +585,42 @@ SP_KNN_SQL = """
 """
 
 
+def sp_knn_exact_scaled(spark, sf):
+    """J4 exact kNN, multi-tile scale formulation: a small bucket_size
+    forces a real tile decomposition, so round 2's per-object-radius
+    boundary re-probe and the straggler ×√2 expansion genuinely cross
+    tiles. Before round 9, exact mode planned a data×data broadcast NLJ
+    (a whitelisted baseline); now every stage is a tile equi-join plus
+    the hinted-broadcast tile table — the registry-wide lint verifies
+    no NLJ/cartesian on this gate. Brute-force CROSS JOIN oracle."""
+    a = customer_points(spark, sf)
+    b = supplier_points(spark, sf)
+    j = knn_join(a, b, k=4, mode="exact", bucket_size=120)
+    return j.select("id_1", "id_2", "distance")
+
+
+SP_KNN_EXACT_SCALED_SQL = """
+  WITH c AS (
+    SELECT c_custkey AS id,
+           (c_custkey % 211) * CAST(4.7 AS DOUBLE) AS x,
+           (c_custkey % 193) * CAST(5.1 AS DOUBLE) AS y
+    FROM customer
+  ), s AS (
+    SELECT s_suppkey AS id,
+           (s_suppkey % 89) * CAST(11.0 AS DOUBLE) AS x,
+           (s_suppkey % 97) * CAST(10.0 AS DOUBLE) AS y
+    FROM supplier
+  ), d AS (
+    SELECT c.id AS id_1, s.id AS id_2,
+           SQRT((c.x-s.x)*(c.x-s.x) + (c.y-s.y)*(c.y-s.y)) AS distance
+    FROM c CROSS JOIN s
+  ), r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1 ORDER BY distance, id_2) AS rn FROM d
+  )
+  SELECT id_1, id_2, distance FROM r WHERE rn <= 4
+"""
+
+
 def sp_containment(spark, sf):
     """J3: window query with pushable MBB prefilter."""
     return containment(part_boxes(spark, sf), "200,150,600,500")
@@ -6872,6 +6908,7 @@ REGISTRY: dict[str, Query] = {
     # round 9
     "rel_sum_pruned": Query(rel_sum_pruned, REL_SUM_PRUNED_SQL, "metadata-mostly SUM/AVG from the per-file exact-integer sum manifest"),
     "rel_sql_pruned": Query(rel_sql_pruned, REL_RANGE_PRUNED_SQL, "SQL-surface zonemap pruning via register_pruned_view"),
+    "sp_knn_exact_scaled": Query(sp_knn_exact_scaled, SP_KNN_EXACT_SCALED_SQL, "J4 exact kNN as two-round tile joins (multi-tile, lint-clean)"),
 }
 
 # Round-7 gate prefix (the ordering contract: the driver gates

@@ -35,13 +35,13 @@ ALLOWED_ALL_PAIRS = {
     "sim_ann_sq": "SQ code-scan baseline (compose with IVF lists at scale)",
     "sp_box_measures": "bounded pairwise-measure enumeration",
     "sp_haversine": "bounded pair set",
-    "sp_knn": "exact kNN: broadcast NLJ by construction (tile mode is the scale path)",
-    "sp_knn_capped": "exact kNN with a distance cap, same baseline shape",
+    # round 9: sp_knn / sp_knn_capped / sp_knn_tile left this list —
+    # exact mode is now the two-round tile formulation (every stage a
+    # tile equi-join + hinted-broadcast tile table), lint-clean.
     # scalar-attach shape: crossJoin(broadcast(<1-row aggregate>)) — a
     # conditionless NLJ whose build side is one row by construction
     "cur_mixture_alloc": "total-weight scalar onto per-source stats",
     "cur_pipeline": "corpus-relative quality threshold scalar",
-    "sp_knn_tile": "tile mode with a single broadcast tile table (bounded build side)",
     "sp_disjoint_global": "true-global disjoint PAIR SET is inherently every-pair; A capped, B broadcast (sp_disjoint_global_scaled is the lint-clean count-complement scale path)",
 }
 

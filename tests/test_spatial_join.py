@@ -165,6 +165,79 @@ class TestKnnJoin:
             for (ed, eid), (gd, gid) in zip(expect, gotk):
                 assert gid == eid and gd == pytest.approx(ed, rel=1e-9)
 
+    def test_exact_knn_multi_tile_with_stragglers(self, spark):
+        """Round-9 two-round tile formulation: a small bucket_size
+        forces many tiles so round 2's per-object-radius re-probe
+        crosses tile boundaries, and a far-away sparse cluster (fewer
+        than k tile-co-located candidates) exercises the straggler
+        expansion loop. Exact vs a driver-side brute-force oracle."""
+        import random
+
+        rng = random.Random(99)
+        pa = [(i, f"POINT ({rng.uniform(0, 900):.3f} {rng.uniform(0, 900):.3f})", 0)
+              for i in range(400)]
+        # far-away left objects: nearest b is several tiles away
+        pa += [(1000 + i, f"POINT ({5000 + i * 3} {5000 - i * 2})", 0)
+               for i in range(5)]
+        pb = [(i, f"POINT ({rng.uniform(0, 900):.3f} {rng.uniform(0, 900):.3f})", 0)
+              for i in range(600)]
+        dfa = spark.createDataFrame(pa, "id long, geom string, attr int")
+        dfb = spark.createDataFrame(pb, "id long, geom string, attr int")
+        k = 3
+        got = knn_join(dfa, dfb, k=k, mode="exact", bucket_size=60).collect()
+
+        def coords(rows):
+            return {
+                i: tuple(map(float, w[w.index("(") + 1: w.index(")")].split()))
+                for i, w, _ in rows
+            }
+
+        ca, cb = coords(pa), coords(pb)
+        by_left = {}
+        for r in got:
+            by_left.setdefault(r.id_1, []).append((r.distance, r.id_2))
+        assert set(by_left) == set(ca)
+        for ia, (xa, ya) in ca.items():
+            dists = sorted(
+                (math.hypot(xa - xb, ya - yb), ib) for ib, (xb, yb) in cb.items()
+            )
+            gotk = sorted(by_left[ia])
+            assert len(gotk) == k
+            for (ed, eid), (gd, gid) in zip(dists[:k], gotk):
+                assert gid == eid and gd == pytest.approx(ed, rel=1e-9)
+
+    def test_exact_knn_capped_tile_join(self, spark):
+        """max_distance (st_nearest -d): one padded tile join is the
+        complete candidate set; objects with < k in-range neighbors
+        keep what exists, objects with none vanish — vs brute force."""
+        pa, pb = _points(150, 11), _points(150, 12)
+        dfa = spark.createDataFrame(pa, "id long, geom string, attr int")
+        dfb = spark.createDataFrame(pb, "id long, geom string, attr int")
+        cap, k = 40.0, 3
+        got = knn_join(dfa, dfb, k=k, mode="exact", max_distance=cap,
+                       bucket_size=40).collect()
+
+        def coords(rows):
+            return {
+                i: tuple(map(float, w[w.index("(") + 1: w.index(")")].split()))
+                for i, w, _ in rows
+            }
+
+        ca, cb = coords(pa), coords(pb)
+        by_left = {}
+        for r in got:
+            by_left.setdefault(r.id_1, []).append((r.distance, r.id_2))
+        for ia, (xa, ya) in ca.items():
+            dists = sorted(
+                (math.hypot(xa - xb, ya - yb), ib)
+                for ib, (xb, yb) in cb.items()
+            )
+            expect = [(d, i) for d, i in dists if d <= cap][:k]
+            gotk = sorted(by_left.get(ia, []))
+            assert len(gotk) == len(expect), ia
+            for (ed, eid), (gd, gid) in zip(expect, gotk):
+                assert gid == eid and gd == pytest.approx(ed, rel=1e-9)
+
     def test_tile_knn_shape(self, spark):
         pa = _points(100, 8)
         dfa = spark.createDataFrame(pa, "id long, geom string, attr int")
