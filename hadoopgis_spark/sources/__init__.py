@@ -17,10 +17,12 @@ from hadoopgis_spark.sources.tsv import read_tsv, write_tsv
 from hadoopgis_spark.sources.dedup_index import dedup_against_index, save_dedup_index
 from hadoopgis_spark.sources.vector_index import (
     add_to_ivf_index,
+    ivf_index_health,
     ivf_topk_indexed,
     ivfpq_topk_indexed,
     load_ivf_index,
     load_ivfpq_index,
+    refit_ivf_index,
     save_ivf_index,
     save_ivfpq_index,
 )
@@ -38,6 +40,8 @@ __all__ = [
     "load_ivf_index",
     "ivf_topk_indexed",
     "add_to_ivf_index",
+    "ivf_index_health",
+    "refit_ivf_index",
     "save_ivfpq_index",
     "load_ivfpq_index",
     "ivfpq_topk_indexed",

@@ -37,6 +37,8 @@ __all__ = [
     "load_ivf_index",
     "ivf_topk_indexed",
     "add_to_ivf_index",
+    "ivf_index_health",
+    "refit_ivf_index",
     "save_ivfpq_index",
     "load_ivfpq_index",
     "ivfpq_topk_indexed",
@@ -177,6 +179,97 @@ def add_to_ivf_index(
     asg.repartition("cid").write.mode("append").partitionBy("cid").parquet(
         f"{base}/vectors"
     )
+
+
+def ivf_index_health(
+    spark: SparkSession,
+    name: str,
+    *,
+    root: str | None = None,
+    skew_threshold: float = 3.0,
+    empty_threshold: float = 0.25,
+) -> dict:
+    """Index-health report from the cid-partitioned layout alone — the
+    operational signal for WHEN to refit (the zonemap layer's
+    ``layout_health`` idea, applied to the vector index).
+
+    ``add_to_ivf_index`` assigns appended batches against the ORIGINAL
+    centroids by design; if the appended distribution drifts, a few hot
+    lists absorb most new vectors while others stay empty, and recall
+    decays SILENTLY — ``n_probe`` lists cover a shrinking share of the
+    corpus and the probed lists' candidates crowd out true neighbors
+    that landed in overfull lists. List-size skew (max/mean over the
+    CONFIGURED list count) and the empty-list share are exactly the
+    observable symptoms, and both come from one bounded aggregate:
+    ``groupBy(cid).count()`` over the partition column — n_centroids
+    result rows, no vector bytes decoded.
+
+    ``needs_refit`` = skew ≥ ``skew_threshold`` or empty share ≥
+    ``empty_threshold``. A freshly k-means-fit index sits near skew ~1-2
+    and empty share 0; drifted-append fixtures in the tests cross both.
+    """
+    corpus, _, meta = load_ivf_index(spark, name, root)
+    n_c = int(meta["n_centroids"])
+    rows = corpus.groupBy("cid").count().collect()  # bounded: ≤ n_c rows
+    sizes = {int(r["cid"]): int(r["count"]) for r in rows}
+    total = sum(sizes.values())
+    nonempty = sum(1 for s in sizes.values() if s > 0)
+    mean = total / max(1, n_c)
+    mx = max(sizes.values(), default=0)
+    skew = (mx / mean) if mean else 0.0
+    empty_share = 1.0 - nonempty / max(1, n_c)
+    return {
+        "rows": total,
+        "lists": n_c,
+        "nonempty_lists": nonempty,
+        "max_list": mx,
+        "mean_list": round(mean, 2),
+        "skew": round(skew, 3),
+        "empty_share": round(empty_share, 3),
+        "needs_refit": skew >= skew_threshold or empty_share >= empty_threshold,
+    }
+
+
+def refit_ivf_index(
+    spark: SparkSession,
+    name: str,
+    *,
+    root: str | None = None,
+    skew_threshold: float = 3.0,
+    empty_threshold: float = 0.25,
+    sample: int = 4096,
+    impl: str = "column",
+    force: bool = False,
+) -> dict:
+    """Re-fit centroids and re-partition the stored corpus ONLY when
+    :func:`ivf_index_health` crosses a threshold (or ``force=True``) —
+    the maintenance complement of ``add_to_ivf_index``: appends stay
+    O(batch) forever, and this rebuild runs rarely, gated by the
+    health report, restoring balanced lists (and with them recall at a
+    given ``n_probe``).
+
+    The corpus is read from the index itself (vectors are stored
+    verbatim) and durably checkpointed first — an overwrite cannot read
+    its own input — then refit + reassigned + rewritten through
+    ``save_ivf_index``. This is a REBUILD by definition and is priced
+    accordingly; the health gate is what keeps it rare. Returns the
+    pre-rebuild health dict plus ``refit: bool``."""
+    from hadoopgis_spark.materialize import durable_checkpoint
+
+    h = ivf_index_health(
+        spark, name, root=root,
+        skew_threshold=skew_threshold, empty_threshold=empty_threshold)
+    if not (force or h["needs_refit"]):
+        return {"refit": False, **h}
+    corpus, _, meta = load_ivf_index(spark, name, root)
+    df = durable_checkpoint(
+        corpus.select(F.col("id").alias("vec_id"),
+                      F.col("vec").alias("embedding")))
+    save_ivf_index(
+        df, name, vec_col="embedding", id_col="vec_id",
+        n_centroids=int(meta["n_centroids"]), dim=int(meta["dim"]),
+        sample=sample, root=root, impl=impl)
+    return {"refit": True, **h}
 
 
 def save_ivfpq_index(

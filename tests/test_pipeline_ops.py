@@ -2036,6 +2036,116 @@ class TestIncrementalIvfIndex:
         assert inc == full and len(inc) > 0
 
 
+class TestIvfIndexHealth:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_drift_detection_and_gated_refit(self, spark, tmp_path):
+        """An appended cluster the fitted centroids never saw piles onto
+        ONE stale list and pushes list-size skew over the threshold;
+        refit_ivf_index refuses to rebuild a healthy index, rebuilds the
+        skewed one (k-means now gives the new cluster its own centroid),
+        and the rebuilt index is healthy again (no refit thrash)."""
+        import random
+
+        from hadoopgis_spark.sources import (
+            add_to_ivf_index, ivf_index_health, refit_ivf_index,
+            save_ivf_index)
+
+        rng = random.Random(7)
+        base = [
+            (s * 1000 + i,
+             [sx * 10 + rng.uniform(-2, 2), rng.uniform(-2, 2)])
+            for s, sx in ((0, 1), (1, -1)) for i in range(300)
+        ]
+        root = str(tmp_path / "ivf")
+        save_ivf_index(self._emb(spark, base), "h", n_centroids=4, dim=2,
+                       root=root)
+        h0 = ivf_index_health(spark, "h", root=root, skew_threshold=1.7)
+        assert h0["rows"] == 600 and not h0["needs_refit"]
+        assert refit_ivf_index(
+            spark, "h", root=root, skew_threshold=1.7)["refit"] is False
+        # drifted append: a NEW far cluster (x strictly positive, so it
+        # lands whole in one right-side list) the index has no centroid for
+        drift = [
+            (10_000 + i, [3 + rng.uniform(-2, 2), 30 + rng.uniform(-2, 2)])
+            for i in range(300)
+        ]
+        add_to_ivf_index(self._emb(spark, drift), "h", root=root)
+        h1 = ivf_index_health(spark, "h", root=root, skew_threshold=1.7)
+        assert h1["rows"] == 900 and h1["max_list"] >= 400
+        assert h1["skew"] >= 1.7 and h1["needs_refit"]
+        out = refit_ivf_index(spark, "h", root=root, skew_threshold=1.7)
+        assert out["refit"] is True
+        h2 = ivf_index_health(spark, "h", root=root, skew_threshold=1.7)
+        assert h2["rows"] == 900  # no row lost or duplicated
+        assert h2["skew"] < h1["skew"] and not h2["needs_refit"]
+        assert refit_ivf_index(
+            spark, "h", root=root, skew_threshold=1.7)["refit"] is False
+
+    def test_refit_restores_recall(self, spark, tmp_path):
+        """The silent failure mode the health gate exists for: an
+        appended cluster SPLIT 3:1 across the two stale lists makes
+        n_probe=1 queries miss the minority side's true neighbors; the
+        skew-gated refit re-clusters so the whole new cluster lives in
+        one probed list and recall recovers."""
+        import random
+
+        import numpy as np
+
+        from hadoopgis_spark.sources import (
+            add_to_ivf_index, ivf_topk_indexed, refit_ivf_index,
+            save_ivf_index)
+
+        rng = random.Random(13)
+        base = [
+            (s * 1000 + i,
+             [sx * 10 + rng.uniform(-2, 2), rng.uniform(-0.2, 0.2)])
+            for s, sx in ((0, 1), (1, -1)) for i in range(300)
+        ]
+        root = str(tmp_path / "ivf")
+        # EXPLICIT symmetric stale centroids (centroids are a versioned
+        # artifact): the ±|c|²/2 terms cancel exactly, so the x sign of
+        # a drifted vector alone decides which stale list takes it
+        save_ivf_index(self._emb(spark, base), "r", n_centroids=2, dim=2,
+                       root=root, centroids=[[10.0, 0.0], [-10.0, 0.0]])
+        # drifted cluster at (±0.1, 5): x = +0.1 for 3 of 4 vectors, so
+        # the stale lists take it 450/150 — skewed AND split
+        drift = [
+            (50_000 + i,
+             [(0.1 if i % 4 else -0.1), 5 + rng.uniform(-0.5, 0.5)])
+            for i in range(600)
+        ]
+        add_to_ivf_index(self._emb(spark, drift), "r", root=root)
+
+        # query on the boundary (x = 0): its true top-k by COSINE is a
+        # y-ranked mix of both x-sides, but n_probe=1 reads one stale
+        # list, so the other side's true neighbors are unreachable
+        qrows = [(0, [0.0, 5.0])]
+        q = spark.createDataFrame(qrows, "q_id long, q_emb array<double>")
+        vid = {v: np.asarray(e) for v, e in base + drift}
+        qv = np.asarray(qrows[0][1])
+
+        def brute_topk(k):
+            scored = sorted(
+                ((float(np.dot(qv, e) / (np.linalg.norm(qv) * np.linalg.norm(e))), v)
+                 for v, e in vid.items()), reverse=True)
+            return [v for _, v in scored[:k]]
+
+        def recall(k=20):
+            got = {r.vec_id for r in ivf_topk_indexed(
+                spark, "r", q, k=k, n_probe=1, root=root).collect()}
+            truth = set(brute_topk(k))
+            return len(got & truth) / k
+
+        r_before = recall()
+        assert r_before <= 0.8  # one x-side's true neighbors unprobed
+        out = refit_ivf_index(spark, "r", root=root, skew_threshold=1.2)
+        assert out["refit"] is True  # the 3:1 pile-on DID skew lists
+        r_after = recall()
+        assert r_after >= 0.95 and r_after > r_before
+
+
 class TestIvfIndexFormatGuard:
     def test_append_refuses_format1_index(self, spark, tmp_path):
         """A pre-v_norm (format-1) index must refuse appends: mixed
