@@ -1434,14 +1434,22 @@ def register_pruned_view(
     *,
     ranges: dict[str, tuple] | None = None,
     eq: dict | None = None,
+    window: tuple[float, float, float, float] | None = None,
 ) -> dict:
     """SQL-surface access to the skipping layer: prune the layout's file
-    list with the zonemap manifest (``ranges``) and/or the bloom index
-    (``eq``), apply the residual predicates, and register the result as
-    a TEMP VIEW ``name`` — so a plain ``spark.sql`` user keeps the
-    manifest win (a bare ``spark.read.parquet(path)`` would list and
-    footer-open every file). Returns ``{"kept": n, "total": n_active}``
-    so callers can assert pruning took effect.
+    list with the zonemap manifest (``ranges``), the bloom index
+    (``eq``), and/or a spatial ``window = (x0, y0, x1, y1)`` over a
+    spatially-clustered box layout, apply the residual predicates, and
+    register the result as a TEMP VIEW ``name`` — so a plain
+    ``spark.sql`` user keeps the manifest win (a bare
+    ``spark.read.parquet(path)`` would list and footer-open every
+    file). Returns ``{"kept": n, "total": n_active}`` so callers can
+    assert pruning took effect.
+
+    ``window`` is sugar for the box-intersection constraint set
+    (``xmin <= x1 AND xmax >= x0 AND ymin <= y1 AND ymax >= y0``) —
+    the residual those four ranges induce IS the window predicate, so
+    the view serves exactly :func:`read_window`'s rows as SQL text.
 
     The view is a snapshot of the CURRENT file list (temp views resolve
     their scan at registration) — re-register after appends/compaction,
@@ -1449,10 +1457,18 @@ def register_pruned_view(
     are re-applied inside the view, so queries over it are exact at any
     pruning coarseness; datetime/date bounds get the one-normalization
     treatment (pruning and residual share one instant)."""
-    if not ranges and not eq:
-        raise ValueError("pass ranges= and/or eq= — an unpruned view is "
-                         "just spark.read.parquet(path)")
-    norm, lits = _norm_ranges(spark, path, ranges or {})
+    if not ranges and not eq and not window:
+        raise ValueError("pass ranges=, eq=, and/or window= — an unpruned "
+                         "view is just spark.read.parquet(path)")
+    ranges = dict(ranges or {})
+    if window is not None:
+        x0, y0, x1, y1 = window
+        for col, bound in (("xmin", (None, x1)), ("xmax", (x0, None)),
+                           ("ymin", (None, y1)), ("ymax", (y0, None))):
+            if col in ranges:
+                raise ValueError(f"window= and ranges= both constrain {col!r}")
+            ranges[col] = bound
+    norm, lits = _norm_ranges(spark, path, ranges)
     kept: set[str] | None = None
     total = 0
     if ranges:

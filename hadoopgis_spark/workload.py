@@ -5668,6 +5668,23 @@ def _part_boxes_hilbert_layout(spark, sf) -> str:
     return path
 
 
+def sp_sql_window(spark, sf):
+    """SQL-surface spatial window: register_pruned_view(window=) maps
+    the box-intersection constraint set onto the Hilbert-clustered
+    layout's manifest and registers the pruned scan + window residual
+    as a temp view — a plain spark.sql user gets read_window's exact
+    rows (and its file pruning) as ordinary SQL text. Same result set
+    as sp_containment; the gate raises if pruning kept every file."""
+    from hadoopgis_spark.sources.skipping import register_pruned_view
+    path = _part_boxes_hilbert_layout(spark, sf)
+    stats = register_pruned_view(
+        spark, path, "hgs_window_boxes",
+        window=(200.0, 150.0, 600.0, 500.0))
+    if not stats["kept"] < stats["total"]:
+        raise AssertionError(f"window view kept every file: {stats}")
+    return spark.sql("SELECT * FROM hgs_window_boxes")
+
+
 def sp_count_window(spark, sf):
     """Metadata-only spatial COUNT: on the Hilbert-clustered layout a
     file whose per-file bounds all sit inside the window's constraint
@@ -6909,6 +6926,7 @@ REGISTRY: dict[str, Query] = {
     "rel_sum_pruned": Query(rel_sum_pruned, REL_SUM_PRUNED_SQL, "metadata-mostly SUM/AVG from the per-file exact-integer sum manifest"),
     "rel_sql_pruned": Query(rel_sql_pruned, REL_RANGE_PRUNED_SQL, "SQL-surface zonemap pruning via register_pruned_view"),
     "sp_knn_exact_scaled": Query(sp_knn_exact_scaled, SP_KNN_EXACT_SCALED_SQL, "J4 exact kNN as two-round tile joins (multi-tile, lint-clean)"),
+    "sp_sql_window": Query(sp_sql_window, SP_CONTAINMENT_SQL, "SQL-surface spatial window via register_pruned_view(window=)"),
 }
 
 # Round-7 gate prefix (the ordering contract: the driver gates
@@ -7009,9 +7027,57 @@ _R8_PREFIX = [
     "src_orc_roundtrip",
 }]
 assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
+
+# Round-9 rotation. Slots 1-3 are the round-9 NEW gates (per-file sum
+# manifest, SQL-surface pruning, multi-tile exact kNN); slots 4-21 are
+# every gate whose code churned in round 9 and therefore re-earns its
+# driver row under the new computation:
+#   - knn.py exact-mode rewrite (two-round tile formulation):
+#     sp_knn, sp_knn_capped, sp_knn_tile
+#   - bloom.py null-int + per-(file,col) fixes: rel_bloom_pruned,
+#     rel_bloom_isin
+#   - skipping.py agg manifest + _norm_ranges refactor + _load_manifest
+#     narrowing (and the shared shipdate layout gaining the cents
+#     column): rel_range_pruned/_appended/_compacted, rel_count_pruned,
+#     rel_minmax_pruned, rel_count_multi, rel_zorder_pruned,
+#     sp_containment_pruned, sp_window_compacted, sp_count_window
+#   - streaming/ingest.py agg_cols hook: src_stream_ingest
+#   - vector_index.py health/refit additions: sim_ann_ivf_indexed,
+#     sim_ann_ivf_appended
+# Slots 22-50 are multi-round-green keepers spread across every surface
+# (spatial/dedup/sim/text/curation/streaming/relational), rotating back
+# most of the keepers round 8 displaced. Rotated OUT (driver-green r8,
+# untouched in r9): sp_disjoint_global_scaled, op_rect_union, the five
+# late TPC-H shapes, rel_corr, and the r7 TPC-H/stream/cents cohort.
+_R9_PREFIX = [
+    # new round-9 gates
+    "rel_sum_pruned", "rel_sql_pruned", "sp_knn_exact_scaled",
+    "sp_sql_window",
+    # round-9 churned code, re-earning driver rows
+    "sp_knn", "sp_knn_capped", "sp_knn_tile",
+    "rel_bloom_pruned", "rel_bloom_isin",
+    "rel_range_pruned", "rel_range_appended", "rel_range_compacted",
+    "rel_count_pruned", "rel_minmax_pruned", "rel_count_multi",
+    "rel_zorder_pruned", "sp_containment_pruned", "sp_window_compacted",
+    "sp_count_window", "src_stream_ingest",
+    "sim_ann_ivf_indexed", "sim_ann_ivf_appended",
+    # keepers: multi-round driver-green anchors across every surface
+    "sp_join_boxes", "sp_join_self", "sp_containment_wkt",
+    "sp_adjacent_wkt", "sp_disjoint_tile", "sp_dwithin_points",
+    "sp_interval_join",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_prefix",
+    "dedup_incremental", "dedup_keep_best",
+    "sim_ann_topk", "sim_ann_ivf", "sim_ann_ivfpq_indexed", "sim_semdedup",
+    "txt_stats", "txt_bpe_wordfreq", "txt_sql_surface",
+    "cur_pipeline", "cur_contamination",
+    "stream_ann_batch", "stream_sessionize", "stream_sliding_batch",
+    "stream_near_dedup_batch",
+    "rel_q1_pricing", "rel_corr", "rel_asof_cobucketed",
+]
+assert len(_R9_PREFIX) == 50 and len(set(_R9_PREFIX)) == 50
 REGISTRY = {
-    **{n: REGISTRY[n] for n in _R8_PREFIX},
-    **{n: q for n, q in REGISTRY.items() if n not in set(_R8_PREFIX)},
+    **{n: REGISTRY[n] for n in _R9_PREFIX},
+    **{n: q for n, q in REGISTRY.items() if n not in set(_R9_PREFIX)},
 }
 # Stable alias for tests/tools: the driver gates REGISTRY[:len(GATED_PREFIX)].
-GATED_PREFIX = _R8_PREFIX
+GATED_PREFIX = _R9_PREFIX

@@ -352,6 +352,43 @@ class TestBloomStreamingIngest:
             assert len(got) == 1 and got[0]["uid"] == uid
 
 
+class TestStreamingAggManifest:
+    def test_ingest_maintains_sum_manifest_incrementally(
+            self, spark, tmp_path):
+        """agg_cols= folds per-batch sum-manifest extension into the
+        ingest loop: after the stream drains, every active file carries
+        agg rows and a whole-table SUM is answered purely from stored
+        per-file sums (exact vs recompute)."""
+        from hadoopgis_spark.sources import skipping as sk
+        from hadoopgis_spark.streaming.ingest import streaming_ingest_sorted
+
+        src = str(tmp_path / "src")
+        n = 1_000
+        df = (spark.range(n)
+              .withColumn("k", F.col("id"))
+              .withColumn("v", (F.col("id") * 7) % 1000)
+              .drop("id"))
+        for i in range(3):
+            (df.filter((F.col("k") >= i * 334) & (F.col("k") < (i + 1) * 334))
+               .coalesce(1).write.mode("append").parquet(src))
+        stream = (spark.readStream.schema("k bigint, v bigint")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = str(tmp_path / "tbl")
+        q = streaming_ingest_sorted(
+            stream, out, "k", n_files=2,
+            checkpoint=str(tmp_path / "chk"),
+            trigger={"availableNow": True},
+            agg_cols=("v",))
+        q.awaitTermination(240)
+        h = sk.layout_health(spark, out, "k")
+        assert h["agg_uncovered"] == {"v": 0}
+        s, cnt = sk.sum_range(spark, out, "v")
+        assert (s, cnt) == (sum((k * 7) % 1000 for k in range(n)), n)
+        # and a windowed sum stays exact through interior+boundary tiers
+        s, cnt = sk.sum_range(spark, out, "v", {"k": (100, 899)})
+        assert (s, cnt) == (sum((k * 7) % 1000 for k in range(100, 900)), 800)
+
+
 class TestBloomPlan:
     def test_scan_lists_only_kept_files_and_pushes_equality(
             self, spark, tmp_path):

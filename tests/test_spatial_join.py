@@ -206,6 +206,36 @@ class TestKnnJoin:
             for (ed, eid), (gd, gid) in zip(dists[:k], gotk):
                 assert gid == eid and gd == pytest.approx(ed, rel=1e-9)
 
+    def test_exact_knn_self_join_multi_tile(self, spark):
+        """J2-style exact self-kNN through the two-round tile path:
+        self pairs excluded, parity vs brute force, multi-tile forced."""
+        pa = _points(250, 17)
+        dfa = spark.createDataFrame(pa, "id long, geom string, attr int")
+        k = 2
+        got = knn_join(dfa, None, k=k, mode="exact", bucket_size=50).collect()
+
+        def coords(rows):
+            return {
+                i: tuple(map(float, w[w.index("(") + 1: w.index(")")].split()))
+                for i, w, _ in rows
+            }
+
+        ca = coords(pa)
+        by_left = {}
+        for r in got:
+            assert r.id_1 != r.id_2
+            by_left.setdefault(r.id_1, []).append((r.distance, r.id_2))
+        assert set(by_left) == set(ca)
+        for ia, (xa, ya) in ca.items():
+            dists = sorted(
+                (math.hypot(xa - xb, ya - yb), ib)
+                for ib, (xb, yb) in ca.items() if ib != ia
+            )
+            gotk = sorted(by_left[ia])
+            assert len(gotk) == k
+            for (ed, eid), (gd, gid) in zip(dists[:k], gotk):
+                assert gid == eid and gd == pytest.approx(ed, rel=1e-9)
+
     def test_exact_knn_capped_tile_join(self, spark):
         """max_distance (st_nearest -d): one padded tile join is the
         complete candidate set; objects with < k in-range neighbors

@@ -152,6 +152,43 @@ def bench_count(spark) -> None:
           f"{min(t_scan):.2f}s, exact")
 
 
+def bench_sum(spark) -> None:
+    """Metadata-mostly SUM vs a full scan-sum on a 20M-row layout with
+    a per-file exact-integer sum manifest: interior files contribute
+    stored sums (python-int merge), only the 2 boundary files are read."""
+    import shutil as _sh
+    from hadoopgis_spark.sources.skipping import (
+        prune_files, save_range_sorted, sum_range)
+
+    path = "/tmp/hgs_ab_sum"
+    _sh.rmtree(path, ignore_errors=True)
+    df = spark.range(0, N_ROWS).select(
+        F.col("id").alias("k"), ((F.col("id") % 9973) * 100).alias("v_c"))
+    t0 = time.time()
+    save_range_sorted(df, path, "k", n_files=64, agg_cols=["v_c"])
+    print(f"sum: layout+agg-manifest write {time.time() - t0:.1f}s")
+    lo, hi = 1_000_000, 18_123_456  # ~86%: almost all interior
+    kept, total, interior = prune_files(
+        spark, path, {"k": (lo, hi)}, classify=True)
+    t_meta, t_scan = [], []
+    for _ in range(3):
+        t0 = time.time()
+        s_meta, n_meta = sum_range(spark, path, "v_c", {"k": (lo, hi)})
+        t_meta.append(time.time() - t0)
+        t0 = time.time()
+        row = (spark.read.parquet(path)
+               .filter((F.col("k") >= lo) & (F.col("k") <= hi))
+               .agg(F.sum(F.col("v_c").cast("decimal(38,0)")).alias("s"),
+                    F.count("v_c").alias("n")).collect()[0])
+        t_scan.append(time.time() - t0)
+    assert (s_meta, n_meta) == (int(row["s"]), int(row["n"]))
+    expect = sum((k % 9973) * 100 for k in range(lo, hi + 1))
+    assert s_meta == expect, "exactness vs python oracle"
+    print(f"sum: interior {len(interior)}/{len(kept)} kept files, "
+          f"sum_range min {min(t_meta):.2f}s vs scan-sum min "
+          f"{min(t_scan):.2f}s, exact ({s_meta})")
+
+
 def main() -> None:
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -161,6 +198,8 @@ def main() -> None:
         bench_zorder(spark)
     if which in ("count", "all"):
         bench_count(spark)
+    if which in ("sum", "all"):
+        bench_sum(spark)
     spark.stop()
 
 
