@@ -65,6 +65,7 @@ __all__ = [
     "count_multi",
     "minmax_range",
     "sum_range",
+    "sum_window",
     "build_agg_index",
     "read_multi",
     "layout_health",
@@ -436,6 +437,13 @@ def _compact(spark, path, small_bytes, rewrite, check) -> dict:
             _maybe_crash("mid-delete")
     os.remove(_record_path(path))
     shutil.rmtree(os.path.join(path, _COMPACT_DIR))
+    acols = sorted({c for _, c in _load_aggs(path)})
+    if acols:
+        # keep the sum manifest sharp across compaction too: rows for
+        # the deleted small files drop out, only the freshly-compacted
+        # files are scanned (O(outputs)); a crash before this refresh
+        # just leaves the outputs in the always-scanned tier
+        build_agg_index(spark, path, acols)
     return {"compacted": len(small), "files_before": len(files),
             "files_after": len(files) - len(small) + len(new)}
 
@@ -1211,6 +1219,38 @@ def sum_range(
             total += int(row["s"])
         nnn += int(row["n"])
     return (total if nnn else None), nnn
+
+
+def _window_ranges(window) -> dict[str, tuple]:
+    """``(x0, y0, x1, y1)`` → the box-intersection constraint set. The
+    residual these four ranges induce (``xmin <= x1 AND xmax >= x0 AND
+    ymin <= y1 AND ymax >= y0``) IS the window predicate, and
+    :func:`prune_files`'s interior proof under them reads "every box in
+    this file intersects the window" — the bridge every spatial
+    metadata tier here shares."""
+    x0, y0, x1, y1 = window
+    return {
+        "xmin": (None, x1),
+        "xmax": (x0, None),
+        "ymin": (None, y1),
+        "ymax": (y0, None),
+    }
+
+
+def sum_window(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    window: tuple[float, float, float, float],
+) -> tuple[int | None, int]:
+    """EXACT ``(SUM(col), COUNT(col))`` over boxes intersecting
+    ``window`` on a spatially-clustered layout — the spatial twin of
+    :func:`sum_range`: interior files (every box provably intersects)
+    contribute their stored per-file integer sums with no scan; only
+    boundary files are read with the intersection residual. ``col``
+    needs agg-manifest coverage (:func:`build_agg_index`); uncovered
+    files fall back to the scan tier, exact either way."""
+    return sum_range(spark, path, col, _window_ranges(window))
 
 
 def read_window(

@@ -5685,6 +5685,30 @@ def sp_sql_window(spark, sf):
     return spark.sql("SELECT * FROM hgs_window_boxes")
 
 
+def sp_sum_window(spark, sf):
+    """Metadata-mostly spatial SUM: the per-file sum manifest over the
+    Hilbert-clustered box layout lets interior files (every box
+    provably intersects the window) contribute their stored exact
+    integer id-sums with no scan; only boundary files are read with the
+    intersection residual — the spatial twin of rel_sum_pruned, built
+    once per session (O(new files) thereafter, like every index)."""
+    from hadoopgis_spark.sources.skipping import build_agg_index, sum_window
+    path = _part_boxes_hilbert_layout(spark, sf)
+    _memo(("agg_boxes", spark.sparkContext.applicationId, sf),
+          lambda: build_agg_index(spark, path, ["id"]) or True)
+    s, n = sum_window(spark, path, "id", (200.0, 150.0, 600.0, 500.0))
+    return spark.createDataFrame(
+        [(int(s), int(n))], "sum_id bigint, n_boxes bigint")
+
+
+SP_SUM_WINDOW_SQL = f"""
+  SELECT CAST(SUM(b.id) AS BIGINT) AS sum_id,
+         CAST(COUNT(b.id) AS BIGINT) AS n_boxes
+  FROM ({PART_BOXES_SQL}) b
+  WHERE b.xmin <= 600 AND 200 <= b.xmax AND b.ymin <= 500 AND 150 <= b.ymax
+"""
+
+
 def sp_count_window(spark, sf):
     """Metadata-only spatial COUNT: on the Hilbert-clustered layout a
     file whose per-file bounds all sit inside the window's constraint
@@ -6927,6 +6951,7 @@ REGISTRY: dict[str, Query] = {
     "rel_sql_pruned": Query(rel_sql_pruned, REL_RANGE_PRUNED_SQL, "SQL-surface zonemap pruning via register_pruned_view"),
     "sp_knn_exact_scaled": Query(sp_knn_exact_scaled, SP_KNN_EXACT_SCALED_SQL, "J4 exact kNN as two-round tile joins (multi-tile, lint-clean)"),
     "sp_sql_window": Query(sp_sql_window, SP_CONTAINMENT_SQL, "SQL-surface spatial window via register_pruned_view(window=)"),
+    "sp_sum_window": Query(sp_sum_window, SP_SUM_WINDOW_SQL, "metadata-mostly spatial SUM over the Hilbert layout's sum manifest"),
 }
 
 # Round-7 gate prefix (the ordering contract: the driver gates
@@ -7028,8 +7053,9 @@ _R8_PREFIX = [
 }]
 assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 
-# Round-9 rotation. Slots 1-3 are the round-9 NEW gates (per-file sum
-# manifest, SQL-surface pruning, multi-tile exact kNN); slots 4-21 are
+# Round-9 rotation. The first 5 slots are the round-9 NEW gates
+# (per-file sum manifest incl. the spatial window form, SQL-surface
+# pruning incl. the spatial window form, multi-tile exact kNN); next are
 # every gate whose code churned in round 9 and therefore re-earns its
 # driver row under the new computation:
 #   - knn.py exact-mode rewrite (two-round tile formulation):
@@ -7052,7 +7078,7 @@ assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 _R9_PREFIX = [
     # new round-9 gates
     "rel_sum_pruned", "rel_sql_pruned", "sp_knn_exact_scaled",
-    "sp_sql_window",
+    "sp_sql_window", "sp_sum_window",
     # round-9 churned code, re-earning driver rows
     "sp_knn", "sp_knn_capped", "sp_knn_tile",
     "rel_bloom_pruned", "rel_bloom_isin",
@@ -7072,7 +7098,7 @@ _R9_PREFIX = [
     "cur_pipeline", "cur_contamination",
     "stream_ann_batch", "stream_sessionize", "stream_sliding_batch",
     "stream_near_dedup_batch",
-    "rel_q1_pricing", "rel_corr", "rel_asof_cobucketed",
+    "rel_q1_pricing", "rel_corr",
 ]
 assert len(_R9_PREFIX) == 50 and len(set(_R9_PREFIX)) == 50
 REGISTRY = {

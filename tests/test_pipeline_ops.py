@@ -2503,6 +2503,36 @@ class TestFileSkipping:
         s, n = sum_range(spark, path, "v")
         assert (s, n) == (sum(3 * k for k in range(1000)), 1000)
 
+    def test_agg_index_survives_compaction(self, spark, tmp_path):
+        """compact_range_sorted refreshes the sum manifest: rows for
+        the merged small files drop out, only the compacted outputs are
+        re-scanned; sums stay exact and fully covered after the fold."""
+        import os as _os
+        from hadoopgis_spark.sources.skipping import (
+            append_range_sorted, compact_range_sorted, layout_health,
+            save_range_sorted, sum_range)
+        df = spark.range(0, 2_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+            F.concat_ws("", F.array_repeat(F.lit("x"), 2000)).alias("pad"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=2, agg_cols=["v"])
+        for b in range(3):
+            extra = spark.range(2_000 + b * 100, 2_100 + b * 100).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("v"),
+                F.lit("y").alias("pad"))
+            append_range_sorted(extra, path, "k", n_files=1)
+        sizes = sorted(_os.path.getsize(_os.path.join(path, f))
+                       for f in _os.listdir(path)
+                       if f.endswith(".parquet") and not f.startswith(("_", ".")))
+        stats = compact_range_sorted(
+            spark, path, "k", small_bytes=(sizes[2] + sizes[3]) // 2,
+            n_files=1)
+        assert stats["compacted"] == 3
+        h = layout_health(spark, path, "k")
+        assert h["agg_uncovered"] == {"v": 0}
+        s, n = sum_range(spark, path, "v")
+        assert (s, n) == (sum(3 * k for k in range(2_300)), 2_300)
+
     # ---- register_pruned_view: the skipping layer's SQL surface ------
 
     def test_range_view_prunes_and_is_exact(self, spark, tmp_path):
