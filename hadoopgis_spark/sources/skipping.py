@@ -1524,7 +1524,8 @@ def register_pruned_view(
     else:
         df = _residual(spark.read.parquet(*sorted(kept)), norm, lits)
         for c, v in (eq or {}).items():
-            vals = list(v) if isinstance(v, (list, tuple, set)) else [v]
+            vals = (list(v) if isinstance(v, (list, tuple, set, frozenset))
+                    else [v])
             df = df.filter(F.col(c) == F.lit(vals[0]) if len(vals) == 1
                            else F.col(c).isin(vals))
     df.createOrReplaceTempView(name)

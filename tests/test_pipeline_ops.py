@@ -2551,6 +2551,26 @@ class TestFileSkipping:
             F.count(F.lit(1)), F.sum("v")).collect()[0]
         assert (got["n"], got["s"]) == (exp[0], exp[1])
 
+    def test_pruned_view_plan_lists_only_kept_files(self, spark, tmp_path):
+        """Plan contract for the SQL surface: the registered view's scan
+        node indexes ONLY the kept files (the manifest win a plain
+        parquet read of the directory would not get) and the residual
+        reaches the scan as pushed filters."""
+        from hadoopgis_spark.sources.skipping import (
+            register_pruned_view, save_range_sorted)
+        df = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=10)
+        stats = register_pruned_view(
+            spark, path, "plan_t", ranges={"k": (2500, 3499)})
+        assert stats["kept"] < stats["total"]
+        plan = spark.sql("SELECT k, v FROM plan_t") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert f"InMemoryFileIndex({stats['kept']} paths)" in plan, plan[:1500]
+        assert "GreaterThanOrEqual(k,2500)" in plan, plan[:1500]
+        assert "LessThanOrEqual(k,3499)" in plan, plan[:1500]
+
     def test_eq_view_uses_bloom_and_combined(self, spark, tmp_path):
         from hadoopgis_spark.sources.bloom import build_bloom_index
         from hadoopgis_spark.sources.skipping import (
