@@ -40,18 +40,30 @@ def tri_df(n, seed, extent=10000.0, size=12.0):
 
 
 def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "std"
     # warm the JVM / codegen
     spatial_join(tri_df(5000, 1), tri_df(5000, 99), "st_intersects").count()
 
-    a, b = tri_df(500_000, 1), tri_df(800_000, 1000)
-    t0 = time.time()
-    n = spatial_join(a, b, "st_intersects", stats=["mindist"]).count()
-    print(f"JOIN 500k x 800k: {n} pairs in {time.time() - t0:.1f}s", flush=True)
+    if which in ("std", "all"):
+        a, b = tri_df(500_000, 1), tri_df(800_000, 1000)
+        t0 = time.time()
+        n = spatial_join(a, b, "st_intersects", stats=["mindist"]).count()
+        print(f"JOIN 500k x 800k: {n} pairs in {time.time() - t0:.1f}s", flush=True)
 
-    a2, b2 = tri_df(20_000, 7, extent=3000.0), tri_df(30_000, 77, extent=3000.0)
-    t0 = time.time()
-    nk = knn_join(a2, b2, k=3, mode="exact").count()
-    print(f"KNN 20k x 30k k=3: {nk} rows in {time.time() - t0:.1f}s", flush=True)
+        a2, b2 = tri_df(20_000, 7, extent=3000.0), tri_df(30_000, 77, extent=3000.0)
+        t0 = time.time()
+        nk = knn_join(a2, b2, k=3, mode="exact").count()
+        print(f"KNN 20k x 30k k=3: {nk} rows in {time.time() - t0:.1f}s", flush=True)
+
+    if which in ("knn10x", "all"):
+        # 10x the reference's own kNN test scale (testPolygonNN.sh is
+        # 20k x 30k): feasible ONLY with the round-9 two-round tile
+        # formulation — the pre-round-9 broadcast NLJ would score every
+        # padded pair of a 200k x 300k product per expansion round
+        a3, b3 = tri_df(200_000, 7, extent=9000.0), tri_df(300_000, 77, extent=9000.0)
+        t0 = time.time()
+        nk = knn_join(a3, b3, k=3, mode="exact").count()
+        print(f"KNN 200k x 300k k=3: {nk} rows in {time.time() - t0:.1f}s", flush=True)
     spark.stop()
 
 
