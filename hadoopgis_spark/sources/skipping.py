@@ -59,6 +59,7 @@ __all__ = [
     "append_spatial_clustered",
     "compact_range_sorted",
     "compact_spatial_clustered",
+    "delete_range",
     "save_zorder_sorted",
     "read_range",
     "count_range",
@@ -446,6 +447,134 @@ def _compact(spark, path, small_bytes, rewrite, check) -> dict:
         build_agg_index(spark, path, acols)
     return {"compacted": len(small), "files_before": len(files),
             "files_after": len(files) - len(small) + len(new)}
+
+
+def delete_range(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    *,
+    n_files: int = 1,
+) -> dict:
+    """Row-level DELETE of ``lo <= col <= hi`` (inclusive; either bound
+    optional, not both absent) from a clustered layout, priced by the
+    zonemap: files wholly inside the range (the :func:`prune_files`
+    interior tier — valid stats, zero nulls) are dropped with NO read
+    or rewrite (**metadata-only deletion**); only boundary files are
+    rewritten without their matching rows; files outside the range are
+    never opened. At 100 TB, deleting a retention window costs two file
+    rewrites, not a table rewrite.
+
+    Runs under the compaction commit record, so every crash point reads
+    exactly-once data — committed → post-delete, uncommitted →
+    pre-delete — and a later writer settles a dangling record (for a
+    pure-interior delete ``new`` is empty, so the record write itself
+    is the commit). NULL rows never match (SQL ``DELETE WHERE``
+    semantics — which is also why a file with nulls in ``col`` is never
+    whole-dropped); datetime/date bounds get the one-normalization
+    treatment, so the drop tier and the rewrite residual agree on one
+    instant. The sum manifest is refreshed when present (rows for
+    removed files drop out, rewritten files re-scan at O(outputs));
+    bloom rows for removed files stop matching on the next build.
+
+    Returns ``{"dropped_files", "rewritten_files", "deleted_rows"}``.
+    """
+    import shutil
+    import uuid
+
+    if lo is None and hi is None:
+        raise ValueError("unbounded delete would empty the table — "
+                         "remove the directory instead")
+    _settle_compaction(spark, path)
+    mrows = _load_manifest(spark, path)
+    cols = sorted({r.col for r in mrows})
+    if col not in cols:
+        raise ValueError(
+            f"manifest under {path!r} covers {cols}, not {col!r}")
+    norm, lits = _norm_ranges(spark, path, {col: (lo, hi)})
+    kept, _, interior = prune_files(spark, path, norm, classify=True)
+    doomed = sorted(os.path.basename(p) for p in interior)
+    boundary = sorted(
+        os.path.basename(p) for p in kept if p not in interior)
+    if not doomed and not boundary:
+        return {"dropped_files": 0, "rewritten_files": 0, "deleted_rows": 0}
+    deleted = sum(interior.values())
+    nlo, nhi = norm[col]
+    lit_lo, lit_hi = lits[col]
+    match = F.lit(True)
+    if nlo is not None:
+        match = match & (
+            F.col(col) >= (F.lit(nlo) if lit_lo is None else lit_lo))
+    if nhi is not None:
+        match = match & (
+            F.col(col) <= (F.lit(nhi) if lit_hi is None else lit_hi))
+    new: list[str] = []
+    stage = _stage_dir(path)
+    if boundary:
+        df = spark.read.parquet(
+            *(os.path.join(path, f) for f in boundary))
+        # count matches first (one bounded job over the ~2 boundary
+        # files): footer ranges only prove INTERSECTION, so a near-miss
+        # delete (or a repeat of an applied one) would otherwise rewrite
+        # files it deletes nothing from
+        n_match = df.filter(match).count()
+        if n_match == 0:
+            boundary = []
+            if not doomed:
+                return {"dropped_files": 0, "rewritten_files": 0,
+                        "deleted_rows": 0}
+        deleted += n_match
+    if boundary:
+        # NULL col → match is NULL → coalesce(False) → row KEPT
+        keep_rows = df.filter(~F.coalesce(match, F.lit(False)))
+        with _stats_friendly_writer(spark):
+            (keep_rows.repartitionByRange(n_files, F.col(col))
+                      .sortWithinPartitions(col)
+                      .write.mode("overwrite").parquet(stage))
+        tag = uuid.uuid4().hex[:12]
+        for i, name in enumerate(sorted(os.listdir(stage))):
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                out = f"delete-{tag}-{i:05d}.parquet"
+                os.replace(os.path.join(stage, name),
+                           os.path.join(stage, out))
+                new.append(out)
+    _maybe_crash("staged")
+    old = doomed + boundary
+    _write_compact_record(path, {"old": old, "new": new})
+    _maybe_crash("record")
+    keep_manifest = [
+        (r.file, r.rows, r.col, r.vtype, r.vmin, r.vmax, r.valid,
+         _FORMAT, r.nulls)
+        for r in mrows if r.file not in set(old)
+    ]
+    fresh_stats = _footer_stats(stage, cols, new) if new else []
+    fresh = [
+        (r["file"], r["rows"], r["col"], r["vtype"], r["vmin"], r["vmax"],
+         r["valid"], _FORMAT, r["nulls"])
+        for r in fresh_stats
+    ]
+    _save_manifest(spark, path, keep_manifest + fresh)
+    _maybe_crash("manifest")
+    for i, name in enumerate(new):
+        os.replace(os.path.join(stage, name), os.path.join(path, name))
+        if i == 0:
+            _maybe_crash("mid-move")
+    for i, name in enumerate(old):
+        target = os.path.join(path, name)
+        if os.path.exists(target):
+            os.remove(target)
+        if i == 0:
+            _maybe_crash("mid-delete")
+    os.remove(_record_path(path))
+    if os.path.isdir(os.path.join(path, _COMPACT_DIR)):
+        shutil.rmtree(os.path.join(path, _COMPACT_DIR))
+    acols = sorted({c for _, c in _load_aggs(path)})
+    if acols:
+        build_agg_index(spark, path, acols)
+    return {"dropped_files": len(doomed), "rewritten_files": len(new),
+            "deleted_rows": int(deleted)}
 
 
 def _footer_stats(path: str, cols: Sequence[str],

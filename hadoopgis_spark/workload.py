@@ -5027,6 +5027,50 @@ def rel_sql_pruned(spark, sf):
     """)
 
 
+def rel_delete_range(spark, sf):
+    """Row-level DELETE priced by the zonemap: a dedicated shipdate
+    layout (the delete mutates it — not the shared one) has a two-year
+    retention window deleted; interior files are dropped with NO read
+    or rewrite (metadata-only deletion, asserted), the ~2 boundary
+    files are rewritten without matching rows under the crash-safe
+    commit record, and the remaining table aggregates exactly match a
+    WHERE-complement oracle. At 100 TB this is retention enforcement
+    as two file rewrites instead of a table rewrite."""
+    import datetime as dt
+    from hadoopgis_spark.sources.skipping import (
+        delete_range, read_range, save_range_sorted)
+    path = f"{_skip_root(spark)}/lineitem_delete_{os.path.basename(os.path.normpath(sf))}"
+
+    def build():
+        save_range_sorted(_t(spark, sf, "lineitem"), path,
+                          "l_shipdate", n_files=8)
+        stats = delete_range(spark, path, "l_shipdate",
+                             dt.datetime(1994, 1, 1),
+                             dt.datetime(1995, 12, 31))
+        if stats["dropped_files"] < 1:
+            raise AssertionError(f"no metadata-only drop: {stats}")
+        return True
+
+    _memo(("skip_lineitem_delete", spark.sparkContext.applicationId, sf),
+          build)
+    df = read_range(spark, path, "l_shipdate")
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+    )
+
+
+REL_DELETE_RANGE_SQL = """
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1994-01-01'
+     OR l_shipdate > TIMESTAMP '1995-12-31'
+  GROUP BY l_returnflag
+"""
+
+
 def rel_minmax_pruned(spark, sf):
     """Metadata-only MIN/MAX: for interior files of the time window the
     target column's own footer min/max are the candidates (no scan —
@@ -6952,6 +6996,7 @@ REGISTRY: dict[str, Query] = {
     "sp_knn_exact_scaled": Query(sp_knn_exact_scaled, SP_KNN_EXACT_SCALED_SQL, "J4 exact kNN as two-round tile joins (multi-tile, lint-clean)"),
     "sp_sql_window": Query(sp_sql_window, SP_CONTAINMENT_SQL, "SQL-surface spatial window via register_pruned_view(window=)"),
     "sp_sum_window": Query(sp_sum_window, SP_SUM_WINDOW_SQL, "metadata-mostly spatial SUM over the Hilbert layout's sum manifest"),
+    "rel_delete_range": Query(rel_delete_range, REL_DELETE_RANGE_SQL, "zonemap-priced row-level DELETE: interior files dropped metadata-only, boundary rewritten"),
 }
 
 # Round-7 gate prefix (the ordering contract: the driver gates
@@ -7078,7 +7123,7 @@ assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 _R9_PREFIX = [
     # new round-9 gates
     "rel_sum_pruned", "rel_sql_pruned", "sp_knn_exact_scaled",
-    "sp_sql_window", "sp_sum_window",
+    "sp_sql_window", "sp_sum_window", "rel_delete_range",
     # round-9 churned code, re-earning driver rows
     "sp_knn", "sp_knn_capped", "sp_knn_tile",
     "rel_bloom_pruned", "rel_bloom_isin",
@@ -7090,7 +7135,6 @@ _R9_PREFIX = [
     # keepers: multi-round driver-green anchors across every surface
     "sp_join_boxes", "sp_join_self", "sp_containment_wkt",
     "sp_adjacent_wkt", "sp_disjoint_tile", "sp_dwithin_points",
-    "sp_interval_join",
     "dedup_exact", "dedup_minhash_lsh", "dedup_jaccard_prefix",
     "dedup_incremental", "dedup_keep_best",
     "sim_ann_topk", "sim_ann_ivf", "sim_ann_ivfpq_indexed", "sim_semdedup",

@@ -2983,6 +2983,97 @@ class TestFileSkipping:
         assert len(kept) < total  # manifest rebuilt, pruning sharp
 
 
+    # ---- row-level DELETE (round 9): zonemap-priced maintenance ------
+
+    def test_delete_range_metadata_drop_and_rewrite(self, spark, tmp_path):
+        from hadoopgis_spark.sources import skipping as sk
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(df, path, "k", n_files=8)
+        stats = sk.delete_range(spark, path, "k", 110, 640)
+        # interior files (fully inside [110, 640]) dropped with no
+        # rewrite; only the two straddling files rewritten
+        assert stats["dropped_files"] >= 2
+        assert stats["rewritten_files"] >= 1
+        assert stats["deleted_rows"] == 640 - 110 + 1
+        got = sorted(r.k for r in sk.read_range(spark, path, "k").collect())
+        assert got == [k for k in range(1000) if not 110 <= k <= 640]
+        assert sk._load_compact_record(path) is None
+        # manifest is consistent: pruning still works on the survivors
+        kept, total = sk.prune_files(spark, path, {"k": (700, 799)})
+        assert len(kept) < total
+        # deleting the same range again is a no-op
+        assert sk.delete_range(spark, path, "k", 110, 640) == {
+            "dropped_files": 0, "rewritten_files": 0, "deleted_rows": 0}
+        # open-ended delete: drop the tail
+        stats = sk.delete_range(spark, path, "k", lo=900)
+        assert stats["deleted_rows"] == 100
+        got = sorted(r.k for r in sk.read_range(spark, path, "k").collect())
+        assert got == [k for k in range(1000)
+                       if not 110 <= k <= 640 and k < 900]
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="unbounded"):
+            sk.delete_range(spark, path, "k")
+
+    def test_delete_range_null_rows_survive_and_aggs_refresh(
+            self, spark, tmp_path):
+        """DELETE on a stat column with nulls: NULL rows never match
+        (so their files are never whole-dropped), and the sum manifest
+        is refreshed across the rewrite."""
+        from hadoopgis_spark.sources import skipping as sk
+        rows = [(i, (i * 7) % 1000 if i % 10 else None) for i in range(1000)]
+        df = spark.createDataFrame(rows, "k bigint, v bigint")
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(df, path, "k", n_files=4,
+                             stat_cols=["v"], agg_cols=["v"])
+        stats = sk.delete_range(spark, path, "v", 0, 400)
+        assert stats["dropped_files"] == 0  # nulls forbid whole drops
+        expect = [(k, v) for k, v in rows if v is None or v > 400]
+        got = sorted((r.k, r.v) for r in
+                     sk.read_range(spark, path, "k").collect())
+        assert got == sorted(expect)
+        assert stats["deleted_rows"] == 1000 - len(expect)
+        h = sk.layout_health(spark, path, "k")
+        assert h["agg_uncovered"] == {"v": 0}
+        s, n = sk.sum_range(spark, path, "v")
+        vals = [v for _, v in expect if v is not None]
+        assert (s, n) == (sum(vals), len(vals))
+
+    @pytest.mark.parametrize(
+        "crash", ["staged", "record", "manifest", "mid-move", "mid-delete"])
+    def test_delete_crash_points_transactional(self, spark, tmp_path, crash):
+        """Kill the delete protocol at each step: a reader of the
+        crashed state sees EITHER the full pre-delete or the full
+        post-delete table (never a mix), and settle converges to the
+        post-delete state (staging preserved the rewrites)."""
+        from hadoopgis_spark.sources import skipping as sk
+        df = spark.range(0, 1000).select(F.col("id").alias("k"))
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(df, path, "k", n_files=8)
+        pre = list(range(1000))
+        post = [k for k in range(1000) if not 110 <= k <= 640]
+        sk._CRASH_POINT = crash
+        try:
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                sk.delete_range(spark, path, "k", 110, 640)
+        finally:
+            sk._CRASH_POINT = None
+        got = sorted(r.k for r in sk.read_range(spark, path, "k").collect())
+        assert got in (pre, post), f"torn delete state at {crash}"
+        sk._settle_compaction(spark, path)
+        assert sk._load_compact_record(path) is None
+        settled = sorted(
+            r.k for r in sk.read_range(spark, path, "k").collect())
+        if crash == "staged":  # pre-record: the delete never happened
+            assert settled == pre
+            assert sk.delete_range(spark, path, "k", 110, 640)[
+                "deleted_rows"] == 531
+        else:  # record written + staging complete -> rolls FORWARD
+            assert settled == post
+        final = sorted(r.k for r in sk.read_range(spark, path, "k").collect())
+        assert final == post or crash == "staged"
+
     def test_compact_spatial_restores_locality(self, spark, tmp_path):
         import random
         from hadoopgis_spark.sources.skipping import (
