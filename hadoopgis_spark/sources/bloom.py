@@ -50,12 +50,12 @@ from __future__ import annotations
 import hashlib
 import math
 import os
-import shutil
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoopgis_spark.sources import fsio as _fsio
 from hadoopgis_spark.sources.skipping import _active_files
 
 __all__ = ["build_bloom_index", "prune_files_eq", "read_eq"]
@@ -172,7 +172,7 @@ def _basename(uri: str) -> str:
 
 def _index_df(spark: SparkSession, path: str) -> DataFrame | None:
     bpath = os.path.join(path, _BLOOM_DIR)
-    if not os.path.isdir(bpath):
+    if not _fsio.is_dir(bpath):
         return None
     df = spark.read.parquet(bpath)
     return df
@@ -307,10 +307,18 @@ def build_bloom_index(
         return {"indexed": 0, "total": len(active)}
     nxt = os.path.join(path, _BLOOM_NEXT)
     combined.coalesce(1).write.mode("overwrite").parquet(nxt)
+    # two-rename swap (same protocol as the agg manifest): old aside,
+    # new in, delete old — the index-less window is one rename, and a
+    # crash in between degrades to always-kept files, never wrong rows
     cur = os.path.join(path, _BLOOM_DIR)
-    if os.path.isdir(cur):
-        shutil.rmtree(cur)
-    os.rename(nxt, cur)
+    prev = cur + "_old"
+    if _fsio.is_dir(prev):  # leftover from a crashed earlier swap
+        _fsio.rmtree(prev)
+    if _fsio.is_dir(cur):
+        _fsio.rename(cur, prev)
+    _fsio.rename(nxt, cur)
+    if _fsio.is_dir(prev):
+        _fsio.rmtree(prev)
     return {"indexed": len(missing), "total": len(active)}
 
 
@@ -326,20 +334,16 @@ _index_cache: dict[tuple, dict] = {}
 
 
 def _index_fingerprint(bpath: str) -> tuple:
-    names = sorted(
-        n for n in os.listdir(bpath)
-        if n.endswith(".parquet") and not n.startswith(("_", ".")))
     sizes = tuple(
-        (n, os.path.getsize(os.path.join(bpath, n)),
-         os.path.getmtime(os.path.join(bpath, n))) for n in names)
+        (n, sz, mt) for n, sz, mt, isdir in _fsio.listdir_stat(bpath)
+        if not isdir and n.endswith(".parquet")
+        and not n.startswith(("_", ".")))
     return (bpath, sizes)
 
 
 def _cached_index(bpath: str) -> dict | None:
     """{(file, col): (m_bits, k, bits)} driver-side, or None when the
     index is too big to cache (use the distributed probe)."""
-    import pyarrow.parquet as pq
-
     fp = _index_fingerprint(bpath)
     total = sum(s for _, s, _ in fp[1])
     if total > _DRIVER_CACHE_MAX:
@@ -347,7 +351,7 @@ def _cached_index(bpath: str) -> dict | None:
     hit = _index_cache.get(bpath)
     if hit is not None and hit["fp"] == fp:
         return hit["idx"]
-    t = pq.read_table(bpath)
+    t = _fsio.read_table(bpath)
     d = t.to_pydict()
     idx = {
         (f, c): (m, k, bits)
@@ -396,7 +400,7 @@ def prune_files_eq(
     vals = {c: _values(v) for c, v in eq.items()}
     active = _active_files(path)
     bpath = os.path.join(path, _BLOOM_DIR)
-    if not os.path.isdir(bpath) or not eq:
+    if not _fsio.is_dir(bpath) or not eq:
         return sorted(os.path.join(path, f) for f in active), len(active)
 
     def _all_absent(bits, c, m, k):

@@ -18,18 +18,21 @@ import os
 
 from pyspark.sql import SparkSession
 
+from hadoopgis_spark.sources import fsio as _fs
+
 __all__ = ["compact", "dir_stats"]
 
 
 def dir_stats(path: str) -> tuple[int, int]:
-    """(n_files, total_bytes) of the data files under ``path``."""
+    """(n_files, total_bytes) of the data files under ``path`` — ONE
+    recursive listing call through the fsio facade (one LIST round trip
+    on an object store, not a per-file stat walk)."""
     n = total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.startswith(("_", ".")):
-                continue
-            n += 1
-            total += os.path.getsize(os.path.join(root, f))
+    for name, size, _, isdir in _fs.listdir_stat(path, recursive=True):
+        if isdir or name.startswith(("_", ".")):
+            continue
+        n += 1
+        total += size or 0
     return n, total
 
 

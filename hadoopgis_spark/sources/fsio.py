@@ -108,12 +108,13 @@ def listdir(path: str) -> list[str]:
     return [name for name, _, _, _ in listdir_stat(path)]
 
 
-def listdir_stat(path: str) -> list[tuple]:
+def listdir_stat(path: str, recursive: bool = False) -> list[tuple]:
     """One listing call → ``[(name, size, mtime_ns, is_dir), ...]`` for
-    the direct children of ``path``, sorted by name. Size/mtime are
-    None for directories (and on stores that don't report them)."""
+    the direct children of ``path`` (base names; all descendants with
+    ``recursive=True``), sorted by name. Size/mtime are None for
+    directories (and on stores that don't report them)."""
     fs, p = resolve(path)
-    sel = _pafs.FileSelector(p, recursive=False)
+    sel = _pafs.FileSelector(p, recursive=recursive)
     try:
         infos = fs.get_file_info(sel)
     except (FileNotFoundError, OSError, _pa.lib.ArrowInvalid) as exc:

@@ -25,13 +25,13 @@ as parquet under ``<path>/_hgs_meta``.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions import boxes as B
 from hadoopgis_spark.operators.containment import parse_window
+from hadoopgis_spark.sources import fsio as _fs
 from hadoopgis_spark.operators.mbb import MBB_COLS, space_extent, with_mbb
 from hadoopgis_spark.operators.spatial_join import default_bucket_size
 from hadoopgis_spark.operators.tile import sample_mbbs, tiles_dataframe
@@ -57,9 +57,8 @@ def save_partitioned(
     stage-skip guard (S8, ``hdfs_check_data``,
     ``query_spjoin.hpp:107,162``).
     """
-    if not overwrite and os.path.exists(f"{path}/_hgs_meta/info.json"):
-        with open(f"{path}/_hgs_meta/info.json") as f:
-            return json.load(f)
+    if not overwrite and _fs.exists(f"{path}/_hgs_meta/info.json"):
+        return json.loads(_fs.read_bytes(f"{path}/_hgs_meta/info.json"))
     spark = df.sparkSession
     wkt_mode = geom_col in df.columns
     df = with_mbb(df, geom_col) if wkt_mode else df
@@ -104,10 +103,11 @@ def save_partitioned(
         "n_tiles": len(tiles),
     }
     tiles_df.write.mode("overwrite").parquet(f"{path}/_hgs_meta/tiles")
-    # write info JSON through the JVM-free local path (driver-side file)
-    os.makedirs(f"{path}/_hgs_meta", exist_ok=True)
-    with open(f"{path}/_hgs_meta/info.json", "w") as f:
-        json.dump(meta, f)
+    # write info JSON through the JVM-free driver-side path (fsio —
+    # local or object store alike)
+    _fs.makedirs(f"{path}/_hgs_meta")
+    _fs.write_bytes_atomic(f"{path}/_hgs_meta/info.json",
+                           json.dumps(meta).encode())
     return meta
 
 
@@ -121,8 +121,7 @@ def load_partitioned(
     on the partition column (directory-level skip — the reference's
     ``partition.idx`` pruning, ``query_containment.hpp:124-138``) plus the
     row-level MBB filter, then exact refine where needed."""
-    with open(f"{path}/_hgs_meta/info.json") as f:
-        meta = json.load(f)
+    meta = json.loads(_fs.read_bytes(f"{path}/_hgs_meta/info.json"))
     df = spark.read.parquet(path)
     df = df.filter(~F.col("tile_id").isNull())  # excludes _hgs_meta rows if any
     if window is None:

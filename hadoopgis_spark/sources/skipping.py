@@ -35,8 +35,14 @@ strings with a type tag: pruning happens on the driver in Python, so
 values never round-trip through engine type systems (this sidesteps the
 TIMESTAMP(NANOS)-vs-(MICROS) codec hazards the events table has hit).
 
-Footer reads use ``pyarrow.parquet.read_metadata``, which accepts any
-pyarrow filesystem — local here, S3/HDFS on a cluster.
+ALL metadata-tier file I/O — listings, footer reads, manifest reads,
+commit-record writes, compaction/delete staging moves — goes through
+``sources.fsio`` (a small ``pyarrow.fs`` facade): LocalFileSystem for
+plain paths, ``FileSystem.from_uri`` for ``s3://``/``hdfs://`` table
+roots, so the object-store claims above are executable with the same
+code. ``os.path`` is used only for path STRING manipulation (join/
+basename/dirname) — never to touch the filesystem; a test greps this
+module to keep it that way.
 """
 
 from __future__ import annotations
@@ -46,11 +52,11 @@ import datetime as _dt
 import os
 from typing import Iterable, Sequence
 
-import pyarrow.parquet as _pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions.spatial_order import hilbert_index
+from hadoopgis_spark.sources import fsio as _fs
 
 __all__ = [
     "save_range_sorted",
@@ -213,7 +219,7 @@ def _align(a, b):
 
 def _data_files(path: str) -> set[str]:
     return {
-        n for n in os.listdir(path)
+        n for n in _fs.listdir(path)
         if n.endswith(".parquet") and not n.startswith(("_", "."))
     }
 
@@ -225,7 +231,7 @@ def _data_files(path: str) -> set[str]:
 # disk with no manifest row are ALWAYS read), so visibility is governed
 # by a tiny commit record, the Delta/Iceberg snapshot idea in miniature:
 #
-#   record.json = {"old": [...], "new": [...]}  (atomic os.replace)
+#   record.json = {"old": [...], "new": [...]}  (atomic tmp+rename PUT)
 #   new ⊆ on_disk  → compaction COMMITTED: old files invisible even if
 #                    their deletion hasn't finished;
 #   otherwise      → UNCOMMITTED: any already-moved new files invisible,
@@ -259,19 +265,17 @@ def _stage_dir(path: str) -> str:
 def _load_compact_record(path: str) -> dict | None:
     import json
     try:
-        with open(_record_path(path)) as fh:
-            return json.load(fh)
+        return json.loads(_fs.read_bytes(_record_path(path)))
     except FileNotFoundError:
         return None
 
 
 def _write_compact_record(path: str, rec: dict) -> None:
     import json
-    os.makedirs(os.path.dirname(_record_path(path)), exist_ok=True)
-    tmp = _record_path(path) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(rec, fh)
-    os.replace(tmp, _record_path(path))  # atomic commit marker
+    _fs.makedirs(os.path.dirname(_record_path(path)))
+    # tmp-write + rename: atomic commit marker (single small PUT on an
+    # object store — atomic there too)
+    _fs.write_bytes_atomic(_record_path(path), json.dumps(rec).encode())
 
 
 def _active_files(path: str) -> set[str]:
@@ -291,29 +295,28 @@ def _settle_compaction(spark: SparkSession, path: str) -> None:
     FORWARD when staging still holds every not-yet-moved new file
     (work is preserved); otherwise roll back to the old files and
     rebuild the manifest over what's visible. No-op without a record."""
-    import shutil
     rec = _load_compact_record(path)
     if rec is None:
-        if os.path.isdir(_stage_dir(path)):  # pre-record crash leftovers
-            shutil.rmtree(_stage_dir(path))
+        if _fs.is_dir(_stage_dir(path)):  # pre-record crash leftovers
+            _fs.rmtree(_stage_dir(path))
         return
     on_disk = _data_files(path)
     new, old = set(rec["new"]), set(rec["old"])
     missing = new - on_disk
-    staged = set(os.listdir(_stage_dir(path))) if os.path.isdir(_stage_dir(path)) else set()
+    staged = set(_fs.listdir(_stage_dir(path))) if _fs.is_dir(_stage_dir(path)) else set()
     if missing <= staged:
         for name in sorted(missing):  # roll forward: complete the moves
-            os.replace(os.path.join(_stage_dir(path), name),
+            _fs.rename(os.path.join(_stage_dir(path), name),
                        os.path.join(path, name))
         for name in sorted(old & _data_files(path)):
-            os.remove(os.path.join(path, name))
+            _fs.remove(os.path.join(path, name))
     else:
         # roll back: drop whatever moved, serve the old files
         for name in sorted(new & on_disk):
-            os.remove(os.path.join(path, name))
-    os.remove(_record_path(path))
-    if os.path.isdir(_stage_dir(path)):
-        shutil.rmtree(_stage_dir(path))
+            _fs.remove(os.path.join(path, name))
+    _fs.remove(_record_path(path))
+    if _fs.is_dir(_stage_dir(path)):
+        _fs.rmtree(_stage_dir(path))
     # the crash may predate or postdate the manifest rewrite — a full
     # footer rebuild over the settled file set is correct either way
     # (settle runs once post-crash; O(table) footer reads are fine here)
@@ -390,14 +393,14 @@ def compact_spatial_clustered(
 
 
 def _compact(spark, path, small_bytes, rewrite, check) -> dict:
-    import shutil
     import uuid
     _settle_compaction(spark, path)
     cols = sorted({r.col for r in _load_manifest(spark, path)})
     check(cols)
+    sizes = {n: sz for n, sz, _, isdir in _fs.listdir_stat(path)
+             if not isdir}  # ONE listing call, not a per-file stat loop
     files = sorted(_data_files(path))
-    small = [f for f in files
-             if os.path.getsize(os.path.join(path, f)) < small_bytes]
+    small = [f for f in files if sizes.get(f, 0) < small_bytes]
     if len(small) < 2:
         return {"compacted": 0, "files_before": len(files),
                 "files_after": len(files)}
@@ -407,10 +410,10 @@ def _compact(spark, path, small_bytes, rewrite, check) -> dict:
                 stage)
     tag = uuid.uuid4().hex[:12]
     new = []
-    for i, name in enumerate(sorted(os.listdir(stage))):
+    for i, name in enumerate(sorted(_fs.listdir(stage))):
         if name.endswith(".parquet") and not name.startswith(("_", ".")):
             out = f"compact-{tag}-{i:05d}.parquet"
-            os.replace(os.path.join(stage, name), os.path.join(stage, out))
+            _fs.rename(os.path.join(stage, name), os.path.join(stage, out))
             new.append(out)
     _maybe_crash("staged")
     _write_compact_record(path, {"old": small, "new": new})
@@ -429,15 +432,15 @@ def _compact(spark, path, small_bytes, rewrite, check) -> dict:
     _save_manifest(spark, path, keep + fresh)
     _maybe_crash("manifest")
     for i, name in enumerate(new):  # commit = the instant the LAST move lands
-        os.replace(os.path.join(stage, name), os.path.join(path, name))
+        _fs.rename(os.path.join(stage, name), os.path.join(path, name))
         if i == 0:
             _maybe_crash("mid-move")
     for i, name in enumerate(small):
-        os.remove(os.path.join(path, name))
+        _fs.remove(os.path.join(path, name))
         if i == 0:
             _maybe_crash("mid-delete")
-    os.remove(_record_path(path))
-    shutil.rmtree(os.path.join(path, _COMPACT_DIR))
+    _fs.remove(_record_path(path))
+    _fs.rmtree(os.path.join(path, _COMPACT_DIR))
     acols = sorted({c for _, c in _load_aggs(path)})
     if acols:
         # keep the sum manifest sharp across compaction too: rows for
@@ -481,7 +484,6 @@ def delete_range(
 
     Returns ``{"dropped_files", "rewritten_files", "deleted_rows"}``.
     """
-    import shutil
     import uuid
 
     if lo is None and hi is None:
@@ -534,10 +536,10 @@ def delete_range(
                       .sortWithinPartitions(col)
                       .write.mode("overwrite").parquet(stage))
         tag = uuid.uuid4().hex[:12]
-        for i, name in enumerate(sorted(os.listdir(stage))):
+        for i, name in enumerate(sorted(_fs.listdir(stage))):
             if name.endswith(".parquet") and not name.startswith(("_", ".")):
                 out = f"delete-{tag}-{i:05d}.parquet"
-                os.replace(os.path.join(stage, name),
+                _fs.rename(os.path.join(stage, name),
                            os.path.join(stage, out))
                 new.append(out)
     _maybe_crash("staged")
@@ -558,18 +560,18 @@ def delete_range(
     _save_manifest(spark, path, keep_manifest + fresh)
     _maybe_crash("manifest")
     for i, name in enumerate(new):
-        os.replace(os.path.join(stage, name), os.path.join(path, name))
+        _fs.rename(os.path.join(stage, name), os.path.join(path, name))
         if i == 0:
             _maybe_crash("mid-move")
     for i, name in enumerate(old):
         target = os.path.join(path, name)
-        if os.path.exists(target):
-            os.remove(target)
+        if _fs.exists(target):
+            _fs.remove(target)
         if i == 0:
             _maybe_crash("mid-delete")
-    os.remove(_record_path(path))
-    if os.path.isdir(os.path.join(path, _COMPACT_DIR)):
-        shutil.rmtree(os.path.join(path, _COMPACT_DIR))
+    _fs.remove(_record_path(path))
+    if _fs.is_dir(os.path.join(path, _COMPACT_DIR)):
+        _fs.rmtree(os.path.join(path, _COMPACT_DIR))
     acols = sorted({c for _, c in _load_aggs(path)})
     if acols:
         build_agg_index(spark, path, acols)
@@ -592,7 +594,7 @@ def _footer_stats(path: str, cols: Sequence[str],
     manifest maintenance)."""
     rows = []
     for name in sorted(files) if files is not None else sorted(_data_files(path)):
-        md = _pq.read_metadata(os.path.join(path, name))
+        md = _fs.read_metadata(os.path.join(path, name))
         schema_names = md.schema.to_arrow_schema().names
         idx = {c: schema_names.index(c) for c in cols}
         for col in cols:
@@ -697,21 +699,21 @@ _manifest_cache: dict[str, dict] = {}
 
 def _load_manifest(spark: SparkSession, path: str) -> list:
     mpath = os.path.join(path, _MANIFEST_DIR)
-    if not os.path.isdir(mpath):
+    if not _fs.is_dir(mpath):
         raise ValueError(
             f"no file-skipping manifest under {path!r} — write the table "
             "with save_range_sorted/save_spatial_clustered first")
     try:
-        parts = sorted(
-            n for n in os.listdir(mpath)
-            if n.endswith(".parquet") and not n.startswith(("_", ".")))
+        # ONE listing call carries name+size+mtime (the fingerprint) —
+        # no per-file stat loop, object-store friendly
         fp = tuple(
-            (n, os.path.getsize(os.path.join(mpath, n)),
-             os.path.getmtime(os.path.join(mpath, n))) for n in parts)
+            (n, sz, mt) for n, sz, mt, isdir in _fs.listdir_stat(mpath)
+            if not isdir and n.endswith(".parquet")
+            and not n.startswith(("_", ".")))
         hit = _manifest_cache.get(mpath)
         if hit is not None and hit["fp"] == fp:
             return hit["rows"]
-        t = _pq.read_table([os.path.join(mpath, n) for n in parts])
+        t = _fs.read_table([os.path.join(mpath, n) for n, _, _ in fp])
         d = t.to_pydict()
         if "nulls" not in d:  # format-1 manifest: nulls unknown
             d["nulls"] = [None] * t.num_rows
@@ -1229,11 +1231,11 @@ def _load_aggs(path: str) -> dict[tuple[str, str], tuple[int, int]]:
     {} when none exists. Tiny (one row per file·col): pyarrow-read
     driver-side, no Spark job — same posture as the zonemap manifest."""
     apath = os.path.join(path, _AGG_DIR)
-    if not os.path.isdir(apath):
+    if not _fs.is_dir(apath):
         return {}
-    parts = [os.path.join(apath, n) for n in sorted(os.listdir(apath))
+    parts = [os.path.join(apath, n) for n in _fs.listdir(apath)
              if n.endswith(".parquet") and not n.startswith(("_", "."))]
-    d = _pq.read_table(parts).to_pydict()
+    d = _fs.read_table(parts).to_pydict()
     return {
         (f, c): (int(s), int(n))
         for f, c, s, n in zip(d["file"], d["col"], d["sum"], d["nnn"])
@@ -1301,11 +1303,20 @@ def build_agg_index(
     mdf = spark.createDataFrame(keep + fresh, _AGG_SCHEMA)
     nxt = os.path.join(path, _AGG_NEXT)
     mdf.coalesce(1).write.mode("overwrite").parquet(nxt)
-    import shutil
+    # two-rename swap (round-9 advisor): rename the old manifest ASIDE,
+    # rename the new one IN, then delete the old — the no-manifest
+    # window shrinks from an O(files) rmtree to one rename; a crash in
+    # between leaves at worst no _hgs_aggs (safe full-scan fallback)
+    # plus an invisible _old dir the next build clears
     cur = os.path.join(path, _AGG_DIR)
-    if os.path.isdir(cur):
-        shutil.rmtree(cur)
-    os.rename(nxt, cur)
+    prev = cur + "_old"
+    if _fs.is_dir(prev):  # leftover from a crashed earlier swap
+        _fs.rmtree(prev)
+    if _fs.is_dir(cur):
+        _fs.rename(cur, prev)
+    _fs.rename(nxt, cur)
+    if _fs.is_dir(prev):
+        _fs.rmtree(prev)
     return {"indexed": len(missing), "total": len(active)}
 
 
@@ -1546,9 +1557,9 @@ def layout_health(
     by_file = {r.file: r for r in rows if r.col == col and r.file in on_disk}
     orphans = on_disk - set(by_file)
     n_rows = sum(r.rows for r in by_file.values())
-    small = sum(
-        1 for f in on_disk
-        if os.path.getsize(os.path.join(path, f)) < small_bytes)
+    sizes = {n: sz for n, sz, _, isdir in _fs.listdir_stat(path)
+             if not isdir}  # one listing call carries every size
+    small = sum(1 for f in on_disk if sizes.get(f, 0) < small_bytes)
     ivals = sorted(
         (_decode(r.vtype, r.vmin), _decode(r.vtype, r.vmax))
         for r in by_file.values() if r.valid
@@ -1573,10 +1584,10 @@ def layout_health(
     # probes, so a growing count is the re-run-build_bloom_index signal
     # (same manifest-only discipline: file/col names, no bitsets read)
     bdir = os.path.join(path, "_hgs_bloom")
-    if os.path.isdir(bdir):
-        parts = [os.path.join(bdir, f) for f in sorted(os.listdir(bdir))
+    if _fs.is_dir(bdir):
+        parts = [os.path.join(bdir, f) for f in _fs.listdir(bdir)
                  if f.endswith(".parquet")]
-        pairs_fc = _pq.read_table(parts, columns=["file", "col"]).to_pydict()
+        pairs_fc = _fs.read_table(parts, columns=["file", "col"]).to_pydict()
         have: dict[str, set] = {}
         for f, c in zip(pairs_fc["file"], pairs_fc["col"]):
             have.setdefault(c, set()).add(f)

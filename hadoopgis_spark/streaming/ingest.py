@@ -12,8 +12,9 @@ deterministic ``b{batch_id}-`` names; a retried batch first deletes any
 files carrying its id, then re-lands them. Replays therefore overwrite
 themselves instead of duplicating rows (the same idempotency scheme
 Delta's transaction log provides, done here with batch-keyed file
-names). File moves use the local filesystem API — a cluster deployment
-swaps in the Hadoop FileSystem calls, same protocol.
+names). File moves go through ``sources.fsio`` (pyarrow.fs) — local
+here, the same code over ``s3://``/``hdfs://`` table roots, same
+protocol.
 
 Appends accumulate value-range overlap exactly like
 ``append_range_sorted`` — pass ``compact_every`` to fold the crash-safe
@@ -25,11 +26,11 @@ for a full rewrite.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hadoopgis_spark.sources import fsio as _fs
 from hadoopgis_spark.sources.skipping import (
     _load_manifest,
     _settle_compaction,
@@ -56,7 +57,7 @@ def ingest_batch_sorted(df: DataFrame, batch_id: int, path: str,
         return
     spark = df.sparkSession
     cols = [order_col]
-    existing = os.path.isdir(os.path.join(path, "_hgs_manifest"))
+    existing = _fs.is_dir(os.path.join(path, "_hgs_manifest"))
     if existing:
         _settle_compaction(spark, path)  # finish/undo a dangling compaction
         cols = sorted({r.col for r in _load_manifest(spark, path)})
@@ -68,18 +69,18 @@ def ingest_batch_sorted(df: DataFrame, batch_id: int, path: str,
         (df.repartitionByRange(n_files, F.col(order_col))
            .sortWithinPartitions(order_col)
            .write.mode("overwrite").parquet(staging))
-    os.makedirs(path, exist_ok=True)
+    _fs.makedirs(path)
     prefix = f"b{batch_id}-"
-    for name in os.listdir(path):
+    for name in _fs.listdir(path):
         if name.startswith(prefix):
-            os.remove(os.path.join(path, name))  # replayed batch: self-overwrite
+            _fs.remove(os.path.join(path, name))  # replayed batch: self-overwrite
     landed = set()
-    for name in sorted(os.listdir(staging)):
+    for name in sorted(_fs.listdir(staging)):
         if name.endswith(".parquet") and not name.startswith(("_", ".")):
-            os.replace(os.path.join(staging, name),
+            _fs.rename(os.path.join(staging, name),
                        os.path.join(path, prefix + name))
             landed.add(prefix + name)
-    shutil.rmtree(staging)
+    _fs.rmtree(staging)
     if existing:
         _update_manifest(spark, path, cols, landed)
     else:

@@ -10,6 +10,7 @@ save/append/compact/delete cycle through a SubTreeFileSystem.
 """
 
 import os
+import re
 
 import pyarrow as pa
 import pyarrow.fs as pafs
@@ -66,3 +67,76 @@ class TestFsioFacade:
         # the override is scoped: default resolution sees the same bytes
         assert fsio.read_bytes(os.path.join(d, "v2")) == b"v"
         assert fsio._OVERRIDE is None
+
+
+# direct-POSIX-I/O calls the facade replaces; os.path STRING ops
+# (join/basename/dirname/normpath) stay legal
+_POSIX_IO = re.compile(
+    r"\bos\.(listdir|replace|remove|unlink|rename|renames|makedirs|mkdir|"
+    r"rmdir|stat|walk|scandir|path\.(getsize|getmtime|isdir|isfile|exists))"
+    r"\s*\(|\bshutil\.\w+\s*\(|(?<![\w.])open\s*\("
+)
+
+
+class TestMetadataTierUsesFacadeOnly:
+    """VERDICT r9 item 1 'done' criterion: no direct os.*/shutil/open
+    file I/O touches a table root in the metadata tier — everything
+    routes through fsio so an object-store deployment is a resolver
+    change, not a rewrite."""
+
+    @pytest.mark.parametrize("module", [
+        "hadoopgis_spark.sources.skipping",
+        "hadoopgis_spark.sources.bloom",
+        "hadoopgis_spark.sources.loader",
+        "hadoopgis_spark.sources.compact",
+        "hadoopgis_spark.streaming.ingest",
+    ])
+    def test_no_direct_posix_io(self, module):
+        import importlib
+        mod = importlib.import_module(module)
+        src = open(mod.__file__).read()
+        hits = [
+            (i + 1, line.strip())
+            for i, line in enumerate(src.splitlines())
+            if _POSIX_IO.search(line)
+        ]
+        assert not hits, f"direct POSIX I/O in {module}: {hits}"
+
+
+class TestSkippingThroughInjectedFs:
+    """Drive one save/append/compact/delete/bloom cycle with a
+    SubTreeFileSystem injected: every metadata read/write resolves
+    through the injected pyarrow filesystem (subtree-relative paths),
+    proving the tier has no hidden POSIX dependency. Spark's own data
+    writes go through its Hadoop layer — unaffected by design."""
+
+    def test_full_cycle_under_subtree_fs(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from hadoopgis_spark.sources import skipping as sk
+        from hadoopgis_spark.sources.bloom import build_bloom_index, read_eq
+
+        d = str(tmp_path)
+        sub = pafs.SubTreeFileSystem(d, pafs.LocalFileSystem())
+        path = os.path.join(d, "tbl")
+        df = spark.range(0, 2000).select(F.col("id").alias("k"))
+        with fsio.use_filesystem(sub, prefix=d):
+            sk.save_range_sorted(df, path, "k", n_files=4, agg_cols=["k"])
+            sk.append_range_sorted(
+                spark.range(2000, 2200).select(F.col("id").alias("k")),
+                path, "k", n_files=2)
+            stats = sk.compact_range_sorted(
+                spark, path, "k", small_bytes=1 << 30, n_files=2)
+            assert stats["compacted"] >= 2
+            dstats = sk.delete_range(spark, path, "k", 100, 199)
+            assert dstats["deleted_rows"] == 100
+            build_bloom_index(spark, path, ["k"], n_items=1000)
+            probe = [r.k for r in read_eq(spark, path, {"k": 1500}).collect()]
+            got = sorted(
+                r.k for r in sk.read_range(spark, path, "k").collect())
+            s, n = sk.sum_range(spark, path, "k")
+            h = sk.layout_health(spark, path, "k")
+        expect = [k for k in range(2200) if not 100 <= k <= 199]
+        assert probe == [1500]
+        assert got == expect
+        assert (s, n) == (sum(expect), len(expect))
+        assert h["orphans"] == 0 and h["files"] > 0
