@@ -253,7 +253,28 @@ def build_bloom_index(
                         vals = pd.unique(g[c].dropna())
                         if c in int_cols and getattr(
                                 vals.dtype, "kind", "") == "f":
-                            vals = vals.astype("int64")  # exact: was int64
+                            # float64 is exact only below 2^53: a larger
+                            # key was ALREADY rounded by the null-pad
+                            # conversion (so a round-trip check on vals
+                            # cannot detect it — the information is
+                            # gone). Hashing the rounded integer would
+                            # make probes for the true key silently
+                            # false-negative (lost rows in read_eq).
+                            # POISON the partial with an all-ones bitset
+                            # instead: the OR-merge then makes this
+                            # file's filter never prune — always
+                            # scanned, never wrong. (Skipping the
+                            # partial wouldn't do: other batches of the
+                            # same file may still emit partials, and a
+                            # merged row missing these keys is exactly
+                            # the false-negative filter.)
+                            if (np.abs(vals) >= float(1 << 53)).any():
+                                out.append((
+                                    base, c, m_bits, k,
+                                    b"\xff" * (m_bits // 8),
+                                    _BLOOM_FORMAT))
+                                continue
+                            vals = vals.astype("int64")  # exact: < 2^53
                         bits = np.zeros(m_bits // 8, dtype=np.uint8)
                         _set_bits_vectorized(bits, vals, m_bits, k)
                         out.append((base, c, m_bits, k, bits.tobytes(),

@@ -24,6 +24,8 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoopgis_spark.sources import fsio as _fs
+
 from hadoopgis_spark.operators.similarity import (
     fit_centroids,
     ivf_assign,
@@ -102,11 +104,32 @@ def save_ivf_index(
     return centroids
 
 
+def _settle_refit(base: str) -> None:
+    """Finish (or undo) a refit swap a crash left dangling. The refit
+    protocol is stage-complete → rename base aside → rename stage in →
+    delete old; a crash between the renames leaves BOTH full copies on
+    disk (never data loss). Roll FORWARD when the staged rebuild is
+    complete (Spark's ``_SUCCESS`` on its last-written table), roll
+    back to the pre-refit copy otherwise; clear leftovers once a live
+    index exists. Single-writer, like every maintenance op here."""
+    stage, old = f"{base}__refit", f"{base}__old"
+    if not _fs.is_dir(base):
+        if _fs.exists(f"{stage}/centroids/_SUCCESS"):
+            _fs.rename(stage, base)  # roll forward: rebuild completed
+        elif _fs.is_dir(old):
+            _fs.rename(old, base)    # roll back: serve the pre-refit copy
+    if _fs.is_dir(base):
+        for leftover in (stage, old):
+            if _fs.is_dir(leftover):
+                _fs.rmtree(leftover)
+
+
 def load_ivf_index(spark: SparkSession, name: str, root: str | None = None):
     """(corpus(id, vec, cid), centroids, meta) — centroids are collected
     (n_centroids rows, bounded by construction) so the probe expressions
     inline them as literals, same as the live path."""
     base = f"{root or _index_root(spark)}/{name}"
+    _settle_refit(base)
     crows = spark.read.parquet(f"{base}/centroids").collect()
     crows.sort(key=lambda r: r.cid)
     meta = json.loads(crows[0].meta)
@@ -218,6 +241,11 @@ def ivf_index_health(
     mx = max(sizes.values(), default=0)
     skew = (mx / mean) if mean else 0.0
     empty_share = 1.0 - nonempty / max(1, n_c)
+    # an EMPTY corpus trivially has empty_share 1.0, but a k-means refit
+    # over zero vectors can only fail or thrash — never flag it (and
+    # refit_ivf_index independently refuses), round-9 advisor finding
+    needs = total > 0 and (
+        skew >= skew_threshold or empty_share >= empty_threshold)
     return {
         "rows": total,
         "lists": n_c,
@@ -226,7 +254,7 @@ def ivf_index_health(
         "mean_list": round(mean, 2),
         "skew": round(skew, 3),
         "empty_share": round(empty_share, 3),
-        "needs_refit": skew >= skew_threshold or empty_share >= empty_threshold,
+        "needs_refit": needs,
     }
 
 
@@ -248,27 +276,34 @@ def refit_ivf_index(
     health report, restoring balanced lists (and with them recall at a
     given ``n_probe``).
 
-    The corpus is read from the index itself (vectors are stored
-    verbatim) and durably checkpointed first — an overwrite cannot read
-    its own input — then refit + reassigned + rewritten through
-    ``save_ivf_index``. This is a REBUILD by definition and is priced
-    accordingly; the health gate is what keeps it rare. Returns the
+    The rebuild is STAGED next to the live index (``{name}__refit``) —
+    the live copy is the rebuild's input and stays intact (and
+    servable) until the staged copy is complete, then two renames swap
+    it in; a crash at any point leaves at least one full copy on disk
+    and :func:`_settle_refit` (run by every load) rolls forward or
+    back. Round-9 advisor finding: the previous in-place overwrite
+    guarded only by a localCheckpoint could permanently lose the
+    corpus on an executor failure mid-overwrite. This is a REBUILD by
+    definition and is priced accordingly; the health gate is what
+    keeps it rare. Refuses an EMPTY index even under ``force`` (a
+    k-means fit over zero vectors cannot succeed). Returns the
     pre-rebuild health dict plus ``refit: bool``."""
-    from hadoopgis_spark.materialize import durable_checkpoint
-
     h = ivf_index_health(
         spark, name, root=root,
         skew_threshold=skew_threshold, empty_threshold=empty_threshold)
-    if not (force or h["needs_refit"]):
+    if h["rows"] == 0 or not (force or h["needs_refit"]):
         return {"refit": False, **h}
+    base = f"{root or _index_root(spark)}/{name}"
     corpus, _, meta = load_ivf_index(spark, name, root)
-    df = durable_checkpoint(
-        corpus.select(F.col("id").alias("vec_id"),
-                      F.col("vec").alias("embedding")))
+    df = corpus.select(F.col("id").alias("vec_id"),
+                       F.col("vec").alias("embedding"))
     save_ivf_index(
-        df, name, vec_col="embedding", id_col="vec_id",
+        df, f"{name}__refit", vec_col="embedding", id_col="vec_id",
         n_centroids=int(meta["n_centroids"]), dim=int(meta["dim"]),
         sample=sample, root=root, impl=impl)
+    _fs.rename(base, f"{base}__old")
+    _fs.rename(f"{base}__refit", base)
+    _fs.rmtree(f"{base}__old")
     return {"refit": True, **h}
 
 

@@ -7098,9 +7098,10 @@ _R8_PREFIX = [
 }]
 assert len(_R8_PREFIX) == 50 and len(set(_R8_PREFIX)) == 50
 
-# Round-9 rotation. The first 5 slots are the round-9 NEW gates
+# Round-9 rotation. The first 6 slots are the round-9 NEW gates
 # (per-file sum manifest incl. the spatial window form, SQL-surface
-# pruning incl. the spatial window form, multi-tile exact kNN); next are
+# pruning incl. the spatial window form, multi-tile exact kNN, and the
+# zonemap-priced rel_delete_range added late in the round); next are
 # every gate whose code churned in round 9 and therefore re-earns its
 # driver row under the new computation:
 #   - knn.py exact-mode rewrite (two-round tile formulation):

@@ -270,6 +270,34 @@ class TestBloomMaintenance:
         kept, total = prune_files_eq(spark, path, {"id": 10_000_000})
         assert total == 4 and len(kept) <= 1
 
+    def test_nullable_bigint_beyond_2_53_never_false_negative(
+            self, spark, tmp_path):
+        """A NULLABLE int64 key with magnitude >= 2^53 is ROUNDED by the
+        Arrow->pandas float64 null-pad before the build ever sees it —
+        hashing the rounded value would prune files that DO contain the
+        true key (silent lost rows, round-10 advisor finding). The
+        build poisons such (file, col) partials with an all-ones bitset
+        instead: the file is always scanned, never wrongly pruned."""
+        big = (1 << 53) + 1  # float64(big) == 2^53 — unrepresentable
+        path = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(0, big), (1, 5), (2, None), (3, 7)], "ts long, id long")
+        (df.repartitionByRange(1, "ts").sortWithinPartitions("ts")
+         .write.mode("overwrite").parquet(path))
+        # a second file with small non-null... keys stays precise
+        df2 = spark.createDataFrame(
+            [(10, 100), (11, 101), (12, None)], "ts long, id long")
+        df2.coalesce(1).write.mode("append").parquet(path)
+        build_bloom_index(spark, path, ["id"], n_items=100)
+        # the true big key resolves exactly (its file was not pruned)
+        got = [r.ts for r in read_eq(spark, path, {"id": big}).collect()]
+        assert got == [0]
+        # ... and the ROUNDED value matches nothing
+        assert read_eq(spark, path, {"id": 1 << 53}).count() == 0
+        # the poisoned file never prunes; the clean file still does
+        kept, total = prune_files_eq(spark, path, {"id": 999_999})
+        assert total == 2 and len(kept) == 1
+
     def test_subset_rebuild_preserves_other_columns(self, spark, tmp_path):
         """Rebuilding for a SUBSET of the indexed columns must keep the
         other columns' rows per (file, col) — build(['id']) then

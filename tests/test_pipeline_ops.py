@@ -2145,6 +2145,80 @@ class TestIvfIndexHealth:
         r_after = recall()
         assert r_after >= 0.95 and r_after > r_before
 
+    def test_empty_index_health_never_flags_refit(self, spark, tmp_path):
+        """A legitimately EMPTY index has empty_share 1.0 but a k-means
+        refit over zero vectors can only fail — health must not flag it
+        and refit must refuse even under force (round-10 advisor
+        finding)."""
+        import json as _json
+
+        from hadoopgis_spark.sources import ivf_index_health, refit_ivf_index
+
+        root = str(tmp_path / "ivf")
+        base = f"{root}/empty"
+        spark.createDataFrame(
+            [], "id long, vec array<double>, v_norm double, cid int"
+        ).coalesce(1).write.parquet(f"{base}/vectors")
+        meta = _json.dumps({"dim": 2, "n_centroids": 4, "format": 2})
+        spark.createDataFrame(
+            [(i, [0.0, 0.0], meta) for i in range(4)],
+            "cid int, c array<double>, meta string",
+        ).coalesce(1).write.parquet(f"{base}/centroids")
+        h = ivf_index_health(spark, "empty", root=root)
+        assert h["rows"] == 0 and h["empty_share"] == 1.0
+        assert h["needs_refit"] is False
+        out = refit_ivf_index(spark, "empty", root=root, force=True)
+        assert out["refit"] is False
+
+    def test_refit_is_staged_and_crash_safe(self, spark, tmp_path):
+        """The rebuild writes to a staged sibling and swaps in with two
+        renames — a failure mid-rebuild leaves the live index intact
+        and servable (the previous in-place overwrite could lose the
+        corpus, round-10 advisor finding); a crash between the renames
+        settles forward on the next load."""
+        import random
+
+        import hadoopgis_spark.sources.vector_index as vi
+        from hadoopgis_spark.sources import fsio
+
+        rng = random.Random(3)
+        rows = [(i, [rng.uniform(-1, 1), rng.uniform(-1, 1)])
+                for i in range(200)]
+        root = str(tmp_path / "ivf")
+        base = f"{root}/s"
+        vi.save_ivf_index(self._emb(spark, rows), "s", n_centroids=4,
+                          dim=2, root=root)
+
+        # rebuild dies mid-way: live index untouched, no torn state
+        real_save = vi.save_ivf_index
+
+        def dying_save(df, name, **kw):
+            real_save(df, name, **kw)  # staged copy lands fully...
+            raise RuntimeError("simulated crash before swap")
+
+        vi.save_ivf_index = dying_save
+        try:
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                vi.refit_ivf_index(spark, "s", root=root, force=True)
+        finally:
+            vi.save_ivf_index = real_save
+        corpus, _, _ = vi.load_ivf_index(spark, "s", root=root)
+        assert corpus.count() == 200  # pre-refit copy intact
+        assert not fsio.is_dir(f"{base}__refit")  # load settled leftovers
+
+        # crash BETWEEN the renames (base gone, staged copy complete):
+        # the next load rolls the swap forward
+        vi.refit_ivf_index(spark, "s", root=root, force=True)
+        real_save(
+            spark.read.parquet(f"{base}/vectors").select(
+                F.col("id").alias("vec_id"), F.col("vec").alias("embedding")),
+            "s__refit", n_centroids=4, dim=2, root=root)
+        fsio.rename(base, f"{base}__old")
+        corpus, _, _ = vi.load_ivf_index(spark, "s", root=root)
+        assert corpus.count() == 200
+        assert not fsio.is_dir(f"{base}__old")
+        assert not fsio.is_dir(f"{base}__refit")
+
 
 class TestIvfIndexFormatGuard:
     def test_append_refuses_format1_index(self, spark, tmp_path):
