@@ -66,6 +66,7 @@ __all__ = [
     "compact_range_sorted",
     "compact_spatial_clustered",
     "delete_range",
+    "merge_range",
     "save_zorder_sorted",
     "read_range",
     "count_range",
@@ -577,6 +578,163 @@ def delete_range(
         build_agg_index(spark, path, acols)
     return {"dropped_files": len(doomed), "rewritten_files": len(new),
             "deleted_rows": int(deleted)}
+
+
+def merge_range(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    col: str,
+    *,
+    n_files: int | None = None,
+) -> dict:
+    """Zonemap-priced MERGE (upsert) keyed on the clustered column:
+    every stored row whose ``col`` equals a batch key is replaced by the
+    batch's rows for that key (delete-then-insert semantics — the
+    whole-row ``MERGE INTO ... WHEN MATCHED THEN UPDATE / WHEN NOT
+    MATCHED THEN INSERT`` pair); rows whose keys are absent from the
+    batch are untouched. Priced by the zonemap: only files whose footer
+    [min, max] intersects the batch's key envelope [batch_min,
+    batch_max] are read and rewritten (anti-join on the key + the
+    batch's rows, re-sorted); interior non-overlapping files are never
+    opened. At 100 TB, upserting a day's corrections into a
+    time-clustered table rewrites that day's files, not the table.
+
+    Runs under the compaction commit record (delete_range's protocol,
+    same crash points): committed → post-merge, uncommitted →
+    pre-merge, exactly-once at every step; a later writer settles a
+    dangling record. Batch keys must be NON-NULL (SQL MERGE refuses
+    null-key matches — a null joins nothing, so 'replace' would
+    silently become 'duplicate'); stored NULL-key rows never match and
+    always survive. The rewrite's default file count preserves the
+    layout (one output file per overlapping input); the sum manifest is
+    refreshed when present. The batch is durably checkpointed — it is
+    consumed by three jobs (bounds, match count, rewrite) and may be
+    arbitrarily expensive to recompute.
+
+    Returns ``{"untouched_files", "rewritten_files", "replaced_rows",
+    "batch_rows"}``.
+    """
+    import uuid
+
+    from hadoopgis_spark.materialize import durable_checkpoint
+
+    _settle_compaction(spark, path)
+    mrows = _load_manifest(spark, path)
+    cols = sorted({r.col for r in mrows})
+    if col not in cols:
+        raise ValueError(
+            f"manifest under {path!r} covers {cols}, not {col!r}")
+    table_cols = spark.read.parquet(path).columns
+    missing_cols = [c for c in table_cols if c not in batch.columns]
+    if missing_cols:
+        raise ValueError(
+            f"batch lacks table columns {missing_cols} — MERGE replaces "
+            "whole rows, so the batch must carry the full schema")
+    batch = durable_checkpoint(batch.select(*table_cols))
+    row = batch.agg(
+        F.min(col), F.max(col), F.count(F.lit(1)), F.count(col)
+    ).collect()[0]  # bounded: one scalar row
+    n_batch = int(row[2])
+    if n_batch == 0:
+        active = _active_files(path)
+        return {"untouched_files": len(active), "rewritten_files": 0,
+                "replaced_rows": 0, "batch_rows": 0}
+    if int(row[3]) != n_batch:
+        raise ValueError("batch has NULL merge keys — a null matches "
+                         "nothing, so 'replace' would become 'duplicate'; "
+                         "filter them out or choose another key")
+    norm, _ = _norm_ranges(spark, path, {col: (row[0], row[1])})
+    kept, _ = prune_files(spark, path, norm)
+    kept_names = sorted(os.path.basename(p) for p in kept)
+    keys = batch.select(col).distinct()
+    # exact per-file pricing: the envelope alone over-rewrites when the
+    # batch is SPARSE or bimodal (a few inserts at the domain tail would
+    # drag every file in between into the rewrite). One bounded job —
+    # distinct batch keys range-joined against the broadcast per-file
+    # [min, max] table — finds which kept files actually contain a batch
+    # key; ≤ len(kept) rows ever reach the driver. Files without valid
+    # stats (orphans, stat-less writers) stay conservatively in, and
+    # datetime keys skip the refine (footer-stat domains vary per file;
+    # the envelope tier already normalized once).
+    by_file = {r.file: r for r in mrows if r.col == col}
+    refinable = {
+        f: by_file[f] for f in kept_names
+        if f in by_file and by_file[f].valid
+        and by_file[f].vtype in ("int", "float", "str")
+    }
+    always = [f for f in kept_names if f not in refinable]
+    if refinable:
+        ktype = spark.read.parquet(path).schema[col].dataType.simpleString()
+        ranges_df = spark.createDataFrame(
+            [(f, _decode(r.vtype, r.vmin), _decode(r.vtype, r.vmax))
+             for f, r in sorted(refinable.items())],
+            f"file string, lo {ktype}, hi {ktype}")
+        hits = (
+            keys.join(F.broadcast(ranges_df),
+                      (F.col(col) >= F.col("lo"))
+                      & (F.col(col) <= F.col("hi")))
+            .select("file").distinct().collect())  # bounded: ≤ kept files
+        overlapping = sorted(set(always) | {h.file for h in hits})
+    else:
+        overlapping = kept_names
+    active = _active_files(path)
+    untouched = len(active) - len(overlapping)
+    replaced = 0
+    new: list[str] = []
+    stage = _stage_dir(path)
+    if n_files is None:
+        n_files = max(1, len(overlapping))
+    if overlapping:
+        old_df = spark.read.parquet(
+            *(os.path.join(path, f) for f in overlapping))
+        replaced = old_df.join(keys, col, "left_semi").count()
+        merged = old_df.join(keys, col, "left_anti").unionByName(batch)
+    else:
+        merged = batch
+    with _stats_friendly_writer(spark):
+        (merged.repartitionByRange(n_files, F.col(col))
+               .sortWithinPartitions(col)
+               .write.mode("overwrite").parquet(stage))
+    tag = uuid.uuid4().hex[:12]
+    for i, name in enumerate(sorted(_fs.listdir(stage))):
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out = f"merge-{tag}-{i:05d}.parquet"
+            _fs.rename(os.path.join(stage, name), os.path.join(stage, out))
+            new.append(out)
+    _maybe_crash("staged")
+    _write_compact_record(path, {"old": overlapping, "new": new})
+    _maybe_crash("record")
+    keep_manifest = [
+        (r.file, r.rows, r.col, r.vtype, r.vmin, r.vmax, r.valid,
+         _FORMAT, r.nulls)
+        for r in mrows if r.file not in set(overlapping)
+    ]
+    fresh = [
+        (r["file"], r["rows"], r["col"], r["vtype"], r["vmin"], r["vmax"],
+         r["valid"], _FORMAT, r["nulls"])
+        for r in _footer_stats(stage, cols, new)
+    ]
+    _save_manifest(spark, path, keep_manifest + fresh)
+    _maybe_crash("manifest")
+    for i, name in enumerate(new):
+        _fs.rename(os.path.join(stage, name), os.path.join(path, name))
+        if i == 0:
+            _maybe_crash("mid-move")
+    for i, name in enumerate(overlapping):
+        target = os.path.join(path, name)
+        if _fs.exists(target):
+            _fs.remove(target)
+        if i == 0:
+            _maybe_crash("mid-delete")
+    _fs.remove(_record_path(path))
+    if _fs.is_dir(os.path.join(path, _COMPACT_DIR)):
+        _fs.rmtree(os.path.join(path, _COMPACT_DIR))
+    acols = sorted({c for _, c in _load_aggs(path)})
+    if acols:
+        build_agg_index(spark, path, acols)
+    return {"untouched_files": untouched, "rewritten_files": len(new),
+            "replaced_rows": int(replaced), "batch_rows": n_batch}
 
 
 def _footer_stats(path: str, cols: Sequence[str],

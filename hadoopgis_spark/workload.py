@@ -5071,6 +5071,69 @@ REL_DELETE_RANGE_SQL = """
 """
 
 
+def rel_merge_range(spark, sf):
+    """Zonemap-priced MERGE (upsert), delete_range's missing sibling:
+    an l_orderkey-clustered lineitem layout takes a correction batch
+    covering the lowest ~10% of the key domain (quantities bumped by
+    1); only the files whose key range actually contains a batch key
+    are rewritten under the crash-safe commit record (untouched files
+    asserted), and the merged table's aggregates match the
+    CASE-rewritten oracle exactly. At 100 TB this is upserting a day's
+    corrections as a few file rewrites, not a table rewrite. Key
+    bounds derive from exact integer MIN/MAX with floor division —
+    python ``//`` and DuckDB ``//`` agree on non-negative ints."""
+    from hadoopgis_spark.sources.skipping import (
+        merge_range, read_range, save_range_sorted)
+    path = f"{_skip_root(spark)}/lineitem_merge_{os.path.basename(os.path.normpath(sf))}"
+
+    def build():
+        li = _t(spark, sf, "lineitem")
+        save_range_sorted(li, path, "l_orderkey", n_files=8)
+        row = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).collect()[0]
+        lo = int(row[0])
+        hi = lo + (int(row[1]) - lo) // 10
+        batch = (li.filter(F.col("l_orderkey").between(lo, hi))
+                 .withColumn("l_quantity", F.col("l_quantity") + 1))
+        stats = merge_range(spark, path, batch, "l_orderkey")
+        if stats["untouched_files"] < 1:
+            raise AssertionError(f"merge rewrote every file: {stats}")
+        if stats["replaced_rows"] < 1:
+            raise AssertionError(f"merge matched nothing: {stats}")
+        return True
+
+    _memo(("skip_lineitem_merge", spark.sparkContext.applicationId, sf),
+          build)
+    df = read_range(spark, path, "l_orderkey")
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+         .alias("sum_price_c"),
+    )
+
+
+REL_MERGE_RANGE_SQL = """
+  WITH bounds AS (
+    SELECT MIN(l_orderkey) AS mn,
+           MIN(l_orderkey) + (MAX(l_orderkey) - MIN(l_orderkey)) // 10 AS hx
+    FROM lineitem
+  ), merged AS (
+    SELECT l_returnflag,
+           CASE WHEN l_orderkey BETWEEN (SELECT mn FROM bounds)
+                                    AND (SELECT hx FROM bounds)
+                THEN l_quantity + 1 ELSE l_quantity END AS q,
+           l_extendedprice
+    FROM lineitem
+  )
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(ROUND(q) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
+  FROM merged
+  GROUP BY l_returnflag
+"""
+
+
 def rel_minmax_pruned(spark, sf):
     """Metadata-only MIN/MAX: for interior files of the time window the
     target column's own footer min/max are the candidates (no scan —
@@ -6997,6 +7060,8 @@ REGISTRY: dict[str, Query] = {
     "sp_sql_window": Query(sp_sql_window, SP_CONTAINMENT_SQL, "SQL-surface spatial window via register_pruned_view(window=)"),
     "sp_sum_window": Query(sp_sum_window, SP_SUM_WINDOW_SQL, "metadata-mostly spatial SUM over the Hilbert layout's sum manifest"),
     "rel_delete_range": Query(rel_delete_range, REL_DELETE_RANGE_SQL, "zonemap-priced row-level DELETE: interior files dropped metadata-only, boundary rewritten"),
+    # round 10
+    "rel_merge_range": Query(rel_merge_range, REL_MERGE_RANGE_SQL, "zonemap-priced MERGE/upsert: only key-containing files rewritten under the commit record"),
 }
 
 # Round-7 gate prefix (the ordering contract: the driver gates

@@ -3154,6 +3154,123 @@ class TestFileSkipping:
         final = sorted(r.k for r in sk.read_range(spark, path, "k").collect())
         assert final == post or crash == "staged"
 
+    # ---- MERGE/upsert (round 10): the delete's missing sibling ------
+
+    def test_merge_range_prices_by_zonemap(self, spark, tmp_path):
+        """Upsert a batch covering a narrow key range + some brand-new
+        keys: only range-overlapping files are rewritten, matched rows
+        are replaced (not duplicated), new keys are inserted, and files
+        outside the envelope are untouched on disk."""
+        from hadoopgis_spark.sources import skipping as sk
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(df, path, "k", n_files=8)
+        before = {f for f in sk._data_files(path)}
+        batch = spark.createDataFrame(
+            [(k, 7777) for k in range(300, 400)]      # updates
+            + [(k, 8888) for k in range(2000, 2020)],  # inserts
+            "k bigint, v bigint")
+        stats = sk.merge_range(spark, path, batch, "k")
+        assert stats["untouched_files"] >= 5
+        assert stats["replaced_rows"] == 100
+        assert stats["batch_rows"] == 120
+        after = {f for f in sk._data_files(path)}
+        assert len(before & after) == stats["untouched_files"]
+        got = {(r.k, r.v) for r in sk.read_range(spark, path, "k").collect()}
+        expect = {(k, k % 97) for k in range(1000)
+                  if not 300 <= k <= 399}
+        expect |= {(k, 7777) for k in range(300, 400)}
+        expect |= {(k, 8888) for k in range(2000, 2020)}
+        assert got == expect
+        assert sk._load_compact_record(path) is None
+        # pruning still sharp on the merged layout
+        kept, total = sk.prune_files(spark, path, {"k": (700, 799)})
+        assert len(kept) < total
+        # idempotent: merging the same batch again changes nothing
+        stats2 = sk.merge_range(spark, path, batch, "k")
+        assert stats2["replaced_rows"] == 120
+        got2 = {(r.k, r.v) for r in sk.read_range(spark, path, "k").collect()}
+        assert got2 == expect
+
+    def test_merge_range_null_discipline_and_aggs(self, spark, tmp_path):
+        """NULL batch keys refuse; stored NULL-key rows always survive;
+        the sum manifest is refreshed across the rewrite; a duplicate
+        key INSIDE the batch lands all its rows (delete-then-insert)."""
+        import pytest as _pytest
+        from hadoopgis_spark.sources import skipping as sk
+        rows = [(i if i % 10 else None, i) for i in range(100)]
+        df = spark.createDataFrame(rows, "k bigint, v bigint")
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(df, path, "k", n_files=4, agg_cols=["v"])
+        with _pytest.raises(ValueError, match="NULL merge keys"):
+            sk.merge_range(
+                spark, path,
+                spark.createDataFrame([(None, 1)], "k bigint, v bigint"),
+                "k")
+        with _pytest.raises(ValueError, match="lacks table columns"):
+            sk.merge_range(
+                spark, path,
+                spark.createDataFrame([(5,)], "k bigint"), "k")
+        batch = spark.createDataFrame(
+            [(11, 1000), (11, 2000), (200, 3000)], "k bigint, v bigint")
+        stats = sk.merge_range(spark, path, batch, "k")
+        assert stats["replaced_rows"] == 1 and stats["batch_rows"] == 3
+        got = sorted((r.k, r.v) for r in
+                     sk.read_range(spark, path, "k").collect()
+                     if r.k is not None)
+        expect = sorted(
+            [(k, v) for k, v in rows if k is not None and k != 11]
+            + [(11, 1000), (11, 2000), (200, 3000)])
+        assert got == expect
+        # the 10 null-key rows survived (they live in always-kept files
+        # that WERE rewritten — the anti-join keeps them)
+        nulls = [r.v for r in sk.read_range(spark, path, "k").collect()
+                 if r.k is None]
+        assert len(nulls) == 10
+        s, n = sk.sum_range(spark, path, "v")
+        all_vals = [v for k, v in expect] + nulls
+        assert (s, n) == (sum(all_vals), len(all_vals))
+
+    @pytest.mark.parametrize(
+        "crash", ["staged", "record", "manifest", "mid-move", "mid-delete"])
+    def test_merge_crash_points_transactional(self, spark, tmp_path, crash):
+        """Kill the merge protocol at each step: a reader of the crashed
+        state sees EITHER the full pre-merge or the full post-merge
+        table (never a mix, never duplicated keys), and settle
+        converges to the post-merge state (staging held the rewrites)."""
+        from hadoopgis_spark.sources import skipping as sk
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit(0).alias("v"))
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(df, path, "k", n_files=8)
+        batch = spark.createDataFrame(
+            [(k, 9) for k in range(300, 400)], "k bigint, v bigint")
+        pre = sorted((k, 0) for k in range(1000))
+        post = sorted((k, 9 if 300 <= k <= 399 else 0) for k in range(1000))
+        sk._CRASH_POINT = crash
+        try:
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                sk.merge_range(spark, path, batch, "k")
+        finally:
+            sk._CRASH_POINT = None
+        got = sorted((r.k, r.v) for r in
+                     sk.read_range(spark, path, "k").collect())
+        assert got in (pre, post), f"torn merge state at {crash}"
+        sk._settle_compaction(spark, path)
+        assert sk._load_compact_record(path) is None
+        settled = sorted((r.k, r.v) for r in
+                         sk.read_range(spark, path, "k").collect())
+        if crash == "staged":  # pre-record: the merge never happened
+            assert settled == pre
+            assert sk.merge_range(spark, path, batch, "k")[
+                "replaced_rows"] == 100
+        else:  # record written + staging complete -> rolls FORWARD
+            assert settled == post
+        final = sorted((r.k, r.v) for r in
+                       sk.read_range(spark, path, "k").collect())
+        assert final == post or crash == "staged"
+
     def test_compact_spatial_restores_locality(self, spark, tmp_path):
         import random
         from hadoopgis_spark.sources.skipping import (
