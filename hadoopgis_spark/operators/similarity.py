@@ -38,6 +38,7 @@ __all__ = [
     "ivfpq_topk",
     "ivfpq_encode",
     "ivfpq_probe_rank",
+    "ivfpq_rerank_topk",
     "fit_sq_bounds",
     "sq_encode",
     "sq_topk",
@@ -873,13 +874,108 @@ def ivfpq_probe_rank(
     cand = (
         enc.join(F.broadcast(probes), "cid")
         .filter(F.col("qid") != F.col("id"))
-        .select("qid", "id", _adc_score(n_sub).alias("pq_dot"))
+        .select("cid", "qid", "id", _adc_score(n_sub).alias("pq_dot"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("pq_dot").desc(), F.col("id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col("qid").alias(q_id_col), "id", "pq_dot", "rank")
+    )
+
+
+def ivfpq_rerank_topk(
+    enc: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks,
+    k: int = 5,
+    *,
+    n_centroids: int,
+    n_probe: int,
+    dim: int,
+    centroids=None,
+    shortlist_mult: int = 4,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+) -> DataFrame:
+    """Exact-cosine re-rank over an ADC shortlist — the standard
+    recall-recovery tier for IVF-PQ (the FAISS ``IndexRefine`` idea,
+    Jégou et al. '11 §V.B): per-pair ADC error is unbounded, so the
+    top-k BY ADC can miss true neighbors; instead, rank
+    ``shortlist_mult·k`` candidates by ADC and re-score ONLY those
+    against the stored raw vectors. The codes scan still never touches
+    vectors; raw vectors are read for shortlisted ids alone — a
+    bounded join (n_queries × mult·k rows, broadcast). When
+    ``vectors`` carries the ``cid`` list id (a saved index's vectors
+    table), the shortlist join includes it, so over a cid-partitioned
+    layout unshortlisted lists are pruned at the file level (DPP).
+
+    ``vectors`` = (id, vec[, v_norm][, cid]) — ``ivf_assign`` output or
+    a saved index's vectors table; assignment must use the SAME
+    centroids as ``enc`` (assignment is a pure function, so any rebuild
+    with the same centroids matches).
+
+    Returns (q_id, id, cosine, rank): exact cosine, per-query top-k of
+    the shortlist; with a full probe and a shortlist covering every
+    candidate this IS exact top-k — the gate's oracle construction."""
+    n_sub = len(codebooks)
+    n_codes = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    qv = F.col(q_vec_col).cast("array<double>")
+
+    def q_dot(m, kk):
+        c = codebooks[m][kk]
+        sub = F.slice(qv, m * d_sub + 1, d_sub)
+        return F.aggregate(
+            F.zip_with(sub, F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    lut = F.array(
+        *[F.array(*[q_dot(m, kk) for kk in range(n_codes)]) for m in range(n_sub)]
+    )
+    probe_arr = _probe_slice(qv, n_centroids, dim, centroids, n_probe)
+    probes = queries.select(
+        F.col(q_id_col).alias("qid"),
+        lut.alias("__lut"),
+        probe_arr.alias("__pa"),
+    ).select("qid", "__lut", F.explode("__pa").alias("z")).select(
+        "qid", "__lut", F.col("z.cid").alias("cid")
+    )
+    cand = (
+        enc.join(F.broadcast(probes), "cid")
+        .filter(F.col("qid") != F.col("id"))
+        .select("cid", "qid", "id", _adc_score(n_sub).alias("pq_dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("pq_dot").desc(), F.col("id"))
+    short = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= shortlist_mult * k)
+        .select("cid", "qid", "id")
+    )
+    # raw query vectors + norms ride the (small) shortlist side
+    qside = queries.select(
+        F.col(q_id_col).alias("qid"),
+        F.col(q_vec_col).alias("qvec"),
+        norm(F.col(q_vec_col)).alias("__qn"),
+    )
+    short = short.join(qside, "qid")
+    if "v_norm" not in vectors.columns:
+        vectors = vectors.withColumn("v_norm", norm(F.col("vec")))
+    keys = ["cid", "id"] if "cid" in vectors.columns else ["id"]
+    rer = vectors.join(F.broadcast(short), keys)
+    w2 = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("id"))
+    return (
+        rer.withColumn(
+            "cosine",
+            cosine_from(dot(F.col("qvec"), F.col("vec")),
+                        F.col("__qn"), F.col("v_norm")),
+        )
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").alias(q_id_col), "id", "cosine", "rank")
     )
 
 

@@ -20,6 +20,7 @@ from hadoopgis_spark.sources.vector_index import (
     ivf_index_health,
     ivf_topk_indexed,
     ivfpq_topk_indexed,
+    ivfpq_topk_rerank_indexed,
     load_ivf_index,
     load_ivfpq_index,
     refit_ivf_index,
@@ -45,6 +46,7 @@ __all__ = [
     "save_ivfpq_index",
     "load_ivfpq_index",
     "ivfpq_topk_indexed",
+    "ivfpq_topk_rerank_indexed",
     "save_dedup_index",
     "dedup_against_index",
     "save_asof_history",

@@ -32,6 +32,7 @@ from hadoopgis_spark.operators.similarity import (
     ivf_probe_rank,
     ivfpq_encode,
     ivfpq_probe_rank,
+    ivfpq_rerank_topk,
 )
 
 __all__ = [
@@ -44,6 +45,7 @@ __all__ = [
     "save_ivfpq_index",
     "load_ivfpq_index",
     "ivfpq_topk_indexed",
+    "ivfpq_topk_rerank_indexed",
 ]
 
 
@@ -320,6 +322,7 @@ def save_ivfpq_index(
     centroids=None,
     root: str | None = None,
     impl: str = "column",
+    store_vectors: bool = False,
 ) -> list[list[float]]:
     """Persist the IVF-PQ index: (id, codes) partitioned by cid — the
     corpus compressed to ``n_sub`` bytes per vector, one inverted list
@@ -327,6 +330,12 @@ def save_ivfpq_index(
     centroids AND the PQ codebooks (JSON). This is the 100 TB serving
     artifact: what's stored, scanned and joined is codes, never raw
     vectors; unprobed lists are pruned at the file level (DPP).
+
+    ``store_vectors=True`` additionally persists the raw vectors
+    (id, vec, v_norm) cid-partitioned under ``{base}/vectors`` — the
+    FAISS refine-tier layout: candidate scans stay codes-only, and the
+    exact re-rank (:func:`ivfpq_topk_rerank_indexed`) reads raw vectors
+    only for the shortlisted ids' lists.
 
     Returns the (possibly fitted) coarse centroids.
     """
@@ -343,6 +352,15 @@ def save_ivfpq_index(
     enc.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
         f"{base}/codes"
     )
+    if store_vectors:
+        # same centroids + impl ⇒ identical cid per id (assignment is a
+        # pure function), so the rerank join's (cid, id) keys line up
+        asg = ivf_assign(
+            df, vec_col, id_col,
+            n_centroids=n_centroids, dim=dim, centroids=centroids, impl=impl,
+        )
+        asg.repartition("cid").write.mode("overwrite").partitionBy(
+            "cid").parquet(f"{base}/vectors")
     meta = json.dumps(
         {
             "dim": dim,
@@ -389,4 +407,39 @@ def ivfpq_topk_indexed(
         codes, queries, codebooks, k=k,
         n_centroids=meta["n_centroids"], n_probe=n_probe, dim=meta["dim"],
         centroids=centroids, q_id_col=q_id_col, q_vec_col=q_vec_col,
+    )
+
+
+def ivfpq_topk_rerank_indexed(
+    spark: SparkSession,
+    name: str,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    n_probe: int = 4,
+    shortlist_mult: int = 4,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_emb",
+    root: str | None = None,
+) -> DataFrame:
+    """IVF-PQ with the exact re-rank tier, against a saved index built
+    with ``store_vectors=True``: the ADC pass scans 8-byte codes under
+    DPP and shortlists ``shortlist_mult·k`` ids per query; the stored
+    raw vectors are then read ONLY for the shortlist's (cid, id) keys
+    (broadcast join → file-level pruning of unshortlisted lists) and
+    re-scored with exact cosine — recall recovers to near-exact while
+    the corpus-wide scan stays codes-only."""
+    codes, centroids, codebooks, meta = load_ivfpq_index(spark, name, root)
+    base = f"{root or _index_root(spark)}/{name}"
+    if not _fs.is_dir(f"{base}/vectors"):
+        raise ValueError(
+            f"index {name!r} was saved without store_vectors=True — "
+            "the exact re-rank tier needs the raw vectors; rebuild with "
+            "save_ivfpq_index(..., store_vectors=True)")
+    vectors = spark.read.parquet(f"{base}/vectors")
+    return ivfpq_rerank_topk(
+        codes, vectors, queries, codebooks, k=k,
+        n_centroids=meta["n_centroids"], n_probe=n_probe, dim=meta["dim"],
+        centroids=centroids, shortlist_mult=shortlist_mult,
+        q_id_col=q_id_col, q_vec_col=q_vec_col,
     )

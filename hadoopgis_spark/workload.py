@@ -4197,6 +4197,69 @@ def _ann_ivfpq_sql(
 SIM_ANN_IVFPQ_SQL = _ann_ivfpq_sql()
 
 
+def sim_ann_ivfpq_rerank(spark, sf):
+    """IVF-PQ + exact re-rank tier (the FAISS refine idea): the ADC
+    pass shortlists mult·k candidates per query from the persisted
+    code index; only those (cid, id) keys' raw vectors are read from
+    the index's vectors table (broadcast join, DPP) and re-scored with
+    exact cosine. The oracle replays the SAME two stages in SQL — ADC
+    shortlist then exact-cosine re-rank — so the truncation boundary
+    and both rankings are pinned bit-exactly."""
+    from hadoopgis_spark.sources import (ivfpq_topk_rerank_indexed,
+                                         save_ivfpq_index)
+
+    tag = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    name = f"ivfpqrridx_{tag}"
+
+    def _build():
+        e = _t(spark, sf, "embeddings")
+        save_ivfpq_index(
+            e, name, _pq_gate_codebooks(), n_centroids=16, dim=64,
+            centroids=_ivf_gate_centroids(), store_vectors=True,
+        )
+        return name
+
+    _memo(("ivfpqrridx", spark.sparkContext.applicationId, sf), _build)
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    j = ivfpq_topk_rerank_indexed(
+        spark, name, q, k=5, n_probe=4, shortlist_mult=4)
+    return j.select(
+        "q_id", F.col("id").alias("vec_id"),
+        F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def _ann_ivfpq_rerank_sql(
+    n_centroids: int = 16, n_probe: int = 4, dim: int = 64,
+    n_sub: int = 8, n_codes: int = 16, k: int = 5, mult: int = 4,
+) -> str:
+    base = _ann_ivfpq_sql(n_centroids, n_probe, dim, n_sub, n_codes,
+                          mult * k)
+    # strip the base query's final SELECT; keep its CTE chain and add
+    # the re-rank stages over the ADC shortlist (rk held mult·k rows)
+    head, _, _ = base.rpartition("SELECT q_id, id AS vec_id")
+    return f"""{head}, sl AS (
+    SELECT q_id, id FROM rk WHERE rank <= {mult * k}
+  ), rr AS (
+    SELECT sl.q_id, sl.id,
+           LIST_DOT_PRODUCT(qe.ce, ev.ce)
+             / (SQRT(LIST_DOT_PRODUCT(qe.ce, qe.ce)) * SQRT(LIST_DOT_PRODUCT(ev.ce, ev.ce))) AS cos
+    FROM sl JOIN e ev ON ev.id = sl.id JOIN e qe ON qe.id = sl.q_id
+  ), rr2 AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, id) AS rank
+    FROM rr
+  )
+  SELECT q_id, id AS vec_id, ROUND(cos, 6) AS cosine, rank
+  FROM rr2 WHERE rank <= {k}
+"""
+
+
+SIM_ANN_IVFPQ_RERANK_SQL = _ann_ivfpq_rerank_sql()
+
+
 def txt_dup_spans(spark, sf):
     """Exact duplicated-span detection (token-level Lee et al. '22):
     maximal >= 8-token spans occurring >= 2x in the corpus — the exact
@@ -7062,6 +7125,7 @@ REGISTRY: dict[str, Query] = {
     "rel_delete_range": Query(rel_delete_range, REL_DELETE_RANGE_SQL, "zonemap-priced row-level DELETE: interior files dropped metadata-only, boundary rewritten"),
     # round 10
     "rel_merge_range": Query(rel_merge_range, REL_MERGE_RANGE_SQL, "zonemap-priced MERGE/upsert: only key-containing files rewritten under the commit record"),
+    "sim_ann_ivfpq_rerank": Query(sim_ann_ivfpq_rerank, SIM_ANN_IVFPQ_RERANK_SQL, "IVF-PQ + exact-cosine re-rank of the ADC shortlist (FAISS refine tier, DPP on both scans)"),
 }
 
 # Round-7 gate prefix (the ordering contract: the driver gates

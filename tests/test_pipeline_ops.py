@@ -1552,6 +1552,120 @@ class TestProductQuantization:
         assert "BroadcastHashJoin" in plan
 
 
+class TestIvfpqRerank:
+    """Exact-cosine re-rank over the ADC shortlist (FAISS refine tier,
+    round 10): recall recovery + exactness under full coverage."""
+
+    def _fixture(self, spark, tmp_path, n=400, dim=16):
+        import numpy as np
+
+        from hadoopgis_spark.operators.similarity import (
+            fit_pq_codebooks, lloyd_fit)
+        from hadoopgis_spark.sources import save_ivfpq_index
+
+        rng = np.random.RandomState(11)
+        # uniform random UNIT vectors: normalization is standard for
+        # cosine ANN (the ADC stage ranks by approximate INNER PRODUCT,
+        # so un-normalized data would make the dot-vs-cosine gap — not
+        # quantization error — dominate the shortlist misses); tight
+        # clusters would instead produce identical PQ codes whose id
+        # tie-breaks starve the shortlist — numpy-simulated sweep
+        # picked this config (adc≈0.65 → rerank≈0.98 at mult=4)
+        x = rng.randn(n, dim)
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        df = spark.createDataFrame(
+            [(i, x[i].tolist()) for i in range(n)],
+            "vec_id long, embedding array<double>")
+        # 8 subspaces × 16 codes: ADC good enough that true neighbors
+        # reach a 4k shortlist, erring often enough that the refine
+        # tier visibly fixes ranks
+        books = fit_pq_codebooks(x[:256].tolist(), dim=dim, n_sub=8,
+                                 n_codes=16)
+        cents = lloyd_fit(x[:256].tolist(), 4, seed=1)
+        root = str(tmp_path / "ivfpq")
+        save_ivfpq_index(df, "rr", books, n_centroids=4, dim=dim,
+                         centroids=cents, root=root, store_vectors=True)
+        q = spark.createDataFrame(
+            [(i, x[i].tolist()) for i in range(0, n, 40)],
+            "q_id long, q_emb array<double>")
+        return x, df, q, books, cents, root
+
+    def _truth(self, x, qids, k):
+        import numpy as np
+        norms = np.linalg.norm(x, axis=1)
+        out = {}
+        for qi in qids:
+            cos = (x @ x[qi]) / (norms * norms[qi])
+            order = sorted(
+                (( -cos[j], j) for j in range(len(x)) if j != qi))
+            out[qi] = [j for _, j in order[:k]]
+        return out
+
+    def test_full_coverage_rerank_is_exact(self, spark, tmp_path):
+        from hadoopgis_spark.sources import ivfpq_topk_rerank_indexed
+        x, df, q, books, cents, root = self._fixture(spark, tmp_path)
+        k = 10
+        got = ivfpq_topk_rerank_indexed(
+            spark, "rr", q, k=k, n_probe=4,  # full probe: 4 of 4 lists
+            shortlist_mult=len(x),           # shortlist covers everything
+            root=root).collect()
+        truth = self._truth(x, [r.q_id for r in q.collect()], k)
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.q_id, []).append((r.rank, r.id))
+        for qi, lst in by_q.items():
+            assert [i for _, i in sorted(lst)] == truth[qi]
+
+    def test_rerank_recovers_recall_over_adc(self, spark, tmp_path):
+        from hadoopgis_spark.sources import (ivfpq_topk_indexed,
+                                             ivfpq_topk_rerank_indexed)
+        x, df, q, books, cents, root = self._fixture(spark, tmp_path)
+        k = 10
+        qids = [r.q_id for r in q.collect()]
+        truth = self._truth(x, qids, k)
+
+        def recall(rows):
+            got = {}
+            for r in rows:
+                got.setdefault(r.q_id, set()).add(
+                    r.id if hasattr(r, "id") else r.vec_id)
+            return sum(
+                len(got.get(qi, set()) & set(truth[qi])) for qi in qids
+            ) / (k * len(qids))
+
+        r_adc = recall(ivfpq_topk_indexed(
+            spark, "rr", q, k=k, n_probe=4, root=root).collect())
+        r_rr = recall(ivfpq_topk_rerank_indexed(
+            spark, "rr", q, k=k, n_probe=4, shortlist_mult=4,
+            root=root).collect())
+        # the 8x16 codebooks leave ADC visible error; the exact re-rank
+        # of a 4k shortlist must recover most of it (structurally,
+        # rerank recall >= ADC recall always — exact ranking of a
+        # superset preserves every true neighbor the shortlist holds)
+        assert r_rr > r_adc, (r_rr, r_adc)
+        assert r_rr >= 0.9, (r_rr, r_adc)
+
+    def test_rerank_requires_stored_vectors(self, spark, tmp_path):
+        from hadoopgis_spark.operators.similarity import (
+            fit_pq_codebooks, lloyd_fit)
+        from hadoopgis_spark.sources import (ivfpq_topk_rerank_indexed,
+                                             save_ivfpq_index)
+        import numpy as np
+        rng = np.random.RandomState(2)
+        x = rng.randn(64, 8)
+        df = spark.createDataFrame(
+            [(i, x[i].tolist()) for i in range(64)],
+            "vec_id long, embedding array<double>")
+        books = fit_pq_codebooks(x.tolist(), dim=8, n_sub=2, n_codes=4)
+        cents = lloyd_fit(x.tolist(), 2, seed=0)
+        root = str(tmp_path / "noraw")
+        save_ivfpq_index(df, "nr", books, n_centroids=2, dim=8,
+                         centroids=cents, root=root)  # no store_vectors
+        q = df.selectExpr("vec_id as q_id", "embedding as q_emb").limit(1)
+        with pytest.raises(ValueError, match="store_vectors"):
+            ivfpq_topk_rerank_indexed(spark, "nr", q, root=root)
+
+
 class TestCompact:
     def test_fragmented_dir_collapses(self, spark, tmp_path):
         from hadoopgis_spark.sources.compact import compact, dir_stats
