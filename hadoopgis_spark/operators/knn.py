@@ -50,6 +50,17 @@ from hadoopgis_spark.partition import partition_tiles
 
 __all__ = ["knn_join"]
 
+# diagnostics of the LAST exact-mode knn_join on this driver (tests pin
+# the point-data fast path with it): {"points": bool, "round2_skipped":
+# bool} — set per call, read-only for callers
+_LAST_EXACT_INFO: dict = {}
+
+# straggler×b candidate budget under which the whole-space sweep
+# replaces the ×√2 expansion loop (each loop round is a checkpoint +
+# isEmpty of fixed latency; ~1M bounded pairs are cheaper — measured
+# at sf0.1: 954k-pair sweep beat the loop, a 2.4M-pair sweep lost)
+_SWEEP_BUDGET = 1 << 20
+
 
 def _box_maxdist(m1: list[str], m2: list[str]) -> Column:
     """Upper bound on min geometry distance: farthest corner separation
@@ -210,9 +221,25 @@ def knn_join(
     mbb_union = a.select(*MBB_COLS) if self_join else (
         a.select(*MBB_COLS).unionByName(b.select(*MBB_COLS))
     )
-    x0, y0, x1, y1, n_total = space_extent(mbb_union)
+    # one aggregate carries the union extent AND the degenerate-box
+    # check (same job count as the old space_extent call): when every
+    # box is a point, the MBB bounds coincide with the true distance,
+    # which unlocks the round-2 skip below
+    ext = mbb_union.agg(
+        F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax"),
+        F.count(F.lit(1)),
+        F.max(F.col("xmax") - F.col("xmin")),
+        F.max(F.col("ymax") - F.col("ymin")),
+    ).collect()[0]
+    n_total = int(ext[4])
     if n_total == 0:
         return _empty(a, b, sfx1, sfx2)
+    x0, y0, x1, y1 = (float(ext[0]), float(ext[1]),
+                      float(ext[2]), float(ext[3]))
+    # geography mode ranks by haversine, for which the planar bound
+    # geometry below doesn't hold — no fast path there
+    points_data = (not geography and float(ext[5] or 0.0) == 0.0
+                   and float(ext[6] or 0.0) == 0.0)
     # the straggler radius cap must cover the farthest A-to-B distance:
     # A objects can live far outside B's extent, so use the UNION extent
     # diagonal (capping at B's own diagonal silently starved far-away
@@ -268,6 +295,15 @@ def knn_join(
             max_distance, out_cols,
         )
 
+    # round-2 skip (point data, single plane-covering tile): _thi IS the
+    # true distance, and one ±inf-extended tile holds EVERY candidate,
+    # so each bounded object's round-1 per-tile top-k is its global
+    # top-k outright — no re-probe exists to run. (A per-object
+    # containment test for multi-tile layouts was measured in round 10:
+    # it proves only ~10% of objects at realistic density and costs an
+    # extra containment-column checkpoint — not worth carrying.)
+    single_tile_points = points_data and len(tiles) == 1
+
     # round 1: tile-local candidates → per-object provable radius bound
     # u = k-th smallest upper-bound distance among tile candidates (k
     # real neighbors exist within u, so the true k-th distance <= u).
@@ -282,6 +318,8 @@ def knn_join(
         F.col("_trn") <= k
     )
     c1 = c1.select(*sel_cols, "_thi").dropDuplicates([idc1, idc2])
+    if single_tile_points:
+        c1 = durable_checkpoint(c1)  # consumed by u AND the fast path
     w = Window.partitionBy(idc1).orderBy(F.col("_thi").asc(), F.col(idc2).asc())
     u = (
         c1.withColumn("_rn", F.row_number().over(w))
@@ -290,25 +328,121 @@ def knn_join(
         .transform(durable_checkpoint)  # consumed by join AND anti-join
     )
 
-    # round 2: re-probe each bounded object with its own radius — the
-    # padded tile join is a provable superset of its true k nearest
-    bounded = at.join(u, idc1)
-    c2 = (
-        tile_cand(bounded, F.col("_u"))
-        .filter(lo <= F.col("_u"))
-        .select(*sel_cols)
-        .dropDuplicates([idc1, idc2])
+    # ONE bounded count over the (checkpointed) u frame — with n_a
+    # already known from the extent aggregates, a fully-bounded run
+    # skips the straggler machinery (checkpoint + isEmpty) outright
+    n_u = u.count()
+    n_a = n_total if self_join else n_total - n_b
+    n_fast = n_u if single_tile_points else 0
+    n_slow = n_u - n_fast
+    n_strag = n_a - n_u
+    round2_skipped = single_tile_points
+    # first probe radius for UNBOUNDED objects (< k tile candidates):
+    # the reference's density heuristic (knn_2d.hpp:86-93), floored by
+    # the median finite tile diagonal — a straggler's own tile lacks k
+    # candidates by definition, so its neighbors live about a tile
+    # away; starting below that wastes a whole expansion round
+    finite_diags = sorted(
+        math.hypot(t[3] - t[1], t[4] - t[2]) for t in tiles
+        if all(math.isfinite(v) for v in t[1:])
     )
+    med_diag = finite_diags[len(finite_diags) // 2] if finite_diags else 0.0
+    r0 = max(1e-9, 1.5 * math.sqrt(space_area * k / n_b), med_diag)
 
-    # stragglers (< k tile candidates — sparse corners): the reference's
-    # ×√2 expanding search, each probe a padded tile join over ONLY the
-    # still-unsatisfied objects; final round sweeps the union diagonal
-    collected = c2
-    remaining = at.join(u, idc1, "left_anti").transform(durable_checkpoint)
-    # density radius heuristic, knn_2d.hpp:86-93
-    r = max(1e-9, 1.5 * math.sqrt(space_area * k / n_b))
-    rounds = 0
-    while rounds < max_rounds and not remaining.isEmpty():
+    _LAST_EXACT_INFO.clear()
+    _LAST_EXACT_INFO.update(points=points_data, n_objects=n_a, n_fast=n_fast,
+                            round2_skipped=round2_skipped,
+                            stragglers=n_strag)
+
+    # proven-fast objects ship their round-1 candidates directly
+    parts: list[DataFrame] = []
+    if round2_skipped and n_fast:
+        parts.append(
+            c1.join(u.select(idc1), idc1, "left_semi").select(*sel_cols))
+    remaining = None
+    if n_strag:
+        # no checkpoint here: u is checkpointed and small, so this
+        # anti-join replans as a cheap broadcast filter over `at` for
+        # each of its (at most two) consumers
+        remaining = at.join(u, idc1, "left_anti")
+
+    # whole-space sweep shortcut: when the straggler set is small
+    # enough that straggler×b candidates are bounded (driver-side
+    # arithmetic — both counts are known), probe them at the full
+    # diagonal IMMEDIATELY: one merged join replaces the entire ×√2
+    # expansion loop (each loop round costs a checkpoint + isEmpty of
+    # fixed latency). At scale a large straggler set falls back to the
+    # reference's expansion.
+    r_strag = diag if n_strag * n_b <= _SWEEP_BUDGET else r0
+
+    # round 2 — ONE padded tile join carries BOTH re-probe tiers:
+    # radius-bounded objects probe with their proven _u (superset
+    # guarantee as before), and unbounded stragglers ride along with
+    # radius r_strag as their first ×√2 expansion round — merging what
+    # used to be two sequential joins (+ a checkpoint)
+    probe_parts = []
+    if n_slow:
+        probe_parts.append(
+            at.join(u, idc1).withColumn("_proven", F.lit(True)))
+    if n_strag:
+        probe_parts.append(
+            remaining.withColumn("_u", F.lit(float(r_strag)))
+                     .withColumn("_proven", F.lit(False)))
+    if probe_parts:
+        probe = probe_parts[0]
+        for p in probe_parts[1:]:
+            probe = probe.unionByName(p)
+        c2 = (
+            tile_cand(probe, F.col("_u"))
+            .withColumn("_lo", lo)
+            .filter(F.col("_lo") <= F.col("_u"))
+            .select(*sel_cols, "_proven")
+            .dropDuplicates([idc1, idc2])
+            .withColumn("_shi", _box_maxdist(m1, m2))
+        )
+        if n_strag:
+            c2 = durable_checkpoint(c2)  # 4 consumers below
+            parts.append(
+                c2.filter(F.col("_proven")).select(*sel_cols))
+            unproven = c2.filter(~F.col("_proven"))
+            # an unbounded object is provably satisfied once >= k
+            # candidates have UPPER bound <= r_strag (its candidate set
+            # then contains all true neighbors: k-th distance <=
+            # r_strag and every lo <= r_strag pair is in)
+            sat_ids = (
+                unproven.filter(F.col("_shi") <= r_strag)
+                .groupBy(idc1)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") >= k)
+                .select(idc1)
+            )
+            parts.append(
+                unproven.join(sat_ids, idc1, "left_semi").select(*sel_cols))
+            if r_strag >= diag:
+                # whole space covered in the merged probe: the rest
+                # keep whatever neighbors exist
+                parts.append(unproven.join(sat_ids, idc1, "left_anti")
+                             .select(*sel_cols))
+                remaining = None
+            else:
+                remaining = remaining.join(sat_ids, idc1, "left_anti") \
+                    .transform(durable_checkpoint)
+        else:
+            parts.append(c2.select(*sel_cols))
+    if not parts:  # a empty (n_a == 0): nothing to rank
+        return _empty(a, b, sfx1, sfx2)
+    collected = parts[0]
+    for p in parts[1:]:
+        collected = collected.unionByName(p)
+
+    # straggler survivors (sparse corners the merged r0 probe could not
+    # prove): the reference's ×√2 expanding search, each probe a padded
+    # tile join over ONLY the still-unsatisfied objects; final round
+    # sweeps the union diagonal
+    r = r0 * math.sqrt(2.0)  # the merged probe was the first round
+    rounds = 1
+    while remaining is not None and rounds < max_rounds \
+            and not remaining.isEmpty():
         rounds += 1
         if rounds == max_rounds:
             r = max(r, diag)  # safety net: whole-space sweep terminates
@@ -321,9 +455,7 @@ def knn_join(
             .withColumn("_shi", _box_maxdist(m1, m2))
             .transform(durable_checkpoint)
         )
-        # an object is provably satisfied once >= k candidates have
-        # UPPER bound <= r (its candidate set then contains all true
-        # neighbors: k-th distance <= r and every lo <= r pair is in)
+        # same satisfaction proof as the merged round, at radius r
         sat_ids = (
             cand.filter(F.col("_shi") <= r)
             .groupBy(idc1)

@@ -206,6 +206,78 @@ class TestKnnJoin:
             for (ed, eid), (gd, gid) in zip(dists[:k], gotk):
                 assert gid == eid and gd == pytest.approx(ed, rel=1e-9)
 
+    def test_exact_knn_point_fast_path_skips_round2(self, spark):
+        """Round-10 fast path: on point data each object's k-th
+        tile-local candidate distance pads a box; when that box stays
+        inside the object's own tile the round-1 list is provably
+        final. Single-tile layouts (plane-covering ±inf bounds) prove
+        EVERY object, so round 2 (the per-object-radius re-probe) is
+        SKIPPED entirely — strictly fewer Spark jobs than a run that
+        needs it — and parity must hold regardless."""
+        import math as _math
+        import random
+
+        from hadoopgis_spark.operators import knn as knn_mod
+
+        rng = random.Random(5)
+        # dense interior cloud, multi-tile (bucket_size forces ~8 tiles)
+        pts_a = [(i, rng.uniform(100, 900), rng.uniform(100, 900))
+                 for i in range(300)]
+        pts_b = [(i, rng.uniform(0, 1000), rng.uniform(0, 1000))
+                 for i in range(900)]
+        dfa = spark.createDataFrame(
+            [(i, x, y, x, y) for i, x, y in pts_a],
+            "id long, xmin double, ymin double, xmax double, ymax double")
+        dfb = spark.createDataFrame(
+            [(i, x, y, x, y) for i, x, y in pts_b],
+            "id long, xmin double, ymin double, xmax double, ymax double")
+        k = 3
+
+        def run(tag, **kw):
+            sc = spark.sparkContext
+            sc.setJobGroup(tag, tag)
+            try:
+                rows = knn_join(dfa, dfb, k=k, mode="exact", **kw).collect()
+            finally:
+                sc.setJobGroup(None, None)
+            jobs = len(sc.statusTracker().getJobIdsForGroup(tag))
+            return rows, jobs, dict(knn_mod._LAST_EXACT_INFO)
+
+        # one plane-covering tile (bucket >= n): every padded box is
+        # inside its (±inf-extended) tile, so round 2 vanishes
+        got, n_jobs_fast, info = run("knn-fast", bucket_size=10_000)
+        assert info["points"] and info["round2_skipped"]
+        assert info["n_fast"] == info["n_objects"] == 300
+        assert info["stragglers"] == 0
+
+        # parity vs brute force
+        by_left = {}
+        for r in got:
+            by_left.setdefault(r.id_1, []).append((r.distance, r.id_2))
+        for ia, xa, ya in pts_a:
+            dists = sorted((_math.hypot(xa - xb, ya - yb), ib)
+                           for ib, xb, yb in pts_b)
+            gotk = sorted(by_left[ia])
+            assert len(gotk) == k
+            for (ed, eid), (gd, gid) in zip(dists[:k], gotk):
+                assert gid == eid and gd == pytest.approx(ed, rel=1e-9)
+
+        # box data on the same layout CANNOT take the fast path (bounds
+        # aren't exact distances) — round 2 runs, costing more jobs
+        boxa = dfa.selectExpr("id", "xmin", "ymin",
+                              "xmax + 1.0 as xmax", "ymax + 1.0 as ymax")
+        sc = spark.sparkContext
+        sc.setJobGroup("knn-slow", "knn-slow")
+        try:
+            knn_join(boxa, dfb, k=k, mode="exact",
+                     bucket_size=10_000).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        n_jobs_slow = len(sc.statusTracker().getJobIdsForGroup("knn-slow"))
+        assert knn_mod._LAST_EXACT_INFO["points"] is False
+        assert knn_mod._LAST_EXACT_INFO["round2_skipped"] is False
+        assert n_jobs_fast < n_jobs_slow, (n_jobs_fast, n_jobs_slow)
+
     def test_exact_knn_self_join_multi_tile(self, spark):
         """J2-style exact self-kNN through the two-round tile path:
         self pairs excluded, parity vs brute force, multi-tile forced."""
