@@ -375,16 +375,22 @@ def _seg_seg_dist2(p1, p2, p3, p4) -> float:
 
 
 def _pt_seg_dist2(p, a, b) -> float:
+    # squares via EXPLICIT multiplication, not ``** 2``: this libm's
+    # pow(x, 2.0) is 1 ulp BELOW the correctly-rounded square for some
+    # inputs (observed round 10), and the numpy batch kernels
+    # (geometry/vectorized.py) compute x*x — multiplication is the
+    # IEEE-correct square, and it keeps scalar and batch bit-identical
     ax, ay = a
     bx, by = b
     px, py = p
     dx, dy = bx - ax, by - ay
     l2 = dx * dx + dy * dy
     if l2 <= 0:
-        return (px - ax) ** 2 + (py - ay) ** 2
+        ex, ey = px - ax, py - ay
+        return ex * ex + ey * ey
     t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / l2))
-    cx, cy = ax + t * dx, ay + t * dy
-    return (px - cx) ** 2 + (py - cy) ** 2
+    ex, ey = px - (ax + t * dx), py - (ay + t * dy)
+    return ex * ex + ey * ey
 
 
 def _boundary_segments(geom: Geometry):

@@ -21,7 +21,13 @@ import numpy as np
 
 from hadoopgis_spark.geometry.kernel import _EPS
 
-__all__ = ["batch_single_ring_intersects", "batch_points_in_single_ring", "MAX_VECTOR_VERTS"]
+__all__ = [
+    "batch_single_ring_intersects",
+    "batch_points_in_single_ring",
+    "batch_single_ring_distance",
+    "batch_points_to_single_ring_distance",
+    "MAX_VECTOR_VERTS",
+]
 
 MAX_VECTOR_VERTS = 16  # rings larger than this go to the scalar kernel
 
@@ -119,6 +125,90 @@ def batch_points_in_single_ring(points: np.ndarray, rings: list[np.ndarray]) -> 
     V2 = np.concatenate([V[:, 1:], V[:, -1:]], axis=1)
     V2[rows, counts - 1] = V[:, 0]
     return _points_in_rings(points, V, V2, counts)
+
+
+def _edges(V: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Edge END array matching start array ``V``: shift-by-one with the
+    closing edge scatter-fixed; pad edges are zero-length (inert)."""
+    rows = np.arange(len(V))
+    V2 = np.concatenate([V[:, 1:], V[:, -1:]], axis=1)
+    V2[rows, counts - 1] = V[:, 0]
+    return V2
+
+
+def _pts_to_segs_min_d2(P: np.ndarray, S: np.ndarray, S2: np.ndarray) -> np.ndarray:
+    """Per-row min squared distance from any point of ``P`` (n, mp, 2)
+    to any segment (``S``, ``S2``) (n, ms, 2). The clamped-projection
+    formula is ``kernel._pt_seg_dist2`` verbatim (zero-length segments
+    fall back to the endpoint distance via t=0), so every candidate
+    term is bit-identical to the scalar kernel's and the min picks the
+    same double."""
+    px = P[:, :, None, 0]
+    py = P[:, :, None, 1]
+    ax = S[:, None, :, 0]
+    ay = S[:, None, :, 1]
+    bx = S2[:, None, :, 0]
+    by = S2[:, None, :, 1]
+    dx, dy = bx - ax, by - ay
+    l2 = dx * dx + dy * dy
+    t = np.where(
+        l2 > 0,
+        ((px - ax) * dx + (py - ay) * dy) / np.where(l2 > 0, l2, 1.0),
+        0.0,
+    )
+    t = np.clip(t, 0.0, 1.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    # explicit multiplies (not **2): guaranteed correctly-rounded
+    # squares on every numpy version, matching the scalar kernel
+    ex, ey = px - cx, py - cy
+    d2 = ex * ex + ey * ey
+    return d2.min(axis=(1, 2))
+
+
+def batch_single_ring_distance(
+    rings_a: list[np.ndarray], rings_b: list[np.ndarray]
+) -> np.ndarray:
+    """Pairwise min distance for NON-INTERSECTING closed single-ring
+    pairs (callers resolve intersecting pairs to 0.0 first, mirroring
+    the scalar kernel's order). For disjoint rings no segment pair
+    intersects, so ``kernel._seg_seg_dist2`` degenerates to the min of
+    its four point-to-segment terms — and the union of those terms over
+    ALL segment pairs is exactly {A-vertex × B-segment} ∪ {B-vertex ×
+    A-segment}, which is what this evaluates. Pad vertices repeat a
+    real vertex and pad segments are zero-length at a real vertex, so
+    every pad term duplicates or dominates a real term — the min is
+    untouched. Bit-identical to ``kernel.distance`` on this shape."""
+    n = len(rings_a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    ma = max(len(r) - 1 for r in rings_a)
+    mb = max(len(r) - 1 for r in rings_b)
+    A, ca = _pad_rings(rings_a, ma)
+    B, cb = _pad_rings(rings_b, mb)
+    A2 = _edges(A, ca)
+    B2 = _edges(B, cb)
+    d2 = np.minimum(
+        _pts_to_segs_min_d2(A, B, B2),
+        _pts_to_segs_min_d2(B, A, A2),
+    )
+    return np.sqrt(d2)
+
+
+def batch_points_to_single_ring_distance(
+    points: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Pairwise min distance from (n, 2) points to n closed single
+    rings for points NOT intersecting their ring (callers resolve
+    inside/boundary points to 0.0 first): min point-to-segment distance
+    over the ring's edges — ``kernel.distance``'s POINT branch
+    verbatim."""
+    n = len(rings)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    maxv = max(len(r) - 1 for r in rings)
+    V, counts = _pad_rings(rings, maxv)
+    V2 = _edges(V, counts)
+    return np.sqrt(_pts_to_segs_min_d2(points[:, None, :], V, V2))
 
 
 def _points_in_rings(pts: np.ndarray, V: np.ndarray, V2: np.ndarray, counts: np.ndarray) -> np.ndarray:

@@ -337,3 +337,89 @@ class TestMonteCarloCrossCheck:
             assert equals(w, w)
             assert intersection_area(w, w) == pytest.approx(g.area, rel=1e-6)
             assert jaccard(w, w) == pytest.approx(1.0, rel=1e-6)
+
+
+class TestBatchDistanceParity:
+    """Round-10 vectorized distance kernels: bit-identical (==, not
+    approx) to the scalar kernel on every routed shape — the same hard
+    requirement the batch intersects path carries."""
+
+    @staticmethod
+    def _ring(rng, cx, cy, r, nv):
+        import math as m
+        pts = []
+        for j in range(nv):
+            a = 2 * m.pi * j / nv + rng.uniform(0, 0.4)
+            rr = r * rng.uniform(0.4, 1.0)
+            pts.append((cx + rr * m.cos(a), cy + rr * m.sin(a)))
+        pts.append(pts[0])
+        return np.asarray(pts, dtype=np.float64)
+
+    def test_ring_pairs_match_scalar_exactly(self):
+        from hadoopgis_spark.geometry import kernel as K
+        from hadoopgis_spark.geometry.vectorized import (
+            batch_single_ring_distance, batch_single_ring_intersects)
+        from hadoopgis_spark.geometry.kernel import Geometry
+
+        rng = random.Random(23)
+        ra, rb, expect = [], [], []
+        pairs = []
+        for _ in range(400):
+            # mix: far apart, near, overlapping (overlaps resolved to
+            # 0.0 by the intersects-first order, like the scalar)
+            d = rng.choice([0.0, 1.0, 3.0, 15.0, 80.0])
+            A = self._ring(rng, rng.uniform(0, 100), rng.uniform(0, 100),
+                           rng.uniform(1, 5), rng.randrange(3, 9))
+            B = self._ring(rng, A[0][0] + d * rng.uniform(0.6, 1.4),
+                           A[0][1] + d * rng.uniform(-1, 1),
+                           rng.uniform(1, 5), rng.randrange(3, 9))
+            ga = Geometry("POLYGON", [A])
+            gb = Geometry("POLYGON", [B])
+            pairs.append((ga, gb))
+            ra.append(A)
+            rb.append(B)
+            expect.append(K.distance(ga, gb))
+        inter = batch_single_ring_intersects(ra, rb)
+        got = np.zeros(len(ra))
+        dis = np.nonzero(~inter)[0]
+        got[dis] = batch_single_ring_distance(
+            [ra[j] for j in dis], [rb[j] for j in dis])
+        mismatches = [
+            (i, got[i], expect[i]) for i in range(len(ra))
+            if got[i] != expect[i]
+        ]
+        assert not mismatches, mismatches[:5]
+        assert (got[dis] > 0).any() and inter.any()  # both tiers hit
+
+    def test_point_to_ring_matches_scalar_exactly(self):
+        from hadoopgis_spark.geometry import kernel as K
+        from hadoopgis_spark.geometry.vectorized import (
+            batch_points_in_single_ring, batch_points_to_single_ring_distance)
+        from hadoopgis_spark.geometry.kernel import Geometry
+
+        rng = random.Random(31)
+        pts, rings, expect = [], [], []
+        for _ in range(400):
+            R = self._ring(rng, rng.uniform(0, 50), rng.uniform(0, 50),
+                           rng.uniform(1, 6), rng.randrange(3, 9))
+            # half the points inside-ish, half away
+            if rng.random() < 0.5:
+                p = (R[0][0] + rng.uniform(-1, 1), R[0][1] + rng.uniform(-1, 1))
+            else:
+                p = (rng.uniform(-100, 150), rng.uniform(-100, 150))
+            pts.append(p)
+            rings.append(R)
+            expect.append(
+                K.distance(Geometry("POINT", p), Geometry("POLYGON", [R])))
+        P = np.asarray(pts, dtype=np.float64)
+        ins = batch_points_in_single_ring(P, rings)
+        got = np.zeros(len(pts))
+        dis = np.nonzero(~ins)[0]
+        got[dis] = batch_points_to_single_ring_distance(
+            P[dis], [rings[j] for j in dis])
+        mismatches = [
+            (i, got[i], expect[i]) for i in range(len(pts))
+            if got[i] != expect[i]
+        ]
+        assert not mismatches, mismatches[:5]
+        assert ins.any() and (got > 0).any()
