@@ -39,7 +39,12 @@ from hadoopgis_spark.sources.skipping import (
     _write_manifest,
 )
 
-__all__ = ["ingest_batch_sorted", "streaming_ingest_sorted"]
+__all__ = [
+    "ingest_batch_sorted",
+    "streaming_ingest_sorted",
+    "ingest_batch_merge",
+    "streaming_ingest_merge",
+]
 
 
 def ingest_batch_sorted(df: DataFrame, batch_id: int, path: str,
@@ -122,6 +127,82 @@ def streaming_ingest_sorted(stream: DataFrame, path: str, order_col: str,
         ingest_batch_sorted(df, bid, path, order_col, n_files=n_files)
         if compact_every and (bid + 1) % compact_every == 0:
             compact_range_sorted(df.sparkSession, path, order_col,
+                                 small_bytes=compact_small_bytes,
+                                 n_files=compact_n_files)
+        if bloom_cols:
+            build_bloom_index(df.sparkSession, path, list(bloom_cols),
+                              n_items=bloom_n_items)
+        if agg_cols:
+            build_agg_index(df.sparkSession, path, list(agg_cols))
+
+    writer = stream.writeStream.foreachBatch(_body).option(
+        "checkpointLocation", checkpoint)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def ingest_batch_merge(df: DataFrame, batch_id: int, path: str,
+                       key_col: str, *, n_files: int | None = None) -> None:
+    """CDC-style UPSERT of one micro-batch keyed on ``key_col``: the
+    first batch creates the clustered layout
+    (``skipping.save_range_sorted``); every later batch merges through
+    ``skipping.merge_range`` — delete-then-insert per key, priced by
+    the zonemap (only key-containing files rewritten, under the
+    crash-safe commit record).
+
+    NATURALLY idempotent under foreachBatch's at-least-once contract:
+    re-merging a replayed batch deletes exactly the rows its previous
+    attempt inserted and re-inserts them — same final state, NO
+    batch-id bookkeeping (the append path needs its ``b{id}-`` file
+    naming; the merge path's semantics make replay a no-op by
+    construction). ``batch_id`` is accepted for the foreachBatch
+    signature and ignored. Single-writer per table, like every
+    maintenance op in the skipping module. Batch keys must be non-null
+    (merge_range refuses) — CDC keys are primary keys."""
+    if df.isEmpty():
+        return
+    spark = df.sparkSession
+    from hadoopgis_spark.sources.skipping import (merge_range,
+                                                  save_range_sorted)
+    if _fs.is_dir(os.path.join(path, "_hgs_manifest")):
+        merge_range(spark, path, df, key_col, n_files=n_files)
+    else:
+        # a crash between the first batch's data write and its manifest
+        # write leaves a manifest-less directory; the retry lands here
+        # again and save's overwrite mode clears it — exactly-once
+        save_range_sorted(df, path, key_col, n_files=n_files or 4)
+
+
+def streaming_ingest_merge(stream: DataFrame, path: str, key_col: str,
+                           *, checkpoint: str,
+                           n_files: int | None = None,
+                           trigger: dict | None = None,
+                           compact_every: int | None = None,
+                           compact_small_bytes: int = 32 * 1024 * 1024,
+                           compact_n_files: int = 1,
+                           bloom_cols: tuple[str, ...] = (),
+                           bloom_n_items: int = 100_000,
+                           agg_cols: tuple[str, ...] = ()):
+    """Start a CDC upsert query: every micro-batch of ``stream`` is
+    MERGED by ``key_col`` into the layout at ``path`` (last writer
+    wins per key — the streaming face of ``merge_range``, the way
+    ``streaming_ingest_sorted`` is the streaming face of append).
+    ``compact_every``/``bloom_cols``/``agg_cols`` fold the same
+    maintenance hooks into the loop as the append ingest: merge keeps
+    rewritten files clustered, pure-insert batches accrete files that
+    compaction folds, and the bloom/sum manifests stay O(batch) fresh
+    (rewritten files lost their index rows with the old files; the
+    incremental builders re-cover them). Returns the running
+    StreamingQuery."""
+    from hadoopgis_spark.sources.bloom import build_bloom_index
+    from hadoopgis_spark.sources.skipping import (build_agg_index,
+                                                  compact_range_sorted)
+
+    def _body(df: DataFrame, bid: int) -> None:
+        ingest_batch_merge(df, bid, path, key_col, n_files=n_files)
+        if compact_every and (bid + 1) % compact_every == 0:
+            compact_range_sorted(df.sparkSession, path, key_col,
                                  small_bytes=compact_small_bytes,
                                  n_files=compact_n_files)
         if bloom_cols:

@@ -6294,6 +6294,62 @@ SRC_STREAM_INGEST_SQL = """
 """
 
 
+def src_stream_merge(spark, sf):
+    """CDC upsert ingestion end-to-end as a gate (round 10): three
+    micro-batches land through ``ingest_batch_merge`` — the base
+    snapshot, a price-doubling correction for keys %5, then a
+    +100 correction for keys %7 (LAST WRITER WINS where they overlap,
+    keys %35). Batch 2 is deliberately applied TWICE: merge's
+    delete-then-insert semantics make foreachBatch replay idempotent
+    by construction (no batch-id bookkeeping — asserted via the
+    replay's replaced_rows == its batch_rows). The final table serves
+    through ``read_range``; parity with the CASE-rewritten oracle pins
+    upsert ordering, idempotency, and the merged layout end to end."""
+    from hadoopgis_spark.sources.skipping import merge_range, read_range
+    from hadoopgis_spark.streaming.ingest import ingest_batch_merge
+    path = f"{_skip_root(spark)}/orders_merged_{os.path.basename(os.path.normpath(sf))}"
+
+    def _build():
+        # bounded key slice: the gate pins the upsert PROTOCOL, not
+        # table-scan throughput (src_stream_ingest's convention)
+        o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 30_000)
+        ingest_batch_merge(o, 0, path, "o_orderkey", n_files=4)
+        b1 = (o.filter(F.col("o_orderkey") % 5 == 0)
+              .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+        ingest_batch_merge(b1, 1, path, "o_orderkey")
+        b2 = (o.filter(F.col("o_orderkey") % 7 == 0)
+              .withColumn("o_totalprice", F.col("o_totalprice") + 100))
+        ingest_batch_merge(b2, 2, path, "o_orderkey")
+        # at-least-once replay: same batch again must be a pure
+        # overwrite of its own rows
+        stats = merge_range(spark, path, b2, "o_orderkey")
+        if stats["replaced_rows"] != stats["batch_rows"]:
+            raise AssertionError(f"replay was not idempotent: {stats}")
+        return True
+
+    _memo(("stream_merge_orders", spark.sparkContext.applicationId, sf),
+          _build)
+    df = read_range(spark, path, "o_orderkey")
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+         .alias("cents"),
+    )
+
+
+SRC_STREAM_MERGE_SQL = """
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(ROUND(
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+                WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey <= 30000
+  GROUP BY o_orderstatus
+"""
+
+
 def rel_zorder_pruned(spark, sf):
     """Multi-dimensional zonemap: lineitem Z-ORDER-clustered on
     (l_orderkey, l_partkey); the gate queries a selective range on the
@@ -7126,6 +7182,7 @@ REGISTRY: dict[str, Query] = {
     # round 10
     "rel_merge_range": Query(rel_merge_range, REL_MERGE_RANGE_SQL, "zonemap-priced MERGE/upsert: only key-containing files rewritten under the commit record"),
     "sim_ann_ivfpq_rerank": Query(sim_ann_ivfpq_rerank, SIM_ANN_IVFPQ_RERANK_SQL, "IVF-PQ + exact-cosine re-rank of the ADC shortlist (FAISS refine tier, DPP on both scans)"),
+    "src_stream_merge": Query(src_stream_merge, SRC_STREAM_MERGE_SQL, "CDC upsert ingestion: merge_range per micro-batch, last-writer-wins, replay-idempotent by construction"),
 }
 
 # Round-7 gate prefix (the ordering contract: the driver gates

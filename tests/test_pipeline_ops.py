@@ -3820,6 +3820,60 @@ class TestCharEntropy:
         assert abs(got[6] - 1.0) < 1e-12
 
 
+class TestStreamingIngestMerge:
+    """CDC upsert ingestion (round 10): merge_range per micro-batch."""
+
+    def test_batch_face_upsert_and_replay_idempotent(self, spark, tmp_path):
+        from hadoopgis_spark.sources.skipping import read_range
+        from hadoopgis_spark.streaming.ingest import ingest_batch_merge
+        out = str(tmp_path / "tbl")
+        b0 = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit(0).alias("v"))
+        ingest_batch_merge(b0, 0, out, "k", n_files=4)
+        # batch 1: updates 300-399 + inserts 2000-2019
+        b1 = spark.createDataFrame(
+            [(k, 1) for k in range(300, 400)]
+            + [(k, 1) for k in range(2000, 2020)], "k bigint, v bigint")
+        ingest_batch_merge(b1, 1, out, "k")
+        ingest_batch_merge(b1, 1, out, "k")  # at-least-once replay
+        # batch 2 overwrites part of batch 1's keys — last writer wins
+        b2 = spark.createDataFrame(
+            [(k, 2) for k in range(350, 450)], "k bigint, v bigint")
+        ingest_batch_merge(b2, 2, out, "k")
+        got = {(r.k, r.v) for r in read_range(spark, out, "k").collect()}
+        expect = {(k, 2 if 350 <= k <= 449 else 1 if 300 <= k <= 349 else 0)
+                  for k in range(1000)}
+        expect |= {(k, 1) for k in range(2000, 2020)}
+        assert got == expect
+
+    def test_real_stream_matches_batch_face(self, spark, tmp_path):
+        from hadoopgis_spark.sources.skipping import read_range
+        from hadoopgis_spark.streaming.ingest import streaming_ingest_merge
+        src = str(tmp_path / "src")
+        base = spark.range(0, 500).select(
+            F.col("id").alias("k"), F.lit(0).alias("v"))
+        upd = spark.createDataFrame(
+            [(k, 9) for k in range(100, 200)]
+            + [(k, 9) for k in range(900, 920)], "k bigint, v bigint")
+        base.coalesce(1).write.parquet(src)
+        upd.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema("k bigint, v bigint")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = str(tmp_path / "tbl")
+        q = streaming_ingest_merge(
+            stream, out, "k", checkpoint=str(tmp_path / "chk"),
+            trigger={"availableNow": True}, agg_cols=("v",))
+        q.awaitTermination(180)
+        got = {(r.k, r.v) for r in read_range(spark, out, "k").collect()}
+        expect = {(k, 9 if 100 <= k <= 199 else 0) for k in range(500)}
+        expect |= {(k, 9) for k in range(900, 920)}
+        assert got == expect
+        # the agg-manifest hook kept sum_range fresh across the merges
+        from hadoopgis_spark.sources.skipping import sum_range
+        s, n = sum_range(spark, out, "v")
+        assert (s, n) == (sum(v for _, v in expect), len(expect))
+
+
 class TestStreamingIngest:
     """foreachBatch ingestion into the zonemap layout (streaming/ingest)."""
 
