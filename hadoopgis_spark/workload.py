@@ -7332,9 +7332,58 @@ _R9_PREFIX = [
     "rel_q1_pricing", "rel_corr",
 ]
 assert len(_R9_PREFIX) == 50 and len(set(_R9_PREFIX)) == 50
+
+# Round-10 rotation. The first 3 slots are the round-10 NEW gates
+# (zonemap-priced MERGE/upsert, the IVF-PQ exact re-rank tier, CDC
+# upsert ingestion); next is every gate whose code churned in round 10
+# and therefore re-earns its driver row under the new computation:
+#   - the pyarrow.fs facade port of the whole metadata tier
+#     (skipping/bloom/loader/ingest I/O, agg+bloom two-rename swaps,
+#     merge plumbing, staleness-safe pruned views): every rel_*/sp_*
+#     zonemap/bloom/sql-view gate, src_stream_ingest,
+#     sp_loaded_containment, src_memo_stage
+#   - knn.py exact-mode restructure (single-tile skip, merged straggler
+#     probe, sweep shortcut): the four kNN gates
+#   - similarity.py ivfpq_probe_rank cid plumbing + vector_index refit
+#     staging / health short-circuit / store_vectors: sim_ann_ivfpq,
+#     sim_ann_ivfpq_indexed, sim_ann_ivf_indexed, sim_ann_ivf_appended
+#   - kernel._pt_seg_dist2 pow→multiply + batched st_distance/st_dwithin:
+#     sp_dwithin_points, sp_join_bucketed_dwithin, sp_box_measures,
+#     sp_containment_wkt, sp_touches_wkt
+# The remainder are multi-round-green keepers across every surface.
+# Rotated OUT (driver-green r9, untouched in r10): sp_adjacent_wkt,
+# sp_disjoint_tile, dedup_jaccard_prefix, dedup_keep_best, sim_semdedup,
+# txt_bpe_wordfreq, cur_contamination, stream_sliding_batch,
+# stream_near_dedup_batch, sp_knn_exact_... (none — all kNN stay).
+_R10_PREFIX = [
+    # new round-10 gates
+    "rel_merge_range", "sim_ann_ivfpq_rerank", "src_stream_merge",
+    # round-10 churned code, re-earning driver rows
+    "rel_range_pruned", "rel_range_appended", "rel_range_compacted",
+    "rel_count_pruned", "rel_minmax_pruned", "rel_count_multi",
+    "rel_zorder_pruned", "rel_sum_pruned", "rel_delete_range",
+    "rel_sql_pruned", "rel_bloom_pruned", "rel_bloom_isin",
+    "sp_containment_pruned", "sp_window_compacted", "sp_count_window",
+    "sp_sum_window", "sp_sql_window", "src_stream_ingest",
+    "sp_loaded_containment", "src_memo_stage",
+    "sp_knn", "sp_knn_capped", "sp_knn_tile", "sp_knn_exact_scaled",
+    "sim_ann_ivfpq", "sim_ann_ivfpq_indexed",
+    "sim_ann_ivf_indexed", "sim_ann_ivf_appended",
+    "sp_dwithin_points", "sp_join_bucketed_dwithin", "sp_box_measures",
+    "sp_containment_wkt", "sp_touches_wkt",
+    # keepers: multi-round driver-green anchors across every surface
+    "sp_join_boxes", "sp_join_self",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
+    "sim_ann_topk", "sim_ann_ivf",
+    "txt_stats", "txt_sql_surface",
+    "cur_pipeline",
+    "stream_ann_batch", "stream_sessionize",
+    "rel_q1_pricing", "rel_corr",
+]
+assert len(_R10_PREFIX) == 50 and len(set(_R10_PREFIX)) == 50
 REGISTRY = {
-    **{n: REGISTRY[n] for n in _R9_PREFIX},
-    **{n: q for n, q in REGISTRY.items() if n not in set(_R9_PREFIX)},
+    **{n: REGISTRY[n] for n in _R10_PREFIX},
+    **{n: q for n, q in REGISTRY.items() if n not in set(_R10_PREFIX)},
 }
 # Stable alias for tests/tools: the driver gates REGISTRY[:len(GATED_PREFIX)].
-GATED_PREFIX = _R9_PREFIX
+GATED_PREFIX = _R10_PREFIX

@@ -108,3 +108,27 @@ def test_every_registry_entry_in_coverage_md():
     missing = sorted(
         n for n in REGISTRY if n not in text and n not in expanded)
     assert not missing, f"REGISTRY entries absent from COVERAGE.md: {missing}"
+
+
+def test_doc_prose_counts_match_registry():
+    """README.md / CLAUDE.md prose registry counts rot silently (the
+    round-9 verdict caught '183 queries' against a 189 registry): grep
+    the registry size and the exact/rows-only split out of both docs
+    so the drift suite fails the moment a gate lands without the
+    numbers moving."""
+    import os
+    import re
+
+    n = len(REGISTRY)
+    n_rows_only = sum(1 for q in REGISTRY.values() if q.oracle is None)
+    n_exact = n - n_rows_only
+    root = os.path.join(os.path.dirname(__file__), "..")
+    readme = open(os.path.join(root, "README.md")).read()
+    assert f"{n} queries ({n_exact} with exact DuckDB oracles" in readme, (
+        f"README.md query count drifted (registry is {n} = {n_exact} "
+        f"exact + {n_rows_only} rows-only)")
+    claude = re.sub(r"\s+", " ", open(os.path.join(root, "CLAUDE.md")).read())
+    assert f"{n_exact} exact-parity + {n_rows_only} rows-only" in claude, (
+        f"CLAUDE.md exact/rows-only split drifted ({n_exact}+{n_rows_only})")
+    assert f"the {n}-query registry" in claude, (
+        f"CLAUDE.md registry size drifted ({n})")
