@@ -609,8 +609,12 @@ def merge_range(
     null-key matches — a null joins nothing, so 'replace' would
     silently become 'duplicate'); stored NULL-key rows never match and
     always survive. The rewrite's default file count preserves the
-    layout (one output file per overlapping input); the sum manifest is
-    refreshed when present. The batch is durably checkpointed — it is
+    layout (one output file per overlapping input) — note output file
+    count IS the rewrite's write parallelism (range-partitioned sort),
+    so raise ``n_files`` when the boundary rewrite is wide and wall
+    clock matters more than file granularity (A/B in BASELINE.md round
+    10: 2→8 files cut a 12.5M-row rewrite 24.8→16.0 s). The sum
+    manifest is refreshed when present. The batch is durably checkpointed — it is
     consumed by three jobs (bounds, match count, rewrite) and may be
     arbitrarily expensive to recompute.
 

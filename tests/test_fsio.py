@@ -56,6 +56,21 @@ class TestFsioFacade:
         assert fsio.read_table([p]).num_rows == 3
         assert fsio.read_table(str(tmp_path), columns=["x"]).num_rows == 3
 
+    def test_uri_paths_resolve_via_from_uri(self, tmp_path):
+        """A scheme:// table root takes the FileSystem.from_uri branch —
+        the exact code path an s3://-rooted deployment uses; file:// is
+        the locally-testable instance of it."""
+        d = str(tmp_path)
+        fsio.write_bytes_atomic(f"file://{d}/u.json", b"{}")
+        assert fsio.exists(f"file://{d}/u.json")
+        assert fsio.read_bytes(f"file://{d}/u.json") == b"{}"
+        # plain-path resolution sees the same file (same physical fs)
+        assert fsio.exists(os.path.join(d, "u.json"))
+        assert [n for n, *_ in fsio.listdir_stat(f"file://{d}")] == ["u.json"]
+        fsio.rename(f"file://{d}/u.json", f"file://{d}/u2.json")
+        fsio.remove(f"file://{d}/u2.json")
+        assert not fsio.exists(os.path.join(d, "u2.json"))
+
     def test_subtree_injection_strips_prefix(self, tmp_path):
         d = str(tmp_path)
         fsio.write_bytes_atomic(os.path.join(d, "seed"), b"s")
