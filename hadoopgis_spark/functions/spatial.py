@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 
 from hadoopgis_spark.geometry import kernel as K
 from hadoopgis_spark.geometry.kernel import Geometry
+from hadoopgis_spark.geometry.wkt import batch_parse
 
 __all__ = [
     "st_mbb",
@@ -61,22 +62,49 @@ _MBB_SCHEMA = T.StructType(
 
 
 def _parse_cache(series: pd.Series, cache: dict):
-    """Parse WKT strings or WKB bytes, once per distinct value per batch."""
-    out = []
-    for w in series:
+    """Parse WKT strings or WKB bytes, once per distinct value per batch.
+
+    String misses go through ``wkt.batch_parse`` — one numpy sweep for
+    the dominant shapes (POINT / LINESTRING / single-ring POLYGON) with
+    the bbox computed in the same sweep — so the per-row Python cost is
+    one dict lookup; WKB and unusual shapes parse through the scalar
+    kernel path."""
+    vals = series.tolist()
+    keys: list = []
+    miss_str: list = []
+    miss_other: list = []
+    seen = set()
+    for w in vals:
         if w is None:
-            out.append(None)
+            keys.append(None)
             continue
-        key = bytes(w) if isinstance(w, (bytes, bytearray, memoryview)) else w
-        g = cache.get(key)
-        if g is None and key not in cache:
-            try:
-                g = Geometry.parse(key)
-            except (ValueError, IndexError, TypeError):
-                g = None
-            cache[key] = g
-        out.append(g)
-    return out
+        if isinstance(w, (bytes, bytearray, memoryview)):
+            key = bytes(w)
+            keys.append(key)
+            if key not in cache and key not in seen:
+                seen.add(key)
+                miss_other.append(key)
+        else:
+            keys.append(w)
+            if w not in cache and w not in seen:
+                seen.add(w)
+                miss_str.append(w)
+    if miss_str:
+        parsed, bbs = batch_parse(miss_str, with_bbox=True)
+        for k, t, bb in zip(miss_str, parsed, bbs):
+            if t is None:
+                cache[k] = None
+            else:
+                g = Geometry(t[0], t[1])
+                if bb is not None:
+                    g._bbox = bb
+                cache[k] = g
+    for key in miss_other:
+        try:
+            cache[key] = Geometry.parse(key)
+        except (ValueError, IndexError, TypeError):
+            cache[key] = None
+    return [cache[k] if k is not None else None for k in keys]
 
 
 _NUM_RE = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["parse_wkt", "to_wkt"]
+__all__ = ["parse_wkt", "to_wkt", "batch_parse"]
 
 
 def _parse_coord_seq(body: str) -> np.ndarray:
@@ -146,6 +146,201 @@ def parse_wkt(text: str):
             raise ValueError(f"bad MULTIPOLYGON: {s[:60]!r}")
         return ("MULTIPOLYGON", polys)
     raise ValueError(f"unsupported WKT type: {s[:30]!r}")
+
+
+# ---------------------------------------------------------------------------
+# Bulk parse: the refine-stage hot path parses millions of WKT strings per
+# task, and per-row Python (split + float) is the engine's last row-at-a-time
+# cost. batch_parse vectorizes the three dominant shapes — POINT, LINESTRING,
+# single-ring POLYGON — through one numpy byte pipeline: classify rows from
+# raw bytes, blank type names / parens / commas, bulk-convert every number
+# with a single C strtod sweep (np.fromstring), then slice per-row views.
+# Soundness: rows are joined with a sentinel NUMBER between them, and the
+# parse is accepted only when every sentinel lands at its expected index —
+# any token the C parser reads differently from the scalar parser derails
+# the alignment and the whole batch falls back to parse_wkt (the same
+# global-fallback discipline as functions.spatial._mbb_batch). Anything
+# unusual per row — other geometry types, multi-ring polygons, non-ascii,
+# 3-D coordinates, disallowed characters — routes to parse_wkt row-wise.
+
+_SENT = "-8.5e222"
+_SENT_VAL = float(_SENT)
+# bytes legal inside a coordinate list once structure chars are blanked
+_ALLOWED = np.zeros(256, dtype=bool)
+_ALLOWED[np.frombuffer(b"0123456789.+-eE \n", dtype=np.uint8)] = True
+
+
+def _prefix_match(lower: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                  word: bytes) -> np.ndarray:
+    """Rows whose text begins with `word` (case-insensitive) followed by
+    a space or '('."""
+    k = len(word)
+    ok = lens > k
+    for j, ch in enumerate(word):
+        pos = np.minimum(starts + j, lower.size - 1)
+        ok &= lower[pos] == ch
+    nxt = lower[np.minimum(starts + k, lower.size - 1)]
+    return ok & ((nxt == 0x20) | (nxt == 0x28))
+
+
+def batch_parse(values, with_bbox: bool = False):
+    """Bulk-parse a sequence of WKT strings.
+
+    Returns a list aligned with ``values``: each entry is the
+    ``(kind, payload)`` tuple ``parse_wkt`` would return, or ``None``
+    where ``parse_wkt`` raises (the reference's malformed-row skip
+    semantics, ``manipulate_2d.cpp:182-189``). Non-string entries are
+    ``None``. Results are value-exact with the scalar parser (same
+    strtod, same ring closure); the parity suite asserts it.
+
+    With ``with_bbox=True`` returns ``(results, bboxes)`` where
+    ``bboxes[i]`` is the geometry's ``(xmin, ymin, xmax, ymax)`` for
+    rows the fast path handled (computed in the same numpy sweep —
+    min/max over a coordinate list is closure-invariant) and ``None``
+    for scalar-path rows, whose bbox the caller derives lazily.
+    """
+    n = len(values)
+    out: list = [None] * n
+    bboxes: list = [None] * n
+    done = bytearray(n)
+
+    # rows eligible for the byte pipeline; everything else (None, bytes,
+    # non-ascii, embedded newlines) takes the scalar fallback loop below
+    idx_str = [i for i, v in enumerate(values)
+               if type(v) is str and v and v.isascii() and "\n" not in v]
+
+    if idx_str:
+        blob = "\n".join(values[i] for i in idx_str)
+        a = np.frombuffer(blob.encode("ascii"), dtype=np.uint8)
+        m = len(idx_str)
+        nlpos = np.nonzero(a == 10)[0]
+        starts = np.concatenate([[0], nlpos + 1])
+        ends = np.concatenate([nlpos, [a.size]])
+        lens = ends - starts
+        lower = a | 0x20
+
+        is_point = _prefix_match(lower, starts, lens, b"point")
+        is_line = _prefix_match(lower, starts, lens, b"linestring")
+        is_poly = _prefix_match(lower, starts, lens, b"polygon")
+
+        def _count(ch: int) -> np.ndarray:
+            p = np.nonzero(a == ch)[0]
+            return np.searchsorted(p, ends) - np.searchsorted(p, starts)
+
+        opens = _count(40)
+        closes = _count(41)
+        commas = _count(44)
+
+        # blank type names, parens, commas; normalize tab/cr to space
+        arrm = a.copy()
+        klen = np.zeros(m, dtype=np.int64)
+        klen[is_point] = 5
+        klen[is_line] = 10
+        klen[is_poly] = 7
+        for kmask, kl in ((is_point, 5), (is_line, 10), (is_poly, 7)):
+            srow = starts[kmask]
+            for j in range(kl):
+                arrm[srow + j] = 32
+        arrm[(arrm == 40) | (arrm == 41) | (arrm == 44)
+             | (arrm == 9) | (arrm == 13)] = 32
+
+        badpos = np.nonzero(~_ALLOWED[arrm])[0]
+        nbad = np.searchsorted(badpos, ends) - np.searchsorted(badpos, starts)
+
+        nonspace = (arrm != 32) & (arrm != 10)
+        tok_start = nonspace & np.concatenate([[True], ~nonspace[:-1]])
+        tpos = np.nonzero(tok_start)[0]
+        tokens = np.searchsorted(tpos, ends) - np.searchsorted(tpos, starts)
+
+        pairs = commas + 1
+        fast = (
+            (is_point | is_line | is_poly)
+            & (nbad == 0)
+            & (tokens == 2 * pairs)
+            & np.where(is_poly, (opens == 2) & (closes == 2),
+                       (opens == 1) & (closes == 1))
+            & np.where(is_point, pairs == 1,
+                       np.where(is_line, pairs >= 2, pairs >= 3))
+        )
+
+        if fast.any():
+            drop = np.nonzero(~fast)[0]
+            if drop.size:
+                keep = np.ones(a.size, dtype=bool)
+                for r in drop:
+                    s_, e_ = int(starts[r]), int(ends[r])
+                    if r == m - 1:
+                        keep[max(s_ - 1, 0):e_] = False
+                    else:
+                        keep[s_:min(e_ + 1, a.size)] = False
+                kept = arrm[keep]
+            else:
+                kept = arrm
+            clean = kept.tobytes().replace(b"\n", b" " + _SENT.encode() + b" ")
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                flat = np.fromstring(clean, sep=" ")  # noqa: NPY201
+            frow = np.nonzero(fast)[0]
+            tk = tokens[frow]
+            nk = frow.size
+            cs = np.cumsum(tk)
+            sent_idx = cs[:-1] + np.arange(nk - 1)
+            if flat.size == int(tk.sum()) + (nk - 1) and (
+                nk < 2 or bool(np.all(flat[sent_idx] == _SENT_VAL))
+            ):
+                numbers = np.delete(flat, sent_idx) if nk > 1 else flat
+                num_off = np.concatenate([[0], cs])
+                # every fast row has an even token count, so the whole
+                # batch reshapes to coordinate pairs once; per-row
+                # payloads are O(1) views of it
+                pairs2d = numbers.reshape(-1, 2)
+                o0, o1 = num_off[:-1], num_off[1:]
+                closed = ((numbers[o0] == numbers[o1 - 2])
+                          & (numbers[o0 + 1] == numbers[o1 - 1])).tolist()
+                first_xy = pairs2d[o0 // 2].tolist()
+                poff_a = num_off // 2
+                poff = poff_a.tolist()
+                bb = None
+                if with_bbox:
+                    xs, ys = pairs2d[:, 0], pairs2d[:, 1]
+                    red = poff_a[:-1]
+                    bb = np.column_stack([
+                        np.minimum.reduceat(xs, red),
+                        np.minimum.reduceat(ys, red),
+                        np.maximum.reduceat(xs, red),
+                        np.maximum.reduceat(ys, red),
+                    ]).tolist()
+                kc = np.where(is_point, 1,
+                              np.where(is_line, 2, 3))[frow].tolist()
+                imap = [idx_str[r] for r in frow.tolist()]
+                for j in range(nk):
+                    i = imap[j]
+                    k = kc[j]
+                    if k == 3:
+                        ring = pairs2d[poff[j]:poff[j + 1]]
+                        if not closed[j]:
+                            ring = np.vstack([ring, ring[:1]])
+                        out[i] = ("POLYGON", [ring])
+                    elif k == 1:
+                        x, y = first_xy[j]
+                        out[i] = ("POINT", (x, y))
+                    else:
+                        out[i] = ("LINESTRING", pairs2d[poff[j]:poff[j + 1]])
+                    if bb is not None:
+                        bboxes[i] = tuple(bb[j])
+                    done[i] = 1
+            # else: sentinel misalignment -> every fast row stays undone
+            # and takes the scalar path below (global-fallback discipline)
+
+    for i in range(n):
+        if not done[i]:
+            try:
+                out[i] = parse_wkt(values[i])
+            except (ValueError, IndexError, TypeError, AttributeError):
+                out[i] = None
+    return (out, bboxes) if with_bbox else out
 
 
 def _num(v: float) -> str:

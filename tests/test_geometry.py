@@ -423,3 +423,124 @@ class TestBatchDistanceParity:
         ]
         assert not mismatches, mismatches[:5]
         assert ins.any() and (got > 0).any()
+
+
+class TestBatchParseParity:
+    """wkt.batch_parse must agree exactly with parse_wkt row-by-row —
+    same payload values (strtod-identical), same ring closure, and None
+    exactly where the scalar parser raises."""
+
+    @staticmethod
+    def _scalar(v):
+        from hadoopgis_spark.geometry.wkt import parse_wkt
+
+        try:
+            return parse_wkt(v)
+        except (ValueError, IndexError, TypeError, AttributeError):
+            return None
+
+    @staticmethod
+    def _eq(a, b):
+        if a is None or b is None:
+            return a is b
+        ka, pa = a
+        kb, pb = b
+        if ka != kb:
+            return False
+        if ka == "POINT":
+            return repr(pa) == repr(pb)  # repr-compare handles nan
+        if ka in ("LINESTRING", "MULTIPOINT"):
+            return np.array_equal(pa, pb)
+        if ka in ("POLYGON", "MULTILINESTRING"):
+            return len(pa) == len(pb) and all(
+                np.array_equal(x, y) for x, y in zip(pa, pb))
+        if ka == "MULTIPOLYGON":
+            return len(pa) == len(pb) and all(
+                len(x) == len(y)
+                and all(np.array_equal(u, v) for u, v in zip(x, y))
+                for x, y in zip(pa, pb))
+        if ka == "GEOMETRYCOLLECTION":
+            return len(pa) == len(pb) and all(
+                TestBatchParseParity._eq(x, y) for x, y in zip(pa, pb))
+        return False
+
+    ADVERSARIAL = [
+        "POINT (1 2)", "POINT(3.5 -4.5)", "point (1e3 .5)", "Point ( 7 8 )",
+        "POINT (1 2 3)", "POINT (1)", "POINT EMPTY", "POINT (1, 2)",
+        "LINESTRING (0 0, 1 1)", "LINESTRING(0 0,1 1,2 0)",
+        "LINESTRING (0 0)", "LINESTRING (0 0, 1 1 1)",
+        "linestring (1.5 2.5, -3 +4)",
+        "POLYGON ((0 0, 1 0, 0 1, 0 0))", "POLYGON ((0 0, 2 0, 2 2, 0 2))",
+        "POLYGON ((0 0, 1 0))",
+        "POLYGON ((0 0, 1 0, 0 1, 0 0), (0.1 0.1, 0.2 0.1, 0.1 0.2, 0.1 0.1))",
+        "polygon((5 5,6 5,6 6,5 6,5 5))",
+        "MULTIPOINT ((1 2), (3 4))", "MULTIPOINT (1 2, 3 4)",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOLYGON (((0 0, 1 0, 0 1, 0 0)), ((5 5, 6 5, 5 6, 5 5)))",
+        "GEOMETRYCOLLECTION (POINT (1 2), POLYGON ((0 0, 1 0, 0 1, 0 0)))",
+        "", None, "garbage", "POLYGON", "POLYGON ()", "POLYGON (())",
+        "POINT (x y)", "POLYGON ((1 2, 3 x, 5 6, 1 2))",
+        "POLYGON ((1.2.3 4, 5 6, 7 8, 1.2.3 4))",
+        "POINT (nan inf)", "POINT (1e 2)", "POINT (+ -)",
+        "POINT\n(1 2)", "POINT (1 2)",
+        "POINT  (  -1.25e-3   4e+2  )",
+        "POLYGON ( ( 0 0 , 1 0 , 0 1 , 0 0 ) )",
+        "POINTZ (1 2 3)", "POLYGONX ((1 2, 3 4, 5 6))",
+        "POLYGON ((0 0, 1 0, 0 1, 0 0)) trailing",
+        "  POLYGON ((0 0, 1 0, 0 1, 0 0))",
+        "POLYGON\t((0 0, 1 0, 0 1, 0 0))",
+        "POLYGON ((0 0, 1 0, 0 1))",  # unclosed -> closes
+        "POLYGON ((-8.5e222 1, 2 3, 4 5, -8.5e222 1))",  # sentinel value in data
+    ]
+
+    def test_adversarial_rows(self):
+        from hadoopgis_spark.geometry.wkt import batch_parse
+
+        res = batch_parse(self.ADVERSARIAL)
+        for i, c in enumerate(self.ADVERSARIAL):
+            assert self._eq(res[i], self._scalar(c)), (i, c)
+
+    def test_random_rows_and_bbox(self):
+        from hadoopgis_spark.geometry.kernel import Geometry
+        from hadoopgis_spark.geometry.wkt import batch_parse
+
+        rng = random.Random(42)
+        cases = []
+        for _ in range(500):
+            k = rng.randint(3, 9)
+            pts = [(rng.uniform(-1e4, 1e4), rng.uniform(-1e4, 1e4))
+                   for _ in range(k)]
+            body = ", ".join(f"{x!r} {y!r}" for x, y in pts)
+            shape = rng.random()
+            if shape < 0.4:
+                closed = rng.random() < 0.5
+                tail = f", {pts[0][0]!r} {pts[0][1]!r}" if closed else ""
+                cases.append(f"POLYGON (({body}{tail}))")
+            elif shape < 0.7:
+                cases.append(f"LINESTRING ({body})")
+            else:
+                cases.append(f"POINT ({pts[0][0]!r} {pts[0][1]!r})")
+        res, bbs = batch_parse(cases, with_bbox=True)
+        for i, c in enumerate(cases):
+            s = self._scalar(c)
+            assert self._eq(res[i], s), (i, c)
+            if bbs[i] is not None:
+                g = Geometry(*s)
+                assert tuple(bbs[i]) == tuple(g.bbox), (i, c)
+
+    def test_mixed_fast_slow_batch(self):
+        """Rows routed to the scalar path interleave with fast rows
+        without shifting the sentinel alignment."""
+        from hadoopgis_spark.geometry.wkt import batch_parse
+
+        cases = []
+        for i in range(200):
+            if i % 5 == 0:
+                cases.append("MULTIPOINT ((1 2), (3 4))")
+            elif i % 7 == 0:
+                cases.append("bogus row")
+            else:
+                cases.append(f"POLYGON ((0 0, {i} 0, 0 {i}, 0 0))")
+        res = batch_parse(cases)
+        for i, c in enumerate(cases):
+            assert self._eq(res[i], self._scalar(c)), (i, c)
