@@ -69,26 +69,18 @@ def _parse_cache(series: pd.Series, cache: dict):
     the bbox computed in the same sweep — so the per-row Python cost is
     one dict lookup; WKB and unusual shapes parse through the scalar
     kernel path."""
-    vals = series.tolist()
-    keys: list = []
+    codes, uniques = pd.factorize(series)
     miss_str: list = []
     miss_other: list = []
-    seen = set()
-    for w in vals:
-        if w is None:
-            keys.append(None)
-            continue
-        if isinstance(w, (bytes, bytearray, memoryview)):
-            key = bytes(w)
-            keys.append(key)
-            if key not in cache and key not in seen:
-                seen.add(key)
+    ukeys: list = []
+    for u in uniques:
+        key = bytes(u) if isinstance(u, (bytearray, memoryview)) else u
+        ukeys.append(key)
+        if key not in cache:
+            if isinstance(key, bytes):
                 miss_other.append(key)
-        else:
-            keys.append(w)
-            if w not in cache and w not in seen:
-                seen.add(w)
-                miss_str.append(w)
+            else:
+                miss_str.append(key)
     if miss_str:
         parsed, bbs = batch_parse(miss_str, with_bbox=True)
         for k, t, bb in zip(miss_str, parsed, bbs):
@@ -104,7 +96,8 @@ def _parse_cache(series: pd.Series, cache: dict):
             cache[key] = Geometry.parse(key)
         except (ValueError, IndexError, TypeError):
             cache[key] = None
-    return [cache[k] if k is not None else None for k in keys]
+    ug = [cache[k] for k in ukeys]
+    return [None if c < 0 else ug[c] for c in codes.tolist()]
 
 
 _NUM_RE = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
