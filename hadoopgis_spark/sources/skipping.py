@@ -83,10 +83,16 @@ __all__ = [
     "register_pruned_view",
     "refresh_pruned_view",
     "verify_pruned_view",
+    "enable_time_travel",
+    "read_version",
+    "list_versions",
+    "vacuum_versions",
 ]
 
 _MANIFEST_DIR = "_hgs_manifest"
 _COMPACT_DIR = "_hgs_compact"  # record.json (commit marker) + stage/
+_VERSIONS_DIR = "_hgs_versions"  # v{N}.json snapshots (time travel)
+_RETIRED_DIR = "_hgs_retired"  # superseded files of versioned tables
 # format 2 adds per-(file, col) null counts (enables metadata-only
 # counts via count_range); format-1 manifests load with nulls=unknown
 # — everything still prunes, only the metadata-count fast path treats
@@ -293,6 +299,169 @@ def _active_files(path: str) -> set[str]:
     return on_disk
 
 
+# ---------------------------------------------------------------------------
+# Time travel. A versioned table records one snapshot per mutation —
+# ``_hgs_versions/v{N}.json`` = the active-file list the mutation left
+# behind — and superseded data files are RETIRED into ``_hgs_retired/``
+# instead of deleted (both underscore dirs: invisible to Spark's file
+# index and to ``_data_files``, so current reads and pruning are
+# untouched). Any recorded snapshot therefore stays exactly readable
+# until ``vacuum_versions`` reclaims it. Snapshots are written AFTER a
+# mutation commits (post-settle state); a crash between commit and the
+# snapshot write loses only that history entry, never data, and the
+# next settle/mutation records the converged state. Single-writer like
+# the rest of the module. Snapshot reads bypass the manifest (they read
+# an explicit file list), so zonemap/bloom/agg tiers always describe
+# the CURRENT version only.
+# ---------------------------------------------------------------------------
+
+
+def _versions_dir(path: str) -> str:
+    return os.path.join(path, _VERSIONS_DIR)
+
+
+def _retired_dir(path: str) -> str:
+    return os.path.join(path, _RETIRED_DIR)
+
+
+def _versions_enabled(path: str) -> bool:
+    return _fs.is_dir(_versions_dir(path))
+
+
+def _version_entries(path: str) -> list:
+    """Sorted (version, filename) pairs of recorded snapshots."""
+    if not _fs.is_dir(_versions_dir(path)):
+        return []
+    out = []
+    for n in _fs.listdir(_versions_dir(path)):
+        if n.startswith("v") and n.endswith(".json"):
+            try:
+                out.append((int(n[1:-5]), n))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def _record_version(path: str, op: str) -> int:
+    import json
+
+    ents = _version_entries(path)
+    nxt = (ents[-1][0] + 1) if ents else 1
+    rec = {"version": nxt, "op": op, "files": sorted(_active_files(path))}
+    _fs.makedirs(_versions_dir(path))
+    _fs.write_bytes_atomic(
+        os.path.join(_versions_dir(path), f"v{nxt:06d}.json"),
+        json.dumps(rec).encode())
+    return nxt
+
+
+def _retire_old(path: str, name: str, versioned: bool) -> None:
+    """Drop a superseded data file: moved to ``_hgs_retired/`` when the
+    table is versioned (older snapshots still reference it), deleted
+    otherwise. Idempotent across settle retries."""
+    src = os.path.join(path, name)
+    if not _fs.exists(src):
+        return
+    if versioned:
+        _fs.makedirs(_retired_dir(path))
+        _fs.rename(src, os.path.join(_retired_dir(path), name))
+    else:
+        _fs.remove(src)
+
+
+def enable_time_travel(spark: SparkSession, path: str) -> int:
+    """Turn on snapshot recording for a clustered layout and record the
+    current state as the first snapshot. Idempotent (returns the latest
+    version when already enabled). From here on every ``append_*`` /
+    ``compact_*`` / :func:`delete_range` / :func:`merge_range` records
+    a snapshot and retires superseded files instead of deleting them,
+    so :func:`read_version` can reproduce any recorded state exactly —
+    audit/repro reads over a mutating 100 TB table without copies.
+    A ``save_*`` overwrite wipes the table directory including history:
+    re-enable after a full rewrite."""
+    _settle_compaction(spark, path)
+    ents = _version_entries(path)
+    if ents:
+        return ents[-1][0]
+    return _record_version(path, "enable")
+
+
+def list_versions(spark: SparkSession, path: str) -> list:
+    """Recorded snapshots, oldest first:
+    ``[{"version", "op", "n_files"}, ...]``."""
+    import json
+
+    out = []
+    for n_, name in _version_entries(path):
+        rec = json.loads(
+            _fs.read_bytes(os.path.join(_versions_dir(path), name)))
+        out.append({"version": n_, "op": rec.get("op"),
+                    "n_files": len(rec["files"])})
+    return out
+
+
+def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Read a recorded snapshot exactly as it was: the snapshot's file
+    list, each file resolved to the data dir (still active) or
+    ``_hgs_retired/`` (superseded since). Raises ``ValueError`` for
+    unknown versions and for snapshots that ``vacuum_versions`` has
+    reclaimed files from."""
+    import json
+
+    if not _versions_enabled(path):
+        raise ValueError(
+            f"{path!r} is not versioned — call enable_time_travel first")
+    fname = os.path.join(_versions_dir(path), f"v{int(version):06d}.json")
+    if not _fs.exists(fname):
+        have = [n for n, _ in _version_entries(path)]
+        raise ValueError(
+            f"version {version} not found under {path!r} (have {have})")
+    rec = json.loads(_fs.read_bytes(fname))
+    paths, missing = [], []
+    for f in rec["files"]:
+        cur = os.path.join(path, f)
+        ret = os.path.join(_retired_dir(path), f)
+        if _fs.exists(cur):
+            paths.append(cur)
+        elif _fs.exists(ret):
+            paths.append(ret)
+        else:
+            missing.append(f)
+    if missing:
+        raise ValueError(
+            f"version {version} references files vacuumed since: "
+            f"{missing[:3]} — history was reclaimed past this snapshot")
+    if not paths:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.parquet(*paths)
+
+
+def vacuum_versions(spark: SparkSession, path: str,
+                    keep_last: int = 1) -> dict:
+    """Reclaim history: keep the newest ``keep_last`` snapshots, drop
+    older snapshot records, and delete retired files no surviving
+    snapshot references. Active data files are never touched."""
+    import json
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    ents = _version_entries(path)
+    drop, keep = ents[:-keep_last], ents[-keep_last:]
+    referenced: set = set()
+    for _, name in keep:
+        referenced |= set(json.loads(_fs.read_bytes(
+            os.path.join(_versions_dir(path), name)))["files"])
+    deleted = 0
+    if _fs.is_dir(_retired_dir(path)):
+        for f in _fs.listdir(_retired_dir(path)):
+            if f not in referenced:
+                _fs.remove(os.path.join(_retired_dir(path), f))
+                deleted += 1
+    for _, name in drop:
+        _fs.remove(os.path.join(_versions_dir(path), name))
+    return {"versions_dropped": len(drop), "files_deleted": deleted}
+
+
 def _settle_compaction(spark: SparkSession, path: str) -> None:
     """Finish (or undo) a compaction a crash left dangling. Roll
     FORWARD when staging still holds every not-yet-moved new file
@@ -307,14 +476,18 @@ def _settle_compaction(spark: SparkSession, path: str) -> None:
     new, old = set(rec["new"]), set(rec["old"])
     missing = new - on_disk
     staged = set(_fs.listdir(_stage_dir(path))) if _fs.is_dir(_stage_dir(path)) else set()
+    versioned = _versions_enabled(path)
+    rolled_forward = False
     if missing <= staged:
         for name in sorted(missing):  # roll forward: complete the moves
             _fs.rename(os.path.join(_stage_dir(path), name),
                        os.path.join(path, name))
         for name in sorted(old & _data_files(path)):
-            _fs.remove(os.path.join(path, name))
+            _retire_old(path, name, versioned)
+        rolled_forward = True
     else:
-        # roll back: drop whatever moved, serve the old files
+        # roll back: drop whatever moved, serve the old files (the new
+        # files were never part of any committed/recorded snapshot)
         for name in sorted(new & on_disk):
             _fs.remove(os.path.join(path, name))
     _fs.remove(_record_path(path))
@@ -325,6 +498,11 @@ def _settle_compaction(spark: SparkSession, path: str) -> None:
     # (settle runs once post-crash; O(table) footer reads are fine here)
     cols = sorted({r.col for r in _load_manifest(spark, path)})
     _write_manifest(spark, path, cols)
+    if versioned and rolled_forward:
+        # the mutation committed but crashed before its snapshot write:
+        # record the converged state (rollback needs none — the latest
+        # snapshot already describes the pre-mutation state)
+        _record_version(path, "settle")
 
 
 def compact_range_sorted(
@@ -438,12 +616,15 @@ def _compact(spark, path, small_bytes, rewrite, check) -> dict:
         _fs.rename(os.path.join(stage, name), os.path.join(path, name))
         if i == 0:
             _maybe_crash("mid-move")
+    versioned = _versions_enabled(path)
     for i, name in enumerate(small):
-        _fs.remove(os.path.join(path, name))
+        _retire_old(path, name, versioned)
         if i == 0:
             _maybe_crash("mid-delete")
     _fs.remove(_record_path(path))
     _fs.rmtree(os.path.join(path, _COMPACT_DIR))
+    if versioned:
+        _record_version(path, "compact")
     acols = sorted({c for _, c in _load_aggs(path)})
     if acols:
         # keep the sum manifest sharp across compaction too: rows for
@@ -566,15 +747,16 @@ def delete_range(
         _fs.rename(os.path.join(stage, name), os.path.join(path, name))
         if i == 0:
             _maybe_crash("mid-move")
+    versioned = _versions_enabled(path)
     for i, name in enumerate(old):
-        target = os.path.join(path, name)
-        if _fs.exists(target):
-            _fs.remove(target)
+        _retire_old(path, name, versioned)
         if i == 0:
             _maybe_crash("mid-delete")
     _fs.remove(_record_path(path))
     if _fs.is_dir(os.path.join(path, _COMPACT_DIR)):
         _fs.rmtree(os.path.join(path, _COMPACT_DIR))
+    if versioned:
+        _record_version(path, "delete")
     acols = sorted({c for _, c in _load_aggs(path)})
     if acols:
         build_agg_index(spark, path, acols)
@@ -727,15 +909,16 @@ def merge_range(
         _fs.rename(os.path.join(stage, name), os.path.join(path, name))
         if i == 0:
             _maybe_crash("mid-move")
+    versioned = _versions_enabled(path)
     for i, name in enumerate(overlapping):
-        target = os.path.join(path, name)
-        if _fs.exists(target):
-            _fs.remove(target)
+        _retire_old(path, name, versioned)
         if i == 0:
             _maybe_crash("mid-delete")
     _fs.remove(_record_path(path))
     if _fs.is_dir(os.path.join(path, _COMPACT_DIR)):
         _fs.rmtree(os.path.join(path, _COMPACT_DIR))
+    if versioned:
+        _record_version(path, "merge")
     acols = sorted({c for _, c in _load_aggs(path)})
     if acols:
         build_agg_index(spark, path, acols)
@@ -966,6 +1149,8 @@ def append_range_sorted(
            .sortWithinPartitions(order_col)
            .write.mode("append").parquet(path))
     _update_manifest(spark, path, cols, _data_files(path) - before)
+    if _versions_enabled(path):
+        _record_version(path, "append")
     acols = sorted({c for _, c in _load_aggs(path)})
     if acols:  # keep the sum manifest sharp too: O(batch), new files only
         build_agg_index(spark, path, acols)
@@ -1013,6 +1198,8 @@ def append_spatial_clustered(
     _write_spatial(df, path, extent, bits, n_files, "append")
     _update_manifest(spark, path, ["xmin", "ymin", "xmax", "ymax"],
                      _data_files(path) - before)
+    if _versions_enabled(path):
+        _record_version(path, "append")
 
 
 def _write_spatial(df, path, extent, bits, n_files, mode):

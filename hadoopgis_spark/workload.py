@@ -5197,6 +5197,59 @@ REL_MERGE_RANGE_SQL = """
 """
 
 
+def rel_time_travel(spark, sf):
+    """Snapshot read (time travel) over the clustered storage tier: a
+    versioned shipdate layout records one snapshot per mutation and
+    RETIRES superseded files instead of deleting them (same commit
+    record, same crash points — per-crash-point suite in
+    tests/test_time_travel.py); after a retention DELETE and a second
+    tail DELETE mutate the table, reading version 1 reproduces the
+    ORIGINAL table exactly — the oracle is plain lineitem with no
+    WHERE. At 100 TB this is audit/reproducibility reads over a
+    mutating table without table copies (Delta/Iceberg's snapshot
+    idea on the engine's own manifest tier)."""
+    import datetime as dt
+
+    from hadoopgis_spark.sources.skipping import (
+        delete_range, enable_time_travel, list_versions, read_version,
+        save_range_sorted)
+    path = f"{_skip_root(spark)}/lineitem_tt_{os.path.basename(os.path.normpath(sf))}"
+
+    def build():
+        li = _t(spark, sf, "lineitem")
+        save_range_sorted(li, path, "l_shipdate", n_files=8)
+        if enable_time_travel(spark, path) != 1:
+            raise AssertionError("fresh layout must enable at version 1")
+        stats = delete_range(spark, path, "l_shipdate",
+                             dt.datetime(1994, 1, 1),
+                             dt.datetime(1995, 12, 31))
+        if stats["dropped_files"] < 1:
+            raise AssertionError(f"no metadata-only drop: {stats}")
+        delete_range(spark, path, "l_shipdate",
+                     lo=dt.datetime(1997, 6, 1))
+        vers = [v["version"] for v in list_versions(spark, path)]
+        if vers != [1, 2, 3]:
+            raise AssertionError(f"snapshot history incomplete: {vers}")
+        return True
+
+    _memo(("skip_lineitem_tt", spark.sparkContext.applicationId, sf),
+          build)
+    df = read_version(spark, path, 1)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("sum_qty"),
+    )
+
+
+REL_TIME_TRAVEL_SQL = """
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem
+  GROUP BY l_returnflag
+"""
+
+
 def rel_minmax_pruned(spark, sf):
     """Metadata-only MIN/MAX: for interior files of the time window the
     target column's own footer min/max are the candidates (no scan —
@@ -7181,6 +7234,7 @@ REGISTRY: dict[str, Query] = {
     "rel_delete_range": Query(rel_delete_range, REL_DELETE_RANGE_SQL, "zonemap-priced row-level DELETE: interior files dropped metadata-only, boundary rewritten"),
     # round 10
     "rel_merge_range": Query(rel_merge_range, REL_MERGE_RANGE_SQL, "zonemap-priced MERGE/upsert: only key-containing files rewritten under the commit record"),
+    "rel_time_travel": Query(rel_time_travel, REL_TIME_TRAVEL_SQL, "snapshot read (time travel): version 1 replays exactly after DELETE mutations retire files"),
     "sim_ann_ivfpq_rerank": Query(sim_ann_ivfpq_rerank, SIM_ANN_IVFPQ_RERANK_SQL, "IVF-PQ + exact-cosine re-rank of the ADC shortlist (FAISS refine tier, DPP on both scans)"),
     "src_stream_merge": Query(src_stream_merge, SRC_STREAM_MERGE_SQL, "CDC upsert ingestion: merge_range per micro-batch, last-writer-wins, replay-idempotent by construction"),
 }
@@ -7333,10 +7387,12 @@ _R9_PREFIX = [
 ]
 assert len(_R9_PREFIX) == 50 and len(set(_R9_PREFIX)) == 50
 
-# Round-10 rotation. The first 3 slots are the round-10 NEW gates
+# Round-10 rotation. The first 4 slots are the round-10 NEW gates
 # (zonemap-priced MERGE/upsert, the IVF-PQ exact re-rank tier, CDC
-# upsert ingestion); next is every gate whose code churned in round 10
-# and therefore re-earns its driver row under the new computation:
+# upsert ingestion, and — from the second session — rel_time_travel:
+# snapshot reads over the retire-instead-of-delete storage tier); next
+# is every gate whose code churned in round 10 and therefore re-earns
+# its driver row under the new computation:
 #   - the pyarrow.fs facade port of the whole metadata tier
 #     (skipping/bloom/loader/ingest I/O, agg+bloom two-rename swaps,
 #     merge plumbing, staleness-safe pruned views): every rel_*/sp_*
@@ -7350,14 +7406,22 @@ assert len(_R9_PREFIX) == 50 and len(set(_R9_PREFIX)) == 50
 #   - kernel._pt_seg_dist2 pow→multiply + batched st_distance/st_dwithin:
 #     sp_dwithin_points, sp_join_bucketed_dwithin, sp_box_measures,
 #     sp_containment_wkt, sp_touches_wkt
+#   - session 2's wkt.batch_parse + factorize parse cache (every WKT
+#     refine path): covered by the sp_* WKT/kNN/measure gates above
+#   - session 2's retire-instead-of-delete versioning hooks in the
+#     delete/merge/compact/append tails: covered by rel_delete_range,
+#     rel_merge_range, rel_range_appended/_compacted + rel_time_travel
 # The remainder are multi-round-green keepers across every surface.
 # Rotated OUT (driver-green r9, untouched in r10): sp_adjacent_wkt,
 # sp_disjoint_tile, dedup_jaccard_prefix, dedup_keep_best, sim_semdedup,
 # txt_bpe_wordfreq, cur_contamination, stream_sliding_batch,
-# stream_near_dedup_batch, sp_knn_exact_... (none — all kNN stay).
+# stream_near_dedup_batch; sim_ann_ivf moved out in session 2 to make
+# room for rel_time_travel (the sim surface keeps 6 prefix rows).
 _R10_PREFIX = [
-    # new round-10 gates
+    # new round-10 gates (rel_time_travel landed in the second session:
+    # snapshot reads over the retire-instead-of-delete storage tier)
     "rel_merge_range", "sim_ann_ivfpq_rerank", "src_stream_merge",
+    "rel_time_travel",
     # round-10 churned code, re-earning driver rows
     "rel_range_pruned", "rel_range_appended", "rel_range_compacted",
     "rel_count_pruned", "rel_minmax_pruned", "rel_count_multi",
@@ -7374,7 +7438,7 @@ _R10_PREFIX = [
     # keepers: multi-round driver-green anchors across every surface
     "sp_join_boxes", "sp_join_self",
     "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
-    "sim_ann_topk", "sim_ann_ivf",
+    "sim_ann_topk",
     "txt_stats", "txt_sql_surface",
     "cur_pipeline",
     "stream_ann_batch", "stream_sessionize",
