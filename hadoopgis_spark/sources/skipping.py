@@ -347,7 +347,17 @@ def _record_version(path: str, op: str) -> int:
 
     ents = _version_entries(path)
     nxt = (ents[-1][0] + 1) if ents else 1
-    rec = {"version": nxt, "op": op, "files": sorted(_active_files(path))}
+    files = sorted(_active_files(path))
+    # embed the zonemap manifest as of this snapshot so historical reads
+    # prune with the SAME semantics as current ones (tiny: one row per
+    # (file, stat col))
+    try:
+        man = [[r.file, r.rows, r.col, r.vtype, r.vmin, r.vmax, r.valid,
+                r.nulls]
+               for r in _load_manifest(None, path) if r.file in set(files)]
+    except Exception:
+        man = []
+    rec = {"version": nxt, "op": op, "files": files, "manifest": man}
     _fs.makedirs(_versions_dir(path))
     _fs.write_bytes_atomic(
         os.path.join(_versions_dir(path), f"v{nxt:06d}.json"),
@@ -400,12 +410,22 @@ def list_versions(spark: SparkSession, path: str) -> list:
     return out
 
 
-def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
+def read_version(spark: SparkSession, path: str, version: int,
+                 where: dict | None = None) -> DataFrame:
     """Read a recorded snapshot exactly as it was: the snapshot's file
     list, each file resolved to the data dir (still active) or
     ``_hgs_retired/`` (superseded since). Raises ``ValueError`` for
     unknown versions and for snapshots that ``vacuum_versions`` has
-    reclaimed files from."""
+    reclaimed files from.
+
+    ``where={col: (lo, hi)}`` prunes the historical read on the
+    MANIFEST EMBEDDED IN THE SNAPSHOT (the zonemap as of that version)
+    with the same semantics as :func:`read_range` — interior/boundary
+    file selection plus the always-re-applied residual filter — so
+    audit reads over 100 TB of history open only the intersecting
+    files. Snapshots recorded without a manifest fall back to
+    residual-only (correct, unpruned)."""
+    import collections
     import json
 
     if not _versions_enabled(path):
@@ -417,23 +437,42 @@ def read_version(spark: SparkSession, path: str, version: int) -> DataFrame:
         raise ValueError(
             f"version {version} not found under {path!r} (have {have})")
     rec = json.loads(_fs.read_bytes(fname))
-    paths, missing = [], []
-    for f in rec["files"]:
+
+    def _resolve(f: str) -> str:
         cur = os.path.join(path, f)
-        ret = os.path.join(_retired_dir(path), f)
-        if _fs.exists(cur):
-            paths.append(cur)
-        elif _fs.exists(ret):
-            paths.append(ret)
-        else:
-            missing.append(f)
+        return cur if _fs.exists(cur) else os.path.join(_retired_dir(path), f)
+
+    missing = [f for f in rec["files"]
+               if not _fs.exists(os.path.join(path, f))
+               and not _fs.exists(os.path.join(_retired_dir(path), f))]
     if missing:
         raise ValueError(
             f"version {version} references files vacuumed since: "
             f"{missing[:3]} — history was reclaimed past this snapshot")
+    names = rec["files"]
+    norm = lits = None
+    if where:
+        norm, lits = _norm_ranges(spark, path, where)
+        man = rec.get("manifest") or []
+        if man:
+            _Row = collections.namedtuple(
+                "_SnapRow",
+                "file rows col vtype vmin vmax valid nulls")
+            rows = [_Row(*m) for m in man]
+            kept, _ = _prune_rows(spark, rows, set(names), norm, False,
+                                  _resolve)
+            paths = sorted(kept)
+        else:
+            paths = [_resolve(f) for f in names]
+    else:
+        paths = [_resolve(f) for f in names]
     if not paths:
-        return spark.read.parquet(path).limit(0)
-    return spark.read.parquet(*paths)
+        df = spark.read.parquet(path).limit(0)
+    else:
+        df = spark.read.parquet(*paths)
+    if where:
+        df = _residual(df, norm, lits)
+    return df
 
 
 def vacuum_versions(spark: SparkSession, path: str,
@@ -1235,13 +1274,24 @@ def prune_files(
     need no scan at all for null-excluding range predicates — the basis
     of :func:`count_range`'s metadata-only aggregation."""
     rows = _load_manifest(spark, path)
-    by_file: dict[str, dict] = {}
     manifest_cols = {r.col for r in rows}
     missing = set(ranges) - manifest_cols
     if missing:
         raise ValueError(
             f"manifest under {path!r} has no stats for {sorted(missing)} "
             f"(covers {sorted(manifest_cols)}) — rewrite with stat_cols")
+    return _prune_rows(spark, rows, _active_files(path), ranges, classify,
+                       lambda fname: os.path.join(path, fname))
+
+
+def _prune_rows(spark, rows, on_disk, ranges, classify, resolve):
+    """Core of :func:`prune_files`, parameterized over the manifest rows
+    and the authoritative file listing so snapshot reads
+    (:func:`read_version`) can prune on a snapshot's own manifest with
+    IDENTICAL semantics; ``resolve`` maps a file name to its readable
+    path (data dir now, ``_hgs_retired/`` for superseded snapshot
+    files)."""
+    by_file: dict[str, dict] = {}
     for r in rows:
         by_file.setdefault(r.file, {})[r.col] = r
     # Crash safety: a failure between landing data files and rewriting
@@ -1252,11 +1302,10 @@ def prune_files(
     # files that no longer exist are ignored symmetrically.) The listing
     # first applies any pending compaction record — a file superseded by
     # a committed compaction is NOT an orphan, it's a duplicate.
-    on_disk = _active_files(path)
     orphans = on_disk - set(by_file)
     total_files = len(on_disk | set(by_file))
     tz = _session_tz(spark)
-    kept = sorted(os.path.join(path, fname) for fname in orphans)
+    kept = sorted(resolve(fname) for fname in orphans)
     interior: dict[str, int] = {}
     for fname, stats in sorted(by_file.items()):
         if fname not in on_disk:
@@ -1305,9 +1354,9 @@ def prune_files(
                 if a > b:
                     inner = False
         if keep:
-            kept.append(os.path.join(path, fname))
+            kept.append(resolve(fname))
             if inner and classify:
-                interior[os.path.join(path, fname)] = next(
+                interior[resolve(fname)] = next(
                     iter(stats.values())).rows
     if classify:
         return sorted(kept), total_files, interior

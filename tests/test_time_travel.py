@@ -177,3 +177,52 @@ class TestTimeTravel:
         rec = json.loads(sk._fs.read_bytes(
             f"{path}/_hgs_versions/v{keep:06d}.json"))
         assert leftover <= set(rec["files"])
+
+
+class TestSnapshotPrunedReads:
+    def test_where_prunes_on_snapshot_manifest(self, spark, tmp_path):
+        """A historical read with ``where=`` opens only the snapshot
+        files whose embedded footer stats intersect the range, applies
+        the residual exactly, and prunes retired files the same way."""
+        from hadoopgis_spark.sources import skipping as sk
+
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v"))
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(df, path, "k", n_files=8)
+        sk.enable_time_travel(spark, path)
+        sk.delete_range(spark, path, "k", 110, 640)  # retires files
+
+        snap = sk.read_version(spark, path, 1)
+        n_all = len(snap.inputFiles())
+        pruned = sk.read_version(spark, path, 1, where={"k": (700, 799)})
+        assert _ks(pruned) == list(range(700, 800))
+        assert 0 < len(pruned.inputFiles()) < n_all
+        # a range that lives ONLY in since-retired files still reads
+        mid = sk.read_version(spark, path, 1, where={"k": (200, 299)})
+        assert _ks(mid) == list(range(200, 300))
+        assert 0 < len(mid.inputFiles()) < n_all
+        assert any("_hgs_retired" in f for f in mid.inputFiles())
+        # boundary residual: partial file overlap filters row-exactly
+        edge = sk.read_version(spark, path, 1, where={"k": (105, 115)})
+        assert _ks(edge) == list(range(105, 116))
+
+    def test_where_without_manifest_falls_back_residual_only(
+            self, spark, tmp_path):
+        """Snapshots recorded without an embedded manifest (or whose
+        where-column has no stats) stay CORRECT: residual-only."""
+        import json
+
+        from hadoopgis_spark.sources import skipping as sk
+
+        df = spark.range(0, 100).select(F.col("id").alias("k"))
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(df, path, "k", n_files=4)
+        sk.enable_time_travel(spark, path)
+        # simulate a pre-manifest snapshot record
+        vfile = f"{path}/_hgs_versions/v000001.json"
+        rec = json.loads(sk._fs.read_bytes(vfile))
+        rec.pop("manifest", None)
+        sk._fs.write_bytes_atomic(vfile, json.dumps(rec).encode())
+        got = sk.read_version(spark, path, 1, where={"k": (10, 19)})
+        assert _ks(got) == list(range(10, 20))
