@@ -963,6 +963,39 @@ class TestSources:
         assert got == expected
         assert len(got) > 0
 
+        # WKB storage: binary at rest, identical query results
+        pw = str(tmp_path / "loaded_wkb")
+        meta_b = save_partitioned(df, pw, bucket_size=50, store_wkb=True)
+        assert meta_b["geom_format"] == "wkb"
+        loaded = spark.read.parquet(pw)
+        assert dict(loaded.dtypes)["geom"] == "binary"
+        assert load_partitioned(spark, pw).count() == 400
+        got_b = {r.id for r in load_partitioned(spark, pw, window=win)
+                 .select("id").collect()}
+        assert got_b == expected
+
+        # size win shows at full double precision (the realistic case —
+        # %.3f-formatted WKT is artificially compact)
+        rows_fp = []
+        for i in range(400):
+            x, y = rng.uniform(0, 100), rng.uniform(0, 100)
+            pts = [(x, y), (x + 3, y), (x, y + 3)]
+            rows_fp.append((i, "POLYGON ((" + ", ".join(
+                f"{a!r} {b!r}" for a, b in pts + [pts[0]]) + "))"))
+        df_fp = spark.createDataFrame(rows_fp, "id long, geom string")
+        pt, pbt = str(tmp_path / "fp_wkt"), str(tmp_path / "fp_wkb")
+        save_partitioned(df_fp, pt, bucket_size=50)
+        save_partitioned(df_fp, pbt, bucket_size=50, store_wkb=True)
+
+        def _bytes(root):
+            import os
+            return sum(
+                os.path.getsize(os.path.join(d, f))
+                for d, _, fs in os.walk(root) for f in fs
+                if f.endswith(".parquet") and "_hgs_meta" not in d)
+
+        assert _bytes(pbt) < _bytes(pt)
+
 
 class TestStreaming:
     def test_normalize_event_ts_both_physical_forms(self, spark):
