@@ -82,22 +82,26 @@ def _parse_cache(series: pd.Series, cache: dict):
             else:
                 miss_str.append(key)
     if miss_str:
-        parsed, bbs = batch_parse(miss_str, with_bbox=True)
-        for k, t, bb in zip(miss_str, parsed, bbs):
-            if t is None:
-                cache[k] = None
-            else:
-                g = Geometry(t[0], t[1])
-                if bb is not None:
-                    g._bbox = bb
-                cache[k] = g
-    for key in miss_other:
-        try:
-            cache[key] = Geometry.parse(key)
-        except (ValueError, IndexError, TypeError):
-            cache[key] = None
+        _fill_cache(cache, miss_str, batch_parse(miss_str, with_bbox=True))
+    if miss_other:
+        from hadoopgis_spark.geometry.wkb import batch_from_wkb
+
+        _fill_cache(cache, miss_other,
+                    batch_from_wkb(miss_other, with_bbox=True))
     ug = [cache[k] for k in ukeys]
     return [None if c < 0 else ug[c] for c in codes.tolist()]
+
+
+def _fill_cache(cache: dict, keys: list, parsed_bbs) -> None:
+    parsed, bbs = parsed_bbs
+    for k, t, bb in zip(keys, parsed, bbs):
+        if t is None:
+            cache[k] = None
+        else:
+            g = Geometry(t[0], t[1])
+            if bb is not None:
+                g._bbox = bb
+            cache[k] = g
 
 
 _NUM_RE = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"

@@ -353,3 +353,101 @@ class TestWkbSparkPath:
         assert vals[1] == "POLYGON ((0 0, 4 0, 0 4, 0 0))"
         assert vals[2] == "POINT (3.5 -2)"
         assert vals[3] is None
+
+
+class TestBatchFromWkb:
+    """batch_from_wkb must agree exactly with from_wkb row-by-row —
+    same payload bytes-to-doubles, None exactly where the scalar
+    decoder fails — across fast-path shapes, slow-path shapes, and
+    malformed interleavings."""
+
+    @staticmethod
+    def _scalar(v):
+        import struct as _st
+
+        try:
+            return from_wkb(v)
+        except (ValueError, IndexError, TypeError, _st.error):
+            return None
+
+    @staticmethod
+    def _eq(a, b):
+        if a is None or b is None:
+            return a is b
+        ka, pa = a
+        kb, pb = b
+        if ka != kb:
+            return False
+        if ka == "POINT":
+            return pa == pb
+        if ka in ("LINESTRING", "MULTIPOINT"):
+            return np.array_equal(pa, pb)
+        if ka in ("POLYGON", "MULTILINESTRING"):
+            return len(pa) == len(pb) and all(
+                np.array_equal(x, y) for x, y in zip(pa, pb))
+        if ka == "MULTIPOLYGON":
+            return len(pa) == len(pb) and all(
+                len(x) == len(y)
+                and all(np.array_equal(u, v) for u, v in zip(x, y))
+                for x, y in zip(pa, pb))
+        if ka == "GEOMETRYCOLLECTION":
+            return len(pa) == len(pb) and all(
+                TestBatchFromWkb._eq(x, y) for x, y in zip(pa, pb))
+        return False
+
+    def test_mixed_batch_parity_and_bbox(self):
+        import random
+
+        from hadoopgis_spark.geometry.wkb import batch_from_wkb
+
+        rng = random.Random(11)
+        cases = []
+        for i in range(400):
+            x, y = rng.uniform(-1e4, 1e4), rng.uniform(-1e4, 1e4)
+            k = rng.random()
+            if k < 0.3:
+                cases.append(to_wkb(("POINT", (x, y))))
+            elif k < 0.55:
+                ring = np.array([[x, y], [x + 3, y], [x, y + 4], [x, y]])
+                cases.append(to_wkb(("POLYGON", [ring])))
+            elif k < 0.7:
+                pts = np.array([[x, y], [x + 1, y + 2], [x - 5, y]])
+                cases.append(to_wkb(("LINESTRING", pts)))
+            elif k < 0.8:  # multi-ring polygon -> scalar path
+                shell = np.array([[x, y], [x + 9, y], [x, y + 9], [x, y]])
+                hole = np.array(
+                    [[x + 1, y + 1], [x + 2, y + 1], [x + 1, y + 2],
+                     [x + 1, y + 1]])
+                cases.append(to_wkb(("POLYGON", [shell, hole])))
+            elif k < 0.9:  # multipolygon -> scalar path
+                r1 = np.array([[x, y], [x + 1, y], [x, y + 1], [x, y]])
+                cases.append(to_wkb(("MULTIPOLYGON", [[r1], [r1 + 20]])))
+            else:  # malformed
+                cases.append(bytes([rng.randrange(256)
+                                    for _ in range(rng.randrange(30))]))
+        cases += [None, b"", b"\x01", b"\x01\x03\x00\x00\x00"]
+        res, bbs = batch_from_wkb(cases, with_bbox=True)
+        for i, c in enumerate(cases):
+            s = self._scalar(c)
+            assert self._eq(res[i], s), (i, repr(c)[:40])
+            if bbs[i] is not None:
+                g = Geometry(*s)
+                assert tuple(bbs[i]) == tuple(map(float, g.bbox)), i
+
+    def test_truncated_and_lying_headers_fall_back(self):
+        from hadoopgis_spark.geometry.wkb import batch_from_wkb
+
+        good = to_wkb(("POINT", (1.5, -2.5)))
+        ring = np.array([[0.0, 0.0], [4.0, 0.0], [0.0, 4.0], [0.0, 0.0]])
+        poly = to_wkb(("POLYGON", [ring]))
+        cases = [
+            good[:-1],              # truncated point
+            poly[:-8],              # truncated polygon
+            poly + b"\x00" * 4,     # trailing junk (length mismatch)
+            b"\x00" + good[1:],     # big-endian flag
+            good, poly,             # sane rows interleaved
+        ]
+        res = batch_from_wkb(cases)
+        for i, c in enumerate(cases):
+            assert self._eq(res[i], self._scalar(c)), i
+        assert res[4] is not None and res[5] is not None
