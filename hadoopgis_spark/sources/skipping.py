@@ -87,6 +87,7 @@ __all__ = [
     "read_version",
     "list_versions",
     "vacuum_versions",
+    "register_version_view",
 ]
 
 _MANIFEST_DIR = "_hgs_manifest"
@@ -473,6 +474,21 @@ def read_version(spark: SparkSession, path: str, version: int,
     if where:
         df = _residual(df, norm, lits)
     return df
+
+
+def register_version_view(spark: SparkSession, path: str, name: str,
+                          version: int, *, where: dict | None = None) -> dict:
+    """SQL-surface time travel: register snapshot ``version`` (optionally
+    pruned with ``where=`` on the snapshot's embedded manifest, exactly
+    as :func:`read_version`) as TEMP VIEW ``name`` so plain
+    ``spark.sql`` text reads history. Snapshots are immutable, so no
+    staleness machinery is needed (unlike :func:`register_pruned_view`);
+    only :func:`vacuum_versions` can invalidate the view, and a
+    vacuumed-away file then FAILS the query loudly rather than serving
+    wrong rows. Returns ``{"version", "files"}``."""
+    df = read_version(spark, path, version, where=where)
+    df.createOrReplaceTempView(name)
+    return {"version": int(version), "files": len(df.inputFiles())}
 
 
 def vacuum_versions(spark: SparkSession, path: str,

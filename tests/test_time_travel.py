@@ -226,3 +226,30 @@ class TestSnapshotPrunedReads:
         sk._fs.write_bytes_atomic(vfile, json.dumps(rec).encode())
         got = sk.read_version(spark, path, 1, where={"k": (10, 19)})
         assert _ks(got) == list(range(10, 20))
+
+
+class TestVersionView:
+    def test_sql_surface_over_history(self, spark, tmp_path):
+        from hadoopgis_spark.sources import skipping as sk
+
+        df = spark.range(0, 1000).select(F.col("id").alias("k"))
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(df, path, "k", n_files=8)
+        sk.enable_time_travel(spark, path)
+        sk.delete_range(spark, path, "k", 110, 640)
+
+        stats = sk.register_version_view(spark, path, "tt_v1", 1)
+        assert stats["version"] == 1 and stats["files"] == 8
+        assert spark.sql("SELECT COUNT(*) c FROM tt_v1").collect()[0].c == 1000
+        # pruned form serves the exact band from few files
+        stats = sk.register_version_view(
+            spark, path, "tt_band", 1, where={"k": (200, 299)})
+        assert stats["files"] < 8
+        got = spark.sql(
+            "SELECT COUNT(*) c, CAST(SUM(k) AS BIGINT) s FROM tt_band"
+        ).collect()[0]
+        assert (got.c, got.s) == (100, sum(range(200, 300)))
+        # vacuum invalidates loudly, never silently serves wrong rows
+        sk.vacuum_versions(spark, path, keep_last=1)
+        with pytest.raises(Exception):
+            spark.sql("SELECT COUNT(*) FROM tt_band").collect()
