@@ -231,6 +231,35 @@ def batch_parse(values, with_bbox: bool = False):
         closes = _count(41)
         commas = _count(44)
 
+        # ---- structural placement (not just counts) -------------------
+        # Counts alone accept e.g. "POINT )1 2(" or "POLYGON ))...((";
+        # require the first non-space byte(s) after the type word to be
+        # "(" (nested "((" for POLYGON) and the last non-space byte(s)
+        # of the row to be ")" (nested "))" for POLYGON). Together with
+        # the exact open/close counts this pins the shape to
+        # "(body)" / "((body))" with a paren-free body.
+        kword = np.zeros(m, dtype=np.int64)
+        kword[is_point] = 5
+        kword[is_line] = 10
+        kword[is_poly] = 7
+        sp_mask = (a == 32) | (a == 10) | (a == 9) | (a == 13)
+        nz = np.nonzero(~sp_mask)[0]
+        fi = np.minimum(np.searchsorted(nz, starts + kword), nz.size - 1)
+        pos1 = nz[fi]
+        ok_open = (pos1 < ends) & (a[pos1] == 40)
+        fi2 = np.minimum(fi + 1, nz.size - 1)
+        pos2 = nz[fi2]
+        ok_open2 = (pos2 < ends) & (a[pos2] == 40)
+        li = np.maximum(np.searchsorted(nz, ends) - 1, 0)
+        posl = nz[li]
+        ok_close = (posl >= starts) & (a[posl] == 41)
+        li2 = np.maximum(li - 1, 0)
+        posl2 = nz[li2]
+        ok_close2 = (posl2 >= starts) & (a[posl2] == 41)
+        placed = ok_open & ok_close & np.where(
+            is_poly, ok_open2 & ok_close2, True
+        )
+
         # blank type names, parens, commas; normalize tab/cr to space
         arrm = a.copy()
         klen = np.zeros(m, dtype=np.int64)
@@ -255,6 +284,7 @@ def batch_parse(values, with_bbox: bool = False):
         pairs = commas + 1
         fast = (
             (is_point | is_line | is_poly)
+            & placed
             & (nbad == 0)
             & (tokens == 2 * pairs)
             & np.where(is_poly, (opens == 2) & (closes == 2),
@@ -262,6 +292,21 @@ def batch_parse(values, with_bbox: bool = False):
             & np.where(is_point, pairs == 1,
                        np.where(is_line, pairs >= 2, pairs >= 3))
         )
+
+        # ---- comma placement: each comma must split the token stream
+        # into exact 2-token groups (rejects "…,,…" / "1 2,3 4 5 6" —
+        # token/pair COUNTS can coincide while placement is wrong). The
+        # j-th comma of a row (0-based) must see exactly 2·(j+1) tokens
+        # before it; the global token==2·pairs check then pins the last
+        # group to 2 as well.
+        cpos = np.nonzero(a == 44)[0]
+        if cpos.size:
+            rowc = np.searchsorted(starts, cpos, side="right") - 1
+            cidx = np.arange(cpos.size) - np.searchsorted(cpos, starts)[rowc]
+            tb = np.searchsorted(tpos, cpos) - np.searchsorted(tpos, starts)[rowc]
+            badc = tb != 2 * (cidx + 1)
+            if badc.any():
+                fast[rowc[badc]] = False
 
         if fast.any():
             drop = np.nonzero(~fast)[0]
@@ -274,14 +319,29 @@ def batch_parse(values, with_bbox: bool = False):
                     else:
                         keep[s_:min(e_ + 1, a.size)] = False
                 kept = arrm[keep]
+                # a dropped run reaching the batch tail leaves one
+                # orphan separator ('\n' of the last surviving row) —
+                # strip it or the sentinel count check below rejects the
+                # whole batch and silently defeats the vectorization
+                while kept.size and kept[-1] == 10:
+                    kept = kept[:-1]
             else:
                 kept = arrm
             clean = kept.tobytes().replace(b"\n", b" " + _SENT.encode() + b" ")
             import warnings
 
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore")
-                flat = np.fromstring(clean, sep=" ")  # noqa: NPY201
+            try:
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    flat = np.fromstring(clean, sep=" ")  # noqa: NPY201
+            except Exception:
+                # np.fromstring is removed in NumPy 2.0 — same C strtod
+                # via an explicit token array; any failure here must
+                # degrade to the scalar path, never crash the batch
+                try:
+                    flat = np.array(clean.split(), dtype=np.float64)
+                except Exception:
+                    flat = np.empty(0, dtype=np.float64)
             frow = np.nonzero(fast)[0]
             tk = tokens[frow]
             nk = frow.size

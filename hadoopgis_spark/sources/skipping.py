@@ -481,11 +481,14 @@ def register_version_view(spark: SparkSession, path: str, name: str,
     """SQL-surface time travel: register snapshot ``version`` (optionally
     pruned with ``where=`` on the snapshot's embedded manifest, exactly
     as :func:`read_version`) as TEMP VIEW ``name`` so plain
-    ``spark.sql`` text reads history. Snapshots are immutable, so no
-    staleness machinery is needed (unlike :func:`register_pruned_view`);
-    only :func:`vacuum_versions` can invalidate the view, and a
-    vacuumed-away file then FAILS the query loudly rather than serving
-    wrong rows. Returns ``{"version", "files"}``."""
+    ``spark.sql`` text reads history. The view captures file paths
+    resolved AT REGISTRATION TIME: a later mutation that retires a
+    then-active snapshot file (moves it under ``_hgs_retired/``) — or a
+    :func:`vacuum_versions` — makes the view FAIL loudly (file not
+    found) rather than serve wrong rows, even though the snapshot
+    itself stays readable via :func:`read_version` (which re-resolves
+    retired locations). Re-register after mutations to heal the view.
+    Returns ``{"version", "files"}``."""
     df = read_version(spark, path, version, where=where)
     df.createOrReplaceTempView(name)
     return {"version": int(version), "files": len(df.inputFiles())}

@@ -491,6 +491,14 @@ class TestBatchParseParity:
         "POLYGON\t((0 0, 1 0, 0 1, 0 0))",
         "POLYGON ((0 0, 1 0, 0 1))",  # unclosed -> closes
         "POLYGON ((-8.5e222 1, 2 3, 4 5, -8.5e222 1))",  # sentinel value in data
+        # placement-not-count malformations (round-11 advisor findings):
+        # counts of parens/commas/tokens match a valid row, placement
+        # doesn't — the fast path must reject these to the scalar parser
+        "POINT )1 2(", "POINT (1) 2", "LINESTRING(1 2,,3 4 5 6)",
+        "POLYGON ))0 0, 1 0, 0 1, 0 0((",
+        "LINESTRING (1 2,3 4 5 6,7 8)", "LINESTRING (1,2 3 4)",
+        "POINT 1 (2)", "POLYGON (0 0, 1 0, 0 1, 0 0) ()",
+        "LINESTRING ()(1 2, 3 4)", "POLYGON ((0 0, 1 0, 0 1, 0 0)()",
     ]
 
     def test_adversarial_rows(self):
@@ -527,6 +535,27 @@ class TestBatchParseParity:
             if bbs[i] is not None:
                 g = Geometry(*s)
                 assert tuple(bbs[i]) == tuple(g.bbox), (i, c)
+
+    def test_trailing_slow_rows_keep_fast_path(self):
+        """A dropped run reaching the batch tail must not leave an
+        orphan separator that fails the sentinel check and silently
+        degrades EVERY row to the scalar parser (round-11 advisor
+        finding). Counted via a parse_wkt wrapper: only the non-fast
+        rows may hit the scalar path."""
+        from hadoopgis_spark.geometry import wkt as wkt_mod
+
+        cases = ["POINT (1 2)", "LINESTRING (0 0, 1 1)",
+                 "bogus row", "MULTIPOINT ((1 2), (3 4))"]
+        calls = []
+        orig = wkt_mod.parse_wkt
+        wkt_mod.parse_wkt = lambda v: (calls.append(v), orig(v))[1]
+        try:
+            res = wkt_mod.batch_parse(cases)
+        finally:
+            wkt_mod.parse_wkt = orig
+        for i, c in enumerate(cases):
+            assert self._eq(res[i], self._scalar(c)), (i, c)
+        assert len(calls) == 2, calls  # only the two tail rows
 
     def test_mixed_fast_slow_batch(self):
         """Rows routed to the scalar path interleave with fast rows
