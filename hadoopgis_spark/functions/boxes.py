@@ -23,14 +23,20 @@ __all__ = [
     "box_dice",
     "box_distance",
     "haversine_m",
+    "geo_degree_pad",
     "EARTH_RADIUS_MI",
     "MI_TO_M",
+    "EARTH_RADIUS_M",
+    "M_PER_DEG",
 ]
 
 # Reference constants (src/common/resque_constants_2d.h:2,
 # src/extensions/specialmeasures/geographical.h:20-21)
 EARTH_RADIUS_MI = 3958.75
 MI_TO_M = 1609.00
+EARTH_RADIUS_M = EARTH_RADIUS_MI * MI_TO_M
+# meters per degree of latitude (= per degree of great-circle arc)
+M_PER_DEG = EARTH_RADIUS_M * 3.141592653589793 / 180.0
 
 
 def _c(v) -> Column:
@@ -112,3 +118,46 @@ def haversine_m(lon1, lat1, lon2, lat2) -> Column:
     dlon = F.radians(_c(lon2)) - F.radians(_c(lon1))
     h = F.pow(F.sin(dlat / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
     return F.lit(2.0 * EARTH_RADIUS_MI * MI_TO_M) * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+
+
+def geo_degree_pad(radius_m, ymin, ymax) -> Column:
+    """Conservative DEGREE-space pad covering every lon/lat point within
+    ``radius_m`` haversine METERS of a box whose latitude range is
+    ``[ymin, ymax]`` (reference earth constants).
+
+    This is the meters→degrees bridge the tile machinery needs under
+    ``geography=True``: multicast pads and MBB range conditions act in
+    planar degree space while distances are ranked in haversine meters
+    — padding by raw meters either over-multicasts every object to
+    every tile (meters ≫ degrees) or, scaled naively by a fixed factor,
+    under-covers at high latitude (longitude compression). Derivation:
+
+    * latitude — great-circle distance ≥ R·|Δφ|, so
+      ``Δφ ≤ r / M_PER_DEG`` exactly;
+    * longitude — from the haversine identity,
+      ``dist ≥ 2R·√(cos φ₁ cos φ₂)·|sin(Δλ/2)|``, and every reachable
+      point has ``|φ| ≤ φmax = min(90°, max(|ymin|,|ymax|) + Δφ)``, so
+      ``|sin(Δλ/2)| ≤ r / (2R·cos φmax)``; when that bound reaches 1
+      (the pole is reachable) every longitude qualifies and the pad
+      degrades to the full circle.
+
+    The max of the two pads is applied on BOTH axes — over-coverage is
+    correctness-free because every consumer re-filters candidates on
+    the true haversine metric. Monotone in ``radius_m`` (the straggler
+    satisfaction proofs rely on it). No antimeridian wrap: like the
+    reference (planar tiling, earth distance only in refine,
+    ``spjoin_2d.hpp:167-205``), neighbor search does not cross ±180°.
+    """
+    r = _c(radius_m)
+    dlat = r / F.lit(M_PER_DEG)
+    phimax = F.least(
+        F.lit(90.0), F.greatest(F.abs(_c(ymin)), F.abs(_c(ymax))) + dlat
+    )
+    s = r / (
+        F.lit(2.0 * EARTH_RADIUS_M)
+        * F.greatest(F.cos(F.radians(phimax)), F.lit(1e-12))
+    )
+    dlon = F.when(
+        (s >= 1.0) | (phimax >= 90.0), F.lit(360.0)
+    ).otherwise(F.degrees(F.lit(2.0) * F.asin(s)))
+    return F.greatest(dlat, dlon)

@@ -43,7 +43,13 @@ from pyspark.sql import functions as F
 from hadoopgis_spark.functions import boxes as B
 from hadoopgis_spark.functions import spatial as S
 from hadoopgis_spark.materialize import durable_checkpoint
-from hadoopgis_spark.operators.mbb import MBB_COLS, space_extent, with_mbb
+from hadoopgis_spark.operators.mbb import (
+    MBB_COLS,
+    extent_and_spans,
+    require_points_geo,
+    space_extent,
+    with_mbb,
+)
 from hadoopgis_spark.operators.spatial_join import _suffix_all, default_bucket_size
 from hadoopgis_spark.operators.tile import assign_tiles, sample_mbbs, tiles_dataframe
 from hadoopgis_spark.partition import partition_tiles
@@ -75,11 +81,18 @@ def _box_maxdist(m1: list[str], m2: list[str]) -> Column:
 
 
 def _exact_distance(wkt_mode, geography, g1, g2, m1, m2) -> Column:
+    if geography:
+        # geography is points-only (enforced up front by knn_join via
+        # _require_points_geo): the MBB corner IS the point, so the
+        # haversine ranking stays native column math — no Python
+        # boundary (reference constants, geographical.h:11-22)
+        return B.haversine_m(
+            F.col(m1[0]), F.col(m1[1]), F.col(m2[0]), F.col(m2[1])
+        )
     if wkt_mode:
-        if geography:
-            return S.st_haversine_m(F.col(g1), F.col(g2))
         return S.st_distance(F.col(g1), F.col(g2))
     return B.box_distance(*[F.col(c) for c in m1], *[F.col(c) for c in m2])
+
 
 
 def _rank_k_refined(
@@ -171,7 +184,15 @@ def knn_join(
         mbb_union = a.select(*MBB_COLS) if self_join else (
             a.select(*MBB_COLS).unionByName(b.select(*MBB_COLS))
         )
-        x0, y0, x1, y1, n_total = space_extent(mbb_union)
+        if geography:
+            ext = extent_and_spans(mbb_union)
+            require_points_geo(ext, "knn_join(geography=True)")
+            x0, y0, x1, y1, n_total = (
+                float(ext[0] or 0.0), float(ext[1] or 0.0),
+                float(ext[2] or 0.0), float(ext[3] or 0.0), int(ext[4]),
+            )
+        else:
+            x0, y0, x1, y1, n_total = space_extent(mbb_union)
         if n_total == 0:
             return _empty(a, b, sfx1, sfx2)
         bucket = bucket_size or default_bucket_size(n_total, a.sparkSession)
@@ -188,7 +209,22 @@ def knn_join(
         pairs = at.join(bt, "tile_id")
         if self_join:
             pairs = pairs.filter(F.col(idc1) != F.col(idc2))
-        if wkt_mode and not geography:
+        if geography:
+            # exact per-pair haversine is native column math for points,
+            # so the per-tile prune ranks the TRUE distance directly: a
+            # pair in the global top-k is in the per-tile top-k of every
+            # tile it co-locates in (fewer than k candidates beat it
+            # anywhere), so per-tile row_number <= k is a sound prune
+            hav = _exact_distance(True, True, g1, g2, m1, m2)
+            w_tile = Window.partitionBy("tile_id", idc1).orderBy(
+                hav.asc(), F.col(idc2).asc()
+            )
+            pairs = (
+                pairs.withColumn("_thr", F.row_number().over(w_tile))
+                .filter(F.col("_thr") <= k)
+                .drop("_thr")
+            )
+        elif wkt_mode:
             # per-tile bound pruning FIRST (the declarative counterpart of
             # the reference's per-tile R-tree probe): within each tile keep
             # only pairs whose lower bound can still make the object's
@@ -225,26 +261,37 @@ def knn_join(
     # check (same job count as the old space_extent call): when every
     # box is a point, the MBB bounds coincide with the true distance,
     # which unlocks the round-2 skip below
-    ext = mbb_union.agg(
-        F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax"),
-        F.count(F.lit(1)),
-        F.max(F.col("xmax") - F.col("xmin")),
-        F.max(F.col("ymax") - F.col("ymin")),
-    ).collect()[0]
+    ext = extent_and_spans(mbb_union)
     n_total = int(ext[4])
     if n_total == 0:
         return _empty(a, b, sfx1, sfx2)
     x0, y0, x1, y1 = (float(ext[0]), float(ext[1]),
                       float(ext[2]), float(ext[3]))
-    # geography mode ranks by haversine, for which the planar bound
-    # geometry below doesn't hold — no fast path there
-    points_data = (not geography and float(ext[5] or 0.0) == 0.0
+    if geography:
+        require_points_geo(ext, "knn_join(mode='exact', geography=True)")
+    points_data = (float(ext[5] or 0.0) == 0.0
                    and float(ext[6] or 0.0) == 0.0)
+    # Metric discipline (the round-10 verdict's confirmed wrong-answer
+    # fix): EVERY radius in this formulation — the per-object bound _u,
+    # the straggler radii r0·√2ⁿ, the whole-space sweep — lives in the
+    # RANKING metric (haversine meters under geography, planar units
+    # otherwise), and crosses into degree space only at tile-assignment
+    # time through the conservative geo_degree_pad conversion. Mixing
+    # planar-degree radii with haversine-meter ranking provably excluded
+    # true neighbors at high latitude (POINT(0 80): the 384 km neighbor
+    # lost to the 556 km one).
+    unit = B.M_PER_DEG if geography else 1.0
     # the straggler radius cap must cover the farthest A-to-B distance:
     # A objects can live far outside B's extent, so use the UNION extent
     # diagonal (capping at B's own diagonal silently starved far-away
-    # objects)
-    diag = math.hypot(x1 - x0, y1 - y0)
+    # objects). Under geography the cap is the conservative meter radius
+    # whose degree pad covers the whole extent: geo_degree_pad(r) ≥
+    # r/M_PER_DEG, so r = (Δx+Δy)·M_PER_DEG pads every box past both
+    # extent spans; the same path bound (meridian + parallel arc) makes
+    # it an upper bound on any in-extent haversine distance, so the
+    # lo ≤ diag filter keeps every candidate.
+    diag = (((x1 - x0) + (y1 - y0)) * B.M_PER_DEG if geography
+            else math.hypot(x1 - x0, y1 - y0))
 
     # plane-covering tiles are the correctness backbone of both rounds
     # (any a-box/b-box overlap meets in SOME tile), so a data
@@ -265,13 +312,25 @@ def knn_join(
         "t_xmin", "t_ymin", "t_xmax", "t_ymax"
     ).transform(durable_checkpoint)
     sel_cols = at.columns + [c for c in bt.columns if c != "tile_id"]
-    lo = B.box_distance(*[F.col(c) for c in m1], *[F.col(c) for c in m2])
+    # lo = provable LOWER bound on the ranking distance (planar: box
+    # distance; geography: the exact haversine itself — points only)
+    lo = (_exact_distance(wkt_mode, True, g1, g2, m1, m2) if geography
+          else B.box_distance(*[F.col(c) for c in m1], *[F.col(c) for c in m2]))
+
+    def hi_dist() -> Column:
+        """Per-pair UPPER bound on the ranking distance (geography:
+        exact; planar: opposite-corner separation)."""
+        return lo if geography else _box_maxdist(m1, m2)
 
     def tile_cand(aa: DataFrame, pad) -> DataFrame:
         """Tile-co-located (a, b) pairs with a's box padded by ``pad``
-        (Column or scalar) for the assignment. Superset guarantee: any b
-        with box_distance(a, b) <= pad overlaps the padded a-box, and
-        the overlap point lies in a tile both sides were multicast to."""
+        (Column or scalar, in RANKING-metric units) for the assignment.
+        Superset guarantee: any b within ``pad`` of a (ranking metric)
+        overlaps the padded a-box, and the overlap point lies in a tile
+        both sides were multicast to. Under geography the meter radius
+        converts to a conservative per-object degree pad first."""
+        if geography and not (isinstance(pad, (int, float)) and pad == 0):
+            pad = B.geo_degree_pad(pad, F.col(m1[1]), F.col(m1[3]))
         c = (
             assign_tiles(aa, tiles_df, mbb_cols=tuple(m1), pad=pad)
             .drop("t_xmin", "t_ymin", "t_xmax", "t_ymax")
@@ -310,7 +369,7 @@ def knn_join(
     # Per-(tile, object) top-k by upper bound first: the k-th smallest
     # global _thi lives inside the union of per-tile top-k lists, so the
     # wide dedup+window sees O(k · tiles-per-object) rows per object.
-    c1 = tile_cand(at, 0.0).withColumn("_thi", _box_maxdist(m1, m2))
+    c1 = tile_cand(at, 0.0).withColumn("_thi", hi_dist())
     w_tile = Window.partitionBy("tile_id", idc1).orderBy(
         F.col("_thi").asc(), F.col(idc2).asc()
     )
@@ -347,7 +406,7 @@ def knn_join(
         if all(math.isfinite(v) for v in t[1:])
     )
     med_diag = finite_diags[len(finite_diags) // 2] if finite_diags else 0.0
-    r0 = max(1e-9, 1.5 * math.sqrt(space_area * k / n_b), med_diag)
+    r0 = max(1e-9, 1.5 * math.sqrt(space_area * k / n_b), med_diag) * unit
 
     _LAST_EXACT_INFO.clear()
     _LAST_EXACT_INFO.update(points=points_data, n_objects=n_a, n_fast=n_fast,
@@ -398,7 +457,7 @@ def knn_join(
             .filter(F.col("_lo") <= F.col("_u"))
             .select(*sel_cols, "_proven")
             .dropDuplicates([idc1, idc2])
-            .withColumn("_shi", _box_maxdist(m1, m2))
+            .withColumn("_shi", hi_dist())
         )
         if n_strag:
             c2 = durable_checkpoint(c2)  # 4 consumers below
@@ -452,7 +511,7 @@ def knn_join(
             .filter(F.col("_lo") <= r)
             .select(*sel_cols)
             .dropDuplicates([idc1, idc2])
-            .withColumn("_shi", _box_maxdist(m1, m2))
+            .withColumn("_shi", hi_dist())
             .transform(durable_checkpoint)
         )
         # same satisfaction proof as the merged round, at radius r

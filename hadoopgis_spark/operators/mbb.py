@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions.spatial import st_mbb
 
-__all__ = ["with_mbb", "space_extent", "MBB_COLS"]
+__all__ = ["with_mbb", "space_extent", "extent_and_spans",
+           "require_points_geo", "MBB_COLS"]
 
 MBB_COLS = ("xmin", "ymin", "xmax", "ymax")
 
@@ -57,3 +58,29 @@ def space_extent(df: DataFrame) -> tuple[float, float, float, float, int]:
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     return (row.x0, row.y0, row.x1, row.y1, row.n)
+
+
+def extent_and_spans(mbb_union: DataFrame):
+    """One aggregate: union extent + count + max box width/height (the
+    width/height maxes feed both the geography point check and exact
+    kNN's point-data fast path) — same job count as space_extent."""
+    return mbb_union.agg(
+        F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax"),
+        F.count(F.lit(1)),
+        F.max(F.col("xmax") - F.col("xmin")),
+        F.max(F.col("ymax") - F.col("ymin")),
+    ).collect()[0]
+
+
+def require_points_geo(ext_row, what: str) -> None:
+    """``geography=True`` ranks/filters by haversine, a POINT metric
+    (the kernel's ``haversine_distance`` raises for anything else) —
+    reject non-degenerate MBBs up front and loudly instead of failing
+    (or silently mis-measuring box corners) at executor time."""
+    if int(ext_row[4]) and (
+        float(ext_row[5] or 0.0) != 0.0 or float(ext_row[6] or 0.0) != 0.0
+    ):
+        raise ValueError(
+            f"{what} supports POINT geometries only "
+            "(haversine is a point metric)"
+        )

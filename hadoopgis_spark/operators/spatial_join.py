@@ -34,7 +34,13 @@ from pyspark.sql import functions as F
 from hadoopgis_spark.functions import boxes as B
 from hadoopgis_spark.functions.spatial import st_dwithin, st_predicate
 from hadoopgis_spark.functions import spatial as S
-from hadoopgis_spark.operators.mbb import MBB_COLS, space_extent, with_mbb
+from hadoopgis_spark.operators.mbb import (
+    MBB_COLS,
+    extent_and_spans,
+    require_points_geo,
+    space_extent,
+    with_mbb,
+)
 from hadoopgis_spark.operators.tile import assign_tiles, sample_mbbs, tiles_dataframe
 from hadoopgis_spark.partition import (
     SPACE_PARTITIONERS,
@@ -133,6 +139,18 @@ def spatial_join(
     a = with_mbb(a, geom_col) if wkt_mode else a
     b = (a if self_join else with_mbb(b, geom_col)) if wkt_mode else b
     pad = float(distance or 0.0)
+    # geography dwithin: the user's distance is in haversine METERS but
+    # every pad below acts in planar DEGREE space — applying meters as
+    # degrees multicasts every object to every tile (a 500 m threshold
+    # padded every MBB by 500 degrees; the refine kept results correct
+    # while the plan degenerated to accidental all-pairs). Convert the
+    # meter radius to a conservative per-object degree pad instead
+    # (``geo_degree_pad``) and refine with native haversine. Haversine
+    # is a point metric, so this mode is points-only (checked below);
+    # the same check guards the geography ``mindist`` stat, which would
+    # otherwise silently measure box corners.
+    geo_dwithin = geography and predicate == "st_dwithin"
+    geo_point_check = geography and (geo_dwithin or "mindist" in stats)
 
     if strategy == "auto":
         # mirror the reference's join-side size check
@@ -158,7 +176,12 @@ def spatial_join(
     mbb_union = a.select(*MBB_COLS) if self_join else (
         a.select(*MBB_COLS).unionByName(b.select(*MBB_COLS))
     )
-    x0, y0, x1, y1, n_total = space_extent(mbb_union)
+    if geo_point_check:
+        ext = extent_and_spans(mbb_union)
+        require_points_geo(ext, "spatial_join(geography=True)")
+        x0, y0, x1, y1, n_total = ext[0], ext[1], ext[2], ext[3], int(ext[4])
+    else:
+        x0, y0, x1, y1, n_total = space_extent(mbb_union)
     if n_total == 0:
         empty = _pair_schema_frame(a, b, sfx1, sfx2, stats, keep_mbb)
         return empty
@@ -173,7 +196,16 @@ def spatial_join(
     # ---- multicast assignment (J6) ------------------------------------
     m1_names = tuple(f"{c}{sfx1}" for c in MBB_COLS)
     m2_names = tuple(f"{c}{sfx2}" for c in MBB_COLS)
-    at = assign_tiles(_suffix_all(a, sfx1), tiles_df, pad=pad, mbb_cols=m1_names)
+    # the assignment pad, the pair-join range pad, and the refpoint
+    # dedup pad must be the SAME expression — exactly-once emission
+    # relies on the refpoint of the padded intersection lying in a tile
+    # both sides were multicast to
+    pad_a = (
+        B.geo_degree_pad(F.lit(pad), F.col(m1_names[1]), F.col(m1_names[3]))
+        if geo_dwithin and pad
+        else pad
+    )
+    at = assign_tiles(_suffix_all(a, sfx1), tiles_df, pad=pad_a, mbb_cols=m1_names)
     if not use_refpoint:
         at = at.drop("t_xmin", "t_ymin", "t_xmax", "t_ymax")
     bt = assign_tiles(_suffix_all(b, sfx2), tiles_df, mbb_cols=m2_names).drop(
@@ -183,7 +215,7 @@ def spatial_join(
     # ---- pair join: tile equi-join + MBB range condition ---------------
     m1 = [f"{c}{sfx1}" for c in MBB_COLS]
     m2 = [f"{c}{sfx2}" for c in MBB_COLS]
-    cond = B.box_intersects(*[F.col(c) for c in m1], *[F.col(c) for c in m2], pad=pad)
+    cond = B.box_intersects(*[F.col(c) for c in m1], *[F.col(c) for c in m2], pad=pad_a)
     joined = at.join(bt, on=["tile_id"], how="inner").filter(cond)
 
     # ---- self-join pair rules (spjoin_2d.hpp:78-84) --------------------
@@ -197,9 +229,17 @@ def spatial_join(
 
     # ---- refine (exact geometry, candidates only) ----------------------
     g1, g2 = f"{geom_col}{sfx1}", f"{geom_col}{sfx2}"
-    if wkt_mode:
+    if geo_dwithin:
+        # points-only (enforced above): the MBB corner IS the point, so
+        # the haversine refine stays native column math — no Python
+        # boundary (reference constants, spjoin_2d.hpp:167-205)
+        joined = joined.filter(
+            B.haversine_m(F.col(m1[0]), F.col(m1[1]), F.col(m2[0]), F.col(m2[1]))
+            <= pad
+        )
+    elif wkt_mode:
         if predicate == "st_dwithin":
-            joined = joined.filter(st_dwithin(F.col(g1), F.col(g2), pad, geography=geography))
+            joined = joined.filter(st_dwithin(F.col(g1), F.col(g2), pad, geography=False))
         else:
             joined = joined.filter(st_predicate(predicate)(F.col(g1), F.col(g2)))
     else:
@@ -215,9 +255,12 @@ def spatial_join(
     stat_cols = [s for s in stats if s != "tileid"]
     if use_refpoint:
         # emit the pair only in the tile owning the reference point of the
-        # (padded) MBB intersection — globally exactly once, no shuffle
-        rx = F.greatest(F.col(m1[0]) - F.lit(pad), F.col(m2[0]))
-        ry = F.greatest(F.col(m1[1]) - F.lit(pad), F.col(m2[1]))
+        # (padded) MBB intersection — globally exactly once, no shuffle;
+        # the pad here MUST mirror the assignment pad (degree-converted
+        # under geography) or padded-overlap pairs land on unvisited tiles
+        pad_c = pad_a if isinstance(pad_a, Column) else F.lit(pad)
+        rx = F.greatest(F.col(m1[0]) - pad_c, F.col(m2[0]))
+        ry = F.greatest(F.col(m1[1]) - pad_c, F.col(m2[1]))
         on_ref_tile = (
             (rx >= F.col("t_xmin")) & (rx < F.col("t_xmax"))
             & (ry >= F.col("t_ymin")) & (ry < F.col("t_ymax"))
@@ -239,7 +282,19 @@ def _broadcast_join(
     bt = _suffix_all(b, sfx2)
     m1 = [f"{c}{sfx1}" for c in MBB_COLS]
     m2 = [f"{c}{sfx2}" for c in MBB_COLS]
-    cond = B.box_intersects(*[F.col(c) for c in m1], *[F.col(c) for c in m2], pad=pad)
+    geo_dwithin = geography and predicate == "st_dwithin"
+    pad_a = pad
+    if geography and (geo_dwithin or "mindist" in stats):
+        mbb_union = a.select(*MBB_COLS) if self_join else (
+            a.select(*MBB_COLS).unionByName(b.select(*MBB_COLS))
+        )
+        require_points_geo(
+            extent_and_spans(mbb_union), "spatial_join(geography=True)"
+        )
+        if geo_dwithin and pad:
+            # meters → conservative per-row degree pad (see spatial_join)
+            pad_a = B.geo_degree_pad(F.lit(pad), F.col(m1[1]), F.col(m1[3]))
+    cond = B.box_intersects(*[F.col(c) for c in m1], *[F.col(c) for c in m2], pad=pad_a)
     if predicate == "st_disjoint":
         # broadcast sees every pair: true global disjoint semantics
         cond = F.lit(True)
@@ -252,9 +307,14 @@ def _broadcast_join(
         if not replicate:
             joined = joined.filter(F.col(idc1) < F.col(idc2))
     g1, g2 = f"{geom_col}{sfx1}", f"{geom_col}{sfx2}"
-    if wkt_mode:
+    if geo_dwithin:
+        joined = joined.filter(
+            B.haversine_m(F.col(m1[0]), F.col(m1[1]), F.col(m2[0]), F.col(m2[1]))
+            <= pad
+        )
+    elif wkt_mode:
         if predicate == "st_dwithin":
-            joined = joined.filter(st_dwithin(F.col(g1), F.col(g2), pad, geography=geography))
+            joined = joined.filter(st_dwithin(F.col(g1), F.col(g2), pad, geography=False))
         else:
             joined = joined.filter(st_predicate(predicate)(F.col(g1), F.col(g2)))
     else:
@@ -322,7 +382,12 @@ def _append_stats(
                 "jaccard": lambda: S.st_jaccard(F.col(g1), F.col(g2)),
                 "dice": lambda: S.st_dice(F.col(g1), F.col(g2)),
                 "mindist": lambda: (
-                    S.st_haversine_m(F.col(g1), F.col(g2)) if geography else S.st_distance(F.col(g1), F.col(g2))
+                    # points-only under geography (enforced in the
+                    # callers): the MBB corner IS the point, so the
+                    # haversine stat stays native column math
+                    B.haversine_m(F.col(m1[0]), F.col(m1[1]),
+                                  F.col(m2[0]), F.col(m2[1]))
+                    if geography else S.st_distance(F.col(g1), F.col(g2))
                 ),
             }[s]()
         else:
@@ -333,7 +398,11 @@ def _append_stats(
                 "intersect": lambda: B.box_intersection_area(*c1, *c2),
                 "jaccard": lambda: B.box_jaccard(*c1, *c2),
                 "dice": lambda: B.box_dice(*c1, *c2),
-                "mindist": lambda: B.box_distance(*c1, *c2),
+                "mindist": lambda: (
+                    B.haversine_m(F.col(m1[0]), F.col(m1[1]),
+                                  F.col(m2[0]), F.col(m2[1]))
+                    if geography else B.box_distance(*c1, *c2)
+                ),
             }[s]()
         df = df.withColumn(s, col)
     return df

@@ -718,6 +718,136 @@ SP_HAVERSINE_SQL = """
 """
 
 
+# --- geography join surface (round 11) -------------------------------------
+# High-latitude lon/lat grids where planar-degree and haversine-meter
+# rankings provably disagree (longitude compression) — the surface the
+# round-10 verdict found wrong. Grid phases are chosen so no two
+# distinct points are mirror-symmetric around a query point (0.037 /
+# 0.013 offsets are unreachable by the 0.9/0.85 and 0.6/0.65 grids):
+# mathematically-tied distances round differently per engine and would
+# make top-k order engine-specific. All literals CAST to DOUBLE in SQL
+# (DuckDB parses bare decimals as DECIMAL).
+
+def geo_customer_points(spark, sf):
+    c = _t(spark, sf, "customer")
+    lon = (F.col("c_custkey") % 67) * 0.9 - 29.963
+    lat = (F.col("c_custkey") % 41) * 0.6 + 55.013
+    return c.select(F.col("c_custkey").alias("id"), lon.alias("xmin"),
+                    lat.alias("ymin"), lon.alias("xmax"), lat.alias("ymax"))
+
+
+def geo_supplier_points(spark, sf):
+    s = _t(spark, sf, "supplier")
+    lon = (F.col("s_suppkey") % 71) * 0.85 - 30.0
+    lat = (F.col("s_suppkey") % 37) * 0.65 + 55.0
+    return s.select(F.col("s_suppkey").alias("id"), lon.alias("xmin"),
+                    lat.alias("ymin"), lon.alias("xmax"), lat.alias("ymax"))
+
+
+GEO_C_SQL = """
+  SELECT c_custkey AS id,
+         (c_custkey % 67) * CAST(0.9 AS DOUBLE) - CAST(29.963 AS DOUBLE) AS lon,
+         (c_custkey % 41) * CAST(0.6 AS DOUBLE) + CAST(55.013 AS DOUBLE) AS lat
+  FROM customer
+"""
+GEO_S_SQL = """
+  SELECT s_suppkey AS id,
+         (s_suppkey % 71) * CAST(0.85 AS DOUBLE) - CAST(30.0 AS DOUBLE) AS lon,
+         (s_suppkey % 37) * CAST(0.65 AS DOUBLE) + CAST(55.0 AS DOUBLE) AS lat
+  FROM supplier
+"""
+# identical expression tree to functions.boxes.haversine_m (reference
+# constants geographical.h:11-22); ROUND(,3) per the trig discipline
+_HAV_SQL = """2.0 * 3958.75 * 1609.00 * ASIN(LEAST(1.0, SQRT(
+             POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+             + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+               * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+         )))"""
+
+
+def sp_knn_geo(spark, sf):
+    """J4 exact kNN under geography=True: every radius bound lives in
+    haversine meters and crosses to degree space only through the
+    conservative geo_degree_pad — the round-10 confirmed-wrong sub-mode,
+    now oracle-pinned. Small bucket forces a real multi-tile plan."""
+    j = knn_join(geo_customer_points(spark, sf), geo_supplier_points(spark, sf),
+                 k=3, mode="exact", geography=True, bucket_size=120)
+    return j.select("id_1", "id_2", F.round("distance", 3).alias("hav_m"))
+
+
+SP_KNN_GEO_SQL = f"""
+  WITH c AS ({GEO_C_SQL}), s AS ({GEO_S_SQL}),
+  d AS (
+    SELECT a.id AS id_1, b.id AS id_2, {_HAV_SQL} AS hav
+    FROM c a CROSS JOIN s b
+  ), r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY id_1 ORDER BY hav, id_2) AS rn FROM d
+  )
+  SELECT id_1, id_2, ROUND(hav, 3) AS hav_m FROM r WHERE rn <= 3
+"""
+
+
+def sp_dwithin_geo(spark, sf):
+    """J5 geography dwithin (reference -e true, spjoin_2d.hpp:167-205):
+    the 200 km meter threshold converts to a per-object degree pad for
+    the multicast instead of padding by 200,000 DEGREES (the round-10
+    all-pairs degeneracy); refine + mindist stat are native haversine."""
+    j = spatial_join(geo_customer_points(spark, sf),
+                     geo_supplier_points(spark, sf),
+                     "st_dwithin", distance=200_000.0, geography=True,
+                     stats=["mindist"])
+    return j.select("id_1", "id_2", F.round("mindist", 3).alias("hav_m"))
+
+
+SP_DWITHIN_GEO_SQL = f"""
+  WITH c AS ({GEO_C_SQL}), s AS ({GEO_S_SQL})
+  SELECT a.id AS id_1, b.id AS id_2, ROUND({_HAV_SQL}, 3) AS hav_m
+  FROM c a CROSS JOIN s b
+  WHERE {_HAV_SQL} <= CAST(200000.0 AS DOUBLE)
+"""
+
+
+def sp_mindist_geo(spark, sf):
+    """Geography mindist stat end-to-end through the WKT pipeline
+    (reference -e true, spjoin_2d.hpp:253-263): WKT POINT parse →
+    with_mbb → degree-padded tile self-join → native haversine stat.
+    Bounded lon grid (no antimeridian wrap — same planar-tiling caveat
+    as the reference)."""
+    n = _t(spark, sf, "nation")
+    lon = (F.col("n_nationkey") % 24) * 2.5 - 30.0
+    lat = (F.col("n_nationkey") % 17) * 2.0 + 40.0
+    pts = n.select(
+        F.col("n_nationkey").alias("id"),
+        F.concat(F.lit("POINT ("), lon.cast("string"), F.lit(" "),
+                 lat.cast("string"), F.lit(")")).alias("geom"),
+    )
+    j = spatial_join(pts, None, "st_dwithin", distance=1_500_000.0,
+                     geography=True, stats=["mindist"])
+    return j.select("id_1", "id_2", F.round("mindist", 3).alias("hav_m"))
+
+
+SP_MINDIST_GEO_SQL = """
+  WITH p AS (
+    SELECT n_nationkey AS id,
+           (n_nationkey % 24) * CAST(2.5 AS DOUBLE) - CAST(30.0 AS DOUBLE) AS lon,
+           (n_nationkey % 17) * CAST(2.0 AS DOUBLE) + CAST(40.0 AS DOUBLE) AS lat
+    FROM nation
+  )
+  SELECT a.id AS id_1, b.id AS id_2,
+         ROUND(2.0 * 3958.75 * 1609.00 * ASIN(LEAST(1.0, SQRT(
+             POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+             + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+               * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+         ))), 3) AS hav_m
+  FROM p a JOIN p b ON a.id < b.id
+  WHERE 2.0 * 3958.75 * 1609.00 * ASIN(LEAST(1.0, SQRT(
+             POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+             + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+               * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+         ))) <= CAST(1500000.0 AS DOUBLE)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text / document pipeline queries
 # ---------------------------------------------------------------------------
@@ -7104,6 +7234,9 @@ REGISTRY: dict[str, Query] = {
     "sp_join_self": Query(sp_join_self, SP_JOIN_SELF_SQL, "J2 self-join"),
     "sp_dwithin_points": Query(sp_dwithin_points, SP_DWITHIN_SQL, "J5 distance join"),
     "sp_knn": Query(sp_knn, SP_KNN_SQL, "J4 exact kNN join"),
+    "sp_knn_geo": Query(sp_knn_geo, SP_KNN_GEO_SQL, "J4 exact kNN, geography metric (haversine bounds)"),
+    "sp_dwithin_geo": Query(sp_dwithin_geo, SP_DWITHIN_GEO_SQL, "J5 geography dwithin + native mindist stat"),
+    "sp_mindist_geo": Query(sp_mindist_geo, SP_MINDIST_GEO_SQL, "geography mindist through the WKT tile pipeline"),
     "sp_containment_wkt": Query(sp_containment_wkt, SP_CONTAINMENT_WKT_SQL, "J3 exact WKT kernel path"),
     "sp_interval_join": Query(sp_interval_join, SP_INTERVAL_SQL, "temporal interval join (spt ext)"),
     "sp_temporal_parse": Query(sp_temporal_parse, SP_TEMPORAL_PARSE_SQL, "multi-interval TemporalObject parse + set predicates (spt ext)"),
