@@ -53,6 +53,8 @@ import os
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+from hadoopgis_spark.sources import lease as _lease
 from pyspark.sql import functions as F
 
 from hadoopgis_spark.sources import fsio as _fsio
@@ -198,6 +200,16 @@ def build_bloom_index(
     (m, k) per column so partial filters stay OR-mergeable."""
     if not isinstance(spark, SparkSession):
         spark = spark.sparkSession
+    # single-writer lease on the table (shared with the zonemap/agg
+    # mutators in sources.skipping): a bloom build racing a compaction
+    # refuses loudly instead of indexing files mid-move. Reentrant, so
+    # a leased pipeline (ingest foreachBatch) nests fine.
+    with _lease.writer_lease(path, op="bloom_build"):
+        return _build_bloom_index_locked(
+            spark, path, cols, n_items=n_items, fpp=fpp)
+
+
+def _build_bloom_index_locked(spark, path, cols, *, n_items, fpp):
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")

@@ -22,6 +22,8 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+
+from hadoopgis_spark.sources import lease as _lease
 from pyspark.sql import functions as F
 
 from hadoopgis_spark.materialize import durable_checkpoint
@@ -35,6 +37,30 @@ def _dedup_root(spark: SparkSession) -> str:
     return configured or f"/tmp/hgs_ivf_{spark.sparkContext.applicationId}"
 
 
+def _dedup_mutator(op: str):
+    """Single-writer lease on the dedup-index base dir (sources.lease)."""
+    import functools
+    import inspect
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            b = sig.bind(*args, **kwargs)
+            b.apply_defaults()
+            arg = b.arguments
+            spark = arg["df"].sparkSession
+            base = f"{arg.get('root') or _dedup_root(spark)}/{arg['name']}"
+            with _lease.writer_lease(base, op=op):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
+@_dedup_mutator('save')
 def save_dedup_index(
     df: DataFrame,
     name: str,

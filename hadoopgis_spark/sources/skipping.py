@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions.spatial_order import hilbert_index
 from hadoopgis_spark.sources import fsio as _fs
+from hadoopgis_spark.sources import lease as _lease
 
 __all__ = [
     "save_range_sorted",
@@ -280,9 +281,36 @@ def _load_compact_record(path: str) -> dict | None:
         return None
 
 
+def _mutator(op: str):
+    """Wrap a table mutator in the single-writer lease (sources.lease):
+    a second concurrent writer refuses loudly up front, and the commit
+    points below fence on the lease so a taken-over writer aborts
+    crash-equivalently BEFORE its commit record or manifest lands.
+    Reentrant — nested mutators (settle inside merge, append inside a
+    foreachBatch ingest) ride the outermost lease."""
+    import functools
+    import inspect
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            path = sig.bind(*args, **kwargs).arguments["path"]
+            with _lease.writer_lease(path, op=op):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 def _write_compact_record(path: str, rec: dict) -> None:
     import json
     _fs.makedirs(os.path.dirname(_record_path(path)))
+    # commit-point fence: abort (crash-equivalent) if the writer lease
+    # was taken over — no-op for unleased callers (reader-side settle)
+    _lease.fence(path)
     # tmp-write + rename: atomic commit marker (single small PUT on an
     # object store — atomic there too)
     _fs.write_bytes_atomic(_record_path(path), json.dumps(rec).encode())
@@ -359,6 +387,7 @@ def _record_version(path: str, op: str) -> int:
     except Exception:
         man = []
     rec = {"version": nxt, "op": op, "files": files, "manifest": man}
+    _lease.fence(path)  # commit-point fence (no-op when unleased)
     _fs.makedirs(_versions_dir(path))
     _fs.write_bytes_atomic(
         os.path.join(_versions_dir(path), f"v{nxt:06d}.json"),
@@ -380,6 +409,7 @@ def _retire_old(path: str, name: str, versioned: bool) -> None:
         _fs.remove(src)
 
 
+@_mutator('enable_time_travel')
 def enable_time_travel(spark: SparkSession, path: str) -> int:
     """Turn on snapshot recording for a clustered layout and record the
     current state as the first snapshot. Idempotent (returns the latest
@@ -494,6 +524,7 @@ def register_version_view(spark: SparkSession, path: str, name: str,
     return {"version": int(version), "files": len(df.inputFiles())}
 
 
+@_mutator('vacuum')
 def vacuum_versions(spark: SparkSession, path: str,
                     keep_last: int = 1) -> dict:
     """Reclaim history: keep the newest ``keep_last`` snapshots, drop
@@ -563,6 +594,7 @@ def _settle_compaction(spark: SparkSession, path: str) -> None:
         _record_version(path, "settle")
 
 
+@_mutator('compact')
 def compact_range_sorted(
     spark: SparkSession,
     path: str,
@@ -597,6 +629,7 @@ def compact_range_sorted(
     return _compact(spark, path, small_bytes, rewrite, check)
 
 
+@_mutator('compact')
 def compact_spatial_clustered(
     spark: SparkSession,
     path: str,
@@ -694,6 +727,7 @@ def _compact(spark, path, small_bytes, rewrite, check) -> dict:
             "files_after": len(files) - len(small) + len(new)}
 
 
+@_mutator('delete')
 def delete_range(
     spark: SparkSession,
     path: str,
@@ -822,6 +856,7 @@ def delete_range(
             "deleted_rows": int(deleted)}
 
 
+@_mutator('merge')
 def merge_range(
     spark: SparkSession,
     path: str,
@@ -1037,6 +1072,7 @@ _MANIFEST_SCHEMA = ("file string, rows bigint, col string, vtype string, "
 
 
 def _save_manifest(spark: SparkSession, path: str, tuples: list) -> None:
+    _lease.fence(path)  # commit-point fence (no-op when unleased)
     mdf = spark.createDataFrame(tuples, _MANIFEST_SCHEMA)
     mdf.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, _MANIFEST_DIR))
@@ -1146,6 +1182,7 @@ def _load_manifest(spark: SparkSession, path: str) -> list:
     return rows
 
 
+@_mutator('save')
 def save_range_sorted(
     df: DataFrame,
     path: str,
@@ -1176,6 +1213,7 @@ def save_range_sorted(
         build_agg_index(df.sparkSession, path, list(agg_cols))
 
 
+@_mutator('append')
 def append_range_sorted(
     df: DataFrame,
     path: str,
@@ -1214,6 +1252,7 @@ def append_range_sorted(
         build_agg_index(spark, path, acols)
 
 
+@_mutator('save')
 def save_spatial_clustered(
     df: DataFrame,
     path: str,
@@ -1231,6 +1270,7 @@ def save_spatial_clustered(
     _write_manifest(df.sparkSession, path, ["xmin", "ymin", "xmax", "ymax"])
 
 
+@_mutator('append')
 def append_spatial_clustered(
     df: DataFrame,
     path: str,
@@ -1869,6 +1909,7 @@ def count_window(
     return n
 
 
+@_mutator('save')
 def save_zorder_sorted(
     df: DataFrame,
     path: str,

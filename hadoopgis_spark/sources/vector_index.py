@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoopgis_spark.sources import fsio as _fs
+from hadoopgis_spark.sources import lease as _lease
 
 from hadoopgis_spark.operators.similarity import (
     fit_centroids,
@@ -54,6 +55,35 @@ def _index_root(spark: SparkSession) -> str:
     return configured or f"/tmp/hgs_ivf_{spark.sparkContext.applicationId}"
 
 
+def _index_mutator(op: str):
+    """Single-writer lease on the index base dir (sources.lease): a
+    concurrent save/append/refit on the same persisted index refuses
+    loudly instead of interleaving staged writes. Resolves the base
+    exactly like the wrapped function (root or hgs.indexRoot + name)."""
+    import functools
+    import inspect
+
+    from pyspark.sql import SparkSession as _SS
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            b = sig.bind(*args, **kwargs)
+            b.apply_defaults()
+            arg = b.arguments
+            obj = arg.get("spark") if isinstance(arg.get("spark"), _SS)                 else arg.get("df").sparkSession
+            base = f"{arg.get('root') or _index_root(obj)}/{arg['name']}"
+            with _lease.writer_lease(base, op=op):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
+@_index_mutator('save')
 def save_ivf_index(
     df: DataFrame,
     name: str,
@@ -163,6 +193,7 @@ def ivf_topk_indexed(
     )
 
 
+@_index_mutator('append')
 def add_to_ivf_index(
     df: DataFrame,
     name: str,
@@ -260,6 +291,7 @@ def ivf_index_health(
     }
 
 
+@_index_mutator('refit')
 def refit_ivf_index(
     spark: SparkSession,
     name: str,
@@ -309,6 +341,7 @@ def refit_ivf_index(
     return {"refit": True, **h}
 
 
+@_index_mutator('save')
 def save_ivfpq_index(
     df: DataFrame,
     name: str,
