@@ -53,9 +53,9 @@ import os
 from typing import Iterable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hadoopgis_spark.sources import lease as _lease
-from pyspark.sql import functions as F
 
 from hadoopgis_spark.sources import fsio as _fsio
 from hadoopgis_spark.sources.skipping import _active_files
@@ -216,6 +216,14 @@ def _build_bloom_index_locked(spark, path, cols, *, n_items, fpp):
     m_bits, k = _params(n_items, fpp)
 
     active = _active_files(path)
+    # versioned tables RETAIN index rows for retired files: snapshots
+    # still reference them and bloom bits per (immutable) file never go
+    # stale — read_eq_version probes them. vacuum_versions deletes the
+    # retired files themselves, after which the next build purges here.
+    retired_dir = os.path.join(path, "_hgs_retired")
+    retained = set(active)
+    if _fsio.is_dir(retired_dir):
+        retained |= set(_fsio.listdir(retired_dir))
     old = _index_df(spark, path)
     covered: set[str] = set()
     old_files: set[str] = set()
@@ -227,7 +235,7 @@ def _build_bloom_index_locked(spark, path, cols, *, n_items, fpp):
         old_files = {f for f, _ in have}
         covered = {f for f in active if all((f, c) in have for c in cols)}
     missing = sorted(active - covered)
-    if not missing and old_files <= active:
+    if not missing and old_files <= retained:
         # nothing new to index and no stale rows for vanished files —
         # skip the rewrite entirely (probes ignore non-active rows, so
         # staleness is a space concern, not a correctness one)
@@ -328,7 +336,7 @@ def _build_bloom_index_locked(spark, path, cols, *, n_items, fpp):
         # advisor finding: build(['id']) then build(['name']) used to
         # silently discard all 'id' rows)
         keep_old = old.filter(
-            F.col("file").isin(sorted(active - set(missing)))
+            F.col("file").isin(sorted(retained - set(missing)))
             | (F.col("file").isin(sorted(missing))
                & ~F.col("col").isin(cols)))
     combined = (
@@ -499,6 +507,79 @@ def read_eq(
         return spark.read.parquet(path).filter(F.lit(False))
     df = spark.read.parquet(
         *(os.path.join(path, n) for n in sorted(keep_names)))
+    for c, v in vals.items():
+        df = df.filter(
+            F.col(c) == F.lit(v[0]) if len(v) == 1 else F.col(c).isin(v))
+    return df
+
+
+def _bloom_pruned_names(spark, path: str, vals: dict) -> set:
+    """File names (any file — active or retired) whose index rows prove
+    EVERY candidate of some constrained column absent. Files without
+    rows are never in the result (conservatively kept by callers)."""
+    bpath = os.path.join(path, _BLOOM_DIR)
+    if not _fsio.is_dir(bpath) or not vals:
+        return set()
+
+    def _all_absent(bits, c, m, k):
+        return all(_absent(bits, x, m, k) for x in vals[c])
+
+    cached = _cached_index(bpath)
+    if cached is not None:
+        return {
+            f for (f, c), (m, k, bits) in cached.items()
+            if c in vals and _all_absent(bits, c, int(m), int(k))
+        }
+    qcols = sorted(vals)
+    rows = _index_df(spark, path).filter(F.col("col").isin(qcols))
+
+    def _test(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            miss = [
+                _all_absent(r["bits"], r["col"],
+                            int(r["m_bits"]), int(r["k"]))
+                for _, r in pdf.iterrows()
+            ]
+            yield pd.DataFrame({"file": pdf["file"], "miss": miss})
+
+    verdict = rows.mapInPandas(_test, "file string, miss boolean") \
+        .collect()  # bounded: one (name, bool) per (file, col) row
+    return {r.file for r in verdict if r.miss}
+
+
+def read_eq_version(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    eq: dict,
+) -> DataFrame:
+    """Historical :func:`read_eq`: point/IN lookup against time-travel
+    snapshot ``version``, pruned by the bloom index (whose rows for
+    retired files are RETAINED until vacuum — bits per immutable file
+    never go stale) and the snapshot's embedded zonemap manifest. The
+    equality residual is always re-applied; files without index rows
+    are conservatively read. Vacuumed-past snapshots raise loudly
+    (round-11: previously a historical point lookup full-scanned the
+    snapshot)."""
+    from hadoopgis_spark.sources import skipping as _skip
+
+    rec, resolve = _skip._load_version(path, version)
+    names = set(rec["files"])
+    vals = {c: _values(v) for c, v in eq.items()}
+    keep = names - _bloom_pruned_names(spark, path, vals)
+    # intersect with the snapshot's own zonemap (same trick as read_eq)
+    rows = _skip._snapshot_manifest_rows(rec)
+    ranged = {c: (min(v), max(v)) for c, v in vals.items()
+              if any(r.col == c for r in rows)}
+    if ranged and keep:
+        zkept, _ = _skip._prune_rows(
+            spark, rows, names, ranged, False, lambda f: f)
+        keep &= set(zkept)
+    if not keep:
+        return _skip.read_version(spark, path, version).filter(F.lit(False))
+    df = spark.read.parquet(*(resolve(f) for f in sorted(keep)))
     for c, v in vals.items():
         df = df.filter(
             F.col(c) == F.lit(v[0]) if len(v) == 1 else F.col(c).isin(v))

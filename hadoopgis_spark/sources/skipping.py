@@ -72,8 +72,11 @@ __all__ = [
     "read_range",
     "count_range",
     "count_multi",
+    "count_version",
     "minmax_range",
+    "minmax_version",
     "sum_range",
+    "sum_version",
     "sum_window",
     "build_agg_index",
     "read_multi",
@@ -386,7 +389,16 @@ def _record_version(path: str, op: str) -> int:
                for r in _load_manifest(None, path) if r.file in set(files)]
     except Exception:
         man = []
-    rec = {"version": nxt, "op": op, "files": files, "manifest": man}
+    # ... and the agg manifest (one [file, col, sum, nnn] per covered
+    # file·col), so sum_version answers historical SUM/AVG from
+    # metadata with the same exactness as sum_range (round-11)
+    try:
+        ag = [[f, c, s, n] for (f, c), (s, n) in _load_aggs(path).items()
+              if f in set(files)]
+    except Exception:
+        ag = []
+    rec = {"version": nxt, "op": op, "files": files, "manifest": man,
+           "aggs": ag}
     _lease.fence(path)  # commit-point fence (no-op when unleased)
     _fs.makedirs(_versions_dir(path))
     _fs.write_bytes_atomic(
@@ -441,22 +453,12 @@ def list_versions(spark: SparkSession, path: str) -> list:
     return out
 
 
-def read_version(spark: SparkSession, path: str, version: int,
-                 where: dict | None = None) -> DataFrame:
-    """Read a recorded snapshot exactly as it was: the snapshot's file
-    list, each file resolved to the data dir (still active) or
-    ``_hgs_retired/`` (superseded since). Raises ``ValueError`` for
-    unknown versions and for snapshots that ``vacuum_versions`` has
-    reclaimed files from.
-
-    ``where={col: (lo, hi)}`` prunes the historical read on the
-    MANIFEST EMBEDDED IN THE SNAPSHOT (the zonemap as of that version)
-    with the same semantics as :func:`read_range` — interior/boundary
-    file selection plus the always-re-applied residual filter — so
-    audit reads over 100 TB of history open only the intersecting
-    files. Snapshots recorded without a manifest fall back to
-    residual-only (correct, unpruned)."""
-    import collections
+def _load_version(path: str, version: int):
+    """Load snapshot ``version``'s record and its file resolver; raises
+    ``ValueError`` for unknown versions and — LOUDLY — for snapshots
+    whose files ``vacuum_versions`` has reclaimed (shared by every
+    historical reader: read_version, count/sum/minmax_version, and
+    bloom's read_eq_version)."""
     import json
 
     if not _versions_enabled(path):
@@ -480,16 +482,42 @@ def read_version(spark: SparkSession, path: str, version: int,
         raise ValueError(
             f"version {version} references files vacuumed since: "
             f"{missing[:3]} — history was reclaimed past this snapshot")
+    return rec, _resolve
+
+
+def _snapshot_manifest_rows(rec: dict) -> list:
+    import collections
+
+    man = rec.get("manifest") or []
+    if not man:
+        return []
+    _Row = collections.namedtuple(
+        "_SnapRow", "file rows col vtype vmin vmax valid nulls")
+    return [_Row(*m) for m in man]
+
+
+def read_version(spark: SparkSession, path: str, version: int,
+                 where: dict | None = None) -> DataFrame:
+    """Read a recorded snapshot exactly as it was: the snapshot's file
+    list, each file resolved to the data dir (still active) or
+    ``_hgs_retired/`` (superseded since). Raises ``ValueError`` for
+    unknown versions and for snapshots that ``vacuum_versions`` has
+    reclaimed files from.
+
+    ``where={col: (lo, hi)}`` prunes the historical read on the
+    MANIFEST EMBEDDED IN THE SNAPSHOT (the zonemap as of that version)
+    with the same semantics as :func:`read_range` — interior/boundary
+    file selection plus the always-re-applied residual filter — so
+    audit reads over 100 TB of history open only the intersecting
+    files. Snapshots recorded without a manifest fall back to
+    residual-only (correct, unpruned)."""
+    rec, _resolve = _load_version(path, version)
     names = rec["files"]
     norm = lits = None
     if where:
         norm, lits = _norm_ranges(spark, path, where)
-        man = rec.get("manifest") or []
-        if man:
-            _Row = collections.namedtuple(
-                "_SnapRow",
-                "file rows col vtype vmin vmax valid nulls")
-            rows = [_Row(*m) for m in man]
+        rows = _snapshot_manifest_rows(rec)
+        if rows:
             kept, _ = _prune_rows(spark, rows, set(names), norm, False,
                                   _resolve)
             paths = sorted(kept)
@@ -1558,14 +1586,26 @@ def count_multi(
     spark: SparkSession,
     path: str,
     ranges: dict[str, tuple],
+    *,
+    _snapshot=None,
 ) -> int:
     """EXACT count under a CONJUNCTION of inclusive range constraints
     ``{col: (lo, hi)}`` — the multi-dimensional form of
     :func:`count_range`: on a Z-ordered layout every constrained column
     has correlated per-file bounds, so most kept files are interior for
-    the whole conjunction and only the shell is scanned."""
+    the whole conjunction and only the shell is scanned.
+
+    ``_snapshot`` (internal, set by :func:`count_version`) swaps the
+    live manifest + listing for a snapshot's embedded manifest + file
+    list — the SAME pruning machinery answers historical counts."""
     norm, lits = _norm_ranges(spark, path, ranges)
-    kept, _, interior = prune_files(spark, path, norm, classify=True)
+    if _snapshot is not None:
+        rec, resolve = _snapshot
+        kept, _, interior = _prune_rows(
+            spark, _snapshot_manifest_rows(rec), set(rec["files"]), norm,
+            True, resolve)
+    else:
+        kept, _, interior = prune_files(spark, path, norm, classify=True)
     n = sum(interior.values())
     boundary = [p for p in kept if p not in interior]
     if boundary:
@@ -1573,11 +1613,29 @@ def count_multi(
     return n
 
 
+def count_version(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    ranges: dict[str, tuple],
+) -> int:
+    """Historical :func:`count_multi`: EXACT count over snapshot
+    ``version`` answered mostly from the manifest EMBEDDED in the
+    snapshot — interior files contribute recorded row counts with no
+    scan; boundary files resolve to the data dir or ``_hgs_retired/``.
+    Vacuumed-past snapshots raise loudly (round-11: previously a
+    historical count full-scanned the snapshot)."""
+    return count_multi(spark, path, ranges,
+                       _snapshot=_load_version(path, version))
+
+
 def minmax_range(
     spark: SparkSession,
     path: str,
     col: str,
     where: dict[str, tuple] | None = None,
+    *,
+    _snapshot=None,
 ) -> tuple:
     """EXACT ``(MIN(col), MAX(col)) WHERE <where ranges>`` answered
     mostly from metadata: for files that provably satisfy ``where``
@@ -1589,7 +1647,10 @@ def minmax_range(
     manifest-covered (``stat_cols``). Returns ``(None, None)`` when no
     row matches."""
     where = dict(where or {})
-    rows = _load_manifest(spark, path)
+    if _snapshot is not None:
+        rows = _snapshot_manifest_rows(_snapshot[0])
+    else:
+        rows = _load_manifest(spark, path)
     by_file: dict[str, dict] = {}
     for r in rows:
         by_file.setdefault(r.file, {})[r.col] = r
@@ -1612,7 +1673,12 @@ def minmax_range(
                 whi, lit_hi = _normalize_bound(spark, schema[c].dataType, whi)
             where[c] = (wlo, whi)
         lits[c] = (lit_lo, lit_hi)
-    kept, _, interior = prune_files(spark, path, where, classify=True)
+    if _snapshot is not None:
+        rec, resolve = _snapshot
+        kept, _, interior = _prune_rows(
+            spark, rows, set(rec["files"]), where, True, resolve)
+    else:
+        kept, _, interior = prune_files(spark, path, where, classify=True)
     lo = hi = None
     scan: list[str] = []
     for p in kept:
@@ -1779,11 +1845,26 @@ def build_agg_index(
     return {"indexed": len(missing), "total": len(active)}
 
 
+def minmax_version(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    col: str,
+    where: dict[str, tuple] | None = None,
+) -> tuple:
+    """Historical :func:`minmax_range` over snapshot ``version`` via the
+    snapshot's embedded manifest (same tz/decode discipline)."""
+    return minmax_range(spark, path, col, where,
+                        _snapshot=_load_version(path, version))
+
+
 def sum_range(
     spark: SparkSession,
     path: str,
     col: str,
     where: dict[str, tuple] | None = None,
+    *,
+    _snapshot=None,
 ) -> tuple[int | None, int]:
     """EXACT ``(SUM(col), COUNT(col)) WHERE <where ranges>`` answered
     mostly from metadata: interior files (every WHERE column's footer
@@ -1796,8 +1877,16 @@ def sum_range(
     Returns ``(None, 0)`` when no row matches (SQL SUM-over-empty)."""
     where = dict(where or {})
     norm, lits = _norm_ranges(spark, path, where)
-    kept, _, interior = prune_files(spark, path, norm, classify=True)
-    aggs = _load_aggs(path)
+    if _snapshot is not None:
+        rec, resolve = _snapshot
+        kept, _, interior = _prune_rows(
+            spark, _snapshot_manifest_rows(rec), set(rec["files"]), norm,
+            True, resolve)
+        aggs = {(f, c): (int(sm), int(n))
+                for f, c, sm, n in rec.get("aggs") or []}
+    else:
+        kept, _, interior = prune_files(spark, path, norm, classify=True)
+        aggs = _load_aggs(path)
     total = 0
     nnn = 0
     scan: list[str] = []
@@ -1818,6 +1907,22 @@ def sum_range(
             total += int(row["s"])
         nnn += int(row["n"])
     return (total if nnn else None), nnn
+
+
+def sum_version(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    col: str,
+    where: dict[str, tuple] | None = None,
+) -> tuple[int | None, int]:
+    """Historical :func:`sum_range`: EXACT ``(SUM(col), COUNT(col))``
+    over snapshot ``version``, served from the agg rows EMBEDDED in the
+    snapshot for interior files; boundary or uncovered files scan their
+    resolved (possibly retired) locations. Pre-round-11 snapshots have
+    no embedded aggs and degrade to the scan tier — exact either way."""
+    return sum_range(spark, path, col, where,
+                     _snapshot=_load_version(path, version))
 
 
 def _window_ranges(window) -> dict[str, tuple]:

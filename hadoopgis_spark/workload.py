@@ -5380,6 +5380,37 @@ REL_TIME_TRAVEL_SQL = """
 """
 
 
+def rel_time_travel_meta(spark, sf):
+    """Historical METADATA-ONLY reads (round-11): snapshots embed the
+    zonemap (and agg) manifest, so ``count_version`` answers a windowed
+    COUNT over version 1 mostly from the snapshot's own manifest —
+    interior files contribute recorded row counts with no scan, even
+    though both windows were DELETED from the live table (their files
+    resolve to ``_hgs_retired/``). Shares rel_time_travel's memoized
+    layout. The oracle is plain lineitem (= version 1). Vacuum
+    invalidation + sum/minmax/read_eq historical tiers are pinned in
+    tests/test_version_metadata.py."""
+    import datetime as dt
+
+    rel_time_travel(spark, sf)  # memoized: ensures the versioned layout
+    from hadoopgis_spark.sources.skipping import count_version
+    path = f"{_skip_root(spark)}/lineitem_tt_{os.path.basename(os.path.normpath(sf))}"
+    n1 = count_version(spark, path, 1, {"l_shipdate": (
+        dt.datetime(1994, 1, 1), dt.datetime(1995, 12, 31))})
+    n2 = count_version(spark, path, 1, {"l_shipdate": (
+        dt.datetime(1997, 6, 1), None)})
+    return spark.createDataFrame([(n1, n2)], "cnt_mid long, cnt_tail long")
+
+
+REL_TIME_TRAVEL_META_SQL = """
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+          WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01'
+                               AND TIMESTAMP '1995-12-31') AS cnt_mid,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-06-01') AS cnt_tail
+"""
+
+
 def rel_minmax_pruned(spark, sf):
     """Metadata-only MIN/MAX: for interior files of the time window the
     target column's own footer min/max are the candidates (no scan —
@@ -7368,6 +7399,7 @@ REGISTRY: dict[str, Query] = {
     # round 10
     "rel_merge_range": Query(rel_merge_range, REL_MERGE_RANGE_SQL, "zonemap-priced MERGE/upsert: only key-containing files rewritten under the commit record"),
     "rel_time_travel": Query(rel_time_travel, REL_TIME_TRAVEL_SQL, "snapshot read (time travel): version 1 replays exactly after DELETE mutations retire files"),
+    "rel_time_travel_meta": Query(rel_time_travel_meta, REL_TIME_TRAVEL_META_SQL, "historical metadata-only COUNT via the snapshot-embedded manifest (deleted windows served from retired files)"),
     "sim_ann_ivfpq_rerank": Query(sim_ann_ivfpq_rerank, SIM_ANN_IVFPQ_RERANK_SQL, "IVF-PQ + exact-cosine re-rank of the ADC shortlist (FAISS refine tier, DPP on both scans)"),
     "src_stream_merge": Query(src_stream_merge, SRC_STREAM_MERGE_SQL, "CDC upsert ingestion: merge_range per micro-batch, last-writer-wins, replay-idempotent by construction"),
 }

@@ -1,0 +1,118 @@
+"""Historical metadata-only reads (round-11): time-travel snapshots
+embed the agg manifest (and retain bloom rows for retired files until
+vacuum), so COUNT/SUM/read_eq against a snapshot prune with the same
+machinery as live reads — previously a historical point lookup
+full-scanned the snapshot."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.sources import fsio as _fs
+from hadoopgis_spark.sources import skipping as sk
+from hadoopgis_spark.sources.bloom import build_bloom_index, read_eq_version
+
+
+def _run_counting_jobs(spark, tag, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(tag, tag)
+    try:
+        out = fn()
+    finally:
+        sc.setJobGroup("", "")
+    return out, len(sc.statusTracker().getJobIdsForGroup(tag))
+
+
+class TestVersionedMetadataReads:
+    def _table(self, spark, tmp_path):
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(df, path, "k", n_files=8, agg_cols=["v"])
+        sk.enable_time_travel(spark, path)
+        build_bloom_index(spark, path, ["k"], n_items=1000)
+        v1 = sk.list_versions(spark, path)[-1]["version"]
+        # mutate past the snapshot so history and present diverge
+        sk.delete_range(spark, path, "k", 100, 899)
+        return path, v1
+
+    def test_historical_count_metadata_only(self, spark, tmp_path):
+        path, v1 = self._table(spark, tmp_path)
+        # current state diverged
+        assert sk.count_range(spark, path, "k", 0, 999) == 200
+        # historical count matches the snapshot scan
+        got = sk.count_version(spark, path, v1, {"k": (50, 949)})
+        exp = (sk.read_version(spark, path, v1)
+               .filter(F.col("k").between(50, 949)).count())
+        assert got == exp == 900
+        # unbounded-range historical count is PURE metadata: zero jobs
+        n, jobs = _run_counting_jobs(
+            spark, "cnt-meta",
+            lambda: sk.count_version(spark, path, v1, {"k": (None, None)}))
+        assert n == 1000
+        assert jobs == 0, f"unbounded count launched {jobs} scan jobs"
+        # interior-heavy constrained count scans only the ~2 boundary
+        # files (the metadata-only contract, asserted structurally)
+        rec, resolve = sk._load_version(path, v1)
+        norm, _ = sk._norm_ranges(spark, path, {"k": (50, 949)})
+        kept, _, interior = sk._prune_rows(
+            spark, sk._snapshot_manifest_rows(rec), set(rec["files"]),
+            norm, True, resolve)
+        assert len(interior) >= 6 and len(kept) - len(interior) <= 2
+
+    def test_historical_sum_from_embedded_aggs(self, spark, tmp_path):
+        path, v1 = self._table(spark, tmp_path)
+        s, n = sk.sum_version(spark, path, v1, "v", {"k": (0, 999)})
+        assert n == 1000 and s == sum(i % 7 for i in range(1000))
+        # range cutting through file boundaries still exact
+        s2, n2 = sk.sum_version(spark, path, v1, "v", {"k": (123, 877)})
+        assert n2 == 755 and s2 == sum(i % 7 for i in range(123, 878))
+        # live sum reflects the delete, proving the two tiers differ
+        s3, _ = sk.sum_range(spark, path, "v", {"k": (0, 999)})
+        assert s3 == sum(i % 7 for i in range(1000)
+                         if not 100 <= i <= 899)
+
+    def test_historical_minmax(self, spark, tmp_path):
+        path, v1 = self._table(spark, tmp_path)
+        assert sk.minmax_version(spark, path, v1, "k") == (0, 999)
+        assert sk.minmax_version(
+            spark, path, v1, "k", {"k": (150, 820)}) == (150, 820)
+        # live min/max unaffected by history machinery
+        assert sk.minmax_range(spark, path, "k") == (0, 999)
+
+    def test_historical_read_eq_prunes_on_retained_bloom(
+            self, spark, tmp_path):
+        path, v1 = self._table(spark, tmp_path)
+        # rebuild the bloom index AFTER the delete: rows for retired
+        # files must be RETAINED (not purged) so history stays served
+        build_bloom_index(spark, path, ["k"], n_items=1000)
+        got = read_eq_version(spark, path, v1, {"k": 500})
+        assert [r.k for r in got.collect()] == [500]  # deleted live, in v1
+        live = [r.k for r in sk.read_range(spark, path, "k", 500, 500).collect()]
+        assert live == []
+        # pruning actually happened: fewer files opened than the snapshot
+        snap_files = len(sk.read_version(spark, path, v1).inputFiles())
+        eq_files = len(got.inputFiles())
+        assert eq_files < snap_files, (eq_files, snap_files)
+
+    def test_vacuum_invalidates_loudly(self, spark, tmp_path):
+        path, v1 = self._table(spark, tmp_path)
+        sk.delete_range(spark, path, "k", 900, 999)
+        sk.vacuum_versions(spark, path, keep_last=1)
+        with pytest.raises(ValueError):
+            sk.count_version(spark, path, v1, {"k": (0, 999)})
+        with pytest.raises(ValueError):
+            sk.sum_version(spark, path, v1, "v", {"k": (0, 999)})
+
+    def test_pre_r11_snapshots_degrade_to_scan(self, spark, tmp_path):
+        """Snapshots recorded without embedded aggs (older layouts) must
+        still answer sum_version correctly via the scan tier."""
+        import json
+
+        path, v1 = self._table(spark, tmp_path)
+        vdir = f"{path}/_hgs_versions"
+        name = f"v{v1:06d}.json"
+        rec = json.loads(_fs.read_bytes(f"{vdir}/{name}"))
+        rec.pop("aggs", None)
+        _fs.write_bytes_atomic(f"{vdir}/{name}", json.dumps(rec).encode())
+        s, n = sk.sum_version(spark, path, v1, "v", {"k": (0, 999)})
+        assert n == 1000 and s == sum(i % 7 for i in range(1000))
