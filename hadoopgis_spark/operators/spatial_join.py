@@ -27,6 +27,7 @@ shuffle-on-tile_id. No collect of data rows, ever.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -67,6 +68,40 @@ def default_bucket_size(n_total: int, spark) -> int:
 
 def _suffix_all(df: DataFrame, suffix: str) -> DataFrame:
     return df.select([F.col(c).alias(f"{c}{suffix}") for c in df.columns])
+
+
+def _manifest_rowcount_upper(df: DataFrame) -> int | None:
+    """UPPER bound on ``df``'s row count from the zonemap manifest, when
+    ``df`` scans exactly one manifest-backed table directory — read
+    driver-side with ZERO Spark jobs (``inputFiles`` resolves from the
+    already-built file index). ``None`` when not resolvable (multiple
+    dirs, no manifest, joins/unions): callers fall back to a probe job.
+    Upper-bound direction is safe by construction: filters/pruned
+    subsets only shrink the true count, and overestimating steers the
+    auto strategy to the always-correct tile path."""
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    dirs = {os.path.dirname(urlparse(f).path) for f in files}
+    if len(dirs) != 1:
+        return None
+    from hadoopgis_spark.sources.skipping import _load_manifest
+
+    try:
+        rows = _load_manifest(None, dirs.pop())
+    except Exception:
+        return None
+    if not rows:
+        return None
+    per_file: dict[str, int] = {}
+    for r in rows:
+        per_file[r.file] = int(r.rows)
+    return sum(per_file.values())
 
 
 def spatial_join(
@@ -155,7 +190,6 @@ def spatial_join(
     if strategy == "auto":
         # mirror the reference's join-side size check
         # (query_spjoin.hpp:74-95): broadcast a small side, tile otherwise.
-        # The limit() probe costs one cheap job and avoids a full count.
         # Default calibrated at sf0.1 (|A|=20k): tile is flat ~0.95 s while
         # BroadcastNestedLoopJoin grows linearly in |B| (0.38 s @1k,
         # 1.44 s @8k, 2.62 s @15k) — crossover ≈ 5k rows, and the NLJ's
@@ -163,7 +197,16 @@ def spatial_join(
         threshold = int(
             a.sparkSession.conf.get("hgs.broadcastRowThreshold", "5000")
         )
-        small_b = b.limit(threshold + 1).count() <= threshold
+        # manifest-backed side: the row count is already in the zonemap
+        # manifest — read it driver-side (zero jobs) before paying the
+        # limit() probe job. The manifest total is an UPPER bound when b
+        # carries filters or a pruned file subset, and an overestimate
+        # only ever steers to the always-correct tile path.
+        est = _manifest_rowcount_upper(b)
+        if est is not None:
+            small_b = est <= threshold
+        else:
+            small_b = b.limit(threshold + 1).count() <= threshold
         strategy = "broadcast" if (small_b and not self_join) else "tile"
 
     if strategy == "broadcast":

@@ -116,3 +116,40 @@ class TestVersionedMetadataReads:
         _fs.write_bytes_atomic(f"{vdir}/{name}", json.dumps(rec).encode())
         s, n = sk.sum_version(spark, path, v1, "v", {"k": (0, 999)})
         assert n == 1000 and s == sum(i % 7 for i in range(1000))
+
+
+class TestAutoStrategyManifestProbe:
+    """strategy='auto' on a manifest-backed side must decide from the
+    manifest (zero jobs), not a limit().count() probe job (round-11)."""
+
+    def test_zero_job_decision_and_parity(self, spark, tmp_path):
+        from hadoopgis_spark.operators.spatial_join import (
+            _manifest_rowcount_upper, spatial_join)
+
+        rows = [(i, float(i % 50) * 3, float(i % 40) * 2) for i in range(400)]
+        df = spark.createDataFrame(rows, "id int, x double, y double")
+        boxes = df.select(
+            "id", F.col("x").alias("xmin"), F.col("y").alias("ymin"),
+            (F.col("x") + 1).alias("xmax"), (F.col("y") + 1).alias("ymax"))
+        path = str(tmp_path / "b")
+        sk.save_range_sorted(boxes, path, "xmin", n_files=4,
+                             stat_cols=["ymin", "xmax", "ymax"])
+        b = spark.read.parquet(path)
+
+        est, jobs = _run_counting_jobs(
+            spark, "auto-probe", lambda: _manifest_rowcount_upper(b))
+        assert est == 400 and jobs == 0, (est, jobs)
+        # a filtered frame over the same table: upper bound, still 0 jobs
+        est2 = _manifest_rowcount_upper(b.filter(F.col("id") < 10))
+        assert est2 == 400
+        # end-to-end: auto resolves (broadcast here: 400 <= 5000) and
+        # matches the explicit tile strategy
+        a = spark.createDataFrame(
+            [(1000 + i, float(i) * 7, float(i) * 5, float(i) * 7 + 2,
+              float(i) * 5 + 2) for i in range(20)],
+            "id int, xmin double, ymin double, xmax double, ymax double")
+        got_auto = sorted((r.id_1, r.id_2) for r in spatial_join(
+            a, b, "st_intersects", strategy="auto").collect())
+        got_tile = sorted((r.id_1, r.id_2) for r in spatial_join(
+            a, b, "st_intersects", strategy="tile").collect())
+        assert got_auto == got_tile and got_auto
