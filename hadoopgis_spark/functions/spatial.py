@@ -104,6 +104,76 @@ def _fill_cache(cache: dict, keys: list, parsed_bbs) -> None:
             cache[k] = g
 
 
+# columnar kind codes (round-11 fused refine path)
+_CK_NULL, _CK_POINT, _CK_SRING, _CK_OTHER = 0, 1, 2, 3
+
+
+def _columnar_view(series: pd.Series, cache: dict):
+    """Factorize + parse ``series`` and expose the UNIQUE geometries as
+    numpy columns, so the pair kernels run on fancy-indexed arrays with
+    no per-pair Python (the round-11 columnar refine: the per-pair
+    attribute/classify/append loop was the refine stage's last
+    row-at-a-time cost). Returns ``(codes, uniq_geoms, view)`` where
+    ``view`` holds per-unique ``kind`` (0 null/malformed, 1 point,
+    2 vectorizable single-ring polygon, 3 other), ``bbox`` (U, 4),
+    ``ptxy`` (U, 2), ``isrect`` (U,), and for kind-2 rows the padded
+    vertex array ``verts`` (U, MAX_VECTOR_VERTS, 2) + edge counts
+    ``vcnt`` — exactly the padding ``vectorized._pad_rings`` produces,
+    so the padded kernels stay bit-identical to the list-form path."""
+    import numpy as np
+
+    from hadoopgis_spark.geometry.vectorized import MAX_VECTOR_VERTS
+
+    codes, uniques = pd.factorize(series)
+    miss_str: list = []
+    miss_other: list = []
+    ukeys: list = []
+    for u in uniques:
+        key = bytes(u) if isinstance(u, (bytearray, memoryview)) else u
+        ukeys.append(key)
+        if key not in cache:
+            if isinstance(key, bytes):
+                miss_other.append(key)
+            else:
+                miss_str.append(key)
+    if miss_str:
+        _fill_cache(cache, miss_str, batch_parse(miss_str, with_bbox=True))
+    if miss_other:
+        from hadoopgis_spark.geometry.wkb import batch_from_wkb
+
+        _fill_cache(cache, miss_other,
+                    batch_from_wkb(miss_other, with_bbox=True))
+    geoms = [cache[k] for k in ukeys]
+    U = len(geoms)
+    kind = np.zeros(U, dtype=np.int8)
+    bbox = np.zeros((U, 4), dtype=np.float64)
+    ptxy = np.zeros((U, 2), dtype=np.float64)
+    isrect = np.zeros(U, dtype=bool)
+    verts = np.zeros((U, MAX_VECTOR_VERTS, 2), dtype=np.float64)
+    vcnt = np.ones(U, dtype=np.int64)
+    for j, g in enumerate(geoms):
+        if g is None:
+            continue
+        bbox[j] = g.bbox
+        if g.kind == "POINT":
+            kind[j] = _CK_POINT
+            ptxy[j] = g.payload
+        elif (g.kind == "POLYGON" and len(g.payload) == 1
+              and len(g.payload[0]) <= MAX_VECTOR_VERTS):
+            kind[j] = _CK_SRING
+            r = g.payload[0]
+            m = len(r) - 1
+            vcnt[j] = m
+            verts[j, :m] = r[:m]
+            verts[j, m:] = r[m - 1]
+            isrect[j] = g.is_rect
+        else:
+            kind[j] = _CK_OTHER
+    view = {"kind": kind, "bbox": bbox, "ptxy": ptxy, "isrect": isrect,
+            "verts": verts, "vcnt": vcnt}
+    return np.asarray(codes), geoms, view
+
+
 _NUM_RE = r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?"
 _MIN_NUMS = {
     "POINT": 2,
@@ -284,67 +354,78 @@ def _binary_measure_udf(fn: Callable) -> Callable:
 # (resque_params_2d.hpp:164-208)
 
 
-@F.pandas_udf(T.BooleanType())
-def st_intersects(w1: pd.Series, w2: pd.Series) -> pd.Series:
-    """Intersects with a numpy batch fast path for single-ring polygon
-    pairs (the dominant refine case); everything else evaluates through
-    the scalar kernel. Bit-identical results either way."""
+def _intersects_columnar(c1, g1u, v1, c2, g2u, v2):
+    """Columnar intersects over factorized pair codes: the bbox
+    prefilter, the pair classification, and the kernel inputs are ALL
+    numpy fancy indexing over the per-unique columns — no per-pair
+    Python except the (rare) non-vectorizable shapes. Bit-identical to
+    the former per-row loop: same _EPS bbox prefilter, same
+    single-ring/point classification, same padded kernels."""
     import numpy as np
 
     from hadoopgis_spark.geometry.vectorized import (
-        MAX_VECTOR_VERTS,
-        batch_single_ring_intersects,
+        batch_points_in_single_ring_padded,
+        batch_single_ring_intersects_padded,
     )
 
-    from hadoopgis_spark.geometry.vectorized import batch_points_in_single_ring
-
-    cache: dict = {}
-    g1s = _parse_cache(w1, cache)
-    g2s = _parse_cache(w2, cache)
-    n = len(g1s)
+    n = len(c1)
     out = np.zeros(n, dtype=object)
-    vec_i: list[int] = []
-    pt_i: list[int] = []  # (point, single-ring polygon) pairs, either order
-
-    def _single_ring(g):
-        return g.kind == "POLYGON" and len(g.payload) == 1 and len(g.payload[0]) <= MAX_VECTOR_VERTS
-
-    for i, (a, b) in enumerate(zip(g1s, g2s)):
-        if a is None or b is None:
-            out[i] = None
-            continue
-        ab, bb = a.bbox, b.bbox
-        # _EPS-padded, matching kernel.intersects' prefilter exactly
-        eps = K._EPS
-        if ab[0] > bb[2] + eps or bb[0] > ab[2] + eps or ab[1] > bb[3] + eps or bb[1] > ab[3] + eps:
-            out[i] = False
-            continue
-        if _single_ring(a) and _single_ring(b):
-            vec_i.append(i)
-        elif (a.kind == "POINT" and _single_ring(b)) or (b.kind == "POINT" and _single_ring(a)):
-            pt_i.append(i)
-        else:
-            out[i] = K.intersects(a, b)
+    i1 = np.maximum(c1, 0)
+    i2 = np.maximum(c2, 0)
+    k1 = v1["kind"][i1]
+    k2 = v2["kind"][i2]
+    isnull = (c1 < 0) | (c2 < 0) | (k1 == _CK_NULL) | (k2 == _CK_NULL)
+    b1 = v1["bbox"][i1]
+    b2 = v2["bbox"][i2]
+    eps = K._EPS
+    # _EPS-padded, matching kernel.intersects' prefilter exactly
+    sep = (
+        (b1[:, 0] > b2[:, 2] + eps) | (b2[:, 0] > b1[:, 2] + eps)
+        | (b1[:, 1] > b2[:, 3] + eps) | (b2[:, 1] > b1[:, 3] + eps)
+    )
+    out[isnull] = None
+    live = ~isnull
+    out[live & sep] = False
+    cand = live & ~sep
+    pp = cand & (k1 == _CK_SRING) & (k2 == _CK_SRING)
+    ptp = cand & (
+        ((k1 == _CK_POINT) & (k2 == _CK_SRING))
+        | ((k1 == _CK_SRING) & (k2 == _CK_POINT))
+    )
+    for i in np.nonzero(cand & ~pp & ~ptp)[0]:
+        out[i] = K.intersects(g1u[c1[i]], g2u[c2[i]])
     CHUNK = 4096
-    for s in range(0, len(vec_i), CHUNK):
-        idx = vec_i[s : s + CHUNK]
-        res = batch_single_ring_intersects(
-            [g1s[i].payload[0] for i in idx], [g2s[i].payload[0] for i in idx]
+    idx = np.nonzero(pp)[0]
+    for s in range(0, len(idx), CHUNK):
+        sub = idx[s:s + CHUNK]
+        res = batch_single_ring_intersects_padded(
+            v1["verts"][c1[sub]], v1["vcnt"][c1[sub]],
+            v2["verts"][c2[sub]], v2["vcnt"][c2[sub]],
         )
-        for j, i in enumerate(idx):
-            out[i] = bool(res[j])
-    for s in range(0, len(pt_i), CHUNK):
-        idx = pt_i[s : s + CHUNK]
-        pts = np.array(
-            [g1s[i].payload if g1s[i].kind == "POINT" else g2s[i].payload for i in idx]
-        )
-        rings = [
-            g2s[i].payload[0] if g1s[i].kind == "POINT" else g1s[i].payload[0] for i in idx
-        ]
-        res = batch_points_in_single_ring(pts, rings)
-        for j, i in enumerate(idx):
-            out[i] = bool(res[j])
-    return pd.Series(out)
+        out[sub] = res.astype(object)
+    idx = np.nonzero(ptp)[0]
+    for s in range(0, len(idx), CHUNK):
+        sub = idx[s:s + CHUNK]
+        a_pt = k1[sub] == _CK_POINT
+        pts = np.where(a_pt[:, None], v1["ptxy"][c1[sub]], v2["ptxy"][c2[sub]])
+        V = np.where(a_pt[:, None, None],
+                     v2["verts"][c2[sub]], v1["verts"][c1[sub]])
+        cnt = np.where(a_pt, v2["vcnt"][c2[sub]], v1["vcnt"][c1[sub]])
+        res = batch_points_in_single_ring_padded(pts, V, cnt)
+        out[sub] = res.astype(object)
+    return out
+
+
+@F.pandas_udf(T.BooleanType())
+def st_intersects(w1: pd.Series, w2: pd.Series) -> pd.Series:
+    """Intersects with the columnar batch fast path (single-ring
+    polygon and point/polygon pairs — the dominant refine cases);
+    everything else evaluates through the scalar kernel. Bit-identical
+    results either way (parity pinned in TestColumnarRefineParity)."""
+    cache: dict = {}
+    c1, g1u, v1 = _columnar_view(w1, cache)
+    c2, g2u, v2 = _columnar_view(w2, cache)
+    return pd.Series(_intersects_columnar(c1, g1u, v1, c2, g2u, v2))
 st_touches = _binary_pred_udf(K.touches)
 st_crosses = _binary_pred_udf(K.crosses)
 st_contains = _binary_pred_udf(K.contains)
@@ -362,89 +443,108 @@ def st_area(wkt: pd.Series) -> pd.Series:
     return pd.Series([g.area if g is not None else None for g in _parse_cache(wkt, cache)])
 
 
-def _batch_distance_fill(out, g1s, g2s, idx) -> None:
-    """Fill ``out[i] = distance(g1s[i], g2s[i])`` for ``i`` in ``idx``,
-    batching the two dominant refine shapes through numpy — disjoint
-    single-ring polygon pairs and point-vs-single-ring (together the
-    kNN/distance-join hot path; the scalar distance kernel is ~12× the
-    cost of the intersects kernel, measured round 10) — and routing
-    everything else (composites, the rect-rect box shortcut whose
-    scalar formula differs, point-point) through the scalar kernel.
-    Bit-identical results either way (the batch formulas replicate
-    ``kernel._pt_seg_dist2`` / the intersects-first order exactly)."""
+def _distance_columnar(c1, g1u, v1, c2, g2u, v2, sel=None):
+    """Columnar distance dispatch over factorized
+    pair codes (round-11): classification and kernel inputs are numpy
+    fancy indexing; only point-point (one ``math.hypot`` each — kept
+    scalar to preserve its exact bits) and non-vectorizable shapes loop
+    in Python. Rect-rect pairs vectorize too: batch intersects is
+    bit-identical to the scalar kernel on single rings, and the box
+    corner/edge-gap formula is replicated elementwise. ``sel`` limits
+    evaluation to a boolean row mask (the dwithin survivor set).
+    Returns an object array: distance, or None where either side is
+    null/malformed (unselected rows stay 0)."""
     import numpy as np
 
     from hadoopgis_spark.geometry.vectorized import (
-        MAX_VECTOR_VERTS,
-        batch_points_in_single_ring,
-        batch_points_to_single_ring_distance,
-        batch_single_ring_distance,
-        batch_single_ring_intersects,
+        batch_points_in_single_ring_padded,
+        batch_points_to_single_ring_distance_padded,
+        batch_single_ring_distance_padded,
+        batch_single_ring_intersects_padded,
     )
 
-    def _sr(g):
-        return (g.kind == "POLYGON" and len(g.payload) == 1
-                and len(g.payload[0]) <= MAX_VECTOR_VERTS)
-
-    vec_i: list[int] = []
-    pt_i: list[int] = []
-    for i in idx:
-        a, b = g1s[i], g2s[i]
-        if a is None or b is None:
-            out[i] = None
-        elif a.kind == "POINT" and b.kind == "POINT":
-            out[i] = K.distance(a, b)  # one hypot — no batch needed
-        elif _sr(a) and _sr(b) and not (a.is_rect and b.is_rect):
-            vec_i.append(i)
-        elif (a.kind == "POINT" and _sr(b)) or (b.kind == "POINT" and _sr(a)):
-            pt_i.append(i)
-        else:
-            out[i] = K.distance(a, b)
+    n = len(c1)
+    out = np.zeros(n, dtype=object)
+    i1 = np.maximum(c1, 0)
+    i2 = np.maximum(c2, 0)
+    k1 = v1["kind"][i1]
+    k2 = v2["kind"][i2]
+    null = (c1 < 0) | (c2 < 0) | (k1 == _CK_NULL) | (k2 == _CK_NULL)
+    live = ~null
+    if sel is not None:
+        live &= sel
+        null &= sel
+    out[null] = None
+    ptpt = live & (k1 == _CK_POINT) & (k2 == _CK_POINT)
+    srsr = live & (k1 == _CK_SRING) & (k2 == _CK_SRING)
+    rect = srsr & v1["isrect"][i1] & v2["isrect"][i2]
+    vec = srsr & ~rect
+    ptsr = live & (
+        ((k1 == _CK_POINT) & (k2 == _CK_SRING))
+        | ((k1 == _CK_SRING) & (k2 == _CK_POINT))
+    )
+    rest = live & ~ptpt & ~srsr & ~ptsr
+    for i in np.nonzero(ptpt | rest)[0]:
+        out[i] = K.distance(g1u[c1[i]], g2u[c2[i]])
     CHUNK = 4096
-    for s in range(0, len(vec_i), CHUNK):
-        sub = vec_i[s: s + CHUNK]
-        ra = [g1s[i].payload[0] for i in sub]
-        rb = [g2s[i].payload[0] for i in sub]
-        # intersects first (scalar kernel order): intersecting pairs
-        # are 0.0, only disjoint pairs reach the segment formula
-        inter = batch_single_ring_intersects(ra, rb)
-        res = np.zeros(len(sub), dtype=np.float64)
-        dis = np.nonzero(~inter)[0]
-        if len(dis):
-            res[dis] = batch_single_ring_distance(
-                [ra[j] for j in dis], [rb[j] for j in dis])
-        for j, i in enumerate(sub):
-            out[i] = float(res[j])
-    for s in range(0, len(pt_i), CHUNK):
-        sub = pt_i[s: s + CHUNK]
-        pts = np.array(
-            [g1s[i].payload if g1s[i].kind == "POINT" else g2s[i].payload
-             for i in sub])
-        rings = [
-            g2s[i].payload[0] if g1s[i].kind == "POINT" else g1s[i].payload[0]
-            for i in sub]
-        ins = batch_points_in_single_ring(pts, rings)
+
+    def _pp_chunks(mask, dis_fn):
+        idx = np.nonzero(mask)[0]
+        for s in range(0, len(idx), CHUNK):
+            sub = idx[s:s + CHUNK]
+            A, ca = v1["verts"][c1[sub]], v1["vcnt"][c1[sub]]
+            B, cb = v2["verts"][c2[sub]], v2["vcnt"][c2[sub]]
+            # intersects first (scalar kernel order): intersecting
+            # pairs are 0.0, only disjoint pairs reach the formula
+            inter = batch_single_ring_intersects_padded(A, ca, B, cb)
+            res = np.zeros(len(sub), dtype=np.float64)
+            dis = np.nonzero(~inter)[0]
+            if len(dis):
+                res[dis] = dis_fn(sub[dis], A[dis], ca[dis], B[dis], cb[dis])
+            out[sub] = res.astype(object)
+
+    _pp_chunks(vec, lambda sub, A, ca, B, cb:
+               batch_single_ring_distance_padded(A, ca, B, cb))
+
+    def _rect_gap(sub, A, ca, B, cb):
+        # kernel.distance's rect-rect shortcut, elementwise: the same
+        # max/sqrt expression shape as functions.boxes.box_distance
+        ab = v1["bbox"][c1[sub]]
+        bb = v2["bbox"][c2[sub]]
+        dx = np.maximum(0.0, np.maximum(bb[:, 0] - ab[:, 2],
+                                        ab[:, 0] - bb[:, 2]))
+        dy = np.maximum(0.0, np.maximum(bb[:, 1] - ab[:, 3],
+                                        ab[:, 1] - bb[:, 3]))
+        return np.sqrt(dx * dx + dy * dy)
+
+    _pp_chunks(rect, _rect_gap)
+
+    idx = np.nonzero(ptsr)[0]
+    for s in range(0, len(idx), CHUNK):
+        sub = idx[s:s + CHUNK]
+        a_pt = k1[sub] == _CK_POINT
+        pts = np.where(a_pt[:, None], v1["ptxy"][c1[sub]], v2["ptxy"][c2[sub]])
+        V = np.where(a_pt[:, None, None],
+                     v2["verts"][c2[sub]], v1["verts"][c1[sub]])
+        cnt = np.where(a_pt, v2["vcnt"][c2[sub]], v1["vcnt"][c1[sub]])
+        ins = batch_points_in_single_ring_padded(pts, V, cnt)
         res = np.zeros(len(sub), dtype=np.float64)
         dis = np.nonzero(~ins)[0]
         if len(dis):
-            res[dis] = batch_points_to_single_ring_distance(
-                pts[dis], [rings[j] for j in dis])
-        for j, i in enumerate(sub):
-            out[i] = float(res[j])
+            res[dis] = batch_points_to_single_ring_distance_padded(
+                pts[dis], V[dis], cnt[dis])
+        out[sub] = res.astype(object)
+    return out
 
 
 @F.pandas_udf(T.DoubleType())
 def st_distance(w1: pd.Series, w2: pd.Series) -> pd.Series:
-    """Min distance with the numpy batch fast paths of
-    :func:`_batch_distance_fill`; bit-identical to the scalar kernel."""
-    import numpy as np
-
+    """Min distance through the columnar batch path
+    (:func:`_distance_columnar`); bit-identical to the scalar kernel."""
     cache: dict = {}
-    g1s = _parse_cache(w1, cache)
-    g2s = _parse_cache(w2, cache)
-    out = np.zeros(len(g1s), dtype=object)
-    _batch_distance_fill(out, g1s, g2s, range(len(g1s)))
-    return pd.Series(out)
+    c1, g1u, v1 = _columnar_view(w1, cache)
+    c2, g2u, v2 = _columnar_view(w2, cache)
+    return pd.Series(_distance_columnar(c1, g1u, v1, c2, g2u, v2))
 
 
 st_haversine_m = _binary_measure_udf(K.haversine_distance)
@@ -599,41 +699,51 @@ _WINDOW_HIT_SCHEMA = T.StructType(
 )
 
 
+def st_dwithin_pd(a: pd.Series, b: pd.Series, d: float,
+                  geography: bool = False) -> pd.Series:
+    """Pandas-level body of :func:`st_dwithin` (exposed for the
+    columnar parity suite)."""
+    import numpy as np
+
+    cache: dict = {}
+    g1s = _parse_cache(a, cache)
+    g2s = _parse_cache(b, cache)
+    n = len(g1s)
+    out = np.zeros(n, dtype=object)
+    if geography:
+        # haversine point pairs / geographic dwithin: scalar path
+        for i, (x, y) in enumerate(zip(g1s, g2s)):
+            out[i] = (K.dwithin(x, y, d, geography=True)
+                      if x is not None and y is not None else None)
+        return pd.Series(out)
+    # planar: the d-padded bbox prefilter (kernel.dwithin verbatim),
+    # then the BATCHED distance dispatch on survivors, compared to d
+    survivors: list[int] = []
+    for i, (x, y) in enumerate(zip(g1s, g2s)):
+        if x is None or y is None:
+            out[i] = None
+        elif not K._bbox_intersects(x.bbox, y.bbox, pad=d):
+            out[i] = False
+        else:
+            survivors.append(i)
+    if survivors:
+        c1, g1u, v1 = _columnar_view(a, cache)
+        c2, g2u, v2 = _columnar_view(b, cache)
+        sel = np.zeros(n, dtype=bool)
+        sel[survivors] = True
+        dist = _distance_columnar(c1, g1u, v1, c2, g2u, v2, sel=sel)
+        for i in survivors:
+            out[i] = bool(dist[i] <= d)
+    return pd.Series(out)
+
+
 def st_dwithin(w1: Column, w2: Column, d: float, geography: bool = False) -> Column:
     """distance(g1,g2) ≤ d (haversine for geography point pairs) —
     ``spjoin_2d.hpp:167-205``."""
 
     @F.pandas_udf(T.BooleanType())
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        import numpy as np
-
-        cache: dict = {}
-        g1s = _parse_cache(a, cache)
-        g2s = _parse_cache(b, cache)
-        n = len(g1s)
-        out = np.zeros(n, dtype=object)
-        if geography:
-            # haversine point pairs / geographic dwithin: scalar path
-            for i, (x, y) in enumerate(zip(g1s, g2s)):
-                out[i] = (K.dwithin(x, y, d, geography=True)
-                          if x is not None and y is not None else None)
-            return pd.Series(out)
-        # planar: the d-padded bbox prefilter (kernel.dwithin verbatim),
-        # then the BATCHED distance dispatch on survivors, compared to d
-        survivors: list[int] = []
-        for i, (x, y) in enumerate(zip(g1s, g2s)):
-            if x is None or y is None:
-                out[i] = None
-            elif not K._bbox_intersects(x.bbox, y.bbox, pad=d):
-                out[i] = False
-            else:
-                survivors.append(i)
-        if survivors:
-            dist = np.zeros(n, dtype=object)
-            _batch_distance_fill(dist, g1s, g2s, survivors)
-            for i in survivors:
-                out[i] = bool(dist[i] <= d)
-        return pd.Series(out)
+        return st_dwithin_pd(a, b, d, geography)
 
     return _udf(w1, w2)
 

@@ -23,9 +23,13 @@ from hadoopgis_spark.geometry.kernel import _EPS
 
 __all__ = [
     "batch_single_ring_intersects",
+    "batch_single_ring_intersects_padded",
     "batch_points_in_single_ring",
+    "batch_points_in_single_ring_padded",
     "batch_single_ring_distance",
+    "batch_single_ring_distance_padded",
     "batch_points_to_single_ring_distance",
+    "batch_points_to_single_ring_distance_padded",
     "MAX_VECTOR_VERTS",
 ]
 
@@ -56,6 +60,23 @@ def batch_single_ring_intersects(rings_a: list[np.ndarray], rings_b: list[np.nda
     mb = max(len(r) - 1 for r in rings_b)
     A, ca = _pad_rings(rings_a, ma)
     B, cb = _pad_rings(rings_b, mb)
+    return batch_single_ring_intersects_padded(A, ca, B, cb)
+
+
+def batch_single_ring_intersects_padded(
+    A: np.ndarray, ca: np.ndarray, B: np.ndarray, cb: np.ndarray
+) -> np.ndarray:
+    """Padded-array form of :func:`batch_single_ring_intersects` — the
+    columnar refine path hands per-unique (n, maxv, 2) vertex arrays
+    straight from the parse cache (pure fancy indexing, no per-pair
+    Python). Pad positions repeat the last real vertex, so extra pad
+    width is inert (the documented invariant); slicing to the chunk max
+    keeps the flop count equal to the list form."""
+    n = len(A)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    m = int(max(ca.max(), cb.max()))
+    A, B = A[:, :m], B[:, :m]
 
     # edge endpoint arrays (n, m, 2): shift-by-one gives edges
     # (v_j, v_{j+1}); scatter-fix the closing edge (v_{m-1}, v_0).
@@ -121,6 +142,17 @@ def batch_points_in_single_ring(points: np.ndarray, rings: list[np.ndarray]) -> 
         return np.zeros(0, dtype=bool)
     maxv = max(len(r) - 1 for r in rings)
     V, counts = _pad_rings(rings, maxv)
+    return batch_points_in_single_ring_padded(points, V, counts)
+
+
+def batch_points_in_single_ring_padded(
+    points: np.ndarray, V: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Padded-array form of :func:`batch_points_in_single_ring`."""
+    n = len(V)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    V = V[:, : int(counts.max())] if V.shape[1] > counts.max() else V
     rows = np.arange(n)
     V2 = np.concatenate([V[:, 1:], V[:, -1:]], axis=1)
     V2[rows, counts - 1] = V[:, 0]
@@ -185,6 +217,18 @@ def batch_single_ring_distance(
     mb = max(len(r) - 1 for r in rings_b)
     A, ca = _pad_rings(rings_a, ma)
     B, cb = _pad_rings(rings_b, mb)
+    return batch_single_ring_distance_padded(A, ca, B, cb)
+
+
+def batch_single_ring_distance_padded(
+    A: np.ndarray, ca: np.ndarray, B: np.ndarray, cb: np.ndarray
+) -> np.ndarray:
+    """Padded-array form of :func:`batch_single_ring_distance`."""
+    n = len(A)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    m = int(max(ca.max(), cb.max()))
+    A, B = A[:, :m], B[:, :m]
     A2 = _edges(A, ca)
     B2 = _edges(B, cb)
     d2 = np.minimum(
@@ -207,6 +251,17 @@ def batch_points_to_single_ring_distance(
         return np.zeros(0, dtype=np.float64)
     maxv = max(len(r) - 1 for r in rings)
     V, counts = _pad_rings(rings, maxv)
+    return batch_points_to_single_ring_distance_padded(points, V, counts)
+
+
+def batch_points_to_single_ring_distance_padded(
+    points: np.ndarray, V: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Padded-array form of :func:`batch_points_to_single_ring_distance`."""
+    n = len(V)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    V = V[:, : int(counts.max())] if V.shape[1] > counts.max() else V
     V2 = _edges(V, counts)
     return np.sqrt(_pts_to_segs_min_d2(points[:, None, :], V, V2))
 

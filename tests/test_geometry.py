@@ -425,6 +425,111 @@ class TestBatchDistanceParity:
         assert ins.any() and (got > 0).any()
 
 
+class TestColumnarRefineParity:
+    """The round-11 columnar refine (factorized codes + per-unique numpy
+    columns + padded kernels) must be BIT-identical to the scalar
+    kernel on every shape mix: points, triangles, rects, big polygons,
+    holes, multis, linestrings, malformed rows, and nulls."""
+
+    def _mixed(self, seed, n):
+        import random as _r
+        rng = _r.Random(seed)
+        vals = []
+        for _ in range(n):
+            roll = rng.random()
+            x, y = rng.uniform(0, 60), rng.uniform(0, 60)
+            s = rng.uniform(0.5, 8.0)
+            if roll < 0.28:
+                vals.append(f"POINT ({x:.4f} {y:.4f})")
+            elif roll < 0.56:  # triangle (single ring, vectorizable)
+                vals.append(f"POLYGON (({x:.3f} {y:.3f}, {x + s:.3f} {y:.3f}, "
+                            f"{x:.3f} {y + s:.3f}, {x:.3f} {y:.3f}))")
+            elif roll < 0.7:  # axis-aligned rect (is_rect branch)
+                vals.append(f"POLYGON (({x:.3f} {y:.3f}, {x + s:.3f} {y:.3f}, "
+                            f"{x + s:.3f} {y + s:.3f}, {x:.3f} {y + s:.3f}, "
+                            f"{x:.3f} {y:.3f}))")
+            elif roll < 0.78:  # big ring (> MAX_VECTOR_VERTS -> scalar)
+                import math as _m
+                pts = ", ".join(
+                    f"{x + s * _m.cos(2 * _m.pi * i / 20):.3f} "
+                    f"{y + s * _m.sin(2 * _m.pi * i / 20):.3f}"
+                    for i in range(20))
+                vals.append(f"POLYGON (({pts}))")
+            elif roll < 0.84:
+                vals.append(f"LINESTRING ({x:.3f} {y:.3f}, {x + s:.3f} {y + s:.3f})")
+            elif roll < 0.9:
+                vals.append(
+                    f"MULTIPOLYGON ((({x:.2f} {y:.2f}, {x + s:.2f} {y:.2f}, "
+                    f"{x:.2f} {y + s:.2f}, {x:.2f} {y:.2f})))")
+            elif roll < 0.95:
+                vals.append("garbage wkt")
+            else:
+                vals.append(None)
+        # force repeats so factorization actually shares uniques
+        for i in range(0, n, 7):
+            vals[i] = vals[(i * 3 + 1) % n]
+        return vals
+
+    def test_intersects_and_distance_bit_parity(self):
+        import pandas as pd
+
+        from hadoopgis_spark.functions import spatial as SP
+        from hadoopgis_spark.geometry import kernel as K
+
+        n = 600
+        w1 = pd.Series(self._mixed(1, n))
+        w2 = pd.Series(self._mixed(2, n))
+        got_i = SP.st_intersects.func(w1, w2)
+        got_d = SP.st_distance.func(w1, w2)
+
+        def g(v):
+            if v is None:
+                return None
+            try:
+                from hadoopgis_spark.geometry.wkt import parse_wkt
+                k, p = parse_wkt(v)
+                return K.Geometry(k, p)
+            except Exception:
+                return None
+
+        for i in range(n):
+            a, b = g(w1[i]), g(w2[i])
+            if a is None or b is None:
+                assert got_i[i] is None and got_d[i] is None, i
+                continue
+            exp_i = K.intersects(a, b)
+            exp_d = K.distance(a, b)
+            assert bool(got_i[i]) == bool(exp_i), (i, w1[i], w2[i])
+            assert float(got_d[i]) == float(exp_d), (
+                i, w1[i], w2[i], float(got_d[i]), float(exp_d))
+
+    def test_dwithin_columnar_parity(self):
+        import pandas as pd
+
+        from hadoopgis_spark.functions import spatial as SP
+        from hadoopgis_spark.geometry import kernel as K
+        from hadoopgis_spark.geometry.wkt import parse_wkt
+
+        n = 400
+        w1 = pd.Series(self._mixed(3, n))
+        w2 = pd.Series(self._mixed(4, n))
+        d = 5.0
+        got = SP.st_dwithin_pd(w1, w2, d)
+        for i in range(n):
+            try:
+                a = K.Geometry(*parse_wkt(w1[i])) if w1[i] else None
+            except Exception:
+                a = None
+            try:
+                b = K.Geometry(*parse_wkt(w2[i])) if w2[i] else None
+            except Exception:
+                b = None
+            if a is None or b is None:
+                assert got[i] is None, i
+            else:
+                assert bool(got[i]) == K.dwithin(a, b, d), (i, w1[i], w2[i])
+
+
 class TestBatchParseParity:
     """wkt.batch_parse must agree exactly with parse_wkt row-by-row —
     same payload values (strtod-identical), same ring closure, and None
