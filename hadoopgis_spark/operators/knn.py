@@ -31,6 +31,15 @@ bound can never be a k-nearest neighbor and is dropped *before* the
 exact-geometry UDF — so the Python kernel only ever sees O(k) pairs per
 object. For point data the bounds coincide with the true distance and
 the exact pass is skipped entirely (pure JVM).
+
+``geography=True`` (round 11) ranks by haversine METERS with the
+reference's earth constants (``geographical.h:11-22``) — points only,
+rejected loudly otherwise. Every radius in the exact formulation lives
+in meters and crosses into planar degree space only at tile-assignment
+time through the conservative ``boxes.geo_degree_pad`` conversion;
+distances are native JVM column math (``boxes.haversine_m``), so the
+whole geography path has no Python boundary. No antimeridian wrap
+(planar tiling, like the reference).
 """
 
 from __future__ import annotations

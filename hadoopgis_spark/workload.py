@@ -7582,37 +7582,61 @@ assert len(_R9_PREFIX) == 50 and len(set(_R9_PREFIX)) == 50
 # txt_bpe_wordfreq, cur_contamination, stream_sliding_batch,
 # stream_near_dedup_batch; sim_ann_ivf moved out in session 2 to make
 # room for rel_time_travel (the sim surface keeps 6 prefix rows).
-_R10_PREFIX = [
-    # new round-10 gates (rel_time_travel landed in the second session:
-    # snapshot reads over the retire-instead-of-delete storage tier)
-    "rel_merge_range", "sim_ann_ivfpq_rerank", "src_stream_merge",
-    "rel_time_travel",
-    # round-10 churned code, re-earning driver rows
+#
+# Round-11 rotation: lead with the 4 new round-11 gates (the geography
+# metric fixes and the historical-metadata tier), then the gates over
+# round-11 code churn:
+#   - geography metric fixes (knn.py exact/tile rewrite, spatial_join
+#     degree pads, boxes.geo_degree_pad): sp_knn_geo, sp_dwithin_geo,
+#     sp_mindist_geo + the whole kNN/dwithin gate family
+#   - columnar refine (_columnar_view, padded kernels in
+#     geometry.vectorized, st_dwithin_pd) + wkt.batch_parse placement
+#     validation: every WKT refine gate (sp_containment_wkt,
+#     sp_touches_wkt, sp_malformed_filter, sp_box_measures,
+#     sp_dwithin_points, sp_join_bucketed_dwithin, the kNN gates)
+#   - single-writer lease wiring + commit-point fences over every
+#     skipping/bloom/vector/dedup mutator, and the snapshot-embedded
+#     agg/bloom metadata: every rel_* zonemap/bloom gate, both
+#     time-travel gates, src_stream_*, the window gates, the persisted
+#     index gates, dedup_incremental
+#   - auto-strategy manifest probe: no gate uses strategy='auto'
+#     (pinned in tests instead)
+# Rotated OUT (driver-green r10, untouched or test-pinned in r11):
+# sp_loaded_containment, sim_ann_ivfpq, cur_pipeline, stream_ann_batch,
+# rel_corr.
+_R11_PREFIX = [
+    # new round-11 gates
+    "sp_knn_geo", "sp_dwithin_geo", "sp_mindist_geo",
+    "rel_time_travel_meta",
+    # geography + columnar-refine churn, re-earning driver rows
+    "sp_knn", "sp_knn_capped", "sp_knn_tile", "sp_knn_exact_scaled",
+    "sp_dwithin_points", "sp_join_bucketed_dwithin",
+    "sp_containment_wkt", "sp_touches_wkt", "sp_malformed_filter",
+    "sp_box_measures", "sp_join_boxes", "sp_join_self",
+    # storage-tier churn (lease fences + snapshot metadata)
     "rel_range_pruned", "rel_range_appended", "rel_range_compacted",
     "rel_count_pruned", "rel_minmax_pruned", "rel_count_multi",
     "rel_zorder_pruned", "rel_sum_pruned", "rel_delete_range",
     "rel_sql_pruned", "rel_bloom_pruned", "rel_bloom_isin",
+    "rel_merge_range", "rel_time_travel",
+    "src_stream_ingest", "src_stream_merge", "src_memo_stage",
     "sp_containment_pruned", "sp_window_compacted", "sp_count_window",
-    "sp_sum_window", "sp_sql_window", "src_stream_ingest",
-    "sp_loaded_containment", "src_memo_stage",
-    "sp_knn", "sp_knn_capped", "sp_knn_tile", "sp_knn_exact_scaled",
-    "sim_ann_ivfpq", "sim_ann_ivfpq_indexed",
+    "sp_sum_window", "sp_sql_window",
+    # persisted-index mutators (leased in r11)
     "sim_ann_ivf_indexed", "sim_ann_ivf_appended",
-    "sp_dwithin_points", "sp_join_bucketed_dwithin", "sp_box_measures",
-    "sp_containment_wkt", "sp_touches_wkt",
+    "sim_ann_ivfpq_indexed", "sim_ann_ivfpq_rerank",
+    "dedup_incremental",
     # keepers: multi-round driver-green anchors across every surface
-    "sp_join_boxes", "sp_join_self",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_incremental",
+    "dedup_exact", "dedup_minhash_lsh",
     "sim_ann_topk",
     "txt_stats", "txt_sql_surface",
-    "cur_pipeline",
-    "stream_ann_batch", "stream_sessionize",
-    "rel_q1_pricing", "rel_corr",
+    "stream_sessionize",
+    "rel_q1_pricing",
 ]
-assert len(_R10_PREFIX) == 50 and len(set(_R10_PREFIX)) == 50
+assert len(_R11_PREFIX) == 50 and len(set(_R11_PREFIX)) == 50
 REGISTRY = {
-    **{n: REGISTRY[n] for n in _R10_PREFIX},
-    **{n: q for n, q in REGISTRY.items() if n not in set(_R10_PREFIX)},
+    **{n: REGISTRY[n] for n in _R11_PREFIX},
+    **{n: q for n, q in REGISTRY.items() if n not in set(_R11_PREFIX)},
 }
 # Stable alias for tests/tools: the driver gates REGISTRY[:len(GATED_PREFIX)].
-GATED_PREFIX = _R10_PREFIX
+GATED_PREFIX = _R11_PREFIX
