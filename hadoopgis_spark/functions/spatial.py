@@ -706,34 +706,41 @@ def st_dwithin_pd(a: pd.Series, b: pd.Series, d: float,
     import numpy as np
 
     cache: dict = {}
-    g1s = _parse_cache(a, cache)
-    g2s = _parse_cache(b, cache)
-    n = len(g1s)
-    out = np.zeros(n, dtype=object)
     if geography:
         # haversine point pairs / geographic dwithin: scalar path
-        for i, (x, y) in enumerate(zip(g1s, g2s)):
-            out[i] = (K.dwithin(x, y, d, geography=True)
-                      if x is not None and y is not None else None)
-        return pd.Series(out)
-    # planar: the d-padded bbox prefilter (kernel.dwithin verbatim),
-    # then the BATCHED distance dispatch on survivors, compared to d
-    survivors: list[int] = []
-    for i, (x, y) in enumerate(zip(g1s, g2s)):
-        if x is None or y is None:
-            out[i] = None
-        elif not K._bbox_intersects(x.bbox, y.bbox, pad=d):
-            out[i] = False
-        else:
-            survivors.append(i)
-    if survivors:
-        c1, g1u, v1 = _columnar_view(a, cache)
-        c2, g2u, v2 = _columnar_view(b, cache)
-        sel = np.zeros(n, dtype=bool)
-        sel[survivors] = True
+        g1s = _parse_cache(a, cache)
+        g2s = _parse_cache(b, cache)
+        return pd.Series([
+            (K.dwithin(x, y, d, geography=True)
+             if x is not None and y is not None else None)
+            for x, y in zip(g1s, g2s)
+        ], dtype=object)
+    # planar: the d-padded bbox prefilter (kernel.dwithin verbatim,
+    # vectorized over the per-unique bbox columns), then the columnar
+    # distance dispatch on survivors, compared to d
+    c1, g1u, v1 = _columnar_view(a, cache)
+    c2, g2u, v2 = _columnar_view(b, cache)
+    n = len(c1)
+    out = np.zeros(n, dtype=object)
+    i1 = np.maximum(c1, 0)
+    i2 = np.maximum(c2, 0)
+    null = ((c1 < 0) | (c2 < 0)
+            | (v1["kind"][i1] == _CK_NULL) | (v2["kind"][i2] == _CK_NULL))
+    b1 = v1["bbox"][i1]
+    b2 = v2["bbox"][i2]
+    sep = (
+        (b1[:, 0] > b2[:, 2] + d) | (b2[:, 0] > b1[:, 2] + d)
+        | (b1[:, 1] > b2[:, 3] + d) | (b2[:, 1] > b1[:, 3] + d)
+    )
+    out[null] = None
+    live = ~null
+    out[live & sep] = False
+    sel = live & ~sep
+    if sel.any():
         dist = _distance_columnar(c1, g1u, v1, c2, g2u, v2, sel=sel)
-        for i in survivors:
-            out[i] = bool(dist[i] <= d)
+        idx = np.nonzero(sel)[0]
+        hit = np.array([dist[i] <= d for i in idx], dtype=bool)
+        out[idx] = hit.astype(object)
     return pd.Series(out)
 
 
