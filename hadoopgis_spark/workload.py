@@ -5235,8 +5235,15 @@ def rel_delete_range(spark, sf):
     path = f"{_skip_root(spark)}/lineitem_delete_{os.path.basename(os.path.normpath(sf))}"
 
     def build():
+        # 24 files, not 8: repartitionByRange SAMPLES its cut points,
+        # so with 8 files the 2-year window covered exactly ~1 interior
+        # file and an unlucky sample left ZERO — the flaky build assert
+        # behind the round-11 bench's 2 transient failures. At 24 files
+        # the window spans ~7 file-widths (measured 4+ interior even
+        # with sampling skew): the metadata-only-drop assert holds under
+        # any realistic cut placement.
         save_range_sorted(_t(spark, sf, "lineitem"), path,
-                          "l_shipdate", n_files=8)
+                          "l_shipdate", n_files=24)
         stats = delete_range(spark, path, "l_shipdate",
                              dt.datetime(1994, 1, 1),
                              dt.datetime(1995, 12, 31))
@@ -5347,7 +5354,9 @@ def rel_time_travel(spark, sf):
 
     def build():
         li = _t(spark, sf, "lineitem")
-        save_range_sorted(li, path, "l_shipdate", n_files=8)
+        # n_files=24: see rel_delete_range — margin for the
+        # metadata-only-drop assert under range-sampling skew
+        save_range_sorted(li, path, "l_shipdate", n_files=24)
         if enable_time_travel(spark, path) != 1:
             raise AssertionError("fresh layout must enable at version 1")
         stats = delete_range(spark, path, "l_shipdate",
