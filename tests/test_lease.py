@@ -149,6 +149,35 @@ class TestWriterLease:
         assert _ks(sk.read_range(spark, path, "k")) == [
             k for k in range(1000) if not 110 <= k <= 640]
 
+    def test_real_second_process_refuses(self, tmp_path):
+        """TRUE cross-process contention (not the _OtherProcess
+        emulation): a subprocess attempting the lease while this
+        process holds it must raise LeaseHeldError; after release it
+        must acquire and release cleanly. Pure-fs — no Spark in the
+        child."""
+        import subprocess
+        import sys
+
+        path = str(tmp_path / "t")
+        lease._fs.makedirs(path)
+        child = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from hadoopgis_spark.sources import lease\n"
+            "try:\n"
+            "    with lease.writer_lease(%r, op='child'):\n"
+            "        print('ACQUIRED')\n"
+            "except lease.LeaseHeldError as e:\n"
+            "    print('HELD')\n"
+        ) % (str(lease.__file__).split("/hadoopgis_spark/")[0], path)
+        with lease.writer_lease(path, op="parent"):
+            out = subprocess.run([sys.executable, "-c", child],
+                                 capture_output=True, text=True, timeout=60)
+            assert out.stdout.strip() == "HELD", (out.stdout, out.stderr)
+        out = subprocess.run([sys.executable, "-c", child],
+                             capture_output=True, text=True, timeout=60)
+        assert out.stdout.strip() == "ACQUIRED", (out.stdout, out.stderr)
+        assert not lease._fs.exists(lease._lease_path(path))
+
     def test_index_mutators_leased(self, spark, tmp_path):
         from hadoopgis_spark.sources.vector_index import save_ivf_index
 
