@@ -86,6 +86,31 @@ TEXT_SQL_FUNCTIONS: dict[str, str] = {
 }
 
 
+# Geography distance as a native SQL SCALAR FUNCTION — the same
+# inlined-codegen mechanism as the text helpers: the body mirrors
+# ``functions.boxes.haversine_m`` expression-for-expression (reference
+# mile constants, geographical.h:11-22), so SQL text gets the
+# reference's -e true earth distance with zero Python boundary.
+GEO_SQL_FUNCTIONS: dict[str, str] = {
+    "hgs_haversine_m": (
+        "(lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE) "
+        "RETURNS DOUBLE RETURN "
+        "2.0 * 3958.75 * 1609.00 * ASIN(LEAST(CAST(1.0 AS DOUBLE), SQRT("
+        "POW(SIN((RADIANS(lat2) - RADIANS(lat1)) / 2), 2) "
+        "+ COS(RADIANS(lat1)) * COS(RADIANS(lat2)) "
+        "* POW(SIN((RADIANS(lon2) - RADIANS(lon1)) / 2), 2))))"
+    ),
+}
+
+
+def register_geo_sql(spark: SparkSession) -> list[str]:
+    """Register the geography SQL functions (temporary, session-scoped);
+    idempotent via CREATE OR REPLACE."""
+    for name, body in GEO_SQL_FUNCTIONS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
+    return sorted(GEO_SQL_FUNCTIONS)
+
+
 def register_text_sql(spark: SparkSession) -> list[str]:
     """Register the text SQL functions (temporary, session-scoped);
     returns the names. Order matters: later bodies call earlier ones."""

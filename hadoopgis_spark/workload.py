@@ -807,6 +807,30 @@ SP_DWITHIN_GEO_SQL = f"""
 """
 
 
+def sp_sql_haversine(spark, sf):
+    """Geography distance through the NATIVE SQL surface:
+    ``hgs_haversine_m`` is a Spark SQL scalar function (CREATE FUNCTION
+    ... RETURN <expr> — inlined into codegen, zero Python), body
+    mirroring ``boxes.haversine_m``; the whole query is SQL text, so a
+    spark.sql user gets the reference's -e true earth distance
+    (geographical.h:11-22) without touching the Column API."""
+    from hadoopgis_spark.functions.register import register_geo_sql
+
+    register_geo_sql(spark)
+    _t(spark, sf, "nation").createOrReplaceTempView("hgs_geo_nation")
+    return spark.sql("""
+      WITH p AS (
+        SELECT n_nationkey AS id,
+               (n_nationkey % 24) * CAST(15.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon,
+               (n_nationkey % 17) * CAST(10.0 AS DOUBLE) - CAST(80.0 AS DOUBLE) AS lat
+        FROM hgs_geo_nation
+      )
+      SELECT a.id AS id_1, b.id AS id_2,
+             ROUND(hgs_haversine_m(a.lon, a.lat, b.lon, b.lat), 3) AS hav_m
+      FROM p a JOIN p b ON a.id < b.id
+    """)
+
+
 def sp_mindist_geo(spark, sf):
     """Geography mindist stat end-to-end through the WKT pipeline
     (reference -e true, spjoin_2d.hpp:253-263): WKT POINT parse →
@@ -7277,6 +7301,7 @@ REGISTRY: dict[str, Query] = {
     "sp_knn_geo": Query(sp_knn_geo, SP_KNN_GEO_SQL, "J4 exact kNN, geography metric (haversine bounds)"),
     "sp_dwithin_geo": Query(sp_dwithin_geo, SP_DWITHIN_GEO_SQL, "J5 geography dwithin + native mindist stat"),
     "sp_mindist_geo": Query(sp_mindist_geo, SP_MINDIST_GEO_SQL, "geography mindist through the WKT tile pipeline"),
+    "sp_sql_haversine": Query(sp_sql_haversine, SP_HAVERSINE_SQL, "geography distance via the native SQL scalar function"),
     "sp_containment_wkt": Query(sp_containment_wkt, SP_CONTAINMENT_WKT_SQL, "J3 exact WKT kernel path"),
     "sp_interval_join": Query(sp_interval_join, SP_INTERVAL_SQL, "temporal interval join (spt ext)"),
     "sp_temporal_parse": Query(sp_temporal_parse, SP_TEMPORAL_PARSE_SQL, "multi-interval TemporalObject parse + set predicates (spt ext)"),
@@ -7612,7 +7637,7 @@ assert len(_R9_PREFIX) == 50 and len(set(_R9_PREFIX)) == 50
 #     (pinned in tests instead)
 # Rotated OUT (driver-green r10, untouched or test-pinned in r11):
 # sp_loaded_containment, sim_ann_ivfpq, cur_pipeline, stream_ann_batch,
-# rel_corr.
+# rel_corr, sim_ann_topk (made room for sp_sql_haversine).
 _R11_PREFIX = [
     # new round-11 gates
     "sp_knn_geo", "sp_dwithin_geo", "sp_mindist_geo",
@@ -7635,9 +7660,10 @@ _R11_PREFIX = [
     "sim_ann_ivf_indexed", "sim_ann_ivf_appended",
     "sim_ann_ivfpq_indexed", "sim_ann_ivfpq_rerank",
     "dedup_incremental",
+    # new-in-round-11 SQL-surface gate (native geography function)
+    "sp_sql_haversine",
     # keepers: multi-round driver-green anchors across every surface
     "dedup_exact", "dedup_minhash_lsh",
-    "sim_ann_topk",
     "txt_stats", "txt_sql_surface",
     "stream_sessionize",
     "rel_q1_pricing",
