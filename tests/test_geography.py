@@ -167,6 +167,40 @@ class TestGeographyKnn:
                 knn_join(poly, pts, k=1, mode=mode, geography=True)
 
 
+class TestGeographyPlans:
+    """100 TB design contracts for the geography path: box-native
+    geography dwithin/kNN/mindist are NATIVE column math end to end —
+    no Arrow or Python eval node anywhere in the plan (the haversine
+    refine, the degree pads, and the mindist stat are all JVM
+    expressions)."""
+
+    def _pts(self, spark, n, seed):
+        from pyspark.sql import functions as F
+
+        df = spark.range(1, n + 1)
+        lon = (F.col("id") % 59) * 0.7 - 20.0 + seed
+        lat = (F.col("id") % 41) * 0.5 + 50.0
+        return df.select("id", lon.alias("xmin"), lat.alias("ymin"),
+                         lon.alias("xmax"), lat.alias("ymax"))
+
+    def test_geography_dwithin_has_no_python_stage(self, spark):
+        from hadoopgis_spark.plans.inspect import formatted_plan
+
+        j = spatial_join(self._pts(spark, 500, 0), self._pts(spark, 800, 3),
+                         "st_dwithin", distance=100_000.0, geography=True,
+                         stats=["mindist"])
+        plan = formatted_plan(j)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_geography_knn_has_no_python_stage(self, spark):
+        from hadoopgis_spark.plans.inspect import formatted_plan
+
+        j = knn_join(self._pts(spark, 300, 0), self._pts(spark, 500, 7),
+                     k=2, mode="exact", geography=True)
+        plan = formatted_plan(j)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 class TestGeographyDwithin:
     CAP = 250_000.0
 
