@@ -244,21 +244,27 @@ def batch_parse(values, with_bbox: bool = False):
         kword[is_poly] = 7
         sp_mask = (a == 32) | (a == 10) | (a == 9) | (a == 13)
         nz = np.nonzero(~sp_mask)[0]
-        fi = np.minimum(np.searchsorted(nz, starts + kword), nz.size - 1)
-        pos1 = nz[fi]
-        ok_open = (pos1 < ends) & (a[pos1] == 40)
-        fi2 = np.minimum(fi + 1, nz.size - 1)
-        pos2 = nz[fi2]
-        ok_open2 = (pos2 < ends) & (a[pos2] == 40)
-        li = np.maximum(np.searchsorted(nz, ends) - 1, 0)
-        posl = nz[li]
-        ok_close = (posl >= starts) & (a[posl] == 41)
-        li2 = np.maximum(li - 1, 0)
-        posl2 = nz[li2]
-        ok_close2 = (posl2 >= starts) & (a[posl2] == 41)
-        placed = ok_open & ok_close & np.where(
-            is_poly, ok_open2 & ok_close2, True
-        )
+        if nz.size:
+            fi = np.minimum(np.searchsorted(nz, starts + kword), nz.size - 1)
+            pos1 = nz[fi]
+            ok_open = (pos1 < ends) & (a[pos1] == 40)
+            fi2 = np.minimum(fi + 1, nz.size - 1)
+            pos2 = nz[fi2]
+            ok_open2 = (pos2 < ends) & (a[pos2] == 40)
+            li = np.maximum(np.searchsorted(nz, ends) - 1, 0)
+            posl = nz[li]
+            ok_close = (posl >= starts) & (a[posl] == 41)
+            li2 = np.maximum(li - 1, 0)
+            posl2 = nz[li2]
+            ok_close2 = (posl2 >= starts) & (a[posl2] == 41)
+            placed = ok_open & ok_close & np.where(
+                is_poly, ok_open2 & ok_close2, True
+            )
+        else:
+            # whitespace-only batch: no non-space byte exists, so no row
+            # can be well-placed; route everything to the scalar fallback
+            # (which yields None per the malformed-row skip contract)
+            placed = np.zeros(m, dtype=bool)
 
         # blank type names, parens, commas; normalize tab/cr to space
         arrm = a.copy()

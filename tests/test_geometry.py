@@ -604,7 +604,23 @@ class TestBatchParseParity:
         "LINESTRING (1 2,3 4 5 6,7 8)", "LINESTRING (1,2 3 4)",
         "POINT 1 (2)", "POLYGON (0 0, 1 0, 0 1, 0 0) ()",
         "LINESTRING ()(1 2, 3 4)", "POLYGON ((0 0, 1 0, 0 1, 0 0)()",
+        # whitespace-only rows (round-12 advisor finding): a batch whose
+        # every eligible row is all-whitespace used to crash the
+        # placement check (empty non-space index) instead of yielding
+        # None per the malformed-row skip contract
+        " ", "   ", "\t", " \t ",
     ]
+
+    def test_whitespace_only_batch(self):
+        """A batch containing ONLY whitespace rows (no valid row to
+        anchor the non-space index) must return all-None, not raise
+        (round-12 advisor finding: nz empty -> nz[-1] IndexError)."""
+        from hadoopgis_spark.geometry.wkt import batch_parse
+
+        assert batch_parse([" "]) == [None]
+        assert batch_parse([" ", "\t", "  "]) == [None, None, None]
+        res, bbs = batch_parse([" ", "   "], with_bbox=True)
+        assert res == [None, None] and bbs == [None, None]
 
     def test_adversarial_rows(self):
         from hadoopgis_spark.geometry.wkt import batch_parse
