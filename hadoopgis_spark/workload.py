@@ -710,9 +710,9 @@ SP_HAVERSINE_SQL = """
   )
   SELECT a.id AS id_1, b.id AS id_2,
          ROUND(2.0 * 3958.75 * 1609.00 * ASIN(LEAST(1.0, SQRT(
-             POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+             POW(SIN((RADIANS(b.lat) - RADIANS(a.lat)) / 2), 2)
              + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
-               * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+               * POW(SIN((RADIANS(b.lon) - RADIANS(a.lon)) / 2), 2)
          ))), 3) AS hav_m
   FROM p a JOIN p b ON a.id < b.id
 """
@@ -757,11 +757,14 @@ GEO_S_SQL = """
   FROM supplier
 """
 # identical expression tree to functions.boxes.haversine_m (reference
-# constants geographical.h:11-22); ROUND(,3) per the trig discipline
+# constants geographical.h:11-22) — token-for-token, including
+# RADIANS(b.lat) - RADIANS(a.lat) (NOT RADIANS(b.lat - a.lat): equal in
+# exact math but a different IEEE tree — r12 advisor finding); ROUND(,3)
+# per the trig discipline
 _HAV_SQL = """2.0 * 3958.75 * 1609.00 * ASIN(LEAST(1.0, SQRT(
-             POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+             POW(SIN((RADIANS(b.lat) - RADIANS(a.lat)) / 2), 2)
              + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
-               * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+               * POW(SIN((RADIANS(b.lon) - RADIANS(a.lon)) / 2), 2)
          )))"""
 
 
@@ -859,15 +862,15 @@ SP_MINDIST_GEO_SQL = """
   )
   SELECT a.id AS id_1, b.id AS id_2,
          ROUND(2.0 * 3958.75 * 1609.00 * ASIN(LEAST(1.0, SQRT(
-             POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+             POW(SIN((RADIANS(b.lat) - RADIANS(a.lat)) / 2), 2)
              + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
-               * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+               * POW(SIN((RADIANS(b.lon) - RADIANS(a.lon)) / 2), 2)
          ))), 3) AS hav_m
   FROM p a JOIN p b ON a.id < b.id
   WHERE 2.0 * 3958.75 * 1609.00 * ASIN(LEAST(1.0, SQRT(
-             POW(SIN(RADIANS(b.lat - a.lat) / 2), 2)
+             POW(SIN((RADIANS(b.lat) - RADIANS(a.lat)) / 2), 2)
              + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
-               * POW(SIN(RADIANS(b.lon - a.lon) / 2), 2)
+               * POW(SIN((RADIANS(b.lon) - RADIANS(a.lon)) / 2), 2)
          ))) <= CAST(1500000.0 AS DOUBLE)
 """
 
