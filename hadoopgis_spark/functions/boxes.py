@@ -144,9 +144,23 @@ def geo_degree_pad(radius_m, ymin, ymax) -> Column:
     The max of the two pads is applied on BOTH axes — over-coverage is
     correctness-free because every consumer re-filters candidates on
     the true haversine metric. Monotone in ``radius_m`` (the straggler
-    satisfaction proofs rely on it). No antimeridian wrap: like the
-    reference (planar tiling, earth distance only in refine,
-    ``spjoin_2d.hpp:167-205``), neighbor search does not cross ±180°.
+    satisfaction proofs rely on it).
+
+    Antimeridian: the pad bounds the WRAPPED angular difference
+    ``min(|Δλ|, 360 − |Δλ|)`` (the derivation's ``sin(Δλ/2)`` terms are
+    periodic), so a planar box padded by it misses pairs whose nearer
+    representation crosses ±180° — consumers whose lon span exceeds
+    180° therefore wrap-multicast ±360° copies
+    (``operators.tile.wrap_antimeridian``, round 12); within 180° the
+    direct difference IS the wrapped one and no copies are needed.
+
+    Polar envelope: when the pole is reachable (``φmax ≥ 90°`` or the
+    ``sin`` bound saturates) the pad degrades to the full circle — every
+    object multicasts to every lon-overlapping tile. That is correct
+    but a multicast cliff: a dataset at |lat| ≥ ~85° with a large
+    radius pays all-tiles fan-out (contract-tested in
+    ``tests/test_geography.py``); prefer smaller radii or coarser
+    buckets near the poles.
     """
     r = _c(radius_m)
     dlat = r / F.lit(M_PER_DEG)

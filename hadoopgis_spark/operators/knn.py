@@ -38,8 +38,12 @@ rejected loudly otherwise. Every radius in the exact formulation lives
 in meters and crosses into planar degree space only at tile-assignment
 time through the conservative ``boxes.geo_degree_pad`` conversion;
 distances are native JVM column math (``boxes.haversine_m``), so the
-whole geography path has no Python boundary. No antimeridian wrap
-(planar tiling, like the reference).
+whole geography path has no Python boundary. Antimeridian wrap (round
+12): when the union lon span exceeds 180°, every radius probe also
+multicasts ±360°-shifted copies of seam-reaching objects
+(``tile.wrap_antimeridian``), so cross-seam neighbors are found exactly;
+``mode="tile"`` keeps the reference's per-tile approximate semantics
+(no wrap — tiles never cross ±180°, by design).
 """
 
 from __future__ import annotations
@@ -60,7 +64,13 @@ from hadoopgis_spark.operators.mbb import (
     with_mbb,
 )
 from hadoopgis_spark.operators.spatial_join import _suffix_all, default_bucket_size
-from hadoopgis_spark.operators.tile import assign_tiles, sample_mbbs, tiles_dataframe
+from hadoopgis_spark.operators.tile import (
+    assign_tiles,
+    sample_mbbs,
+    tiles_dataframe,
+    unwrap_x,
+    wrap_antimeridian,
+)
 from hadoopgis_spark.partition import partition_tiles
 
 __all__ = ["knn_join"]
@@ -331,20 +341,42 @@ def knn_join(
         exact; planar: opposite-corner separation)."""
         return lo if geography else _box_maxdist(m1, m2)
 
+    # antimeridian wrap (round-12 verdict fix): when the union lon span
+    # exceeds 180°, a true neighbor's nearer representation may be the
+    # wrapped one — geo_degree_pad bounds the WRAPPED angular difference,
+    # so every radius probe must also multicast ±360°-shifted copies of
+    # seam-reaching A rows. Span ≤ 180° data skips this (direct ==
+    # wrapped there), keeping regional plans untouched. Every tile_cand
+    # consumer dedups pairs by id, so the copies (restored to original
+    # coordinates by unwrap_x before any distance math) collapse.
+    wrap_geo = geography and (x1 - x0) > 180.0
+
     def tile_cand(aa: DataFrame, pad) -> DataFrame:
         """Tile-co-located (a, b) pairs with a's box padded by ``pad``
         (Column or scalar, in RANKING-metric units) for the assignment.
         Superset guarantee: any b within ``pad`` of a (ranking metric)
-        overlaps the padded a-box, and the overlap point lies in a tile
-        both sides were multicast to. Under geography the meter radius
-        converts to a conservative per-object degree pad first."""
+        overlaps the padded a-box — directly, or via the ±360° wrapped
+        copy when the lon span crosses the antimeridian — and the
+        overlap point lies in a tile both sides were multicast to.
+        Under geography the meter radius converts to a conservative
+        per-object degree pad first."""
+        wrapped = False
         if geography and not (isinstance(pad, (int, float)) and pad == 0):
             pad = B.geo_degree_pad(pad, F.col(m1[1]), F.col(m1[3]))
+            if wrap_geo:
+                aa = wrap_antimeridian(aa, pad, tuple(m1), (bx0, bx1))
+                wrapped = True
         c = (
             assign_tiles(aa, tiles_df, mbb_cols=tuple(m1), pad=pad)
             .drop("t_xmin", "t_ymin", "t_xmax", "t_ymax")
             .join(bt, "tile_id")
         )
+        if wrapped:
+            # restore original lon BEFORE any lo/distance math: haversine
+            # on shifted lon is equal in exact math but not bit-identical
+            # (oracle IEEE-tree discipline), and restored copies are
+            # value-identical so the callers' id-dedup collapses them
+            c = unwrap_x(c, m1)
         if self_join:
             c = c.filter(F.col(idc1) != F.col(idc2))
         return c

@@ -42,7 +42,14 @@ from hadoopgis_spark.operators.mbb import (
     space_extent,
     with_mbb,
 )
-from hadoopgis_spark.operators.tile import assign_tiles, sample_mbbs, tiles_dataframe
+from hadoopgis_spark.operators.tile import (
+    WRAP_X_COLS,
+    assign_tiles,
+    sample_mbbs,
+    tiles_dataframe,
+    unwrap_x,
+    wrap_antimeridian,
+)
 from hadoopgis_spark.partition import (
     SPACE_PARTITIONERS,
     partition_tiles,
@@ -248,7 +255,16 @@ def spatial_join(
         if geo_dwithin and pad
         else pad
     )
-    at = assign_tiles(_suffix_all(a, sfx1), tiles_df, pad=pad_a, mbb_cols=m1_names)
+    # antimeridian wrap (round-12 verdict fix): when the lon span exceeds
+    # 180° a true pair's nearer representation may be the wrapped one —
+    # multicast ±360° copies of seam-reaching A rows (originals stashed);
+    # span ≤ 180° datasets skip this entirely (direct == wrapped there),
+    # keeping regional plans byte-identical
+    wrap = bool(geo_dwithin and pad and (float(x1) - float(x0)) > 180.0)
+    a1 = _suffix_all(a, sfx1)
+    if wrap:
+        a1 = wrap_antimeridian(a1, pad_a, m1_names, (float(x0), float(x1)))
+    at = assign_tiles(a1, tiles_df, pad=pad_a, mbb_cols=m1_names)
     if not use_refpoint:
         at = at.drop("t_xmin", "t_ymin", "t_xmax", "t_ymax")
     bt = assign_tiles(_suffix_all(b, sfx2), tiles_df, mbb_cols=m2_names).drop(
@@ -260,6 +276,23 @@ def spatial_join(
     m2 = [f"{c}{sfx2}" for c in MBB_COLS]
     cond = B.box_intersects(*[F.col(c) for c in m1], *[F.col(c) for c in m2], pad=pad_a)
     joined = at.join(bt, on=["tile_id"], how="inner").filter(cond)
+    # m1_eval: the coordinates every REFINE / stat / output must read —
+    # the stashed originals under wrap (haversine on a ±360-shifted lon
+    # is equal in exact math but not bit-identical; the oracle
+    # discipline requires the original coordinates' IEEE tree)
+    m1_eval = [WRAP_X_COLS[0], m1[1], WRAP_X_COLS[1], m1[3]] if wrap else m1
+    if wrap:
+        # exactly-once across representations: a wrapped copy's pair
+        # survives only where the DIRECT x-test fails (token-mirror of
+        # box_intersects' padded form on the stashed originals); the
+        # refpoint dedup below then handles tile duplicates within the
+        # single surviving representation
+        direct_x = (
+            (F.col(m1_eval[0]) - pad_a <= F.col(m2[2]))
+            & (F.col(m2[0]) <= F.col(m1_eval[2]) + pad_a)
+        )
+        is_copy = F.col(m1[0]) != F.col(m1_eval[0])
+        joined = joined.filter(~is_copy | ~direct_x)
 
     # ---- self-join pair rules (spjoin_2d.hpp:78-84) --------------------
     if self_join:
@@ -275,9 +308,13 @@ def spatial_join(
     if geo_dwithin:
         # points-only (enforced above): the MBB corner IS the point, so
         # the haversine refine stays native column math — no Python
-        # boundary (reference constants, spjoin_2d.hpp:167-205)
+        # boundary (reference constants, spjoin_2d.hpp:167-205); reads
+        # m1_eval so wrapped copies refine on their ORIGINAL lon
+        # (haversine is periodic, so the wrapped pair passes exactly
+        # when the oracle's cross-join form counts it)
         joined = joined.filter(
-            B.haversine_m(F.col(m1[0]), F.col(m1[1]), F.col(m2[0]), F.col(m2[1]))
+            B.haversine_m(F.col(m1_eval[0]), F.col(m1_eval[1]),
+                          F.col(m2[0]), F.col(m2[1]))
             <= pad
         )
     elif wkt_mode:
@@ -294,7 +331,7 @@ def spatial_join(
     ]
     if "tileid" in stats:
         out_cols.append("tile_id")
-    joined = _append_stats(joined, stats, wkt_mode, g1, g2, m1, m2, geography)
+    joined = _append_stats(joined, stats, wkt_mode, g1, g2, m1_eval, m2, geography)
     stat_cols = [s for s in stats if s != "tileid"]
     if use_refpoint:
         # emit the pair only in the tile owning the reference point of the
@@ -309,9 +346,13 @@ def spatial_join(
             & (ry >= F.col("t_ymin")) & (ry < F.col("t_ymax"))
         )
         joined = joined.filter(on_ref_tile)
+        if wrap:  # restore original x for keep_mbb outputs
+            joined = unwrap_x(joined, m1)
         return joined.select(*out_cols, *stat_cols)
     # MBR partitioners: tiles can overlap → exact-duplicate removal,
     # the reference's dedup job (duplicate_remover.cpp:28-42)
+    if wrap:
+        joined = unwrap_x(joined, m1)
     return joined.select(*out_cols, *stat_cols).distinct()
 
 
@@ -327,17 +368,31 @@ def _broadcast_join(
     m2 = [f"{c}{sfx2}" for c in MBB_COLS]
     geo_dwithin = geography and predicate == "st_dwithin"
     pad_a = pad
+    geo_wrap = False
     if geography and (geo_dwithin or "mindist" in stats):
         mbb_union = a.select(*MBB_COLS) if self_join else (
             a.select(*MBB_COLS).unionByName(b.select(*MBB_COLS))
         )
-        require_points_geo(
-            extent_and_spans(mbb_union), "spatial_join(geography=True)"
-        )
+        ext = extent_and_spans(mbb_union)
+        require_points_geo(ext, "spatial_join(geography=True)")
         if geo_dwithin and pad:
             # meters → conservative per-row degree pad (see spatial_join)
             pad_a = B.geo_degree_pad(F.lit(pad), F.col(m1[1]), F.col(m1[3]))
+            geo_wrap = (
+                int(ext[4]) > 0 and float(ext[2]) - float(ext[0]) > 180.0
+            )
     cond = B.box_intersects(*[F.col(c) for c in m1], *[F.col(c) for c in m2], pad=pad_a)
+    if geo_wrap:
+        # antimeridian wrap under broadcast: every pair is evaluated, so
+        # the candidate test just ORs the ±360°-shifted A-box variants —
+        # extra candidates are harmless (the haversine refine decides)
+        def _sx(s: float):
+            return B.box_intersects(
+                F.col(m1[0]) + F.lit(s), F.col(m1[1]),
+                F.col(m1[2]) + F.lit(s), F.col(m1[3]),
+                *[F.col(c) for c in m2], pad=pad_a,
+            )
+        cond = cond | _sx(-360.0) | _sx(360.0)
     if predicate == "st_disjoint":
         # broadcast sees every pair: true global disjoint semantics
         cond = F.lit(True)
