@@ -3694,6 +3694,61 @@ class TestSkippingAppend:
         with _pytest.raises(ValueError, match="covers"):
             append_range_sorted(df, path, "other")
 
+    def test_schema_drifted_append_refuses(self, spark, tmp_path):
+        """Round-12 verdict probe: on a 2-column layout (id, v) an
+        appended batch MISSING v used to be ACCEPTED and made v vanish
+        from every subsequent read (Spark samples the newest footer for
+        the directory schema); an EXTRA column was silently invisible;
+        a type-drifted column made the read schema footer-dependent.
+        All three must refuse loudly; a reordered-but-identical batch
+        is legal and lands in the stored column order."""
+        import pytest as _pytest
+        from hadoopgis_spark.sources.skipping import (
+            append_range_sorted, read_range, save_range_sorted)
+        df = spark.range(0, 100).select(
+            F.col("id"), (F.col("id") * 2).alias("v"))
+        path = str(tmp_path / "t")
+        save_range_sorted(df, path, "id", n_files=2)
+        with _pytest.raises(ValueError, match="missing \\['v'\\]"):
+            append_range_sorted(
+                spark.range(100, 120).select("id"), path, "id")
+        with _pytest.raises(ValueError, match="extra \\['w'\\]"):
+            append_range_sorted(
+                spark.range(100, 120).select(
+                    "id", (F.col("id") * 2).alias("v"),
+                    F.lit(1).alias("w")),
+                path, "id")
+        with _pytest.raises(ValueError, match="types drift"):
+            append_range_sorted(
+                spark.range(100, 120).select(
+                    "id", (F.col("id") * 2).cast("string").alias("v")),
+                path, "id")
+        # refusals left the layout intact and readable
+        assert read_range(spark, path, "id", 0, 99).columns == ["id", "v"]
+        # reordered batch: accepted, lands in stored order, reads whole
+        append_range_sorted(
+            spark.range(100, 120).select(
+                (F.col("id") * 2).alias("v"), "id"),
+            path, "id")
+        got = read_range(spark, path, "id", 0, 119)
+        assert got.columns == ["id", "v"]
+        assert got.count() == 120
+        assert got.filter(F.col("v") != F.col("id") * 2).count() == 0
+
+    def test_schema_drifted_spatial_append_refuses(self, spark, tmp_path):
+        import pytest as _pytest
+        from hadoopgis_spark.sources.skipping import (
+            append_spatial_clustered, save_spatial_clustered)
+        ext = (0.0, 0.0, 10.0, 10.0)
+        df = spark.createDataFrame(
+            [(i, float(i % 10), float(i % 7), float(i % 10) + 1.0,
+              float(i % 7) + 1.0) for i in range(50)],
+            "id long, xmin double, ymin double, xmax double, ymax double")
+        path = str(tmp_path / "s")
+        save_spatial_clustered(df, path, ext, n_files=2)
+        with _pytest.raises(ValueError, match="missing \\['id'\\]"):
+            append_spatial_clustered(df.drop("id"), path, ext)
+
 
 class TestSaltedJoin:
     def test_parity_on_hot_key(self, spark):
