@@ -16,20 +16,30 @@ points on it:
   lands. To readers that abort is indistinguishable from a crash, and
   the per-crash-point suites prove every crash point leaves the table
   exactly-once readable.
+* release writes a *tombstone* (``released: true``, keeping the
+  releaser's token) instead of deleting the file, so a competitor that
+  took over after TTL expiry, completed its mutation, AND released is
+  still detected at the original writer's next fence (round-12 advisor
+  fix — a deleted lease file was indistinguishable from Spark's
+  ``mode('overwrite')`` wiping the table dir, and the fence re-asserted
+  straight into an interleaved commit).
 
 Reentrant per table path within a process: nested mutators (a merge
 that settles a dangling compaction, an append inside a foreachBatch
 ingest) ride the outermost lease.
 
-Honesty note (documented, not hidden): without a conditional PUT this
-is ADVISORY locking. Acquire is read→check→write→verify-read, which
-catches every interleaving where the competing write lands before the
-verify re-read; the commit-point fence catches the remainder before
-anything commits. On a store with compare-and-swap (S3 conditional
-writes, DynamoDB, etcd) swap :func:`_try_claim` for a true CAS and the
-same API becomes a real mutual exclusion. Stale leases from crashed
-writers expire after ``ttl`` seconds; writer clocks must agree to
-within that slack. The reference has no analogue — its MR jobs were
+Storage pluggability (round 12): all lease I/O goes through a
+:class:`LeaseStore`. The default :class:`FsLeaseStore` is ADVISORY —
+acquire is read→check→write→verify, which catches every interleaving
+where the competing write lands before the verify re-read, and the
+commit-point fence catches the remainder before anything commits. On a
+store with compare-and-swap (S3 conditional writes, DynamoDB, etcd)
+implement ``try_put`` as a true conditional swap — the bundled
+:class:`MemoryCasLeaseStore` is the reference CAS implementation (and
+the test double) — and install it with :func:`set_lease_store`; the
+same API then becomes a real mutual exclusion. Stale leases from
+crashed writers expire after ``ttl`` seconds; writer clocks must agree
+to within that slack. The reference has no analogue — its MR jobs were
 serialized externally by the scheduler.
 """
 
@@ -39,6 +49,7 @@ import contextlib
 import json
 import os
 import socket
+import threading
 import time
 import uuid
 
@@ -49,6 +60,12 @@ __all__ = [
     "fence",
     "LeaseHeldError",
     "LeaseLostError",
+    "LeaseStore",
+    "FsLeaseStore",
+    "MemoryCasLeaseStore",
+    "set_lease_store",
+    "lease_store",
+    "is_released",
     "LEASE_FILE",
     "DEFAULT_TTL_S",
 ]
@@ -72,22 +89,139 @@ def _lease_path(path: str) -> str:
     return os.path.join(path, LEASE_FILE)
 
 
-def _read_lease(path: str) -> dict | None:
+class LeaseStore:
+    """Protocol for lease persistence. ``read`` returns the current
+    record (live lease OR released tombstone) or ``None``; ``try_put``
+    writes ``rec`` conditioned on the current record's token being
+    ``expect_token`` (``None`` = no record at all) and returns whether
+    the write won. A conditional-PUT backend (S3, etcd, DynamoDB) makes
+    ``try_put`` a true CAS; the filesystem default is advisory."""
+
+    def read(self, path: str) -> dict | None:  # pragma: no cover - protocol
+        raise NotImplementedError
+
+    def try_put(self, path: str, rec: dict,
+                expect_token: str | None) -> bool:  # pragma: no cover
+        raise NotImplementedError
+
+
+class FsLeaseStore(LeaseStore):
+    """Default advisory store: atomic-rename writes + verify-read.
+    ``expect_token`` cannot be enforced atomically on a plain
+    filesystem — the verify re-read catches every interleaving where
+    the competitor's write lands first, and the commit-point fence
+    catches the remainder before anything commits (module docstring)."""
+
+    def read(self, path: str) -> dict | None:
+        try:
+            return json.loads(_fs.read_bytes(_lease_path(path)))
+        except FileNotFoundError:
+            return None
+        except Exception:
+            # torn/garbled lease file: treat as absent — write_bytes_atomic
+            # makes this unreachable in practice, but a garbage file must
+            # not brick the table forever
+            return None
+
+    def try_put(self, path: str, rec: dict,
+                expect_token: str | None) -> bool:
+        _fs.makedirs(path)
+        _fs.write_bytes_atomic(_lease_path(path), json.dumps(rec).encode())
+        back = self.read(path)
+        return back is not None and back.get("token") == rec.get("token")
+
+
+class MemoryCasLeaseStore(LeaseStore):
+    """True compare-and-swap store (process-local): ``try_put`` wins
+    only when the stored token equals ``expect_token`` at swap time,
+    rejecting stale swaps outright. Reference implementation for wiring
+    a real conditional-PUT backend, and the CAS test double — the lease
+    suite runs green under both stores."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._recs: dict[str, dict] = {}
+        self.rejected = 0  # observability for tests
+
+    def _key(self, path: str) -> str:
+        return os.path.abspath(path) if "://" not in path else path
+
+    def read(self, path: str) -> dict | None:
+        with self._lock:
+            rec = self._recs.get(self._key(path))
+            return dict(rec) if rec is not None else None
+
+    def try_put(self, path: str, rec: dict,
+                expect_token: str | None) -> bool:
+        with self._lock:
+            cur = self._recs.get(self._key(path))
+            cur_token = cur.get("token") if cur is not None else None
+            if cur_token != expect_token:
+                self.rejected += 1
+                return False
+            self._recs[self._key(path)] = dict(rec)
+            return True
+
+    def wipe(self, path: str) -> None:
+        """Test helper: emulate mode('overwrite') deleting the dir."""
+        with self._lock:
+            self._recs.pop(self._key(path), None)
+
+
+_STORE: LeaseStore = FsLeaseStore()
+
+
+def set_lease_store(store: LeaseStore | None) -> LeaseStore:
+    """Install a lease backend (``None`` restores the filesystem
+    default); returns the previous store so callers can restore it."""
+    global _STORE
+    prev = _STORE
+    _STORE = store if store is not None else FsLeaseStore()
+    return prev
+
+
+@contextlib.contextmanager
+def lease_store(store: LeaseStore):
+    """Scoped :func:`set_lease_store`."""
+    prev = set_lease_store(store)
     try:
-        return json.loads(_fs.read_bytes(_lease_path(path)))
-    except FileNotFoundError:
-        return None
-    except Exception:
-        # torn/garbled lease file: treat as absent — write_bytes_atomic
-        # makes this unreachable in practice, but a garbage file must
-        # not brick the table forever
-        return None
+        yield store
+    finally:
+        set_lease_store(prev)
+
+
+def _read_lease(path: str) -> dict | None:
+    return _STORE.read(path)
+
+
+def _live(rec: dict | None, now: float) -> bool:
+    return (rec is not None and not rec.get("released")
+            and float(rec.get("expires_at", 0.0)) > now)
+
+
+def is_released(path: str) -> bool:
+    """True when no live claim exists: absent, released tombstone, or
+    expired. The public check tests and operators use instead of poking
+    at the lease file (which release keeps as a tombstone)."""
+    return not _live(_STORE.read(path), time.time())
+
+
+def _record(token: str, op: str, now: float, ttl: float,
+            released: bool = False) -> dict:
+    return {
+        "token": token,
+        "owner": f"{socket.gethostname()}:{os.getpid()}",
+        "op": op,
+        "acquired_at": now,
+        "expires_at": now + ttl,
+        "released": released,
+    }
 
 
 def _try_claim(path: str, op: str, ttl: float) -> str:
     now = time.time()
-    cur = _read_lease(path)
-    if cur is not None and float(cur.get("expires_at", 0.0)) > now:
+    cur = _STORE.read(path)
+    if _live(cur, now):
         raise LeaseHeldError(
             f"writer lease on {path} held by {cur.get('owner')} "
             f"(op={cur.get('op')}, expires in "
@@ -95,17 +229,9 @@ def _try_claim(path: str, op: str, ttl: float) -> str:
             "retry after it releases or expires"
         )
     token = uuid.uuid4().hex
-    rec = {
-        "token": token,
-        "owner": f"{socket.gethostname()}:{os.getpid()}",
-        "op": op,
-        "acquired_at": now,
-        "expires_at": now + ttl,
-    }
-    _fs.makedirs(path)
-    _fs.write_bytes_atomic(_lease_path(path), json.dumps(rec).encode())
-    back = _read_lease(path)
-    if back is None or back.get("token") != token:
+    expect = cur.get("token") if cur is not None else None
+    if not _STORE.try_put(path, _record(token, op, now, ttl), expect):
+        back = _STORE.read(path)
         raise LeaseHeldError(
             f"lost the lease race on {path} to "
             f"{(back or {}).get('owner')} — refusing {op!r}"
@@ -121,7 +247,9 @@ def writer_lease(path: str, op: str = "mutate", ttl: float = DEFAULT_TTL_S):
     the outer lease). Raises :class:`LeaseHeldError` if another live
     writer holds it. Always released on exit — including on error,
     so an aborted mutation (crash-equivalent to readers) never leaves
-    the table locked for the TTL.
+    the table locked for the TTL. Release writes a tombstone (not a
+    delete) so later fences can tell takeover-then-release from an
+    overwrite wipe.
     """
     key = os.path.abspath(path) if "://" not in path else path
     if key in _ACTIVE:
@@ -133,10 +261,12 @@ def writer_lease(path: str, op: str = "mutate", ttl: float = DEFAULT_TTL_S):
         yield token
     finally:
         _ACTIVE.pop(key, None)
-        cur = _read_lease(path)
+        cur = _STORE.read(path)
         if cur is not None and cur.get("token") == token:
             with contextlib.suppress(Exception):
-                _fs.remove(_lease_path(path))
+                _STORE.try_put(
+                    path, _record(token, op, time.time(), 0.0,
+                                  released=True), token)
 
 
 def fence(path: str, renew: float = DEFAULT_TTL_S) -> None:
@@ -144,34 +274,42 @@ def fence(path: str, renew: float = DEFAULT_TTL_S) -> None:
     took for ``path`` and extend it by ``renew`` seconds (long
     compactions outlive one TTL). No-op when no lease context is active
     for the path — legacy callers and reader-side settles keep working
-    unchanged. Raises :class:`LeaseLostError` on takeover, so the
+    unchanged. Raises :class:`LeaseLostError` on takeover — INCLUDING a
+    takeover that already completed and released (the competitor's
+    tombstone carries its token, round-12 advisor fix) — so the
     mutation aborts BEFORE its commit record lands.
     """
     key = os.path.abspath(path) if "://" not in path else path
     token = _ACTIVE.get(key)
     if token is None:
         return
-    cur = _read_lease(path)
+    cur = _STORE.read(path)
+    now = time.time()
     if cur is None:
-        # the lease file is GONE while we logically hold it: a full
-        # rewrite (Spark's mode('overwrite') wipes the table dir,
-        # lease file included) — not a takeover, which would leave the
-        # competitor's token behind. Re-assert ownership and continue.
-        now = time.time()
-        _fs.makedirs(path)
-        _fs.write_bytes_atomic(_lease_path(path), json.dumps({
-            "token": token,
-            "owner": f"{socket.gethostname()}:{os.getpid()}",
-            "op": "reassert",
-            "acquired_at": now,
-            "expires_at": now + renew,
-        }).encode())
+        # the lease record is GONE while we logically hold it: a full
+        # rewrite (Spark's mode('overwrite') wipes the table dir, lease
+        # file included) — takeover leaves the competitor's record
+        # behind (live OR released tombstone), so absence means wipe.
+        # Re-assert ownership and continue.
+        if not _STORE.try_put(path, _record(token, "reassert", now, renew),
+                              None):
+            raise LeaseLostError(
+                f"writer lease on {path} was re-claimed while re-asserting "
+                "after an overwrite wipe — aborting before commit"
+            )
         return
     if cur.get("token") != token:
+        what = ("taken over (completed and released)"
+                if cur.get("released") else "taken over")
         raise LeaseLostError(
-            f"writer lease on {path} was taken over by "
+            f"writer lease on {path} was {what} by "
             f"{cur.get('owner')} mid-mutation — aborting before "
             "commit (table state: crash-equivalent, exactly-once safe)"
         )
-    cur["expires_at"] = time.time() + renew
-    _fs.write_bytes_atomic(_lease_path(path), json.dumps(cur).encode())
+    rec = dict(cur)
+    rec["expires_at"] = now + renew
+    if not _STORE.try_put(path, rec, token):
+        raise LeaseLostError(
+            f"writer lease on {path} was taken over at renewal — "
+            "aborting before commit"
+        )

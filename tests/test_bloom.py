@@ -196,8 +196,12 @@ class TestBloomBuildProbe:
         assert "bloom_unindexed" not in h  # no index yet
         build_bloom_index(spark, path, ["id"], n_items=1_000)
         assert layout_health(spark, path, "ts")["bloom_unindexed"] == {"id": 0}
+        # batch types must match the stored layout exactly (round-12
+        # schema guard: an int32 batch in a bigint table would make the
+        # read schema footer-dependent)
         extra = spark.range(1).select(
-            F.lit(9_999).alias("ts"), F.lit(8_888).alias("id"))
+            F.lit(9_999).cast("long").alias("ts"),
+            F.lit(8_888).cast("long").alias("id"))
         from hadoopgis_spark.sources.skipping import append_range_sorted
         append_range_sorted(extra, path, "ts", n_files=1)
         h = layout_health(spark, path, "ts")
