@@ -77,17 +77,43 @@ def _suffix_all(df: DataFrame, suffix: str) -> DataFrame:
     return df.select([F.col(c).alias(f"{c}{suffix}") for c in df.columns])
 
 
+# analyzed-plan operators that can only PRESERVE or SHRINK the scan's
+# row count — anything else (Generate/explode, Join, Union, Expand,
+# FlatMap…) can multiply rows over the same single input directory and
+# voids the manifest's upper-bound claim (round-12 advisor fix)
+_ROW_BOUNDED_OPS = frozenset({
+    "Filter", "Project", "Relation", "LogicalRelation", "SubqueryAlias",
+    "View", "GlobalLimit", "LocalLimit", "Sort", "Deduplicate",
+    "Repartition", "RepartitionByExpression", "Distinct",
+})
+
+
 def _manifest_rowcount_upper(df: DataFrame) -> int | None:
     """UPPER bound on ``df``'s row count from the zonemap manifest, when
-    ``df`` scans exactly one manifest-backed table directory — read
-    driver-side with ZERO Spark jobs (``inputFiles`` resolves from the
-    already-built file index). ``None`` when not resolvable (multiple
-    dirs, no manifest, joins/unions): callers fall back to a probe job.
-    Upper-bound direction is safe by construction: filters/pruned
-    subsets only shrink the true count, and overestimating steers the
-    auto strategy to the always-correct tile path."""
+    ``df`` is a row-bounded plan (scan/filter/project/limit shapes only)
+    over exactly one manifest-backed table directory — read driver-side
+    with ZERO Spark jobs (``inputFiles`` resolves from the already-built
+    file index). ``None`` when not resolvable: multiple dirs, no
+    manifest, a plan containing any row-multiplying operator (explode,
+    self-join, union — ``inputFiles`` still reports one directory for
+    those), or input files missing from the manifest (orphans from a
+    crash between data-file landing and manifest rewrite hold rows the
+    manifest never counted). Callers fall back to a probe job.
+    Upper-bound direction is then safe: every admitted operator only
+    preserves or shrinks the scan's count, and overestimating steers
+    the auto strategy to the always-correct tile path."""
     from urllib.parse import urlparse
 
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    import re
+
+    for line in plan.splitlines():
+        m = re.match(r"^[\s:+\-]*'?([A-Za-z]+)", line)
+        if m and m.group(1) not in _ROW_BOUNDED_OPS:
+            return None
     try:
         files = df.inputFiles()
     except Exception:
@@ -108,6 +134,11 @@ def _manifest_rowcount_upper(df: DataFrame) -> int | None:
     per_file: dict[str, int] = {}
     for r in rows:
         per_file[r.file] = int(r.rows)
+    # orphan check: an input file the manifest never counted carries
+    # rows outside the sum — the "upper bound" would silently undercount
+    names = {os.path.basename(urlparse(f).path) for f in files}
+    if not names <= set(per_file):
+        return None
     return sum(per_file.values())
 
 

@@ -153,3 +153,38 @@ class TestAutoStrategyManifestProbe:
         got_tile = sorted((r.id_1, r.id_2) for r in spatial_join(
             a, b, "st_intersects", strategy="tile").collect())
         assert got_auto == got_tile and got_auto
+
+    def test_row_multiplying_plans_fall_back(self, spark, tmp_path):
+        """Round-12 advisor fix: the 'upper bound by construction' claim
+        fails for row-multiplying plans over ONE table dir (explode,
+        self-join — inputFiles still reports a single directory) and for
+        manifest-orphan files; all must return None (probe fallback)
+        instead of an undercount that broadcasts a large side."""
+        from hadoopgis_spark.operators.spatial_join import (
+            _manifest_rowcount_upper)
+
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(df, path, "k", n_files=2)
+        b = spark.read.parquet(path)
+        assert _manifest_rowcount_upper(b) == 100
+        # explode multiplies rows 3x over the same directory
+        exploded = b.withColumn(
+            "e", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        assert exploded.count() == 300
+        assert _manifest_rowcount_upper(exploded) is None
+        # self-join squares the per-key rows, one directory in inputFiles
+        joined = b.alias("l").join(b.alias("r"), "v")
+        assert _manifest_rowcount_upper(joined) is None
+        # union of the table with itself: same single dir, 2x rows
+        assert _manifest_rowcount_upper(b.unionByName(b)) is None
+        # orphan data file (crash between file landing and manifest
+        # rewrite): rows exist that the manifest never counted
+        import shutil
+        parquets = [f for f in _fs.listdir(path) if f.endswith(".parquet")]
+        shutil.copyfile(f"{path}/{parquets[0]}",
+                        f"{path}/part-orphan-r12.snappy.parquet")
+        b2 = spark.read.parquet(path)
+        assert b2.count() > 100
+        assert _manifest_rowcount_upper(b2) is None
