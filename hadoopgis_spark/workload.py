@@ -7769,40 +7769,60 @@ assert len(_R9_PREFIX) == 50 and len(set(_R9_PREFIX)) == 50
 # Rotated OUT (driver-green r10, untouched or test-pinned in r11):
 # sp_loaded_containment, sim_ann_ivfpq, cur_pipeline, stream_ann_batch,
 # rel_corr, sim_ann_topk (made room for sp_sql_haversine).
-_R11_PREFIX = [
-    # new round-11 gates
+#
+# Round-12 rotation: lead with the 3 new round-12 gates (the
+# antimeridian seam fixes + the tile-mode geography gate), then the
+# gates over round-12 code churn:
+#   - antimeridian wrap-multicast (tile.wrap_antimeridian/unwrap_x,
+#     spatial_join wrap + representation filter, knn tile_cand wrap)
+#     and the token-mirrored haversine oracle trees: the whole
+#     geography family (sp_knn_geo, sp_dwithin_geo, sp_mindist_geo,
+#     sp_haversine, sp_sql_haversine) + every kNN/dwithin/tile-join
+#     gate (they share assign_tiles and the knn/spatial_join bodies)
+#   - wkt.batch_parse whitespace-only placement guard: every WKT
+#     refine gate (sp_malformed_filter, sp_containment_wkt,
+#     sp_touches_wkt, sp_box_measures)
+#   - storage append schema guard (skipping.py) + lease release
+#     tombstones (every mutator's release path changed): the rel_*
+#     zonemap/bloom/time-travel gates, src_stream_*, the window
+#     compaction gate, the persisted-index mutators, dedup_incremental
+#   - manifest rowcount plan/orphan guard: no gate uses strategy='auto'
+#     (pinned in tests instead)
+# Rotated OUT (driver-green r11, surfaces still covered inside the
+# prefix by rel_count_pruned/rel_sum_pruned/rel_sql_pruned/txt_stats):
+# sp_count_window, sp_sum_window, sp_sql_window, txt_sql_surface.
+_R12_PREFIX = [
+    # new round-12 gates
+    "sp_dwithin_geo_seam", "sp_knn_geo_seam", "sp_knn_geo_tile",
+    # geography family over the wrap + oracle-tree churn
     "sp_knn_geo", "sp_dwithin_geo", "sp_mindist_geo",
-    "rel_time_travel_meta",
-    # geography + columnar-refine churn, re-earning driver rows
+    "sp_haversine", "sp_sql_haversine",
+    # kNN/dwithin/tile-join family (assign_tiles + knn/spatial_join churn)
     "sp_knn", "sp_knn_capped", "sp_knn_tile", "sp_knn_exact_scaled",
     "sp_dwithin_points", "sp_join_bucketed_dwithin",
     "sp_containment_wkt", "sp_touches_wkt", "sp_malformed_filter",
     "sp_box_measures", "sp_join_boxes", "sp_join_self",
-    # storage-tier churn (lease fences + snapshot metadata)
+    # storage-tier churn (append schema guard + lease tombstones)
     "rel_range_pruned", "rel_range_appended", "rel_range_compacted",
     "rel_count_pruned", "rel_minmax_pruned", "rel_count_multi",
     "rel_zorder_pruned", "rel_sum_pruned", "rel_delete_range",
     "rel_sql_pruned", "rel_bloom_pruned", "rel_bloom_isin",
-    "rel_merge_range", "rel_time_travel",
+    "rel_merge_range", "rel_time_travel", "rel_time_travel_meta",
     "src_stream_ingest", "src_stream_merge", "src_memo_stage",
-    "sp_containment_pruned", "sp_window_compacted", "sp_count_window",
-    "sp_sum_window", "sp_sql_window",
-    # persisted-index mutators (leased in r11)
+    "sp_containment_pruned", "sp_window_compacted",
+    # persisted-index mutators (release paths changed in r12)
     "sim_ann_ivf_indexed", "sim_ann_ivf_appended",
     "sim_ann_ivfpq_indexed", "sim_ann_ivfpq_rerank",
     "dedup_incremental",
-    # new-in-round-11 SQL-surface gate (native geography function)
-    "sp_sql_haversine",
     # keepers: multi-round driver-green anchors across every surface
     "dedup_exact", "dedup_minhash_lsh",
-    "txt_stats", "txt_sql_surface",
-    "stream_sessionize",
+    "txt_stats", "stream_sessionize",
     "rel_q1_pricing",
 ]
-assert len(_R11_PREFIX) == 50 and len(set(_R11_PREFIX)) == 50
+assert len(_R12_PREFIX) == 50 and len(set(_R12_PREFIX)) == 50
 REGISTRY = {
-    **{n: REGISTRY[n] for n in _R11_PREFIX},
-    **{n: q for n, q in REGISTRY.items() if n not in set(_R11_PREFIX)},
+    **{n: REGISTRY[n] for n in _R12_PREFIX},
+    **{n: q for n, q in REGISTRY.items() if n not in set(_R12_PREFIX)},
 }
 # Stable alias for tests/tools: the driver gates REGISTRY[:len(GATED_PREFIX)].
-GATED_PREFIX = _R11_PREFIX
+GATED_PREFIX = _R12_PREFIX

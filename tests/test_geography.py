@@ -166,6 +166,56 @@ class TestGeographyKnn:
             with pytest.raises(ValueError, match="POINT geometries only"):
                 knn_join(poly, pts, k=1, mode=mode, geography=True)
 
+    def test_round2_skip_fires_under_geography(self, spark):
+        """The exact-mode round-2 skip (point data + single covering
+        tile ⇒ per-tile top-k IS global top-k) is metric-independent —
+        under geography the per-pair bound is the exact haversine, so
+        the proof holds verbatim. Pin that the skip actually fires
+        (round2_skipped, zero stragglers) and costs strictly fewer jobs
+        than the multi-tile run of the same data (round-11 verdict
+        item 5)."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from hadoopgis_spark.operators import knn as knn_mod
+
+        rng = random.Random(3)
+        rows_a = [(i, rng.uniform(-30, 30), rng.uniform(55, 80))
+                  for i in range(150)]
+        rows_b = [(1000 + i, rng.uniform(-30, 30), rng.uniform(55, 80))
+                  for i in range(450)]
+
+        def pts(rows):
+            df = spark.createDataFrame(rows, "id long, x double, y double")
+            return df.select(
+                "id", F.col("x").alias("xmin"), F.col("y").alias("ymin"),
+                F.col("x").alias("xmax"), F.col("y").alias("ymax"))
+
+        a, b = pts(rows_a), pts(rows_b)
+
+        def run(tag, bucket):
+            sc = spark.sparkContext
+            sc.setJobGroup(tag, tag)
+            try:
+                got = knn_join(a, b, k=3, mode="exact", geography=True,
+                               bucket_size=bucket).collect()
+            finally:
+                sc.setJobGroup(None, None)
+            jobs = len(sc.statusTracker().getJobIdsForGroup(tag))
+            return got, jobs, dict(knn_mod._LAST_EXACT_INFO)
+
+        got_fast, jobs_fast, info = run("geo-knn-fast", 10_000)
+        assert info["points"] and info["round2_skipped"]
+        assert info["n_fast"] == info["n_objects"] == len(rows_a)
+        assert info["stragglers"] == 0
+        got_multi, jobs_multi, info2 = run("geo-knn-multi", 60)
+        assert not info2["round2_skipped"]
+        assert jobs_fast < jobs_multi, (jobs_fast, jobs_multi)
+        # identical answers either way
+        key = lambda rs: sorted((r.id_1, r.id_2) for r in rs)
+        assert key(got_fast) == key(got_multi)
+
     def test_exact_proven_radius_seam(self, spark):
         """The proven-u re-probe hazard (round 12): an object whose
         round-1 tile candidates give it a small proven radius must still

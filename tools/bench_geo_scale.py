@@ -10,6 +10,11 @@ lon/lat points:
   Also prints the assignment blowup factor (assigned rows / objects).
 * ``knn`` — 15k x 40k exact geography kNN k=3 through the
   meter-radius/degree-pad machinery (native JVM haversine end to end).
+* ``seam`` (round 12) — the same dwithin/kNN shapes on a GLOBAL lon
+  grid (±180°): the antimeridian wrap-multicast engages, and the extra
+  A-side copies stay proportional to the seam-adjacent fraction (the
+  wrap's scale contract), while a brute cross-join haversine count
+  verifies the seam pairs are actually found.
 
 Usage: python tools/bench_geo_scale.py
 """
@@ -81,6 +86,55 @@ def main():
     nk = knn_join(a, b, k=3, mode="exact", geography=True).count()
     print(f"GEO KNN 15k x 40k k=3: {nk} rows in {time.time() - t0:.1f}s",
           flush=True)
+
+    # ---- round 12: antimeridian seam at scale --------------------------
+    # global lon grid spanning the full ±180°: the wrap engages (span >
+    # 180°), every within-radius pair — including cross-seam — must be
+    # found, and the wrap's multicast overhead stays proportional to
+    # the seam-adjacent fraction of A
+    ga = pts(15_000, 31, lon0=-180.0, lon_span=360.0, lat0=-30.0,
+             lat_span=60.0)
+    gb = pts(40_000, 977, lon0=-180.0, lon_span=360.0, lat0=-30.0,
+             lat_span=60.0)
+    t0 = time.time()
+    ns = spatial_join(ga, gb, "st_dwithin", distance=200_000.0,
+                      geography=True).count()
+    t_seam = time.time() - t0
+    # oracle: one cross-join haversine count (Spark-side, exact)
+    hav = (
+        F.lit(2.0 * B.EARTH_RADIUS_MI * B.MI_TO_M)
+        * F.asin(F.least(F.lit(1.0), F.sqrt(
+            F.pow(F.sin((F.radians(F.col("by")) - F.radians(F.col("ay"))) / 2), 2)
+            + F.cos(F.radians(F.col("ay"))) * F.cos(F.radians(F.col("by")))
+            * F.pow(F.sin((F.radians(F.col("bx")) - F.radians(F.col("ax"))) / 2), 2)
+        )))
+    )
+    brute = (
+        ga.select(F.col("xmin").alias("ax"), F.col("ymin").alias("ay"))
+        .crossJoin(gb.select(F.col("xmin").alias("bx"),
+                             F.col("ymin").alias("by")))
+        .filter(hav <= 200_000.0).count()
+    )
+    ok = "OK" if ns == brute else f"MISMATCH (brute={brute})"
+    print(f"GEO SEAM DWITHIN 15k x 40k global @200km: {ns} pairs in "
+          f"{t_seam:.1f}s — brute-parity {ok}", flush=True)
+
+    # wrap overhead: A-side rows entering assignment vs plain A
+    from hadoopgis_spark.operators.tile import wrap_antimeridian
+    gat = _suffix_all(ga, "_1")
+    gpad = B.geo_degree_pad(F.lit(200_000.0), F.col("ymin_1"),
+                            F.col("ymax_1"))
+    wrapped = wrap_antimeridian(
+        gat, gpad, ("xmin_1", "ymin_1", "xmax_1", "ymax_1"),
+        (-180.0, 180.0)).count()
+    print(f"GEO SEAM WRAP OVERHEAD: {wrapped} assignment rows / 15000 "
+          f"objects = {wrapped / 15_000:.3f}x (copies = seam-adjacent "
+          "fraction only)", flush=True)
+
+    t0 = time.time()
+    nks = knn_join(ga, gb, k=3, mode="exact", geography=True).count()
+    print(f"GEO SEAM KNN 15k x 40k global k=3: {nks} rows in "
+          f"{time.time() - t0:.1f}s", flush=True)
 
 
 if __name__ == "__main__":
