@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoopgis_spark.sources import lease as _lease
+from hadoopgis_spark.sources import skipping as _skip
 
 from hadoopgis_spark.sources import fsio as _fsio
 from hadoopgis_spark.sources.skipping import _active_files
@@ -242,7 +243,8 @@ def _build_bloom_index_locked(spark, path, cols, *, n_items, fpp):
         return {"indexed": 0, "total": len(active)}
     if missing:
         src = (
-            spark.read.parquet(*(os.path.join(path, f) for f in missing))
+            _skip._read_table(spark, path,
+                              [os.path.join(path, f) for f in missing])
             .select(*cols)
             .withColumn("__file", F.input_file_name())
         )
@@ -504,9 +506,9 @@ def read_eq(
         zkept, _ = _skip.prune_files(spark, path, ranged)
         keep_names &= {os.path.basename(p) for p in zkept}
     if not keep_names:
-        return spark.read.parquet(path).filter(F.lit(False))
-    df = spark.read.parquet(
-        *(os.path.join(path, n) for n in sorted(keep_names)))
+        return _skip._read_table(spark, path).filter(F.lit(False))
+    df = _skip._read_table(
+        spark, path, [os.path.join(path, n) for n in sorted(keep_names)])
     for c, v in vals.items():
         df = df.filter(
             F.col(c) == F.lit(v[0]) if len(v) == 1 else F.col(c).isin(v))
@@ -579,7 +581,8 @@ def read_eq_version(
         keep &= set(zkept)
     if not keep:
         return _skip.read_version(spark, path, version).filter(F.lit(False))
-    df = spark.read.parquet(*(resolve(f) for f in sorted(keep)))
+    df = _skip._read_table(spark, path,
+                           [resolve(f) for f in sorted(keep)])
     for c, v in vals.items():
         df = df.filter(
             F.col(c) == F.lit(v[0]) if len(v) == 1 else F.col(c).isin(v))

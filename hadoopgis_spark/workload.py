@@ -6153,6 +6153,60 @@ def rel_range_appended(spark, sf):
     )
 
 
+def rel_schema_evolution(spark, sf):
+    """ADD-COLUMN schema evolution end to end (round 12): half of
+    lineitem is saved range-clustered, ``evolve_add_column`` widens the
+    schema WITHOUT rewriting a file, and the other half is appended
+    carrying the new column. Every read pins the evolved schema
+    (``skipping._read_table``), so pre-evolution rows serve the column
+    as NULL no matter which footer Spark samples — the oracle derives
+    the same null/value split from raw lineitem by key parity."""
+    from hadoopgis_spark.sources.skipping import (
+        append_range_sorted, evolve_add_column, read_range,
+        save_range_sorted)
+    path = f"{_skip_root(spark)}/lineitem_evolved_{os.path.basename(os.path.normpath(sf))}"
+
+    def _build():
+        l = _t(spark, sf, "lineitem")
+        base = l.select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_quantity").cast("long").alias("qty"))
+        save_range_sorted(base.filter(F.col("k") % 2 == 0), path, "k",
+                          n_files=4)
+        evolve_add_column(spark, path, "rev4", "bigint")
+        ev = l.select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_quantity").cast("long").alias("qty"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 10000).cast("long").alias("rev4"))
+        append_range_sorted(ev.filter(F.col("k") % 2 == 1), path, "k",
+                            n_files=4)
+        return True
+
+    _memo(("skip_lineitem_evo", spark.sparkContext.applicationId, sf), _build)
+    df = read_range(spark, path, "k")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("rev4").isNull(), 1).otherwise(0))
+         .cast("long").alias("n_rev_null"),
+        F.sum(F.coalesce(F.col("rev4"), F.lit(0)))
+         .cast("long").alias("rev4_sum"),
+        F.sum(F.col("qty")).cast("long").alias("qty_sum"),
+    )
+
+
+REL_SCHEMA_EVOLUTION_SQL = """
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rev_null,
+         CAST(SUM(CASE WHEN l_orderkey % 2 = 1
+                  THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS rev4_sum,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+  FROM lineitem
+"""
+
+
 def rel_profile(spark, sf):
     """ANALYZE-style profile of orders: every column's null/distinct/
     range statistics in ONE aggregation pass (multi-DISTINCT planned as
@@ -7564,6 +7618,7 @@ REGISTRY: dict[str, Query] = {
     # round 10
     "rel_merge_range": Query(rel_merge_range, REL_MERGE_RANGE_SQL, "zonemap-priced MERGE/upsert: only key-containing files rewritten under the commit record"),
     "rel_time_travel": Query(rel_time_travel, REL_TIME_TRAVEL_SQL, "snapshot read (time travel): version 1 replays exactly after DELETE mutations retire files"),
+    "rel_schema_evolution": Query(rel_schema_evolution, REL_SCHEMA_EVOLUTION_SQL, "add-column schema evolution: evolve + append + null-filled reads"),
     "rel_time_travel_meta": Query(rel_time_travel_meta, REL_TIME_TRAVEL_META_SQL, "historical metadata-only COUNT via the snapshot-embedded manifest (deleted windows served from retired files)"),
     "sim_ann_ivfpq_rerank": Query(sim_ann_ivfpq_rerank, SIM_ANN_IVFPQ_RERANK_SQL, "IVF-PQ + exact-cosine re-rank of the ADC shortlist (FAISS refine tier, DPP on both scans)"),
     "src_stream_merge": Query(src_stream_merge, SRC_STREAM_MERGE_SQL, "CDC upsert ingestion: merge_range per micro-batch, last-writer-wins, replay-idempotent by construction"),
@@ -7789,11 +7844,16 @@ assert len(_R9_PREFIX) == 50 and len(set(_R9_PREFIX)) == 50
 #   - manifest rowcount plan/orphan guard: no gate uses strategy='auto'
 #     (pinned in tests instead)
 # Rotated OUT (driver-green r11, surfaces still covered inside the
-# prefix by rel_count_pruned/rel_sum_pruned/rel_sql_pruned/txt_stats):
-# sp_count_window, sp_sum_window, sp_sql_window, txt_sql_surface.
+# prefix by rel_count_pruned/rel_sum_pruned/rel_sql_pruned/txt_stats/
+# dedup_minhash_lsh+dedup_incremental): sp_count_window, sp_sum_window,
+# sp_sql_window, txt_sql_surface, dedup_exact (made room for the 4th
+# new gate, rel_schema_evolution — add-column evolution through the
+# evolved-schema-pinned _read_table every managed read now routes
+# through).
 _R12_PREFIX = [
     # new round-12 gates
     "sp_dwithin_geo_seam", "sp_knn_geo_seam", "sp_knn_geo_tile",
+    "rel_schema_evolution",
     # geography family over the wrap + oracle-tree churn
     "sp_knn_geo", "sp_dwithin_geo", "sp_mindist_geo",
     "sp_haversine", "sp_sql_haversine",
@@ -7815,7 +7875,7 @@ _R12_PREFIX = [
     "sim_ann_ivfpq_indexed", "sim_ann_ivfpq_rerank",
     "dedup_incremental",
     # keepers: multi-round driver-green anchors across every surface
-    "dedup_exact", "dedup_minhash_lsh",
+    "dedup_minhash_lsh",
     "txt_stats", "stream_sessionize",
     "rel_q1_pricing",
 ]

@@ -2848,7 +2848,7 @@ class TestFileSkipping:
         append_range_sorted(
             spark.range(10_000, 10_500).select(
                 (F.col("id") - 9_000).alias("k"),
-                F.lit(99).alias("v")),
+                F.lit(99).cast("long").alias("v")),
             path, "k", n_files=1)
         with pytest.raises(ValueError, match="STALE"):
             verify_pruned_view(spark, "stale_t")

@@ -1,0 +1,145 @@
+"""Add-column schema evolution (round 12): evolve_add_column records the
+widened schema in a sidecar and every managed read pins it, so
+pre-evolution files serve the new column as NULL instead of the column's
+visibility depending on which footer Spark samples. No data file is
+rewritten at evolve time; rewrites that do happen (compaction, merge,
+delete) materialize the column into the files they touch."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoopgis_spark.sources import fsio as _fs
+from hadoopgis_spark.sources import skipping as sk
+
+
+def _base(spark, tmp_path, name="t"):
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+    path = str(tmp_path / name)
+    sk.save_range_sorted(df, path, "k", n_files=4)
+    return path
+
+
+class TestEvolveAddColumn:
+    def test_reads_null_fill_and_appends_carry(self, spark, tmp_path):
+        path = _base(spark, tmp_path)
+        sk.evolve_add_column(spark, path, "w", "double")
+        # every read shape sees the evolved schema, nulls for old files
+        got = sk.read_range(spark, path, "k", 0, 199)
+        assert got.columns == ["k", "v", "w"]
+        assert got.filter(F.col("w").isNotNull()).count() == 0
+        assert got.count() == 200
+        # appends must now carry w (schema guard compares vs EVOLVED)
+        with pytest.raises(ValueError, match="missing \\['w'\\]"):
+            sk.append_range_sorted(
+                spark.range(200, 220).select(
+                    F.col("id").alias("k"), (F.col("id") % 7).alias("v")),
+                path, "k")
+        batch = spark.range(200, 220).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v"),
+            (F.col("id") * 1.5).alias("w"))
+        sk.append_range_sorted(batch, path, "k", n_files=1)
+        got = sk.read_range(spark, path, "k", 0, 299)
+        assert got.count() == 220
+        assert got.filter(F.col("w").isNotNull()).count() == 20
+        # old rows still read every original value
+        assert got.filter((F.col("k") < 200)
+                          & (F.col("v") != F.col("k") % 7)).count() == 0
+        # pruned read that touches ONLY old files still shows the column
+        old_only = sk.read_range(spark, path, "k", 10, 20)
+        assert old_only.columns == ["k", "v", "w"]
+        assert old_only.count() == 11
+
+    def test_refusals(self, spark, tmp_path):
+        path = _base(spark, tmp_path)
+        with pytest.raises(ValueError, match="already exists"):
+            sk.evolve_add_column(spark, path, "v", "double")
+        with pytest.raises(Exception):  # engine-side parse error, loud
+            sk.evolve_add_column(spark, path, "w", "not_a_type(")
+        # failed evolutions left no sidecar
+        assert sk._evolved_schema(path) is None
+        with pytest.raises(ValueError, match="manifest"):
+            sk.evolve_add_column(spark, str(tmp_path / "nope"), "w", "int")
+
+    def test_rewrites_materialize_and_metadata_stays_exact(
+            self, spark, tmp_path):
+        path = _base(spark, tmp_path)
+        sk.evolve_add_column(spark, path, "w", "bigint")
+        sk.append_range_sorted(
+            spark.range(200, 300).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("v"),
+                (F.col("id") * 3).alias("w")),
+            path, "k", n_files=2)
+        # metadata count path (interior files from manifest sums)
+        assert sk.count_range(spark, path, "k", 0, 299) == 300
+        # agg index over the EVOLVED column: nulls contribute nothing
+        sk.build_agg_index(spark, path, ["w"])
+        s, n = sk.sum_range(spark, path, "w", {"k": (0, 299)})
+        assert (s, n) == (sum(i * 3 for i in range(200, 300)), 100)
+        # delete a window straddling old and new rows
+        sk.delete_range(spark, path, "k", 150, 249)
+        got = sk.read_range(spark, path, "k", 0, 299)
+        assert got.count() == 200
+        assert got.filter(F.col("w").isNotNull()).count() == 50
+        # merge replaces whole rows: batch must carry the full evolved
+        # schema (merge guard uses the evolved column set)
+        with pytest.raises(ValueError, match="lacks table columns"):
+            sk.merge_range(
+                spark, path,
+                spark.range(0, 5).select(
+                    F.col("id").alias("k"), (F.col("id") % 7).alias("v")),
+                "k")
+        sk.merge_range(
+            spark, path,
+            spark.range(0, 5).select(
+                F.col("id").alias("k"), F.lit(99).cast("bigint").alias("v"),
+                F.lit(7).cast("bigint").alias("w")),
+            "k")
+        top = sk.read_range(spark, path, "k", 0, 4)
+        assert top.filter((F.col("v") == 99) & (F.col("w") == 7)).count() == 5
+        # compaction keeps the evolved read intact
+        sk.compact_range_sorted(spark, path, "k")
+        got = sk.read_range(spark, path, "k", 0, 299)
+        assert got.count() == 200
+        assert got.filter(F.col("w") == 7).count() == 5
+
+    def test_time_travel_and_bloom_see_evolved_schema(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v"))
+        sk.save_range_sorted(df, path, "k", n_files=2)
+        sk.enable_time_travel(spark, path)
+        sk.append_range_sorted(
+            spark.range(100, 120).select(
+                F.col("id").alias("k"), (F.col("id") % 5).alias("v")),
+            path, "k", n_files=1)
+        versions = [v["version"] for v in sk.list_versions(spark, path)]
+        v_pre = max(versions)
+        sk.evolve_add_column(spark, path, "w", "string")
+        # historical read: the evolved schema applies, column is null
+        hist = sk.read_version(spark, path, v_pre)
+        assert hist.columns == ["k", "v", "w"]
+        assert hist.count() == 120
+        assert hist.filter(F.col("w").isNotNull()).count() == 0
+        # bloom point read on an evolved table carries the column
+        from hadoopgis_spark.sources.bloom import (
+            build_bloom_index, read_eq)
+        build_bloom_index(spark, path, ["v"], n_items=200)
+        eq = read_eq(spark, path, {"v": 3})
+        assert eq.columns == ["k", "v", "w"]
+        assert eq.count() == 24
+
+    def test_overwrite_clears_evolution_and_evolution_stacks(
+            self, spark, tmp_path):
+        path = _base(spark, tmp_path)
+        sk.evolve_add_column(spark, path, "w", "double")
+        sk.evolve_add_column(spark, path, "tag", "string")
+        got = sk.read_range(spark, path, "k", 0, 199)
+        assert got.columns == ["k", "v", "w", "tag"]
+        # full rewrite: the sidecar dies with the directory — fresh schema
+        sk.save_range_sorted(
+            spark.range(0, 50).select(F.col("id").alias("k"),
+                                      (F.col("id") % 3).alias("v")),
+            path, "k", n_files=2)
+        assert sk._evolved_schema(path) is None
+        assert sk.read_range(spark, path, "k", 0, 49).columns == ["k", "v"]
