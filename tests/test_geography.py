@@ -411,6 +411,40 @@ class TestGeographyDwithin:
         assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
         assert set(pairs) == {(a_[0], b_[0]) for a_ in A for b_ in Bp}
 
+    def test_wrap_edge_combinations(self, spark):
+        """Wrap composed with the other spatial_join surfaces: keep_mbb
+        outputs the ORIGINAL coordinates (never the ±360-shifted copy's),
+        the distinct-dedup path (MBR partitioners) stays exactly-once,
+        replicate self-joins emit both orientations of the seam pair,
+        and the tileid stat rides along."""
+        from pyspark.sql import functions as F
+
+        def pts(rows):
+            df = spark.createDataFrame(rows, "id long, x double, y double")
+            return df.select(
+                "id", F.col("x").alias("xmin"), F.col("y").alias("ymin"),
+                F.col("x").alias("xmax"), F.col("y").alias("ymax"))
+
+        a = pts([(1, 179.95, 0.0), (3, 179.5, 0.0), (4, -10.0, 5.0)])
+        b = pts([(10, -179.95, 0.0), (11, 0.0, 0.0), (12, -179.2, 0.3)])
+        j = spatial_join(a, b, "st_dwithin", distance=100_000.0,
+                         geography=True, keep_mbb=True)
+        rows = {(r.id_1, r.id_2): (r.xmin_1, r.xmax_1) for r in j.collect()}
+        assert rows[(1, 10)] == (179.95, 179.95)
+        j2 = spatial_join(a, b, "st_dwithin", distance=100_000.0,
+                          geography=True, partitioner="str")
+        p2 = [(r.id_1, r.id_2) for r in j2.collect()]
+        assert len(p2) == len(set(p2)) and (1, 10) in p2
+        sj = spatial_join(pts([(1, 179.95, 0.0), (2, -179.95, 0.0)]), None,
+                          "st_dwithin", distance=60_000.0, geography=True,
+                          replicate=True)
+        assert sorted((r.id_1, r.id_2) for r in sj.collect()) == [
+            (1, 2), (2, 1)]
+        jt = spatial_join(a, b, "st_dwithin", distance=100_000.0,
+                          geography=True, stats=["tileid"])
+        pt_ = [(r.id_1, r.id_2) for r in jt.collect()]
+        assert len(pt_) == len(set(pt_)) and (1, 10) in pt_
+
     def test_regional_data_skips_wrap(self, spark):
         """Span ≤ 180° datasets must not pay the wrap union: the plan
         contains no stash column (direct == wrapped there, so the

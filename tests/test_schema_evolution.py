@@ -129,6 +129,45 @@ class TestEvolveAddColumn:
         assert eq.columns == ["k", "v", "w"]
         assert eq.count() == 24
 
+    def test_bloom_index_on_evolved_column(self, spark, tmp_path):
+        """Bloom over the EVOLVED column: old files are all-null on it
+        (nulls hash to nothing), so the index prunes to the post-evolve
+        files and the point lookup is exact."""
+        from hadoopgis_spark.sources.bloom import build_bloom_index, read_eq
+
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(
+            spark.range(0, 500).select(F.col("id").alias("k")),
+            path, "k", n_files=2)
+        sk.evolve_add_column(spark, path, "tag", "bigint")
+        sk.append_range_sorted(
+            spark.range(500, 600).select(F.col("id").alias("k"),
+                                         (F.col("id") % 9).alias("tag")),
+            path, "k", n_files=1)
+        build_bloom_index(spark, path, ["tag"], n_items=1000)
+        got = sorted(x.k for x in read_eq(spark, path, {"tag": 4}).collect())
+        assert got == [i for i in range(500, 600) if i % 9 == 4]
+
+    def test_spatial_layout_evolves(self, spark, tmp_path):
+        ext = (0.0, 0.0, 11.0, 8.0)
+        sp_path = str(tmp_path / "s")
+        boxes = spark.createDataFrame(
+            [(i, float(i % 10), float(i % 7), float(i % 10) + 1.0,
+              float(i % 7) + 1.0) for i in range(100)],
+            "id long, xmin double, ymin double, xmax double, ymax double")
+        sk.save_spatial_clustered(boxes, sp_path, ext, n_files=2)
+        sk.evolve_add_column(spark, sp_path, "label", "string")
+        b2 = spark.createDataFrame(
+            [(100 + i, float(i % 10), float(i % 7), float(i % 10) + 1.0,
+              float(i % 7) + 1.0, f"x{i}") for i in range(20)],
+            "id long, xmin double, ymin double, xmax double, "
+            "ymax double, label string")
+        sk.append_spatial_clustered(b2, sp_path, ext, n_files=1)
+        w = sk.read_window(spark, sp_path, (0.0, 0.0, 11.0, 8.0))
+        assert w.columns == ["id", "xmin", "ymin", "xmax", "ymax", "label"]
+        assert w.count() == 120
+        assert w.filter(F.col("label").isNotNull()).count() == 20
+
     def test_overwrite_clears_evolution_and_evolution_stacks(
             self, spark, tmp_path):
         path = _base(spark, tmp_path)
