@@ -299,6 +299,25 @@ class TestGeographyPlans:
         plan = formatted_plan(j)
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
+    def test_seam_wrapped_plan_has_no_python_stage(self, spark):
+        """The round-12 wrap union (±360° copies + representation
+        filter + original-coordinate refine) must stay pure column math
+        — no Arrow/Python eval node enters the seam-crossing plan."""
+        from pyspark.sql import functions as F
+
+        from hadoopgis_spark.plans.inspect import formatted_plan
+
+        df = spark.range(1, 400)
+        lon = (F.col("id") % 113) * 3.2 - 180.0  # global span
+        lat = (F.col("id") % 41) * 0.5 - 10.0
+        g = df.select("id", lon.alias("xmin"), lat.alias("ymin"),
+                      lon.alias("xmax"), lat.alias("ymax"))
+        j = spatial_join(g, None, "st_dwithin", distance=150_000.0,
+                         geography=True, stats=["mindist"])
+        plan = formatted_plan(j)
+        assert "_wx0" in plan  # the wrap actually engaged
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
 
 class TestGeographyDwithin:
     CAP = 250_000.0
