@@ -70,6 +70,7 @@ __all__ = [
     "merge_range",
     "save_zorder_sorted",
     "evolve_add_column",
+    "evolve_drop_column",
     "read_range",
     "count_range",
     "count_multi",
@@ -1391,10 +1392,9 @@ def evolve_add_column(
     A full rewrite (``save_*``, mode=overwrite) wipes the sidecar with
     the directory — correct, since the rewrite's own uniform schema
     replaces it. Repeated evolution stacks (each call reads the current
-    evolved schema). Refuses existing columns and non-managed paths.
+    evolved schema). Refuses existing columns, previously-dropped names
+    (old files may still carry them physically), and non-managed paths.
     """
-    import json
-
     from pyspark.sql.types import StructField, StructType
 
     _settle_compaction(spark, path)
@@ -1405,13 +1405,100 @@ def evolve_add_column(
             f"column {col!r} already exists in the layout at {path!r}")
     # parse the type through the engine itself (no private parser); a
     # bad dtype string fails HERE, loudly, before anything is written
+    dropped = _evolution_dropped(path)
+    if col in dropped:
+        raise ValueError(
+            f"column {col!r} was previously DROPPED from {path!r} and may "
+            "still exist physically (possibly with another type) in old "
+            "files — re-adding it would resurface stale values or break "
+            "the pinned-schema read; re-cluster with save_* first")
     dt = spark.sql(f"SELECT CAST(NULL AS {dtype})").schema[0].dataType
     new = StructType(list(cur.fields) + [StructField(col, dt, True)])
     _lease.fence(path)  # commit point: the sidecar IS the commit
+    _write_evolution(path, new, dropped)
+
+
+@_mutator('evolve')
+def evolve_drop_column(
+    spark: SparkSession,
+    path: str,
+    col: str,
+) -> None:
+    """DROP-COLUMN schema evolution, the inverse of
+    :func:`evolve_add_column` and under the same mechanism: the sidecar
+    records the narrowed schema, every managed read pins it (parquet's
+    by-name projection simply stops reading the column from files that
+    physically carry it), appends must NOT carry the column anymore
+    (the schema guard treats it as ``extra``), and rewrites converge
+    the table to physically lacking it. Zero data-file I/O.
+
+    Refusals keep the metadata tier consistent: the manifest-covered
+    clustering/stat columns cannot be dropped (pruning reads them),
+    nor can agg-indexed or bloom-indexed columns (their sidecars would
+    dangle — rebuild or re-cluster first). A dropped name cannot be
+    re-added later without a re-cluster (old files may still carry it,
+    possibly with another type — resurfacing stale values silently is
+    exactly the class of bug the evolution tier exists to prevent).
+    """
+    from pyspark.sql.types import StructType
+
+    _settle_compaction(spark, path)
+    mcols = sorted({r.col for r in _load_manifest(spark, path)})
+    if col in mcols:
+        raise ValueError(
+            f"column {col!r} is manifest-covered at {path!r} ({mcols}) — "
+            "pruning reads it; re-cluster with save_* to drop it")
+    acols = sorted({c for _, c in _load_aggs(path)})
+    if col in acols:
+        raise ValueError(
+            f"column {col!r} is agg-indexed at {path!r} — the sum "
+            "manifest would dangle; rebuild the layout to drop it")
+    if col in _bloom_cols(path):
+        raise ValueError(
+            f"column {col!r} is bloom-indexed at {path!r} — the bloom "
+            "sidecar would dangle; rebuild the layout to drop it")
+    cur = _read_table(spark, path).schema
+    if col not in cur.names:
+        raise ValueError(
+            f"column {col!r} does not exist in the layout at {path!r}")
+    new = StructType([f for f in cur.fields if f.name != col])
+    _lease.fence(path)  # commit point: the sidecar IS the commit
+    _write_evolution(path, new, _evolution_dropped(path) + [col])
+
+
+def _bloom_cols(path: str) -> set[str]:
+    """Columns the bloom sidecar covers — pyarrow projection of the one
+    string column, driver-side, no Spark job (bits stay unread)."""
+    from hadoopgis_spark.sources.bloom import _BLOOM_DIR
+
+    bpath = os.path.join(path, _BLOOM_DIR)
+    if not _fs.is_dir(bpath):
+        return set()
+    parts = [os.path.join(bpath, n) for n in _fs.listdir(bpath)
+             if n.endswith(".parquet") and not n.startswith(("_", "."))]
+    if not parts:
+        return set()
+    return set(_fs.read_table(parts, columns=["col"]).column("col").to_pylist())
+
+
+def _evolution_dropped(path: str) -> list[str]:
+    """The sidecar's cumulative dropped-name list ([] without one)."""
+    import json
+
+    try:
+        rec = json.loads(_fs.read_bytes(os.path.join(path, _SCHEMA_FILE)))
+    except Exception:
+        return []
+    return list(rec.get("dropped", []))
+
+
+def _write_evolution(path: str, schema, dropped: list[str]) -> None:
+    import json
+
     _fs.write_bytes_atomic(
         os.path.join(path, _SCHEMA_FILE),
-        json.dumps({"schema": new.jsonValue(),
-                    "evolved": {col: dtype}}).encode())
+        json.dumps({"schema": schema.jsonValue(),
+                    "dropped": dropped}).encode())
 
 
 @_mutator('save')

@@ -168,6 +168,63 @@ class TestEvolveAddColumn:
         assert w.count() == 120
         assert w.filter(F.col("label").isNotNull()).count() == 20
 
+    def test_drop_column(self, spark, tmp_path):
+        """evolve_drop_column: the column disappears from every read
+        without touching a file, appends must stop carrying it, and the
+        name cannot be re-added without a re-cluster (old files may
+        still carry it physically — resurfacing stale values silently
+        is the bug class this tier exists to prevent)."""
+        path = _base(spark, tmp_path)  # (k, v) clustered on k
+        sk.evolve_drop_column(spark, path, "v")
+        got = sk.read_range(spark, path, "k", 0, 199)
+        assert got.columns == ["k"]
+        assert got.count() == 200
+        # appends must NOT carry v anymore
+        with pytest.raises(ValueError, match="extra \\['v'\\]"):
+            sk.append_range_sorted(
+                spark.range(200, 210).select(
+                    F.col("id").alias("k"), (F.col("id") % 7).alias("v")),
+                path, "k")
+        sk.append_range_sorted(
+            spark.range(200, 210).select(F.col("id").alias("k")),
+            path, "k", n_files=1)
+        assert sk.read_range(spark, path, "k", 0, 299).count() == 210
+        # re-adding the dropped name refuses (stale resurface hazard)
+        with pytest.raises(ValueError, match="previously DROPPED"):
+            sk.evolve_add_column(spark, path, "v", "bigint")
+        # compaction materializes the narrowed schema physically
+        sk.compact_range_sorted(spark, path, "k")
+        assert sk.read_range(spark, path, "k", 0, 299).columns == ["k"]
+
+    def test_drop_refusals(self, spark, tmp_path):
+        path = _base(spark, tmp_path)
+        with pytest.raises(ValueError, match="manifest-covered"):
+            sk.evolve_drop_column(spark, path, "k")
+        with pytest.raises(ValueError, match="does not exist"):
+            sk.evolve_drop_column(spark, path, "nope")
+        sk.build_agg_index(spark, path, ["v"])
+        with pytest.raises(ValueError, match="agg-indexed"):
+            sk.evolve_drop_column(spark, path, "v")
+        # bloom-indexed columns refuse too
+        from hadoopgis_spark.sources.bloom import build_bloom_index
+
+        p2 = _base(spark, tmp_path, "t2")
+        build_bloom_index(spark, p2, ["v"], n_items=500)
+        with pytest.raises(ValueError, match="bloom-indexed"):
+            sk.evolve_drop_column(spark, p2, "v")
+
+    def test_add_then_drop_then_stack(self, spark, tmp_path):
+        path = _base(spark, tmp_path)
+        sk.evolve_add_column(spark, path, "w", "double")
+        sk.evolve_drop_column(spark, path, "w")
+        assert sk.read_range(spark, path, "k", 0, 199).columns == ["k", "v"]
+        sk.evolve_add_column(spark, path, "u", "string")
+        got = sk.read_range(spark, path, "k", 0, 199)
+        assert got.columns == ["k", "v", "u"]
+        # the dropped ledger survives further evolution
+        with pytest.raises(ValueError, match="previously DROPPED"):
+            sk.evolve_add_column(spark, path, "w", "double")
+
     def test_overwrite_clears_evolution_and_evolution_stacks(
             self, spark, tmp_path):
         path = _base(spark, tmp_path)
