@@ -80,11 +80,16 @@ def _suffix_all(df: DataFrame, suffix: str) -> DataFrame:
 # analyzed-plan operators that can only PRESERVE or SHRINK the scan's
 # row count — anything else (Generate/explode, Join, Union, Expand,
 # FlatMap…) can multiply rows over the same single input directory and
-# voids the manifest's upper-bound claim (round-12 advisor fix)
+# voids the manifest's upper-bound claim (round-12 advisor fix).
+# Omissions are CONSERVATIVE (None → probe job, never a wrong bound);
+# the r13 advisor pass added the row-preserving/shrinking Aggregate,
+# Window, Sample, and Offset, and tests/test_plans.py pins these node
+# names against the running Spark version's analyzed-plan toString.
 _ROW_BOUNDED_OPS = frozenset({
     "Filter", "Project", "Relation", "LogicalRelation", "SubqueryAlias",
     "View", "GlobalLimit", "LocalLimit", "Sort", "Deduplicate",
     "Repartition", "RepartitionByExpression", "Distinct",
+    "Aggregate", "Window", "Sample", "Offset",
 })
 
 

@@ -49,6 +49,8 @@ __all__ = [
     "rmtree",
     "read_bytes",
     "write_bytes_atomic",
+    "create_exclusive",
+    "supports_exclusive_create",
     "read_metadata",
     "read_table",
 ]
@@ -173,6 +175,38 @@ def write_bytes_atomic(path: str, data: bytes) -> None:
     with fs.open_output_stream(p) as fh:
         fh.write(data)
     rename(tmp, path)
+
+
+def supports_exclusive_create(path: str) -> bool:
+    """True when :func:`create_exclusive` is a real atomic
+    create-if-absent for ``path``'s filesystem. Local filesystems only
+    in this build (POSIX ``O_CREAT|O_EXCL``); an object-store
+    conditional PUT (S3 ``If-None-Match``) or HDFS ``createFile``
+    would extend this — pyarrow exposes neither, so a URI path answers
+    False and callers fall back to the advisory protocol."""
+    fs, _ = resolve(path)
+    return isinstance(fs, _pafs.LocalFileSystem)
+
+
+def create_exclusive(path: str, data: bytes) -> bool:
+    """Atomically create ``path`` holding ``data`` IFF it does not
+    already exist; returns False when it exists (the lost-CAS outcome).
+    This is the one true conditional write a plain POSIX filesystem
+    offers (``open(..., 'x')`` → ``O_CREAT|O_EXCL``, atomic on local
+    disks and NFSv4+). Raises ``NotImplementedError`` where
+    :func:`supports_exclusive_create` is False — callers must check,
+    not guess."""
+    fs, p = resolve(path)
+    if not isinstance(fs, _pafs.LocalFileSystem):
+        raise NotImplementedError(
+            f"exclusive create is not available on {type(fs).__name__} — "
+            "check supports_exclusive_create(path) first")
+    try:
+        with open(p, "xb") as fh:
+            fh.write(data)
+        return True
+    except FileExistsError:
+        return False
 
 
 def read_metadata(path: str):

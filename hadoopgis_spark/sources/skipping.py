@@ -132,21 +132,43 @@ def _stats_friendly_writer(spark: SparkSession):
             spark.conf.set(key, old)
 
 
-def _evolved_schema(path: str):
-    """The table's evolution record (``_hgs_schema.json``), or ``None``
-    for tables that never evolved — the overwhelmingly common case, one
-    driver-side existence check. Written only by
-    :func:`evolve_add_column`; wiped (correctly) by any full rewrite."""
+def _evolution_record(path: str) -> dict | None:
+    """The raw evolution sidecar (``_hgs_schema.json``) as a dict, or
+    ``None`` for tables that never evolved — the overwhelmingly common
+    case, one driver-side existence check. A PRESENT but unparseable
+    sidecar raises LOUDLY (round-12 advisor fix): silently reverting to
+    the footer-sampled schema would resurface dropped columns and void
+    the re-add refusal — exactly the footer-dependent-schema class the
+    evolution tier exists to prevent. ``write_bytes_atomic`` makes a
+    torn record unreachable from this module's own writers, so damage
+    here is external and the operator should see it."""
     import json
 
-    from pyspark.sql.types import StructType
-
     try:
-        rec = json.loads(_fs.read_bytes(os.path.join(path, _SCHEMA_FILE)))
+        raw = _fs.read_bytes(os.path.join(path, _SCHEMA_FILE))
     except FileNotFoundError:
         return None
-    except Exception:
-        return None  # torn record: fall back to footer schema (pre-evolve)
+    try:
+        return json.loads(raw)
+    except Exception as exc:  # noqa: BLE001 — present but unreadable
+        raise ValueError(
+            f"schema-evolution record {_SCHEMA_FILE!r} under {path!r} "
+            f"exists but could not be parsed ({type(exc).__name__}: {exc})"
+            " — refusing to fall back to the footer-sampled schema; "
+            "restore the sidecar or rebuild the layout with save_*"
+        ) from exc
+
+
+def _evolved_schema(path: str):
+    """The table's evolved schema, or ``None`` when never evolved.
+    Written only by the ``evolve_*`` mutators; wiped (correctly) by any
+    full rewrite. Loud on a corrupt sidecar (see
+    :func:`_evolution_record`)."""
+    from pyspark.sql.types import StructType
+
+    rec = _evolution_record(path)
+    if rec is None:
+        return None
     return StructType.fromJson(rec["schema"])
 
 
@@ -1403,15 +1425,17 @@ def evolve_add_column(
     if col in cur.names:
         raise ValueError(
             f"column {col!r} already exists in the layout at {path!r}")
-    # parse the type through the engine itself (no private parser); a
-    # bad dtype string fails HERE, loudly, before anything is written
     dropped = _evolution_dropped(path)
     if col in dropped:
         raise ValueError(
             f"column {col!r} was previously DROPPED from {path!r} and may "
             "still exist physically (possibly with another type) in old "
             "files — re-adding it would resurface stale values or break "
-            "the pinned-schema read; re-cluster with save_* first")
+            "the pinned-schema read; evolve_readd_column is the explicit "
+            "escape hatch (old files then serve NULL), or re-cluster "
+            "with save_* first")
+    # parse the type through the engine itself (no private parser); a
+    # bad dtype string fails HERE, loudly, before anything is written
     dt = spark.sql(f"SELECT CAST(NULL AS {dtype})").schema[0].dataType
     new = StructType(list(cur.fields) + [StructField(col, dt, True)])
     _lease.fence(path)  # commit point: the sidecar IS the commit
@@ -1482,14 +1506,11 @@ def _bloom_cols(path: str) -> set[str]:
 
 
 def _evolution_dropped(path: str) -> list[str]:
-    """The sidecar's cumulative dropped-name list ([] without one)."""
-    import json
-
-    try:
-        rec = json.loads(_fs.read_bytes(os.path.join(path, _SCHEMA_FILE)))
-    except Exception:
-        return []
-    return list(rec.get("dropped", []))
+    """The sidecar's cumulative dropped-name list ([] without one; loud
+    on a corrupt sidecar — a silently-empty ledger would let a dropped
+    name be re-added and resurface stale physical values)."""
+    rec = _evolution_record(path)
+    return list(rec.get("dropped", [])) if rec is not None else []
 
 
 def _write_evolution(path: str, schema, dropped: list[str]) -> None:

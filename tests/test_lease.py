@@ -297,6 +297,86 @@ class TestCasSemantics:
             assert sum(1 for s, _ in results if s == "ok") == 1
             assert sum(1 for s, _ in results if s == "held") == 7
 
+    def test_fs_cas_stale_swap_rejected(self, tmp_path):
+        """The DEFAULT store since r13 (FsCasLeaseStore) satisfies the
+        same CAS contract as the memory reference — enforced by atomic
+        create-exclusive generation files, not a verify-read."""
+        store = lease.FsCasLeaseStore()
+        p = str(tmp_path / "t")
+        rec_a = {"token": "a" * 32, "expires_at": time.time() + 60}
+        rec_b = {"token": "b" * 32, "expires_at": time.time() + 60}
+        assert store.try_put(p, rec_a, None)          # fresh claim wins
+        assert not store.try_put(p, rec_b, None)      # stale view loses
+        assert not store.try_put(p, rec_b, "c" * 32)  # wrong expect loses
+        assert store.read(p)["token"] == "a" * 32     # untouched
+        assert store.try_put(p, rec_b, "a" * 32)      # correct swap wins
+
+    def test_fs_cas_concurrent_claims_one_winner(self, tmp_path):
+        """8 threads race _try_claim through the filesystem CAS store:
+        exactly one generation create wins — the real-mutex property
+        the advisory protocol could not give on a plain filesystem."""
+        import threading as th
+
+        p = str(tmp_path / "t")
+        with lease.lease_store(lease.FsCasLeaseStore()):
+            results = []
+
+            def claim():
+                try:
+                    results.append(("ok", lease._try_claim(p, "race", 60.0)))
+                except lease.LeaseHeldError:
+                    results.append(("held", None))
+
+            barrier = th.Barrier(8)
+
+            def run():
+                barrier.wait()
+                claim()
+
+            threads = [th.Thread(target=run) for _ in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert sum(1 for s, _ in results if s == "ok") == 1
+            assert sum(1 for s, _ in results if s == "held") == 7
+
+    def test_fs_cas_release_never_clobbers_takeover(self, tmp_path):
+        """The r12 advisor's release race, closed by CAS: a competitor
+        claims between the releaser's read and its tombstone put — on
+        the advisory store the foreign tombstone clobbers the live
+        lease; on the CAS store the conditional put LOSES and the
+        competitor's lease survives untouched (no tombstone heuristic
+        needed on this path)."""
+        store = lease.FsCasLeaseStore()
+        p = str(tmp_path / "t")
+        with lease.lease_store(store):
+            orig_read = store.read
+            with lease.writer_lease(p, op="w") as token:
+                def racing_read(path):
+                    cur = orig_read(path)
+                    # competitor swaps in right after the releaser's read
+                    if cur is not None and cur.get("token") == token:
+                        assert store.try_put(path, _foreign_record(), token)
+                    return cur
+                store.read = racing_read
+            store.read = orig_read
+        back = store.read(p)
+        assert back["token"] == "f" * 32      # competitor's live lease
+        assert not back.get("released")       # no foreign tombstone
+
+    def test_fs_cas_generations_bounded(self, tmp_path):
+        """Renewals advance the generation; the winner prunes far-back
+        generations so the lease dir stays O(1) over any lifetime."""
+        store = lease.FsCasLeaseStore()
+        p = str(tmp_path / "t")
+        tok = "a" * 32
+        assert store.try_put(p, {"token": tok, "expires_at": 0}, None)
+        for _ in range(30):
+            assert store.try_put(p, {"token": tok, "expires_at": 0}, tok)
+        names = _fs.listdir(str(tmp_path / "t" / store.DIR))
+        assert len([n for n in names if n.startswith("gen-")]) <= store._KEEP
+
     def test_fence_abort_under_cas_renewal_race(self, tmp_path):
         """A competitor whose swap lands between our read and our renew
         must make the renewal's CAS fail → LeaseLostError (the window
