@@ -221,8 +221,10 @@ def _build_bloom_index_locked(spark, path, cols, *, n_items, fpp):
     # still reference them and bloom bits per (immutable) file never go
     # stale — read_eq_version probes them. vacuum_versions deletes the
     # retired files themselves, after which the next build purges here.
+    # Retirement is in-place (ledger) since round 13; the _hgs_retired/
+    # dir is the pre-r13 moved-file tier, still honored.
     retired_dir = os.path.join(path, "_hgs_retired")
-    retained = set(active)
+    retained = set(active) | set(_skip._retired_ledger(path))
     if _fsio.is_dir(retired_dir):
         retained |= set(_fsio.listdir(retired_dir))
     old = _index_df(spark, path)

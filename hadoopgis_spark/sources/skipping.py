@@ -29,8 +29,13 @@ caller composing its own predicates over ``prune_files`` output must
 preserve that null-excluding property).
 
 The manifest is parquet under ``{path}/_hgs_manifest`` — underscore
-paths are invisible to Spark's file index, so the data directory stays
-a plain readable parquet table for any engine. Min/max are stored as
+paths are invisible to Spark's file index, so an UNVERSIONED data
+directory stays a plain readable parquet table for any engine. A
+VERSIONED table (``enable_time_travel``) trades that for snapshot
+isolation: superseded files are retired in place and liveness is
+metadata-defined (see the time-travel protocol note below), so foreign
+engines must read it through this module's readers, exactly as with
+Delta/Iceberg. Min/max are stored as
 strings with a type tag: pruning happens on the driver in Python, so
 values never round-trip through engine type systems (this sidesteps the
 TIMESTAMP(NANOS)-vs-(MICROS) codec hazards the events table has hit).
@@ -99,7 +104,8 @@ __all__ = [
 _MANIFEST_DIR = "_hgs_manifest"
 _COMPACT_DIR = "_hgs_compact"  # record.json (commit marker) + stage/
 _VERSIONS_DIR = "_hgs_versions"  # v{N}.json snapshots (time travel)
-_RETIRED_DIR = "_hgs_retired"  # superseded files of versioned tables
+_RETIRED_DIR = "_hgs_retired"  # legacy moved-file tier (pre-round-13)
+_RETIRED_LEDGER = "_hgs_retired.json"  # in-place retirement ledger
 _SCHEMA_FILE = "_hgs_schema.json"  # evolved-schema record (add-column)
 # format 2 adds per-(file, col) null counts (enables metadata-only
 # counts via count_range); format-1 manifests load with nulls=unknown
@@ -180,10 +186,23 @@ def _read_table(spark: SparkSession, path: str,
     column(s) with nulls instead of the column silently vanishing
     whenever Spark samples an old footer. Without a record this is a
     plain parquet read (identical behavior AND plan to the pre-round-12
-    code). ``files`` restricts the scan to a pruned file list."""
+    code). ``files`` restricts the scan to a pruned file list.
+
+    Round 13: on a VERSIONED table superseded files are retired IN
+    PLACE (ledger-listed, still physically present — snapshot
+    isolation, see the time-travel protocol note), so a directory read
+    would resurrect dead rows; when a retirement ledger exists the
+    full-table form expands to the explicit active-file list instead."""
     st = _evolved_schema(path)
     reader = spark.read if st is None else spark.read.schema(st)
     if files is None:
+        if _retired_ledger(path):
+            act = sorted(_active_files(path))
+            if act:
+                return reader.parquet(*(os.path.join(path, f) for f in act))
+            # every data file retired: schema-only empty frame (the
+            # retired footers still carry the physical schema)
+            return reader.parquet(path).filter(F.lit(False))
         return reader.parquet(path)
     return reader.parquet(*files)
 
@@ -290,11 +309,49 @@ def _align(a, b):
     return a, b
 
 
+def _retired_ledger(path: str) -> dict[str, float]:
+    """The in-place retirement ledger ``{file name: retired-at unix
+    ts}`` — empty for tables that never retired in place (every
+    unversioned table, one driver-side existence check). A PRESENT but
+    unparseable ledger raises loudly: treating it as empty would
+    resurrect every retired file's rows as duplicates."""
+    import json
+
+    try:
+        raw = _fs.read_bytes(os.path.join(path, _RETIRED_LEDGER))
+    except FileNotFoundError:
+        return {}
+    try:
+        rec = json.loads(raw)
+        return {str(k): float(v) for k, v in rec["files"].items()}
+    except Exception as exc:  # noqa: BLE001 — present but unreadable
+        raise ValueError(
+            f"retirement ledger {_RETIRED_LEDGER!r} under {path!r} exists "
+            f"but could not be parsed ({type(exc).__name__}: {exc}) — "
+            "reads would resurrect retired files as duplicate rows; "
+            "restore the ledger or rebuild the layout with save_*"
+        ) from exc
+
+
+def _write_retired_ledger(path: str, files: dict[str, float]) -> None:
+    import json
+
+    _fs.write_bytes_atomic(
+        os.path.join(path, _RETIRED_LEDGER),
+        json.dumps({"format": 1, "files": files}).encode())
+
+
 def _data_files(path: str) -> set[str]:
-    return {
+    """CURRENT data files: the physical listing minus the in-place
+    retirement ledger (a versioned table's superseded files stay on
+    disk until vacuum so running readers keep their planned files —
+    liveness is metadata-defined, the Delta/Iceberg model)."""
+    names = {
         n for n in _fs.listdir(path)
         if n.endswith(".parquet") and not n.startswith(("_", "."))
     }
+    retired = _retired_ledger(path)
+    return names - set(retired) if retired else names
 
 
 # ---------------------------------------------------------------------------
@@ -391,19 +448,38 @@ def _active_files(path: str) -> set[str]:
 
 
 # ---------------------------------------------------------------------------
-# Time travel. A versioned table records one snapshot per mutation —
-# ``_hgs_versions/v{N}.json`` = the active-file list the mutation left
-# behind — and superseded data files are RETIRED into ``_hgs_retired/``
-# instead of deleted (both underscore dirs: invisible to Spark's file
-# index and to ``_data_files``, so current reads and pruning are
-# untouched). Any recorded snapshot therefore stays exactly readable
-# until ``vacuum_versions`` reclaims it. Snapshots are written AFTER a
-# mutation commits (post-settle state); a crash between commit and the
-# snapshot write loses only that history entry, never data, and the
-# next settle/mutation records the converged state. Single-writer like
-# the rest of the module. Snapshot reads bypass the manifest (they read
-# an explicit file list), so zonemap/bloom/agg tiers always describe
-# the CURRENT version only.
+# Time travel + snapshot isolation. A versioned table records one
+# snapshot per mutation — ``_hgs_versions/v{N}.json`` = the active-file
+# list the mutation left behind — and superseded data files are RETIRED
+# IN PLACE (round 13): they stay exactly where they are, listed in the
+# ``_hgs_retired.json`` ledger that ``_data_files`` subtracts, until
+# ``vacuum_versions`` deletes them after its retention grace. Liveness
+# is metadata-defined, the Delta/Iceberg model, and it buys two things
+# at once:
+#
+# * any recorded snapshot stays exactly readable until vacuumed;
+# * SNAPSHOT ISOLATION for current reads: every managed reader resolves
+#   an explicit file list at plan time, and since data files never move
+#   a concurrent compaction/delete/merge cannot break the read
+#   mid-execution — the reader finishes against the exact pre-mutation
+#   rows it planned, and vacuum's grace period lets it drain first.
+#   (Unversioned tables delete superseded files eagerly — enable time
+#   travel to get reader/writer isolation, exactly as Delta tables are
+#   always versioned. ``save_*`` overwrites rewrite the directory and
+#   are never isolation-safe.)
+#
+# The data directory of a versioned table is therefore NOT a
+# self-describing parquet dir once mutations retire files (a foreign
+# engine listing it would see superseded rows) — unversioned layouts
+# remain plain-readable by anything. Pre-round-13 layouts may hold
+# files MOVED under ``_hgs_retired/``; historical resolution and vacuum
+# still honor that legacy tier. Snapshots are written AFTER a mutation
+# commits (post-settle state); a crash between commit and the snapshot
+# write loses only that history entry, never data, and the next
+# settle/mutation records the converged state. Single-writer like the
+# rest of the module. Snapshot reads bypass the manifest (they read an
+# explicit file list), so zonemap/bloom/agg tiers always describe the
+# CURRENT version only.
 # ---------------------------------------------------------------------------
 
 
@@ -467,15 +543,26 @@ def _record_version(path: str, op: str) -> int:
 
 
 def _retire_old(path: str, name: str, versioned: bool) -> None:
-    """Drop a superseded data file: moved to ``_hgs_retired/`` when the
-    table is versioned (older snapshots still reference it), deleted
-    otherwise. Idempotent across settle retries."""
+    """Drop a superseded data file: retired IN PLACE (ledger entry,
+    file untouched) when the table is versioned — older snapshots still
+    reference it AND a running reader may have planned it (snapshot
+    isolation: data files never move, so a read planned before this
+    mutation executes unharmed; ``vacuum_versions`` deletes after its
+    grace period). Deleted immediately otherwise. Idempotent across
+    settle retries (the first retirement timestamp wins — grace counts
+    from the FIRST retirement). Pre-round-13 tables may hold legacy
+    moved files under ``_hgs_retired/``; those keep resolving for
+    historical reads and keep vacuuming by mtime."""
     src = os.path.join(path, name)
     if not _fs.exists(src):
         return
     if versioned:
-        _fs.makedirs(_retired_dir(path))
-        _fs.rename(src, os.path.join(_retired_dir(path), name))
+        import time
+
+        led = _retired_ledger(path)
+        if name not in led:
+            led[name] = time.time()
+            _write_retired_ledger(path, led)
     else:
         _fs.remove(src)
 
@@ -599,13 +686,12 @@ def register_version_view(spark: SparkSession, path: str, name: str,
     pruned with ``where=`` on the snapshot's embedded manifest, exactly
     as :func:`read_version`) as TEMP VIEW ``name`` so plain
     ``spark.sql`` text reads history. The view captures file paths
-    resolved AT REGISTRATION TIME: a later mutation that retires a
-    then-active snapshot file (moves it under ``_hgs_retired/``) — or a
-    :func:`vacuum_versions` — makes the view FAIL loudly (file not
-    found) rather than serve wrong rows, even though the snapshot
-    itself stays readable via :func:`read_version` (which re-resolves
-    retired locations). Re-register after mutations to heal the view.
-    Returns ``{"version", "files"}``."""
+    resolved AT REGISTRATION TIME. Since round 13 retirement is
+    in-place, so later mutations do NOT invalidate the view — its files
+    stay put; only a :func:`vacuum_versions` that reclaims them makes
+    the view FAIL loudly (file not found) rather than serve wrong rows.
+    Re-register after vacuum to heal the view. Returns
+    ``{"version", "files"}``."""
     df = read_version(spark, path, version, where=where)
     df.createOrReplaceTempView(name)
     return {"version": int(version), "files": len(df.inputFiles())}
@@ -613,11 +699,25 @@ def register_version_view(spark: SparkSession, path: str, name: str,
 
 @_mutator('vacuum')
 def vacuum_versions(spark: SparkSession, path: str,
-                    keep_last: int = 1) -> dict:
+                    keep_last: int = 1, *,
+                    grace_s: float = 300.0) -> dict:
     """Reclaim history: keep the newest ``keep_last`` snapshots, drop
     older snapshot records, and delete retired files no surviving
-    snapshot references. Active data files are never touched."""
+    snapshot references. Active data files are never touched.
+
+    ``grace_s`` (round 13) is the snapshot-isolation drain window: a
+    retired-but-unreferenced file is deleted only once it has been
+    retired for at least ``grace_s`` seconds, so a CURRENT read that
+    planned its file list before a concurrent compaction/delete/merge
+    finishes executing against the still-present files (they never
+    move — in-place retirement). Size it to your longest-running query,
+    like Delta's ``deletedFileRetentionDuration``; the default is one
+    lease TTL. ``grace_s=0.0`` reclaims immediately (tests, offline
+    maintenance). Deferred files stay ledger-listed and are reclaimed
+    by the next vacuum past their grace; legacy moved files under
+    ``_hgs_retired/`` (pre-round-13 layouts) age by file mtime."""
     import json
+    import time
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
@@ -627,15 +727,36 @@ def vacuum_versions(spark: SparkSession, path: str,
     for _, name in keep:
         referenced |= set(json.loads(_fs.read_bytes(
             os.path.join(_versions_dir(path), name)))["files"])
-    deleted = 0
-    if _fs.is_dir(_retired_dir(path)):
-        for f in _fs.listdir(_retired_dir(path)):
-            if f not in referenced:
-                _fs.remove(os.path.join(_retired_dir(path), f))
-                deleted += 1
+    now = time.time()
+    deleted = deferred = 0
+    led = _retired_ledger(path)
+    changed = False
+    for f, ts in sorted(led.items()):
+        if f in referenced:
+            continue
+        if now - ts < grace_s:
+            deferred += 1
+            continue
+        if _fs.exists(os.path.join(path, f)):
+            _fs.remove(os.path.join(path, f))
+        del led[f]
+        changed = True
+        deleted += 1
+    if changed:
+        _write_retired_ledger(path, led)
+    if _fs.is_dir(_retired_dir(path)):  # legacy moved-file tier
+        for f, _sz, mt, isdir in _fs.listdir_stat(_retired_dir(path)):
+            if isdir or f in referenced:
+                continue
+            if mt is not None and now - mt / 1e9 < grace_s:
+                deferred += 1
+                continue
+            _fs.remove(os.path.join(_retired_dir(path), f))
+            deleted += 1
     for _, name in drop:
         _fs.remove(os.path.join(_versions_dir(path), name))
-    return {"versions_dropped": len(drop), "files_deleted": deleted}
+    return {"versions_dropped": len(drop), "files_deleted": deleted,
+            "files_deferred": deferred}
 
 
 def _settle_compaction(spark: SparkSession, path: str) -> None:

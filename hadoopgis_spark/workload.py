@@ -5547,7 +5547,8 @@ def rel_time_travel_meta(spark, sf):
     COUNT over version 1 mostly from the snapshot's own manifest —
     interior files contribute recorded row counts with no scan, even
     though both windows were DELETED from the live table (their files
-    resolve to ``_hgs_retired/``). Shares rel_time_travel's memoized
+    are ledger-retired in place, invisible to current reads). Shares
+    rel_time_travel's memoized
     layout. The oracle is plain lineitem (= version 1). Vacuum
     invalidation + sum/minmax/read_eq historical tiers are pinned in
     tests/test_version_metadata.py."""

@@ -100,6 +100,7 @@ class TestTimeTravel:
         path = self._table(spark, tmp_path)
         sk.delete_range(spark, path, "k", 110, 640)
         assert not os.path.isdir(os.path.join(path, "_hgs_retired"))
+        assert not os.path.exists(os.path.join(path, "_hgs_retired.json"))
         assert not os.path.isdir(os.path.join(path, "_hgs_versions"))
         with pytest.raises(ValueError, match="not versioned"):
             sk.read_version(spark, path, 1)
@@ -111,11 +112,16 @@ class TestTimeTravel:
         path = self._table(spark, tmp_path)
         sk.enable_time_travel(spark, path)
         sk.delete_range(spark, path, "k", 110, 640)
-        retired = sk._fs.listdir(f"{path}/_hgs_retired")
-        assert retired  # something was retired, not deleted
-        assert not (set(retired) & sk._data_files(path))
+        retired = set(sk._retired_ledger(path))
+        assert retired  # something was retired (in place), not deleted
+        assert not (retired & sk._data_files(path))
+        # in-place: the physical files are still present (snapshot
+        # isolation — a reader that planned them keeps reading them)
+        assert all(sk._fs.exists(f"{path}/{f}") for f in retired)
         kept, total = sk.prune_files(spark, path, {"k": (700, 799)})
         assert len(kept) < total  # zonemap still sharp on current state
+        assert not any(sk._fs.exists(f"{path}/_hgs_retired/{f}")
+                       for f in retired)  # nothing was moved
 
     @pytest.mark.parametrize(
         "crash", ["staged", "record", "manifest", "mid-move", "mid-delete"])
@@ -160,7 +166,7 @@ class TestTimeTravel:
         sk.delete_range(spark, path, "k", 700, 750)
         cur = _ks(sk.read_range(spark, path, "k"))
         assert len(sk.list_versions(spark, path)) == 3
-        stats = sk.vacuum_versions(spark, path, keep_last=1)
+        stats = sk.vacuum_versions(spark, path, keep_last=1, grace_s=0.0)
         assert stats["versions_dropped"] == 2
         assert stats["files_deleted"] >= 1
         vers = sk.list_versions(spark, path)
@@ -170,9 +176,8 @@ class TestTimeTravel:
         assert _ks(sk.read_range(spark, path, "k")) == cur
         with pytest.raises(ValueError, match="version"):
             sk.read_version(spark, path, 1)
-        # retired dir holds only files the surviving snapshot needs
-        leftover = set(sk._fs.listdir(f"{path}/_hgs_retired")) \
-            if sk._fs.is_dir(f"{path}/_hgs_retired") else set()
+        # the ledger holds only files the surviving snapshot needs
+        leftover = set(sk._retired_ledger(path))
         import json
         rec = json.loads(sk._fs.read_bytes(
             f"{path}/_hgs_versions/v{keep:06d}.json"))
@@ -199,10 +204,17 @@ class TestSnapshotPrunedReads:
         assert _ks(pruned) == list(range(700, 800))
         assert 0 < len(pruned.inputFiles()) < n_all
         # a range that lives ONLY in since-retired files still reads
+        # (in-place retirement: the file serves from the data dir while
+        # being excluded from the current listing)
         mid = sk.read_version(spark, path, 1, where={"k": (200, 299)})
         assert _ks(mid) == list(range(200, 300))
         assert 0 < len(mid.inputFiles()) < n_all
-        assert any("_hgs_retired" in f for f in mid.inputFiles())
+        import os as _os
+        retired = set(sk._retired_ledger(path))
+        assert retired
+        assert any(_os.path.basename(f) in retired
+                   for f in mid.inputFiles())
+        assert not (retired & sk._data_files(path))
         # boundary residual: partial file overlap filters row-exactly
         edge = sk.read_version(spark, path, 1, where={"k": (105, 115)})
         assert _ks(edge) == list(range(105, 116))
@@ -249,7 +261,11 @@ class TestVersionView:
             "SELECT COUNT(*) c, CAST(SUM(k) AS BIGINT) s FROM tt_band"
         ).collect()[0]
         assert (got.c, got.s) == (100, sum(range(200, 300)))
-        # vacuum invalidates loudly, never silently serves wrong rows
-        sk.vacuum_versions(spark, path, keep_last=1)
+        # mutations no longer invalidate the view (in-place retirement:
+        # its files stay put) — only a vacuum past grace reclaims them,
+        # and THEN the view fails loudly, never silently wrong
+        assert spark.sql(
+            "SELECT COUNT(*) c FROM tt_band").collect()[0].c == 100
+        sk.vacuum_versions(spark, path, keep_last=1, grace_s=0.0)
         with pytest.raises(Exception):
             spark.sql("SELECT COUNT(*) FROM tt_band").collect()

@@ -82,7 +82,10 @@ def main() -> None:
     h = hist.agg(F.count(F.lit(1)), F.sum("k")).collect()[0]
     t_hist = time.time() - t0
     opened = hist.inputFiles()
-    n_retired = sum("_hgs_retired" in f for f in opened)
+    import os as _os
+    _led = set(sk._retired_ledger(p1))
+    n_retired = sum(
+        "_hgs_retired" in f or _os.path.basename(f) in _led for f in opened)
     exp_n = bhi - blo + 1
     exp_sum = (blo + bhi) * exp_n // 2
     ok = (h[0], h[1]) == (exp_n, exp_sum)
@@ -93,7 +96,7 @@ def main() -> None:
         raise SystemExit(
             f"pruned read wrong/unpruned: {tuple(h)} files={len(opened)}")
 
-    vac = sk.vacuum_versions(spark, p1, keep_last=1)
+    vac = sk.vacuum_versions(spark, p1, keep_last=1, grace_s=0.0)
     print(f"vacuum keep_last=1: {vac}", flush=True)
     cur = (sk.read_range(spark, p1, "k")
            .agg(F.count(F.lit(1))).collect()[0][0])
