@@ -25,7 +25,7 @@ from hadoopgis_spark.functions.spatial import st_dwithin, st_predicate, st_windo
 from hadoopgis_spark.geometry import Geometry
 from hadoopgis_spark.operators.mbb import MBB_COLS, with_mbb
 
-__all__ = ["containment", "parse_window"]
+__all__ = ["containment", "parse_window", "geo_window"]
 
 
 def parse_window(window: str) -> tuple[str | None, tuple[float, float, float, float]]:
@@ -122,6 +122,60 @@ def containment(
             out = df.filter(B.box_distance(*m, *wlits) <= pad)
         else:
             raise ValueError(f"unsupported box containment predicate {predicate}")
+    return out
+
+
+def geo_window(
+    df: DataFrame,
+    center: tuple[float, float],
+    radius_m: float,
+    *,
+    geom_col: str = "geom",
+    stat_col: str | None = None,
+) -> DataFrame:
+    """Geography circular window — the meter-radius face of J3 (round
+    13): rows of ``df`` whose POINT lies within ``radius_m`` haversine
+    meters of ``center = (lon, lat)``, reference earth constants
+    (``geographical.h:11-22``; the reference ships no geography
+    containment — this extends its ``-e true`` earth branch,
+    ``spjoin_2d.hpp:167-205``, to the window query).
+
+    Pure Column pipeline, no join, no multicast: the window is a
+    literal, so the candidate test is a map-side conjunct —
+    ``|Δφ| ≤ r / M_PER_DEG`` (a plain pushable range on the lat
+    column for box-native data) AND wrapped ``min(|Δλ|, 360 − |Δλ|) ≤
+    geo_degree_pad(r)`` — and the exact haversine refine decides. A
+    filter, unlike a join, can test the WRAPPED angular difference
+    directly, so this face is antimeridian-correct by construction
+    with no ±360° copies, in both the [-180, 180] and [0, 360] lon
+    conventions (the window center may sit on either side of the
+    seam). POINT data only, validated up front like every geography
+    face (``require_points_geo``: point-degenerate MBBs, lat within
+    [-90, 90], lon span ≤ 360°). ``stat_col`` attaches the haversine
+    meters to the surviving rows."""
+    from hadoopgis_spark.operators.mbb import (extent_and_spans,
+                                               require_points_geo, with_mbb)
+
+    clon, clat = float(center[0]), float(center[1])
+    if not -90.0 <= clat <= 90.0:
+        raise ValueError(f"geo_window center latitude {clat} outside "
+                         "[-90, 90]")
+    out = df
+    if geom_col in df.columns and not all(c in df.columns for c in MBB_COLS):
+        out = with_mbb(out, geom_col)
+    ext = extent_and_spans(out.select(*MBB_COLS))
+    require_points_geo(ext, "geo_window")
+    r = float(radius_m)
+    x, y = F.col("xmin"), F.col("ymin")  # degenerate point MBB corner
+    dphi = F.lit(r / B.M_PER_DEG)
+    dlam = B.geo_degree_pad(F.lit(r), F.lit(clat), F.lit(clat))
+    adl = F.abs(x - F.lit(clon))
+    cand = (F.abs(y - F.lit(clat)) <= dphi) & (
+        F.least(adl, F.lit(360.0) - adl) <= dlam)
+    hav = B.haversine_m(F.lit(clon), F.lit(clat), x, y)
+    out = out.filter(cand).filter(hav <= F.lit(r))
+    if stat_col is not None:
+        out = out.withColumn(stat_col, hav)
     return out
 
 

@@ -975,6 +975,37 @@ SP_KNN_GEO_SEAM_SQL = f"""
 """
 
 
+def sp_containment_geo(spark, sf):
+    """Geography circular window across the antimeridian (round 13,
+    verdict item 8 — J3's ``-e true`` face): seam customers within
+    300 km of a center at lon 179.99, via ``geo_window``'s wrapped-Δλ
+    candidate + exact haversine refine. A filter can test the wrapped
+    angular difference directly, so this face needs NO ±360° multicast
+    and is seam-correct by construction; the oracle's haversine is
+    wrap-correct by periodicity and counts points on BOTH sides of
+    ±180°."""
+    from hadoopgis_spark.operators.containment import geo_window
+    out = geo_window(geo_seam_customer_points(spark, sf), (179.99, 0.4),
+                     300_000.0, stat_col="hav")
+    return out.select("id", F.round("hav", 3).alias("hav_m"))
+
+
+# token-mirror of boxes.haversine_m with the window center as lon1/lat1
+# literals (same IEEE tree discipline as _HAV_SQL)
+_HAV_CGEO_SQL = """2.0 * 3958.75 * 1609.00 * ASIN(LEAST(1.0, SQRT(
+             POW(SIN((RADIANS(p.lat) - RADIANS(CAST(0.4 AS DOUBLE))) / 2), 2)
+             + COS(RADIANS(CAST(0.4 AS DOUBLE))) * COS(RADIANS(p.lat))
+               * POW(SIN((RADIANS(p.lon) - RADIANS(CAST(179.99 AS DOUBLE))) / 2), 2)
+         )))"""
+
+SP_CONTAINMENT_GEO_SQL = f"""
+  WITH p AS ({GEO_SEAM_C_SQL})
+  SELECT p.id AS id, ROUND({_HAV_CGEO_SQL}, 3) AS hav_m
+  FROM p
+  WHERE {_HAV_CGEO_SQL} <= CAST(300000.0 AS DOUBLE)
+"""
+
+
 def sp_knn_geo_tile(spark, sf):
     """J4 TILE-mode geography kNN on a single covering tile (huge
     bucket): per-tile semantics with one tile is global, so the
@@ -6208,6 +6239,118 @@ REL_SCHEMA_EVOLUTION_SQL = """
 """
 
 
+def rel_schema_widen(spark, sf):
+    """TYPE-WIDENING schema evolution end to end (round 13): half of
+    lineitem is saved with an INT quantity column,
+    ``evolve_widen_column`` pins it to BIGINT without touching a file
+    (Spark's parquet reader natively upcasts the INT32 pages), and the
+    other half appends values only BIGINT can hold — read, prune, and
+    aggregate stay exact across the mixed physical widths. Narrowing
+    refuses (pytest-pinned); the oracle derives the same split from raw
+    lineitem by key parity."""
+    from hadoopgis_spark.sources.skipping import (
+        append_range_sorted, evolve_widen_column, read_range,
+        save_range_sorted)
+    path = f"{_skip_root(spark)}/lineitem_widen_{os.path.basename(os.path.normpath(sf))}"
+
+    def _build():
+        l = _t(spark, sf, "lineitem")
+        base = l.select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_quantity").cast("int").alias("qty"))
+        save_range_sorted(base.filter(F.col("k") % 2 == 0), path, "k",
+                          n_files=4)
+        evolve_widen_column(spark, path, "qty", "bigint")
+        wide = l.filter(F.col("l_orderkey") % 2 == 1).select(
+            F.col("l_orderkey").alias("k"),
+            (F.col("l_quantity").cast("bigint")
+             + F.lit(10_000_000_000).cast("bigint")).alias("qty"))
+        append_range_sorted(wide, path, "k", n_files=4)
+        return True
+
+    _memo(("skip_lineitem_widen", spark.sparkContext.applicationId, sf),
+          _build)
+    df = read_range(spark, path, "k")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("qty").cast("long").alias("qty_sum"),
+        F.max("qty").cast("long").alias("qty_max"),
+        F.min("qty").cast("long").alias("qty_min"),
+    )
+
+
+REL_SCHEMA_WIDEN_SQL = """
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN l_orderkey % 2 = 0
+                  THEN CAST(l_quantity AS BIGINT)
+                  ELSE CAST(l_quantity AS BIGINT) + 10000000000 END)
+              AS BIGINT) AS qty_sum,
+         CAST(MAX(CASE WHEN l_orderkey % 2 = 0
+                  THEN CAST(l_quantity AS BIGINT)
+                  ELSE CAST(l_quantity AS BIGINT) + 10000000000 END)
+              AS BIGINT) AS qty_max,
+         CAST(MIN(CASE WHEN l_orderkey % 2 = 0
+                  THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_min
+  FROM lineitem
+"""
+
+
+def rel_read_under_mutation(spark, sf):
+    """Snapshot-isolated CURRENT reads (round 13, the r12 verdict's top
+    item): the aggregate is PLANNED over the fragmented versioned
+    layout first; then a concurrent-writer sequence — compaction that
+    supersedes every planned file, plus a vacuum — runs before the
+    driver collects. In-place retirement keeps the planned files on
+    disk (ledger-retired, invisible to new reads) and vacuum's grace
+    defers their deletion, so the pre-mutation plan executes exactly;
+    pre-r13 retirement MOVED the files and this read died mid-query.
+    The race suite in tests/test_read_isolation.py pins the stronger
+    per-plan snapshot semantics; the oracle is the same aggregate from
+    raw lineitem."""
+    from hadoopgis_spark.sources.skipping import (
+        append_range_sorted, compact_range_sorted, enable_time_travel,
+        read_range, save_range_sorted, vacuum_versions)
+    path = f"{_skip_root(spark)}/lineitem_readmut_{os.path.basename(os.path.normpath(sf))}"
+
+    def _build():
+        l = _t(spark, sf, "lineitem").select(
+            F.col("l_orderkey").alias("k"),
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+             .alias("cents"))
+        save_range_sorted(l.filter(F.col("k") % 3 == 0), path, "k",
+                          n_files=2)
+        enable_time_travel(spark, path)
+        append_range_sorted(l.filter(F.col("k") % 3 == 1), path, "k",
+                            n_files=2)
+        append_range_sorted(l.filter(F.col("k") % 3 == 2), path, "k",
+                            n_files=2)
+        return True
+
+    _memo(("skip_lineitem_readmut", spark.sparkContext.applicationId, sf),
+          _build)
+    df = read_range(spark, path, "k")  # plan: explicit active-file list
+    agg = df.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.sum("cents").cast("long") / F.lit(100.0)).alias("revenue"),
+    )
+    # the concurrent writer: retire every planned small file, reclaim
+    # history — the default grace defers the planned files' deletion
+    compact_range_sorted(spark, path, "k", small_bytes=1 << 30, n_files=2)
+    vacuum_versions(spark, path, keep_last=1)
+    return agg
+
+
+REL_READ_UNDER_MUTATION_SQL = """
+  SELECT l_returnflag AS flag,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           / CAST(100.0 AS DOUBLE) AS revenue
+  FROM lineitem
+  GROUP BY l_returnflag
+"""
+
+
 def rel_profile(spark, sf):
     """ANALYZE-style profile of orders: every column's null/distinct/
     range statistics in ONE aggregation pass (multi-DISTINCT planned as
@@ -7483,6 +7626,7 @@ REGISTRY: dict[str, Query] = {
     "sp_knn": Query(sp_knn, SP_KNN_SQL, "J4 exact kNN join"),
     "sp_knn_geo": Query(sp_knn_geo, SP_KNN_GEO_SQL, "J4 exact kNN, geography metric (haversine bounds)"),
     "sp_dwithin_geo": Query(sp_dwithin_geo, SP_DWITHIN_GEO_SQL, "J5 geography dwithin + native mindist stat"),
+    "sp_containment_geo": Query(sp_containment_geo, SP_CONTAINMENT_GEO_SQL, "J3 geography circular window across the antimeridian (geo_window)"),
     "sp_dwithin_geo_seam": Query(sp_dwithin_geo_seam, SP_DWITHIN_GEO_SEAM_SQL, "J5 geography dwithin across the antimeridian (wrap-multicast)"),
     "sp_knn_geo_seam": Query(sp_knn_geo_seam, SP_KNN_GEO_SEAM_SQL, "J4 exact geography kNN across the antimeridian"),
     "sp_knn_geo_tile": Query(sp_knn_geo_tile, SP_KNN_GEO_TILE_SQL, "J4 tile-mode geography kNN, single covering tile"),
@@ -7620,6 +7764,8 @@ REGISTRY: dict[str, Query] = {
     "rel_merge_range": Query(rel_merge_range, REL_MERGE_RANGE_SQL, "zonemap-priced MERGE/upsert: only key-containing files rewritten under the commit record"),
     "rel_time_travel": Query(rel_time_travel, REL_TIME_TRAVEL_SQL, "snapshot read (time travel): version 1 replays exactly after DELETE mutations retire files"),
     "rel_schema_evolution": Query(rel_schema_evolution, REL_SCHEMA_EVOLUTION_SQL, "add-column schema evolution: evolve + append + null-filled reads"),
+    "rel_schema_widen": Query(rel_schema_widen, REL_SCHEMA_WIDEN_SQL, "type-widening evolution: INT->BIGINT pinned over mixed physical widths"),
+    "rel_read_under_mutation": Query(rel_read_under_mutation, REL_READ_UNDER_MUTATION_SQL, "snapshot-isolated read: plan, then compact+vacuum, then collect"),
     "rel_time_travel_meta": Query(rel_time_travel_meta, REL_TIME_TRAVEL_META_SQL, "historical metadata-only COUNT via the snapshot-embedded manifest (deleted windows served from retired files)"),
     "sim_ann_ivfpq_rerank": Query(sim_ann_ivfpq_rerank, SIM_ANN_IVFPQ_RERANK_SQL, "IVF-PQ + exact-cosine re-rank of the ADC shortlist (FAISS refine tier, DPP on both scans)"),
     "src_stream_merge": Query(src_stream_merge, SRC_STREAM_MERGE_SQL, "CDC upsert ingestion: merge_range per micro-batch, last-writer-wins, replay-idempotent by construction"),

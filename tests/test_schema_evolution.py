@@ -239,3 +239,183 @@ class TestEvolveAddColumn:
             path, "k", n_files=2)
         assert sk._evolved_schema(path) is None
         assert sk.read_range(spark, path, "k", 0, 49).columns == ["k", "v"]
+
+
+class TestEvolveWidenColumn:
+    """Round 13: type-widening evolution — pinned wider read schema over
+    narrower physical pages (Spark's native parquet upcast), metadata
+    tiers exact by construction."""
+
+    def _int_table(self, spark, tmp_path, **save_kw):
+        df = spark.range(0, 200).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).cast("int").alias("v"))
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(df, path, "k", n_files=4, **save_kw)
+        return path
+
+    def test_int_to_bigint_roundtrip(self, spark, tmp_path):
+        path = self._int_table(spark, tmp_path)
+        sk.evolve_widen_column(spark, path, "v", "bigint")
+        got = sk.read_range(spark, path, "k", 0, 199)
+        assert dict(got.dtypes)["v"] == "bigint"
+        assert got.count() == 200
+        assert got.filter(F.col("v") != F.col("k") % 7).count() == 0
+        # a still-narrow batch refuses with the usual drift message
+        with pytest.raises(ValueError, match="types drift"):
+            sk.append_range_sorted(
+                spark.range(200, 210).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % 7).cast("int").alias("v")),
+                path, "k")
+        # a wide batch with a value only BIGINT can hold lands exactly
+        big = 5_000_000_000
+        batch = spark.range(200, 210).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7 + F.lit(big)).cast("bigint").alias("v"))
+        sk.append_range_sorted(batch, path, "k", n_files=1)
+        got = sk.read_range(spark, path, "k", 0, 299)
+        assert got.count() == 210
+        assert got.filter(F.col("v") >= big).count() == 10
+
+    def test_refusals(self, spark, tmp_path):
+        path = self._int_table(spark, tmp_path)
+        with pytest.raises(ValueError, match="only safe widenings"):
+            sk.evolve_widen_column(spark, path, "v", "string")
+        with pytest.raises(ValueError, match="only safe widenings"):
+            sk.evolve_widen_column(spark, path, "v", "double")
+        with pytest.raises(ValueError, match="does not exist"):
+            sk.evolve_widen_column(spark, path, "nope", "bigint")
+        sk.evolve_widen_column(spark, path, "v", "bigint")
+        with pytest.raises(ValueError, match="only safe widenings"):
+            sk.evolve_widen_column(spark, path, "v", "int")  # narrowing
+        # float -> double allowed; double -> float refused
+        df = spark.range(0, 20).select(
+            F.col("id").alias("k"), F.col("id").cast("float").alias("f"))
+        p2 = str(tmp_path / "t2")
+        sk.save_range_sorted(df, p2, "k", n_files=2)
+        sk.evolve_widen_column(spark, p2, "f", "double")
+        assert dict(sk.read_range(spark, p2, "k").dtypes)["f"] == "double"
+        with pytest.raises(ValueError, match="only safe widenings"):
+            sk.evolve_widen_column(spark, p2, "f", "float")
+
+    def test_widened_clustering_column_keeps_pruning(self, spark, tmp_path):
+        """Widening the MANIFEST-COVERED order column itself: stats are
+        type-tagged strings compared as Python ints, so old rows keep
+        pruning, and post-widen appends mix in seamlessly."""
+        df = spark.range(0, 400).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") % 5).alias("v"))
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(df, path, "k", n_files=8)
+        sk.evolve_widen_column(spark, path, "k", "bigint")
+        batch = spark.range(0, 10).select(
+            (F.col("id") + 3_000_000_000).alias("k"),
+            (F.col("id") % 5).alias("v"))
+        sk.append_range_sorted(batch, path, "k", n_files=1)
+        kept, total = sk.prune_files(spark, path, {"k": (100, 199)})
+        assert len(kept) < total  # old files still prune
+        got = sk.read_range(spark, path, "k", 100, 199)
+        assert got.count() == 100
+        assert sk.count_range(spark, path, "k", 3_000_000_000, None) == 10
+
+    def test_agg_and_bloom_survive_widening(self, spark, tmp_path):
+        from hadoopgis_spark.sources.bloom import build_bloom_index, read_eq
+
+        path = self._int_table(spark, tmp_path, agg_cols=["v"])
+        build_bloom_index(spark, path, ["v"], n_items=1000)
+        sk.evolve_widen_column(spark, path, "v", "bigint")
+        # agg index: pre-widen per-file sums + post-widen appended sums
+        big = 5_000_000_000
+        sk.append_range_sorted(
+            spark.range(200, 210).select(
+                F.col("id").alias("k"),
+                F.lit(big).cast("bigint").alias("v")),
+            path, "k", n_files=1)
+        s, n = sk.sum_range(spark, path, "v", {"k": (0, 299)})
+        expect = sum(k % 7 for k in range(200)) + 10 * big
+        assert (s, n) == (expect, 210)
+        # bloom bits hashed the canonical int value: still match post-widen
+        got = read_eq(spark, path, {"v": 3})
+        assert got.filter(F.col("v") == 3).count() > 0
+
+
+class TestEvolveReaddColumn:
+    """Round 13: explicit re-add of a dropped name — masked old files
+    serve NULL, new files serve values, stale physical data stays
+    unreachable (the Iceberg field-id idea in miniature)."""
+
+    def test_readd_masks_stale_values(self, spark, tmp_path):
+        path = _base(spark, tmp_path)  # k bigint, v bigint (0..6 values)
+        sk.evolve_drop_column(spark, path, "v")
+        assert sk.read_range(spark, path, "k").columns == ["k"]
+        # silent re-add still refuses; the explicit hatch works
+        with pytest.raises(ValueError, match="previously DROPPED"):
+            sk.evolve_add_column(spark, path, "v", "double")
+        sk.evolve_readd_column(spark, path, "v", "double")
+        got = sk.read_range(spark, path, "k")
+        assert got.columns == ["k", "v"]
+        assert dict(got.dtypes)["v"] == "double"
+        # the 200 old rows physically carry bigint v values — all masked
+        assert got.count() == 200
+        assert got.filter(F.col("v").isNotNull()).count() == 0
+        # post-re-add appends serve real values
+        sk.append_range_sorted(
+            spark.range(200, 220).select(
+                F.col("id").alias("k"),
+                (F.col("id") * 0.5).alias("v")),
+            path, "k", n_files=1)
+        got = sk.read_range(spark, path, "k")
+        assert got.count() == 220
+        assert got.filter(F.col("v").isNotNull()).count() == 20
+        assert got.filter(F.col("v") == 100.0).count() == 1  # k=200
+        # pruned read touching ONLY masked files still shows the column
+        old_only = sk.read_range(spark, path, "k", 10, 20)
+        assert old_only.columns == ["k", "v"]
+        assert old_only.filter(F.col("v").isNotNull()).count() == 0
+
+    def test_refusals(self, spark, tmp_path):
+        path = _base(spark, tmp_path)
+        with pytest.raises(ValueError, match="never dropped"):
+            sk.evolve_readd_column(spark, path, "w", "double")
+        with pytest.raises(ValueError, match="never dropped"):
+            sk.evolve_readd_column(spark, path, "v", "double")
+
+    def test_rewrites_materialize_nulls_and_converge(self, spark, tmp_path):
+        path = _base(spark, tmp_path)
+        sk.evolve_drop_column(spark, path, "v")
+        sk.evolve_readd_column(spark, path, "v", "bigint")
+        sk.append_range_sorted(
+            spark.range(200, 250).select(
+                F.col("id").alias("k"), (F.col("id") % 9).alias("v")),
+            path, "k", n_files=1)
+        before = sorted((r.k, r.v) for r in
+                        sk.read_range(spark, path, "k").collect())
+        # compact everything: masked files are rewritten THROUGH the
+        # mask, so the outputs physically carry NULLs, not stale values
+        stats = sk.compact_range_sorted(spark, path, "k",
+                                        small_bytes=1 << 30, n_files=2)
+        assert stats["compacted"] > 0
+        after = sorted((r.k, r.v) for r in
+                       sk.read_range(spark, path, "k").collect())
+        assert after == before
+        # no active file is masked anymore: the plain read path is back
+        masked = set(sk._evolution_masked(path).get("v", []))
+        assert not (masked & sk._data_files(path))
+
+    def test_drop_again_and_readd_again(self, spark, tmp_path):
+        path = _base(spark, tmp_path)
+        sk.evolve_drop_column(spark, path, "v")
+        sk.evolve_readd_column(spark, path, "v", "bigint")
+        sk.append_range_sorted(
+            spark.range(200, 210).select(
+                F.col("id").alias("k"), F.lit(42).cast("bigint").alias("v")),
+            path, "k", n_files=1)
+        sk.evolve_drop_column(spark, path, "v")
+        assert sk.read_range(spark, path, "k").columns == ["k"]
+        # second re-add masks the post-first-re-add files too (their
+        # physical 42s are stale now)
+        sk.evolve_readd_column(spark, path, "v", "bigint")
+        got = sk.read_range(spark, path, "k")
+        assert got.count() == 210
+        assert got.filter(F.col("v").isNotNull()).count() == 0
