@@ -1134,10 +1134,22 @@ _ROWS_PER_BAND = N_MINHASH // N_BANDS
 # checkpointed frames explicitly per (session, sf)
 _FRAME_MEMO: dict = {}
 
+# cumulative wall seconds spent INSIDE memoized one-time builds (layouts,
+# indexes, checkpointed frames) this session — bench.py diffs this around
+# each query to split build-vs-serve time in BENCH_DETAIL (round-13 bench
+# hygiene: the driver's top-10 was dominated by one-time builds whose
+# placement moved with every prefix rotation)
+_MEMO_BUILD_SECONDS: float = 0.0
+
 
 def _memo(key, build):
+    global _MEMO_BUILD_SECONDS
     if key not in _FRAME_MEMO:
+        import time as _time
+
+        t0 = _time.time()
         _FRAME_MEMO[key] = build()
+        _MEMO_BUILD_SECONDS += _time.time() - t0
     return _FRAME_MEMO[key]
 
 

@@ -698,3 +698,51 @@ class TestRound8Plans:
         pushed = " ".join(pushed_filters(out))
         assert "GreaterThanOrEqual(a 100)" in pushed, pushed
         assert "LessThanOrEqual(b 6000)" in pushed, pushed
+
+
+class TestRowBoundedAllowlist:
+    def test_allowlist_matches_running_spark(self, spark, tmp_path):
+        """_ROW_BOUNDED_OPS (spatial_join's zero-job manifest row bound)
+        must name the analyzed-plan nodes THIS Spark version prints for
+        every admitted row-preserving/shrinking shape — drift costs
+        only an extra probe job, but this pins it visibly (r13 advisor
+        item)."""
+        import re
+
+        from pyspark.sql import Window
+        from hadoopgis_spark.operators.spatial_join import (
+            _ROW_BOUNDED_OPS, _manifest_rowcount_upper)
+        from hadoopgis_spark.sources import skipping as sk
+
+        path = str(tmp_path / "t")
+        sk.save_range_sorted(
+            spark.range(0, 100).select(F.col("id").alias("k")),
+            path, "k", n_files=2)
+        b = spark.read.parquet(path)
+        shapes = {
+            "filter": b.filter(F.col("k") > 2),
+            "project": b.select((F.col("k") + 1).alias("k2")),
+            "sort": b.sort("k"),
+            "limit": b.limit(3),
+            "distinct": b.distinct(),
+            "dropdup": b.dropDuplicates(["k"]),
+            "repartition": b.repartition(2),
+            "range_repart": b.repartitionByRange(2, "k"),
+            "sample": b.sample(0.5, seed=1),
+            "aggregate": b.groupBy("k").agg(F.count(F.lit(1)).alias("c")),
+            "window": b.select(
+                "k", F.row_number().over(Window.orderBy("k")).alias("rn")),
+            "offset": b.offset(2),
+        }
+        pat = re.compile(r"^[\s:+\-]*'?([A-Za-z]+)")
+        for name, df in shapes.items():
+            plan = df._jdf.queryExecution().analyzed().toString()
+            for line in plan.splitlines():
+                m = pat.match(line)
+                if m:
+                    assert m.group(1) in _ROW_BOUNDED_OPS, (name, line)
+            # ... and the zero-job bound actually resolves on each shape
+            assert _manifest_rowcount_upper(df) == 100, name
+        # row-multiplying shapes still refuse (probe fallback)
+        assert _manifest_rowcount_upper(
+            b.withColumn("e", F.explode(F.array(F.lit(1), F.lit(2))))) is None
