@@ -8009,19 +8009,33 @@ assert len(_R9_PREFIX) == 50 and len(set(_R9_PREFIX)) == 50
 # new gate, rel_schema_evolution — add-column evolution through the
 # evolved-schema-pinned _read_table every managed read now routes
 # through).
-_R12_PREFIX = [
-    # new round-12 gates
-    "sp_dwithin_geo_seam", "sp_knn_geo_seam", "sp_knn_geo_tile",
+# Round-13 rotation. Leads with the 3 new r13 gates
+# (rel_read_under_mutation — snapshot-isolated current reads over the
+# in-place retirement ledger; rel_schema_widen — type-widening
+# evolution; sp_containment_geo — geography circular window + the
+# lon/lat operating-envelope guard), then the gates over round-13
+# churn:
+#   - skipping.py retirement ledger + _read_table active-list expansion
+#     touches EVERY managed read and every versioned mutator: the full
+#     zonemap/bloom/agg/time-travel/stream family stays gated
+#   - sources/lease.py default store is now FsCasLeaseStore (generation
+#     files): every mutator's claim/fence/release path changed — the
+#     persisted-index mutators and storage mutators cover it
+#   - mbb.require_points_geo gained the domain guard: every geography
+#     join/kNN gate runs through it
+#   - spatial_join._ROW_BOUNDED_OPS extension: no gate uses
+#     strategy='auto' (pinned in tests/test_plans.py instead)
+# Rotated OUT (driver-green r12, surfaces still covered in-prefix):
+# sp_haversine, sp_sql_haversine (pure haversine arithmetic — no
+# require_points_geo path; the expression tree is exercised inside
+# every geography gate) and stream_sessionize (streaming face covered
+# by src_stream_ingest/src_stream_merge; sessionize itself is
+# multi-round green and stays in the full registry).
+_R13_PREFIX = [
+    # new round-13 gates
+    "rel_read_under_mutation", "rel_schema_widen", "sp_containment_geo",
+    # storage tier over the retirement-ledger + evolution churn
     "rel_schema_evolution",
-    # geography family over the wrap + oracle-tree churn
-    "sp_knn_geo", "sp_dwithin_geo", "sp_mindist_geo",
-    "sp_haversine", "sp_sql_haversine",
-    # kNN/dwithin/tile-join family (assign_tiles + knn/spatial_join churn)
-    "sp_knn", "sp_knn_capped", "sp_knn_tile", "sp_knn_exact_scaled",
-    "sp_dwithin_points", "sp_join_bucketed_dwithin",
-    "sp_containment_wkt", "sp_touches_wkt", "sp_malformed_filter",
-    "sp_box_measures", "sp_join_boxes", "sp_join_self",
-    # storage-tier churn (append schema guard + lease tombstones)
     "rel_range_pruned", "rel_range_appended", "rel_range_compacted",
     "rel_count_pruned", "rel_minmax_pruned", "rel_count_multi",
     "rel_zorder_pruned", "rel_sum_pruned", "rel_delete_range",
@@ -8029,19 +8043,24 @@ _R12_PREFIX = [
     "rel_merge_range", "rel_time_travel", "rel_time_travel_meta",
     "src_stream_ingest", "src_stream_merge", "src_memo_stage",
     "sp_containment_pruned", "sp_window_compacted",
-    # persisted-index mutators (release paths changed in r12)
+    # persisted-index mutators (lease default-store change)
     "sim_ann_ivf_indexed", "sim_ann_ivf_appended",
     "sim_ann_ivfpq_indexed", "sim_ann_ivfpq_rerank",
     "dedup_incremental",
+    # geography family through the new domain guard
+    "sp_knn_geo", "sp_dwithin_geo", "sp_mindist_geo",
+    "sp_dwithin_geo_seam", "sp_knn_geo_seam", "sp_knn_geo_tile",
     # keepers: multi-round driver-green anchors across every surface
-    "dedup_minhash_lsh",
-    "txt_stats", "stream_sessionize",
-    "rel_q1_pricing",
+    "sp_knn", "sp_knn_capped", "sp_knn_tile", "sp_knn_exact_scaled",
+    "sp_dwithin_points", "sp_join_bucketed_dwithin",
+    "sp_containment_wkt", "sp_touches_wkt", "sp_malformed_filter",
+    "sp_box_measures", "sp_join_boxes", "sp_join_self",
+    "dedup_minhash_lsh", "txt_stats", "rel_q1_pricing",
 ]
-assert len(_R12_PREFIX) == 50 and len(set(_R12_PREFIX)) == 50
+assert len(_R13_PREFIX) == 50 and len(set(_R13_PREFIX)) == 50
 REGISTRY = {
-    **{n: REGISTRY[n] for n in _R12_PREFIX},
-    **{n: q for n, q in REGISTRY.items() if n not in set(_R12_PREFIX)},
+    **{n: REGISTRY[n] for n in _R13_PREFIX},
+    **{n: q for n, q in REGISTRY.items() if n not in set(_R13_PREFIX)},
 }
 # Stable alias for tests/tools: the driver gates REGISTRY[:len(GATED_PREFIX)].
-GATED_PREFIX = _R12_PREFIX
+GATED_PREFIX = _R13_PREFIX
