@@ -191,22 +191,35 @@ def supports_exclusive_create(path: str) -> bool:
 def create_exclusive(path: str, data: bytes) -> bool:
     """Atomically create ``path`` holding ``data`` IFF it does not
     already exist; returns False when it exists (the lost-CAS outcome).
-    This is the one true conditional write a plain POSIX filesystem
-    offers (``open(..., 'x')`` → ``O_CREAT|O_EXCL``, atomic on local
-    disks and NFSv4+). Raises ``NotImplementedError`` where
+    CONTENT-atomic, not just name-atomic: ``data`` is written to a
+    unique tmp name first and the target is born via ``os.link`` — the
+    classic POSIX lock-file pattern (atomic on local disks and every
+    NFS generation; link is THE traditional NFS-safe lock primitive).
+    A bare ``open(..., 'x')`` + write was name-atomic only: a reader
+    could observe the file existing with empty/partial content, which
+    the CAS lease store read as a burned generation and double-claimed
+    (round-13 pytest race). With link, the name never exists without
+    its full payload. Raises ``NotImplementedError`` where
     :func:`supports_exclusive_create` is False — callers must check,
     not guess."""
+    import os as _os
+    import uuid as _uuid
+
     fs, p = resolve(path)
     if not isinstance(fs, _pafs.LocalFileSystem):
         raise NotImplementedError(
             f"exclusive create is not available on {type(fs).__name__} — "
             "check supports_exclusive_create(path) first")
+    tmp = f"{p}.claim-{_uuid.uuid4().hex}"
+    with open(tmp, "wb") as fh:
+        fh.write(data)
     try:
-        with open(p, "xb") as fh:
-            fh.write(data)
+        _os.link(tmp, p)
         return True
     except FileExistsError:
         return False
+    finally:
+        _os.remove(tmp)
 
 
 def read_metadata(path: str):
