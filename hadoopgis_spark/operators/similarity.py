@@ -109,20 +109,17 @@ def hyperplane_buckets(
     old ``limit(1).collect()`` default launched one Spark job per LSH
     table before any real work started).
     """
-    v = F.col(vec_col).cast("array<double>")
-    bits = []
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(_plane_coeff(table, p, d)) for d in range(dim)])
-        dot = F.aggregate(
-            F.zip_with(v, plane, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    v_sql = _vec_sql(vec_col)
+    bits = ", ".join(
+        "CASE WHEN "
+        + _fold_dot_sql(v_sql, _darr([_plane_coeff(table, p, d)
+                                      for d in range(dim)]))
+        + " >= 0 THEN '1' ELSE '0' END"
+        for p in range(n_planes))
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        F.concat(*bits).alias("bucket"),
+        F.expr(f"concat({bits})").alias("bucket"),
     )
 
 
@@ -215,7 +212,47 @@ def fit_centroids(
     return lloyd_fit([r._v for r in rows], n_centroids, iters=iters, seed=seed)
 
 
-def _centroid_scores(vec, n_centroids: int, dim: int, centroids=None):
+# ---------------------------------------------------------------------------
+# SQL-text expression builders (round 13). The unrolled centroid/LUT
+# trees used to be assembled node-by-node through the py4j bridge —
+# thousands of F.lit/F.aggregate round trips per query, measured at
+# 10-38 s of pure DataFrame-CONSTRUCTION time for the PQ gates (the
+# Spark jobs themselves took ~1-4 s). Generating the IDENTICAL Catalyst
+# tree as one SQL string costs one parse in the JVM: same operators,
+# same left-associated fold order, and literals round-trip exactly
+# (repr() is the shortest form whose nearest double is the value; the
+# 'D' suffix keeps the parser in DOUBLE — bare decimals are DECIMAL in
+# Spark SQL, same as DuckDB).
+# ---------------------------------------------------------------------------
+
+def _dlit(x) -> str:
+    """Exact SQL double literal for ``x`` (bit-identical round trip)."""
+    r = repr(float(x))
+    if r in ("inf", "-inf", "nan"):
+        return {"inf": "CAST('Infinity' AS DOUBLE)",
+                "-inf": "CAST('-Infinity' AS DOUBLE)",
+                "nan": "CAST('NaN' AS DOUBLE)"}[r]
+    return r + "D"
+
+
+def _darr(vals) -> str:
+    return "array(" + ", ".join(_dlit(x) for x in vals) + ")"
+
+
+def _vec_sql(col_name: str) -> str:
+    return f"CAST(`{col_name}` AS ARRAY<DOUBLE>)"
+
+
+def _fold_dot_sql(vec_sql: str, arr_sql: str) -> str:
+    """The module's one dot-product fold, as SQL text — the same
+    ``aggregate(zip_with(...))`` nodes (and left-to-right summation
+    order) the Column form built, so every oracle tree still matches."""
+    return (f"aggregate(zip_with({vec_sql}, {arr_sql}, (x, y) -> x * y), "
+            "0.0D, (acc, t) -> acc + t)")
+
+
+def _centroid_scores_sql(vec_sql: str, n_centroids: int, dim: int,
+                         centroids=None) -> str:
     """array<struct(s, cid)>: one score per centroid. argmin of L2
     distance == argmax of (v·c − |c|²/2), so each centroid costs one
     linear ``zip_with``+``aggregate`` fold plus a driver-side constant.
@@ -226,36 +263,24 @@ def _centroid_scores(vec, n_centroids: int, dim: int, centroids=None):
     for c in range(n_centroids):
         comps = list(centroids[c]) if centroids is not None else centroid(c, dim)
         entries.append(
-            F.struct(
-                F.array(*[F.lit(x) for x in comps]).alias("c"),
-                F.lit(sum(x * x for x in comps) / 2.0).alias("h"),
-                F.lit(c).alias("cid"),
-            )
+            f"named_struct('c', {_darr(comps)}, "
+            f"'h', {_dlit(sum(x * x for x in comps) / 2.0)}, 'cid', {c})"
         )
-    table = F.array(*entries)
-
-    def score(s):
-        dot = F.aggregate(
-            F.zip_with(vec, s["c"], lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        return F.struct((dot - s["h"]).alias("s"), s["cid"].alias("cid"))
-
-    return F.transform(table, score)
+    table = "array(" + ", ".join(entries) + ")"
+    return (f"transform({table}, s -> named_struct("
+            f"'s', {_fold_dot_sql(vec_sql, 's.c')} - s.h, 'cid', s.cid))")
 
 
-def _probe_slice(qv, n_centroids: int, dim: int, centroids, n_probe: int):
+def _probe_slice_sql(vec_sql: str, n_centroids: int, dim: int, centroids,
+                     n_probe: int) -> str:
     """Top-``n_probe`` centroid probes as a per-row sorted slice —
     ``array_sort`` on array<struct<s, cid>> orders (s asc, cid asc);
     ``reverse`` gives exactly the probe order (s desc, cid desc). The
     ONE definition of the probe tie-break contract, shared by IVF and
     IVF-PQ so the two paths (and their mirrored oracle SQL) can never
     desynchronize. No window, no exchange on the query side."""
-    return F.slice(
-        F.reverse(F.array_sort(_centroid_scores(qv, n_centroids, dim, centroids))),
-        1, n_probe,
-    )
+    scores = _centroid_scores_sql(vec_sql, n_centroids, dim, centroids)
+    return f"slice(reverse(array_sort({scores})), 1, {n_probe})"
 
 
 def ivf_assign(
@@ -301,8 +326,8 @@ def ivf_assign(
         )
     if impl != "column":
         raise ValueError(f"impl must be 'column' or 'arrow', got {impl!r}")
-    v = F.col(vec_col).cast("array<double>")
-    best = F.array_max(_centroid_scores(v, n_centroids, dim, centroids))
+    best = F.expr("array_max(" + _centroid_scores_sql(
+        _vec_sql(vec_col), n_centroids, dim, centroids) + ")")
     return df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -462,8 +487,8 @@ def ivf_probe_candidates(
     For a large persisted index, serve streams via ``foreachBatch``
     with the BATCH path (probe broadcast + DPP partition pruning);
     that, not this join, is the at-scale streaming route."""
-    qv = F.col(q_vec_col).cast("array<double>")
-    probe_arr = _probe_slice(qv, n_centroids, dim, centroids, n_probe)
+    probe_arr = F.expr(_probe_slice_sql(
+        _vec_sql(q_vec_col), n_centroids, dim, centroids, n_probe))
     probes = queries.select(
         F.col(q_id_col).alias("qid"),
         F.col(q_vec_col).alias("qvec"),
@@ -599,15 +624,30 @@ def pq_encode(
     """
     n_sub = len(codebooks)
     d_sub = len(codebooks[0][0])
-    v = F.col(vec_col).cast("array<double>")
-    codes = []
-    for m in range(n_sub):
-        sub = F.slice(v, m * d_sub + 1, d_sub)
-        best = F.array_max(
-            _centroid_scores(sub, len(codebooks[m]), d_sub, codebooks[m])
-        )
-        codes.append(best["cid"])
-    return df.select(F.col(id_col).alias("id"), F.array(*codes).alias("codes"))
+    v_sql = _vec_sql(vec_col)
+    codes = ", ".join(
+        "array_max(" + _centroid_scores_sql(
+            f"slice({v_sql}, {m * d_sub + 1}, {d_sub})",
+            len(codebooks[m]), d_sub, codebooks[m]) + ").cid"
+        for m in range(n_sub))
+    return df.select(F.col(id_col).alias("id"),
+                     F.expr(f"array({codes})").alias("codes"))
+
+
+def _adc_lut_sql(q_sql: str, codebooks) -> str:
+    """The per-query ADC lookup table ``lut[m][k] = q_sub·c`` as SQL
+    text — the same unrolled array-of-arrays of dot folds the Column
+    form built (one fold per (subspace, code)), one JVM parse instead
+    of ~n_sub·n_codes py4j-assembled folds."""
+    n_codes = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    mats = []
+    for m in range(len(codebooks)):
+        sub = f"slice({q_sql}, {m * d_sub + 1}, {d_sub})"
+        mats.append("array(" + ", ".join(
+            _fold_dot_sql(sub, _darr(codebooks[m][kk]))
+            for kk in range(n_codes)) + ")")
+    return "array(" + ", ".join(mats) + ")"
 
 
 def _adc_score(n_sub: int):
@@ -652,22 +692,9 @@ def pq_topk(
     product, ties to the lower id.
     """
     n_sub = len(codebooks)
-    n_codes = len(codebooks[0])
-    d_sub = len(codebooks[0][0])
 
     enc = pq_encode(corpus, codebooks, vec_col, id_col)
-    qv = F.col(q_vec_col).cast("array<double>")
-
-    def q_dot(m, kk):
-        c = codebooks[m][kk]
-        sub = F.slice(qv, m * d_sub + 1, d_sub)
-        return F.aggregate(
-            F.zip_with(sub, F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-
-    lut = F.array(*[F.array(*[q_dot(m, kk) for kk in range(n_codes)]) for m in range(n_sub)])
+    lut = F.expr(_adc_lut_sql(_vec_sql(q_vec_col), codebooks))
     q = queries.select(
         F.col(q_id_col).alias("q_id"), lut.alias("__lut")
     )
@@ -753,18 +780,18 @@ def ivfpq_encode(
     n_sub = len(codebooks)
     n_codes = len(codebooks[0])
     d_sub = len(codebooks[0][0])
-    v = F.col(vec_col).cast("array<double>")
-    best = F.array_max(_centroid_scores(v, n_centroids, dim, centroids))
-    codes = []
-    for m in range(n_sub):
-        sub = F.slice(v, m * d_sub + 1, d_sub)
-        codes.append(
-            F.array_max(_centroid_scores(sub, n_codes, d_sub, codebooks[m]))["cid"]
-        )
+    v_sql = _vec_sql(vec_col)
+    best = F.expr("array_max(" + _centroid_scores_sql(
+        v_sql, n_centroids, dim, centroids) + ")")
+    codes = ", ".join(
+        "array_max(" + _centroid_scores_sql(
+            f"slice({v_sql}, {m * d_sub + 1}, {d_sub})",
+            n_codes, d_sub, codebooks[m]) + ").cid"
+        for m in range(n_sub))
     return corpus.select(
         F.col(id_col).alias("id"),
         best["cid"].alias("cid"),
-        F.array(*codes).alias("codes"),
+        F.expr(f"array({codes})").alias("codes"),
     )
 
 
@@ -842,27 +869,14 @@ def ivfpq_probe_rank(
     broadcast equi-join dynamically prunes unprobed lists at the file
     level — the serve-at-scale shape."""
     n_sub = len(codebooks)
-    n_codes = len(codebooks[0])
-    d_sub = len(codebooks[0][0])
-    qv = F.col(q_vec_col).cast("array<double>")
-
-    def q_dot(m, kk):
-        c = codebooks[m][kk]
-        sub = F.slice(qv, m * d_sub + 1, d_sub)
-        return F.aggregate(
-            F.zip_with(sub, F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-
-    lut = F.array(
-        *[F.array(*[q_dot(m, kk) for kk in range(n_codes)]) for m in range(n_sub)]
-    )
+    q_sql = _vec_sql(q_vec_col)
+    lut = F.expr(_adc_lut_sql(q_sql, codebooks))
     # one projection computes the ADC lut ONCE per query row alongside
     # the sorted-sliced probe list; the explode then fans out only
     # n_probe rows per query, each carrying the precomputed lut values.
     # No per-probe lut re-evaluation, no window exchange on the query side.
-    probe_arr = _probe_slice(qv, n_centroids, dim, centroids, n_probe)
+    probe_arr = F.expr(_probe_slice_sql(
+        q_sql, n_centroids, dim, centroids, n_probe))
     probes = queries.select(
         F.col(q_id_col).alias("qid"),
         lut.alias("__lut"),
@@ -920,23 +934,10 @@ def ivfpq_rerank_topk(
     the shortlist; with a full probe and a shortlist covering every
     candidate this IS exact top-k — the gate's oracle construction."""
     n_sub = len(codebooks)
-    n_codes = len(codebooks[0])
-    d_sub = len(codebooks[0][0])
-    qv = F.col(q_vec_col).cast("array<double>")
-
-    def q_dot(m, kk):
-        c = codebooks[m][kk]
-        sub = F.slice(qv, m * d_sub + 1, d_sub)
-        return F.aggregate(
-            F.zip_with(sub, F.array(*[F.lit(x) for x in c]), lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-
-    lut = F.array(
-        *[F.array(*[q_dot(m, kk) for kk in range(n_codes)]) for m in range(n_sub)]
-    )
-    probe_arr = _probe_slice(qv, n_centroids, dim, centroids, n_probe)
+    q_sql = _vec_sql(q_vec_col)
+    lut = F.expr(_adc_lut_sql(q_sql, codebooks))
+    probe_arr = F.expr(_probe_slice_sql(
+        q_sql, n_centroids, dim, centroids, n_probe))
     probes = queries.select(
         F.col(q_id_col).alias("qid"),
         lut.alias("__lut"),
@@ -1019,16 +1020,13 @@ def sq_encode(
     reproducible cross-engine."""
     if len(lo) != len(hi):
         raise ValueError(f"lo/hi length mismatch: {len(lo)} vs {len(hi)}")
-    v = F.col(vec_col).cast("array<double>")
-    lo_a = F.array(*[F.lit(x) for x in lo])
-    scale_a = F.array(*[F.lit(float(n_levels) / (h - l)) for l, h in zip(lo, hi)])
-    raw = F.zip_with(F.zip_with(v, lo_a, lambda x, l: x - l), scale_a, lambda d, s: d * s)
-    codes = F.transform(
-        raw,
-        lambda r: F.greatest(
-            F.lit(0), F.least(F.lit(int(n_levels)), F.round(r).cast("int"))
-        ),
-    )
+    v_sql = _vec_sql(vec_col)
+    lo_sql = _darr(lo)
+    scale_sql = _darr([float(n_levels) / (h - l) for l, h in zip(lo, hi)])
+    codes = F.expr(
+        f"transform(zip_with(zip_with({v_sql}, {lo_sql}, (x, l) -> x - l), "
+        f"{scale_sql}, (d, s) -> d * s), "
+        f"r -> greatest(0, least({int(n_levels)}, CAST(round(r) AS INT))))")
     return df.select(F.col(id_col).alias("id"), codes.alias("codes"))
 
 

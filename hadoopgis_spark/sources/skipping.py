@@ -1225,7 +1225,6 @@ def merge_range(
     if overlapping:
         old_df = _read_table(
             spark, path, [os.path.join(path, f) for f in overlapping])
-        replaced = old_df.join(keys, col, "left_semi").count()
         merged = old_df.join(keys, col, "left_anti").unionByName(batch)
     else:
         merged = batch
@@ -1247,11 +1246,27 @@ def merge_range(
          _FORMAT, r.nulls)
         for r in mrows if r.file not in set(overlapping)
     ]
+    fresh_stats = _footer_stats(stage, cols, new)
     fresh = [
         (r["file"], r["rows"], r["col"], r["vtype"], r["vmin"], r["vmax"],
          r["valid"], _FORMAT, r["nulls"])
-        for r in _footer_stats(stage, cols, new)
+        for r in fresh_stats
     ]
+    # replaced-row accounting from metadata, not a Spark job: data files
+    # are immutable, so the manifest's per-file row counts are exact for
+    # the overlapping inputs, the staged footers are exact for the
+    # outputs, and staged = (old - replaced) + batch. The old left-semi
+    # .count() paid one more job per micro-batch for the same integer.
+    # Orphans (on-disk files a crash left without manifest rows) have no
+    # recorded count — footer-read them alongside (driver-side, bounded
+    # by the overlap set, still no Spark job).
+    per_file = {r.file: r.rows for r in mrows if r.file in set(overlapping)}
+    for f in overlapping:
+        if f not in per_file:
+            per_file[f] = _fs.read_metadata(os.path.join(path, f)).num_rows
+    old_rows = sum(per_file.values())
+    staged_rows = sum({r["file"]: r["rows"] for r in fresh_stats}.values())
+    replaced = old_rows - (staged_rows - n_batch)
     _save_manifest(spark, path, keep_manifest + fresh)
     _maybe_crash("manifest")
     for i, name in enumerate(new):
@@ -1327,11 +1342,49 @@ _MANIFEST_SCHEMA = ("file string, rows bigint, col string, vtype string, "
                     "nulls bigint")
 
 
+_MANIFEST_PA_SCHEMA = None  # built lazily (pyarrow import at call time)
+
+
 def _save_manifest(spark: SparkSession, path: str, tuples: list) -> None:
+    """Land the manifest DRIVER-side (pyarrow, no Spark job): the
+    manifest is one row per (file, stat col) — kilobytes — and
+    ``_load_manifest`` already reads it driver-side; writing it through
+    a ``coalesce(1)`` Spark job charged every mutation (save, append,
+    compact, delete, merge, evolve, ingest batch) a fixed job-latency
+    round trip for no distribution benefit. Same visibility semantics
+    as the old ``mode('overwrite')`` (old parts removed, then the new
+    part lands via tmp+rename — the transient no-manifest window the
+    protocol already tolerated, never a duplicate-rows window)."""
+    import pyarrow as pa
+
     _lease.fence(path)  # commit-point fence (no-op when unleased)
-    mdf = spark.createDataFrame(tuples, _MANIFEST_SCHEMA)
-    mdf.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, _MANIFEST_DIR))
+    global _MANIFEST_PA_SCHEMA
+    if _MANIFEST_PA_SCHEMA is None:
+        _MANIFEST_PA_SCHEMA = pa.schema([
+            ("file", pa.string()), ("rows", pa.int64()),
+            ("col", pa.string()), ("vtype", pa.string()),
+            ("vmin", pa.string()), ("vmax", pa.string()),
+            ("valid", pa.bool_()), ("format", pa.int32()),
+            ("nulls", pa.int64()),
+        ])
+    names = _MANIFEST_PA_SCHEMA.names
+    t = pa.Table.from_pylist(
+        [dict(zip(names, tp)) for tp in tuples], schema=_MANIFEST_PA_SCHEMA)
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    _fs.makedirs(mdir)
+    old = [n for n, _, _, isdir in _fs.listdir_stat(mdir)
+           if not isdir and n.endswith(".parquet")
+           and not n.startswith(("_", "."))]
+    import uuid as _uuid
+    target = os.path.join(mdir, f"part-{_uuid.uuid4().hex[:12]}.parquet")
+    tmp = target + ".staging"
+    fs, p = _fs.resolve(tmp)
+    import pyarrow.parquet as _papq
+    with fs.open_output_stream(p) as fh:
+        _papq.write_table(t, fh)
+    for n in old:
+        _fs.remove(os.path.join(mdir, n))
+    _fs.rename(tmp, target)
 
 
 def _write_manifest(spark: SparkSession, path: str, cols: Sequence[str]) -> None:
@@ -2375,9 +2428,23 @@ def build_agg_index(
         for (f, c), (s, n) in sorted(old.items())
         if f in active and not (f in set(missing) and c in set(cols))
     ]
-    mdf = spark.createDataFrame(keep + fresh, _AGG_SCHEMA)
+    # the agg manifest is one row per (file, col) — like the zonemap
+    # manifest it is written DRIVER-side (its reader _load_aggs is
+    # already pyarrow): the rows are in driver memory here anyway, and
+    # the old coalesce(1) Spark write paid one job of fixed latency per
+    # mutation for kilobytes
+    import pyarrow as pa
+    asch = pa.schema([
+        ("file", pa.string()), ("col", pa.string()), ("sum", pa.string()),
+        ("nnn", pa.int64()), ("format", pa.int32()),
+    ])
+    t = pa.Table.from_pylist(
+        [dict(zip(asch.names, tp)) for tp in keep + fresh], schema=asch)
     nxt = os.path.join(path, _AGG_NEXT)
-    mdf.coalesce(1).write.mode("overwrite").parquet(nxt)
+    if _fs.is_dir(nxt):  # leftover staging from a crashed earlier build
+        _fs.rmtree(nxt)
+    _fs.makedirs(nxt)
+    _fs.write_table_atomic(os.path.join(nxt, "part-00000.parquet"), t)
     # two-rename swap (round-9 advisor): rename the old manifest ASIDE,
     # rename the new one IN, then delete the old — the no-manifest
     # window shrinks from an O(files) rmtree to one rename; a crash in

@@ -128,12 +128,44 @@ def save_ivf_index(
         f"{base}/vectors"
     )
     meta = json.dumps({"dim": dim, "n_centroids": n_centroids, "format": 2})
-    cdf = spark.createDataFrame(
-        [(i, list(map(float, c)), meta) for i, c in enumerate(centroids)],
-        "cid int, c array<double>, meta string",
-    )
-    cdf.coalesce(1).write.mode("overwrite").parquet(f"{base}/centroids")
+    _write_centroids(f"{base}/centroids", centroids, meta)
     return centroids
+
+
+def _write_centroids(cdir: str, centroids, meta: str) -> None:
+    """Land the tiny centroids table (n_centroids rows) DRIVER-side —
+    pyarrow write + an explicit ``_SUCCESS`` marker (the refit-settle
+    protocol's completion signal, previously Spark's own marker). The
+    old ``coalesce(1)`` Spark write paid one job of fixed latency per
+    index build for kilobytes; loads are driver-side too
+    (:func:`_read_centroids`), so serving an indexed query no longer
+    runs a metadata Spark job either."""
+    import pyarrow as pa
+
+    sch = pa.schema([
+        ("cid", pa.int32()), ("c", pa.list_(pa.float64())),
+        ("meta", pa.string()),
+    ])
+    t = pa.Table.from_pylist(
+        [{"cid": i, "c": [float(x) for x in c], "meta": meta}
+         for i, c in enumerate(centroids)], schema=sch)
+    if _fs.is_dir(cdir):  # overwrite semantics of the old Spark write
+        _fs.rmtree(cdir)
+    _fs.makedirs(cdir)
+    _fs.write_table_atomic(f"{cdir}/part-00000.parquet", t)
+    _fs.write_bytes_atomic(f"{cdir}/_SUCCESS", b"")
+
+
+def _read_centroids(cdir: str):
+    """(centroids, meta dict) from the centroids table — driver-side
+    pyarrow read (kilobytes), sorted by cid. Reads Spark-written
+    (pre-round-13) and pyarrow-written tables alike."""
+    parts = [f"{cdir}/{n}" for n in _fs.listdir(cdir)
+             if n.endswith(".parquet") and not n.startswith(("_", "."))]
+    d = _fs.read_table(parts).to_pydict()
+    rows = sorted(zip(d["cid"], d["c"], d["meta"]), key=lambda r: r[0])
+    meta = json.loads(rows[0][2])
+    return [list(c) for _, c, _ in rows], meta
 
 
 def _settle_refit(base: str) -> None:
@@ -162,10 +194,7 @@ def load_ivf_index(spark: SparkSession, name: str, root: str | None = None):
     inline them as literals, same as the live path."""
     base = f"{root or _index_root(spark)}/{name}"
     _settle_refit(base)
-    crows = spark.read.parquet(f"{base}/centroids").collect()
-    crows.sort(key=lambda r: r.cid)
-    meta = json.loads(crows[0].meta)
-    centroids = [list(r.c) for r in crows]
+    centroids, meta = _read_centroids(f"{base}/centroids")
     corpus = spark.read.parquet(f"{base}/vectors")
     return corpus, centroids, meta
 
@@ -402,21 +431,14 @@ def save_ivfpq_index(
             "codebooks": [[list(map(float, c)) for c in book] for book in codebooks],
         }
     )
-    cdf = spark.createDataFrame(
-        [(i, list(map(float, c)), meta) for i, c in enumerate(centroids)],
-        "cid int, c array<double>, meta string",
-    )
-    cdf.coalesce(1).write.mode("overwrite").parquet(f"{base}/centroids")
+    _write_centroids(f"{base}/centroids", centroids, meta)
     return centroids
 
 
 def load_ivfpq_index(spark: SparkSession, name: str, root: str | None = None):
     """(codes(id, codes, cid), centroids, codebooks, meta)."""
     base = f"{root or _index_root(spark)}/{name}"
-    crows = spark.read.parquet(f"{base}/centroids").collect()
-    crows.sort(key=lambda r: r.cid)
-    meta = json.loads(crows[0].meta)
-    centroids = [list(r.c) for r in crows]
+    centroids, meta = _read_centroids(f"{base}/centroids")
     codes = spark.read.parquet(f"{base}/codes")
     return codes, centroids, meta["codebooks"], meta
 

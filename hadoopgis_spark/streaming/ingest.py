@@ -58,8 +58,6 @@ def ingest_batch_sorted(df: DataFrame, batch_id: int, path: str,
     reads touch only this batch's files (O(batch), not O(table)), and
     a layout clustered on a different column refuses — the same
     guards as ``append_range_sorted``."""
-    if df.isEmpty():
-        return
     spark = df.sparkSession
     cols = [order_col]
     existing = _fs.is_dir(os.path.join(path, "_hgs_manifest"))
@@ -74,6 +72,18 @@ def ingest_batch_sorted(df: DataFrame, batch_id: int, path: str,
         (df.repartitionByRange(n_files, F.col(order_col))
            .sortWithinPartitions(order_col)
            .write.mode("overwrite").parquet(staging))
+    # empty-batch check from the STAGED footers (driver-side, no job):
+    # the old df.isEmpty() pre-check cost one Spark job on EVERY batch
+    # to save a tiny write job on the rare empty one — footer row
+    # counts answer it for free after the write, and an empty stage is
+    # simply discarded before the table is touched
+    staged_rows = sum(
+        _fs.read_metadata(os.path.join(staging, n)).num_rows
+        for n in _fs.listdir(staging)
+        if n.endswith(".parquet") and not n.startswith(("_", ".")))
+    if staged_rows == 0:
+        _fs.rmtree(staging)
+        return
     _fs.makedirs(path)
     prefix = f"b{batch_id}-"
     for name in _fs.listdir(path):
@@ -160,14 +170,17 @@ def ingest_batch_merge(df: DataFrame, batch_id: int, path: str,
     signature and ignored. Single-writer per table, like every
     maintenance op in the skipping module. Batch keys must be non-null
     (merge_range refuses) — CDC keys are primary keys."""
-    if df.isEmpty():
-        return
     spark = df.sparkSession
     from hadoopgis_spark.sources.skipping import (merge_range,
                                                   save_range_sorted)
     if _fs.is_dir(os.path.join(path, "_hgs_manifest")):
+        # no isEmpty pre-check on the merge path: merge_range's own
+        # bounds aggregate detects an empty batch and no-ops, so the
+        # pre-check was a pure extra Spark job per micro-batch
         merge_range(spark, path, df, key_col, n_files=n_files)
     else:
+        if df.isEmpty():  # an empty FIRST batch must not create a layout
+            return
         # a crash between the first batch's data write and its manifest
         # write leaves a manifest-less directory; the retry lands here
         # again and save's overwrite mode clears it — exactly-once
