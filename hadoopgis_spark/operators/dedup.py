@@ -468,6 +468,12 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # ONE action per round (round 13; was three — checkpoint job,
+        # a join-based diff, an isEmpty): the new label row carries its
+        # own did-it-change flag, the checkpoint is LAZY, and the
+        # convergence count both materializes the checkpointed frame
+        # (an action on any child computes the full parent RDD once)
+        # and answers the stop test.
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -475,17 +481,14 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 15) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label"))
+                 < F.col("label")).alias("_chg"),
             )
-            .transform(durable_checkpoint)
+            .transform(lambda d: durable_checkpoint(d, eager=False))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .isEmpty()
-        )
-        labels = new_labels
-        if changed:
+        n_changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if n_changed == 0:
             break
     return labels.select("id", F.col("label").alias("cluster"))
 

@@ -269,18 +269,48 @@ def knn_join(
         )
 
     # ---- exact mode: two-round tile formulation (no data×data NLJ) -----
-    bx0, by0, bx1, by1, n_b = space_extent(b.select(*MBB_COLS))
-    if n_b == 0:
-        return _empty(a, b, sfx1, sfx2)
-    space_area = max((bx1 - bx0) * (by1 - by0), 1e-12)
+    # ONE side-tagged aggregate carries b's extent/count (radius
+    # heuristics), the union extent/count, AND the degenerate-box check
+    # (round 13: this used to be two sequential jobs — space_extent(b)
+    # then extent_and_spans(union) — i.e. two full passes over b)
     mbb_union = a.select(*MBB_COLS) if self_join else (
         a.select(*MBB_COLS).unionByName(b.select(*MBB_COLS))
     )
-    # one aggregate carries the union extent AND the degenerate-box
-    # check (same job count as the old space_extent call): when every
-    # box is a point, the MBB bounds coincide with the true distance,
-    # which unlocks the round-2 skip below
-    ext = extent_and_spans(mbb_union)
+    if self_join:
+        ext = extent_and_spans(mbb_union)
+        brow = ext
+    else:
+        tagged = (
+            a.select(*MBB_COLS).withColumn("_side", F.lit(0))
+            .unionByName(b.select(*MBB_COLS).withColumn("_side", F.lit(1)))
+        )
+        srows = {
+            int(r[0]): tuple(r)[1:]
+            for r in tagged.groupBy("_side").agg(
+                F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax"),
+                F.count(F.lit(1)),
+                F.max(F.col("xmax") - F.col("xmin")),
+                F.max(F.col("ymax") - F.col("ymin")),
+            ).collect()
+        }
+        brow = srows.get(1)
+        if brow is None:  # b empty
+            return _empty(a, b, sfx1, sfx2)
+        arow = srows.get(0)
+        present = [r for r in (arow, brow) if r is not None]
+        ext = (
+            min(r[0] for r in present), min(r[1] for r in present),
+            max(r[2] for r in present), max(r[3] for r in present),
+            sum(int(r[4]) for r in present),
+            max(float(r[5] or 0.0) for r in present),
+            max(float(r[6] or 0.0) for r in present),
+        )
+    n_b = int(brow[4])
+    if n_b == 0:
+        return _empty(a, b, sfx1, sfx2)
+    bx0, by0, bx1, by1 = (float(brow[0]), float(brow[1]),
+                          float(brow[2]), float(brow[3]))
+    space_area = max((bx1 - bx0) * (by1 - by0), 1e-12)
     n_total = int(ext[4])
     if n_total == 0:
         return _empty(a, b, sfx1, sfx2)

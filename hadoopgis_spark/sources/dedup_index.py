@@ -23,6 +23,7 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hadoopgis_spark.sources import fsio as _fs
 from hadoopgis_spark.sources import lease as _lease
 from pyspark.sql import functions as F
 
@@ -96,12 +97,23 @@ def save_dedup_index(
     agg.repartition("band_idx").write.mode("overwrite").partitionBy(
         "band_idx"
     ).parquet(f"{base}/bands")
-    meta = json.dumps(
-        {"n_hashes": n_hashes, "n_bands": n_bands, "shingle_n": shingle_n}
-    )
-    spark.createDataFrame([(meta,)], "meta string").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{base}/meta")
+    # band parameters are a dozen bytes of driver-known JSON — land
+    # them driver-side (the old one-row coalesce(1) Spark write paid a
+    # fixed job-latency round trip per index build)
+    _fs.write_bytes_atomic(
+        f"{base}/meta.json",
+        json.dumps(
+            {"n_hashes": n_hashes, "n_bands": n_bands, "shingle_n": shingle_n}
+        ).encode())
+
+
+def _load_meta(spark: SparkSession, base: str) -> dict:
+    """Band parameters: driver-side ``meta.json`` (round 13), falling
+    back to the pre-round-13 one-row Spark-parquet ``meta`` dir so an
+    index persisted by older code keeps probing."""
+    if _fs.exists(f"{base}/meta.json"):
+        return json.loads(_fs.read_bytes(f"{base}/meta.json"))
+    return json.loads(spark.read.parquet(f"{base}/meta").collect()[0].meta)
 
 
 def dedup_against_index(
@@ -123,7 +135,7 @@ def dedup_against_index(
     base = f"{root or _dedup_root(spark)}/{name}"
     idx = spark.read.parquet(f"{base}/bands").select("band_idx", "key")
     if bands is None:
-        meta = json.loads(spark.read.parquet(f"{base}/meta").collect()[0].meta)
+        meta = _load_meta(spark, base)
         bands = minhash_band_rows(
             new_df, text_col, id_col,
             meta["n_hashes"], meta["n_bands"], meta["shingle_n"],

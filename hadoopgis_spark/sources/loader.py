@@ -29,10 +29,9 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hadoopgis_spark.functions import boxes as B
 from hadoopgis_spark.operators.containment import parse_window
 from hadoopgis_spark.sources import fsio as _fs
-from hadoopgis_spark.operators.mbb import MBB_COLS, space_extent, with_mbb
+from hadoopgis_spark.operators.mbb import MBB_COLS, extent_and_spans, with_mbb
 from hadoopgis_spark.operators.spatial_join import default_bucket_size
 from hadoopgis_spark.operators.tile import sample_mbbs, tiles_dataframe
 from hadoopgis_spark.partition import partition_tiles
@@ -75,9 +74,15 @@ def save_partitioned(
         from hadoopgis_spark.functions.spatial import st_as_wkb
 
         df = df.withColumn(geom_col, st_as_wkb(F.col(geom_col)))
-    x0, y0, x1, y1, n = space_extent(df.select(*MBB_COLS))
+    # ONE aggregate pass carries extent + count + max object width/
+    # height (the boundary pad stored in the metadata) — this used to be
+    # two sequential jobs (space_extent, then a dedicated max-span agg)
+    ext = extent_and_spans(df.select(*MBB_COLS))
+    n = int(ext[4])
     if n == 0:
         raise ValueError("cannot save an empty dataset")
+    x0, y0, x1, y1 = float(ext[0]), float(ext[1]), float(ext[2]), float(ext[3])
+    max_w, max_h = float(ext[5]), float(ext[6])
     bucket = bucket_size or default_bucket_size(n, spark)
     sample = sample_mbbs(df.select(*MBB_COLS), n, max_sample)
     scaled = max(1, int(bucket * min(1.0, max_sample / n)))
@@ -95,11 +100,6 @@ def save_partitioned(
         "inner",
     ).drop("t_xmin", "t_ymin", "t_xmax", "t_ymax")
 
-    pad = df.agg(
-        F.max(F.col("xmax") - F.col("xmin")).alias("w"),
-        F.max(F.col("ymax") - F.col("ymin")).alias("h"),
-    ).collect()[0]
-
     # co-locate each tile's rows before the write: one parquet file per
     # tile directory instead of (writer tasks × tiles) shards — the
     # at-scale small-files fix, and the write shuffle is bounded by
@@ -112,17 +112,52 @@ def save_partitioned(
         "bucket_size": bucket,
         "geom_col": geom_col if wkt_mode else None,
         "geom_format": "wkb" if store_wkb else ("wkt" if wkt_mode else None),
-        "max_obj_w": float(pad.w),
-        "max_obj_h": float(pad.h),
+        "max_obj_w": max_w,
+        "max_obj_h": max_h,
         "n_tiles": len(tiles),
     }
-    tiles_df.write.mode("overwrite").parquet(f"{path}/_hgs_meta/tiles")
+    _write_tiles_table(f"{path}/_hgs_meta/tiles", tiles)
     # write info JSON through the JVM-free driver-side path (fsio —
     # local or object store alike)
     _fs.makedirs(f"{path}/_hgs_meta")
     _fs.write_bytes_atomic(f"{path}/_hgs_meta/info.json",
                            json.dumps(meta).encode())
     return meta
+
+
+def _write_tiles_table(tdir: str, tiles) -> None:
+    """Land the KB-sized tile table DRIVER-side (pyarrow) — the rows
+    are a driver list already (``partition_tiles`` output), so the old
+    Spark write paid one fixed-latency job per save for kilobytes.
+    Same directory layout as the old Spark write: pyarrow and Spark
+    readers both accept it."""
+    import pyarrow as pa
+
+    sch = pa.schema([
+        ("tile_id", pa.string()), ("t_xmin", pa.float64()),
+        ("t_ymin", pa.float64()), ("t_xmax", pa.float64()),
+        ("t_ymax", pa.float64()),
+    ])
+    t = pa.Table.from_pylist(
+        [{"tile_id": tt[0], "t_xmin": float(tt[1]), "t_ymin": float(tt[2]),
+          "t_xmax": float(tt[3]), "t_ymax": float(tt[4])} for tt in tiles],
+        schema=sch)
+    if _fs.is_dir(tdir):  # overwrite semantics of the old Spark write
+        _fs.rmtree(tdir)
+    _fs.makedirs(tdir)
+    _fs.write_table_atomic(f"{tdir}/part-00000.parquet", t)
+
+
+def _read_tiles_table(tdir: str):
+    """Tile rows [(tile_id, x0, y0, x1, y1), ...] — driver-side pyarrow
+    read (kilobytes; reads Spark-written pre-round-13 dirs and pyarrow
+    dirs alike). Window pruning over this list is pure Python: a tile
+    probe must cost microseconds, not a Spark job."""
+    parts = [f"{tdir}/{n}" for n in _fs.listdir(tdir)
+             if n.endswith(".parquet") and not n.startswith(("_", "."))]
+    d = _fs.read_table(parts).to_pydict()
+    return list(zip(d["tile_id"], d["t_xmin"], d["t_ymin"],
+                    d["t_xmax"], d["t_ymax"]))
 
 
 def load_partitioned(
@@ -142,15 +177,14 @@ def load_partitioned(
         return df
     _, (wx0, wy0, wx1, wy1) = parse_window(window)
     pw = (wx0 - meta["max_obj_w"], wy0 - meta["max_obj_h"], wx1, wy1)
-    tiles = spark.read.parquet(f"{path}/_hgs_meta/tiles")
+    # driver-side tile prune (same closed-box test as boxes.
+    # box_intersects): the tile table is KBs and already bounded by the
+    # partitioner sample, so probing it through a Spark job charged a
+    # fixed-latency round trip per windowed read
     keep = [
-        r.tile_id
-        for r in tiles.filter(
-            B.box_intersects(
-                F.col("t_xmin"), F.col("t_ymin"), F.col("t_xmax"), F.col("t_ymax"),
-                F.lit(pw[0]), F.lit(pw[1]), F.lit(pw[2]), F.lit(pw[3]),
-            )
-        ).collect()
+        tid
+        for tid, tx0, ty0, tx1, ty1 in _read_tiles_table(f"{path}/_hgs_meta/tiles")
+        if tx0 <= pw[2] and pw[0] <= tx1 and ty0 <= pw[3] and pw[1] <= ty1
     ]
     pruned = df.filter(F.col("tile_id").isin(keep))
     from hadoopgis_spark.operators.containment import containment

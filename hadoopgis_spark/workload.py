@@ -57,6 +57,25 @@ _spread_memo: dict[tuple[str, str], str] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Source table as a DataFrame. The built frame is memoized per
+    (session, sf, table): ``spark.read.parquet`` runs schema inference
+    (directory listing + a footer read) on EVERY call, and the registry
+    calls ``_t`` hundreds of times per bench session — reusing the
+    immutable DataFrame object reuses the resolved logical plan the way
+    a registered table would. No DATA is cached or persisted: every
+    action still scans the parquet inputs."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _df_memo.get(key)
+    if df is None:
+        df = _t_build(spark, sf_dir, name)
+        _df_memo[key] = df
+    return df
+
+
+_df_memo: dict[tuple, DataFrame] = {}
+
+
+def _t_build(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) (readable only
         # as a raw long under nanosAsLong) and as TIMESTAMP(MICROS)
