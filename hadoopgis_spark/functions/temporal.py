@@ -226,6 +226,8 @@ def multi_interval_join(
             "interval rows duplicate object ids, which breaks the tile "
             "engine's unique-id self-join dedup)"
         )
+    from hadoopgis_spark.materialize import durable_checkpoint
+
     az = a.select(*[c for c in a.columns if c != intervals_col],
                   F.explode(intervals_col).alias("__iv"))
     az = az.select(*[c for c in az.columns if c != "__iv"],
@@ -234,6 +236,15 @@ def multi_interval_join(
                   F.explode(intervals_col).alias("__iv"))
     bz = bz.select(*[c for c in bz.columns if c != "__iv"],
                    F.col("__iv.start").alias("__ms"), F.col("__iv.end").alias("__me"))
+    # materialize each exploded side ONCE: the 1-D tile engine scans
+    # its inputs three times (extent aggregate, partitioner sample,
+    # the join itself), and a TemporalObject table is typically the
+    # output of a collect-per-key aggregation — without the checkpoint
+    # every scan re-runs that upstream shuffle (round 13; measured 3×
+    # the groupBy+collect_list work per query at sf0.1, and at scale
+    # it is three full passes over the event history instead of one)
+    az = durable_checkpoint(az)
+    bz = durable_checkpoint(bz)
     out = interval_join(az, bz, start_col="__ms", end_col="__me", **spatial_kwargs)
     sfx1, sfx2 = spatial_kwargs.get("suffixes", ("_1", "_2"))
     drop = [f"__ms{sfx1}", f"__me{sfx1}", f"__ms{sfx2}", f"__me{sfx2}", "__ms", "__me"]
