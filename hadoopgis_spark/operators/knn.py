@@ -392,7 +392,15 @@ def knn_join(
         per-object degree pad first."""
         wrapped = False
         if geography and not (isinstance(pad, (int, float)) and pad == 0):
-            pad = B.geo_degree_pad(pad, F.col(m1[1]), F.col(m1[3]))
+            # materialize the meters→degrees pad ONCE per probe row
+            # (round 13): as a bare Column the trig re-evaluated per
+            # (row × tile) candidate in the assignment's broadcast
+            # range join; identical values, one carried double instead
+            aa = aa.withColumn(
+                "_hgs_pad",
+                B.geo_degree_pad(pad, F.col(m1[1]), F.col(m1[3])),
+            )
+            pad = F.col("_hgs_pad")
             if wrap_geo:
                 aa = wrap_antimeridian(aa, pad, tuple(m1), (bx0, bx1))
                 wrapped = True

@@ -286,11 +286,16 @@ def spatial_join(
     # dedup pad must be the SAME expression — exactly-once emission
     # relies on the refpoint of the padded intersection lying in a tile
     # both sides were multicast to
-    pad_a = (
-        B.geo_degree_pad(F.lit(pad), F.col(m1_names[1]), F.col(m1_names[3]))
-        if geo_dwithin and pad
-        else pad
-    )
+    # round 13 (guide §2.3 "compute once, shuffle the value"): the
+    # meters→degrees pad is a trig expression of A's latitude only, yet
+    # as a bare Column it re-evaluated per (row × tile) candidate in the
+    # assignment's broadcast range join AND per candidate pair in the
+    # pair join / wrap / refpoint filters. Materialize it ONCE per A row
+    # as a real column before anything references it — identical values
+    # (same expression over the same inputs), one double carried through
+    # the shuffle instead of per-candidate trig.
+    geo_pad_col = geo_dwithin and bool(pad)
+    pad_a = F.col("_hgs_pad") if geo_pad_col else pad
     # antimeridian wrap (round-12 verdict fix): when the lon span exceeds
     # 180° a true pair's nearer representation may be the wrapped one —
     # multicast ±360° copies of seam-reaching A rows (originals stashed);
@@ -298,6 +303,11 @@ def spatial_join(
     # keeping regional plans byte-identical
     wrap = bool(geo_dwithin and pad and (float(x1) - float(x0)) > 180.0)
     a1 = _suffix_all(a, sfx1)
+    if geo_pad_col:
+        a1 = a1.withColumn(
+            "_hgs_pad",
+            B.geo_degree_pad(F.lit(pad), F.col(m1_names[1]), F.col(m1_names[3])),
+        )
     if wrap:
         a1 = wrap_antimeridian(a1, pad_a, m1_names, (float(x0), float(x1)))
     at = assign_tiles(a1, tiles_df, pad=pad_a, mbb_cols=m1_names)
@@ -412,8 +422,14 @@ def _broadcast_join(
         ext = extent_and_spans(mbb_union)
         require_points_geo(ext, "spatial_join(geography=True)")
         if geo_dwithin and pad:
-            # meters → conservative per-row degree pad (see spatial_join)
-            pad_a = B.geo_degree_pad(F.lit(pad), F.col(m1[1]), F.col(m1[3]))
+            # meters → conservative per-row degree pad, materialized
+            # once per A row (same round-13 note as the tile path: as a
+            # bare Column the trig re-evaluated per |A|×|B| candidate)
+            at = at.withColumn(
+                "_hgs_pad",
+                B.geo_degree_pad(F.lit(pad), F.col(m1[1]), F.col(m1[3])),
+            )
+            pad_a = F.col("_hgs_pad")
             geo_wrap = (
                 int(ext[4]) > 0 and float(ext[2]) - float(ext[0]) > 180.0
             )

@@ -2210,12 +2210,22 @@ REL_PIVOT_SQL = """
 
 
 def rel_percentiles(spark, sf):
-    """Exact percentiles (linear interpolation) per group."""
+    """Exact percentiles (linear interpolation) per group.
+
+    ONE ``percentile(col, array(...))`` buffer instead of three scalar
+    calls (round 13): the scalar form built three IDENTICAL value→count
+    maps per group — and the partial aggregate pushes below any
+    repartition into the single-row-group scan stage, so that work ran
+    single-threaded three times. The array form shares one map; element
+    k is computed by the same interpolation on the same sorted counts,
+    so the values are bit-identical to the scalar calls'."""
     l = _t(spark, sf, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    p = F.expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))")
+    return l.groupBy("l_returnflag").agg(p.alias("_p")).select(
+        "l_returnflag",
+        F.round(F.col("_p")[0], 4).alias("p50"),
+        F.round(F.col("_p")[1], 4).alias("p90"),
+        F.round(F.col("_p")[2], 4).alias("p99"),
     )
 
 
@@ -2235,10 +2245,17 @@ def rel_percentiles_approx(spark, sf):
     records a rows-only check; the accuracy bound vs the exact operator
     is pinned by TestApproxPercentiles."""
     l = _t(spark, sf, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50"),
-        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90"),
-        F.expr("approx_percentile(l_extendedprice, 0.99, 10000)").alias("p99"),
+    # one shared sketch for all three quantiles (same round-13 note as
+    # rel_percentiles: three scalar calls maintained three identical
+    # t-digests in the single-threaded scan-stage partial aggregate)
+    p = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)"
+    )
+    return l.groupBy("l_returnflag").agg(p.alias("_p")).select(
+        "l_returnflag",
+        F.col("_p")[0].alias("p50"),
+        F.col("_p")[1].alias("p90"),
+        F.col("_p")[2].alias("p99"),
     )
 
 
