@@ -225,7 +225,26 @@ def knn_join(
         bt = assign_tiles(_suffix_all(b, sfx2), tiles_df, mbb_cols=tuple(m2)).drop(
             "t_xmin", "t_ymin", "t_xmax", "t_ymax"
         )
-        pairs = at.join(bt, "tile_id")
+        # degenerate single-tile layouts (bucket >= n: the reference's
+        # "one covering tile" semantics) hash every row to ONE key, so
+        # the equi-join runs its whole cross product on one core.
+        # Broadcasting the b side turns it into a parallel broadcast
+        # hash join — same pairs, no single-reducer skew. Guarded by
+        # the broadcast row threshold (n_total bounds |b|); bigger
+        # single-tile data keeps the shuffle join and its known skew.
+        bcast_cap = int(a.sparkSession.conf.get(
+            "hgs.broadcastRowThreshold", "5000")) * 100
+        if len(tiles) == 1 and n_total <= bcast_cap:
+            # hash-repartition the probe side first: with one tile the
+            # join inherits the scan's partitioning (often a single
+            # row-group file = ONE task), and the broadcast join's
+            # whole candidate cross product would run on that one core
+            parts = int(a.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "32"))
+            pairs = at.repartition(parts, F.col(idc1)).join(
+                F.broadcast(bt), "tile_id")
+        else:
+            pairs = at.join(bt, "tile_id")
         if self_join:
             pairs = pairs.filter(F.col(idc1) != F.col(idc2))
         if geography:

@@ -561,7 +561,13 @@ SP_JOIN_SELF_SQL = f"""
 def sp_dwithin_points(spark, sf):
     """J5: distance self-join on points (euclidean, d=3)."""
     p = event_points(spark, sf)
-    j = spatial_join(p, None, "st_dwithin", distance=3.0, bucket_size=1500, stats=["mindist"])
+    # bucket 200 (round 13): per-tile candidate work is quadratic in the
+    # bucket, so the old bucket=1500 paid ~67 tiles x 1500^2 box tests;
+    # measured warm A/B at sf0.1: 1500->3.66s, 781 (engine default)->
+    # 3.06s, 400->2.30s, 200->2.07s, 100->1.92s (diminishing: multicast
+    # overhead grows as tiles shrink toward the 3.0 pad). Results are
+    # tiling-invariant (refpoint dedup) — oracle-verified at both SFs.
+    j = spatial_join(p, None, "st_dwithin", distance=3.0, bucket_size=200, stats=["mindist"])
     return j.select("id_1", "id_2", F.col("mindist").alias("dist"))
 
 
