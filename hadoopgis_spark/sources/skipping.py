@@ -109,6 +109,12 @@ _VERSIONS_DIR = "_hgs_versions"  # v{N}.json snapshots (time travel)
 _RETIRED_DIR = "_hgs_retired"  # legacy moved-file tier (pre-round-13)
 _RETIRED_LEDGER = "_hgs_retired.json"  # in-place retirement ledger
 _SCHEMA_FILE = "_hgs_schema.json"  # evolved-schema record (add-column)
+
+# path -> StructType of the table's inferred schema (round 13): spares
+# the per-read footer-inference Spark job. Exact because appends are
+# schema-guarded to equality and compact/delete/merge rewrite the same
+# schema; save_* overwrites and evolve_* records invalidate explicitly.
+_SCHEMA_MEMO: dict = {}
 # format 2 adds per-(file, col) null counts (enables metadata-only
 # counts via count_range); format-1 manifests load with nulls=unknown
 # — everything still prunes, only the metadata-count fast path treats
@@ -214,20 +220,36 @@ def _read_table(spark: SparkSession, path: str,
         st = StructType.fromJson(rec["schema"])
         masked = {c: set(ns) for c, ns in (rec.get("masked") or {}).items()
                   if ns}
-    reader = spark.read if st is None else spark.read.schema(st)
+    pin = st
+    if pin is None:
+        # schema memo (round 13): without an evolution record every read
+        # re-inferred the schema from a sampled footer — one 1-task
+        # Spark job per call, several per storage gate. A managed
+        # table's schema only changes through save_* overwrites (which
+        # invalidate below) or evolve_* (which write the record handled
+        # above): appends are schema-guarded to equality and compaction/
+        # delete/merge rewrite the same schema, so pinning the first
+        # inference is exact and every later read is job-free.
+        pin = _SCHEMA_MEMO.get(path)
+    reader = spark.read if pin is None else spark.read.schema(pin)
+    def _pinning(df: DataFrame) -> DataFrame:
+        if pin is None:
+            _SCHEMA_MEMO[path] = df.schema  # one inference, then job-free
+        return df
+
     if files is None:
         if _retired_ledger(path) or masked:
             act = sorted(_active_files(path))
             if not act:
                 # every data file retired: schema-only empty frame (the
                 # retired footers still carry the physical schema)
-                return reader.parquet(path).filter(F.lit(False))
+                return _pinning(reader.parquet(path)).filter(F.lit(False))
             files = [os.path.join(path, f) for f in act]
         else:
-            return reader.parquet(path)
+            return _pinning(reader.parquet(path))
     files = list(files)
     if st is None or not masked:
-        return reader.parquet(*files)
+        return _pinning(reader.parquet(*files))
     import collections
 
     from pyspark.sql.types import StructType
@@ -463,6 +485,10 @@ def _mutator(op: str):
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             path = sig.bind(*args, **kwargs).arguments["path"]
+            if op in ("save", "evolve"):
+                # a fresh save may change the schema outright; evolve_*
+                # writes the pinning record the read path prefers anyway
+                _SCHEMA_MEMO.pop(path, None)
             with _lease.writer_lease(path, op=op):
                 return fn(*args, **kwargs)
 
