@@ -322,10 +322,17 @@ def asof_join_bucketed(
     # one side alone would CLAMP the other side's out-of-range rows into
     # the edge buckets — correct (clamping is monotone) but it silently
     # re-concentrates the hot key the whole strategy exists to split
-    lb = left.agg(F.min(on).alias("lo"), F.max(on).alias("hi")).collect()[0]
-    rb = right.agg(F.min(on).alias("lo"), F.max(on).alias("hi")).collect()[0]
-    lo = min((x for x in (lb.lo, rb.lo) if x is not None), default=None)
-    hi = max((x for x in (lb.hi, rb.hi) if x is not None), default=None)
+    # ONE union aggregate for both sides' bounds (round 13: two
+    # sequential per-side collects paid two fixed-latency jobs — and at
+    # scale two passes — for four scalars; min/max skip nulls, so the
+    # union's bounds equal the old min-of-mins/max-of-maxes exactly)
+    brow = (
+        left.select(F.col(on).alias("__t"))
+        .unionByName(right.select(F.col(on).alias("__t")))
+        .agg(F.min("__t").alias("lo"), F.max("__t").alias("hi"))
+        .collect()[0]
+    )
+    lo, hi = brow.lo, brow.hi
     if lo is None or lo == hi:
         return asof_join(left, right, on, by, "backward", tolerance, suffix)
     if not isinstance(lo, (int, float)):

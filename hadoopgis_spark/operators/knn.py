@@ -376,9 +376,12 @@ def knn_join(
 
     at = _suffix_all(a, sfx1)
     # b's tile assignment is reused by every round — checkpoint once
+    # LAZY checkpoint (round 13): the first consumer is u.count()'s full
+    # shuffle, which materializes every bt partition in that same job —
+    # an eager checkpoint paid one extra fixed-latency job for nothing
     bt = assign_tiles(_suffix_all(b, sfx2), tiles_df, mbb_cols=tuple(m2)).drop(
         "t_xmin", "t_ymin", "t_xmax", "t_ymax"
-    ).transform(durable_checkpoint)
+    ).transform(lambda d: durable_checkpoint(d, eager=False))
     sel_cols = at.columns + [c for c in bt.columns if c != "tile_id"]
     # lo = provable LOWER bound on the ranking distance (planar: box
     # distance; geography: the exact haversine itself — points only)
@@ -476,13 +479,17 @@ def knn_join(
     )
     c1 = c1.select(*sel_cols, "_thi").dropDuplicates([idc1, idc2])
     if single_tile_points:
-        c1 = durable_checkpoint(c1)  # consumed by u AND the fast path
+        # consumed by u AND the fast path; lazy — u.count() materializes
+        c1 = durable_checkpoint(c1, eager=False)
     w = Window.partitionBy(idc1).orderBy(F.col("_thi").asc(), F.col(idc2).asc())
     u = (
         c1.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == k)
         .select(idc1, F.col("_thi").alias("_u"))
-        .transform(durable_checkpoint)  # consumed by join AND anti-join
+        # consumed by join AND anti-join; lazy — the n_u count directly
+        # below is a FULL materialization, so the eager checkpoint's
+        # separate job was pure fixed latency
+        .transform(lambda d: durable_checkpoint(d, eager=False))
     )
 
     # ONE bounded count over the (checkpointed) u frame — with n_a
@@ -558,7 +565,12 @@ def knn_join(
             .withColumn("_shi", hi_dist())
         )
         if n_strag:
-            c2 = durable_checkpoint(c2)  # 4 consumers below
+            # 4 consumers below. Lazy only when the merged probe swept
+            # the whole space (no expansion loop): the final action then
+            # fully materializes it. With a live loop the first touch is
+            # remaining.isEmpty() — a partial take whose lazy-checkpoint
+            # completion job would cancel the saving — so stay eager.
+            c2 = durable_checkpoint(c2, eager=r_strag < diag)
             parts.append(
                 c2.filter(F.col("_proven")).select(*sel_cols))
             unproven = c2.filter(~F.col("_proven"))
