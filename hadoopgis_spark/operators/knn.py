@@ -58,9 +58,8 @@ from hadoopgis_spark.functions import spatial as S
 from hadoopgis_spark.materialize import durable_checkpoint
 from hadoopgis_spark.operators.mbb import (
     MBB_COLS,
-    extent_and_spans,
+    extent_count_sample,
     require_points_geo,
-    space_extent,
     with_mbb,
 )
 from hadoopgis_spark.operators.spatial_join import _suffix_all, default_bucket_size
@@ -203,19 +202,22 @@ def knn_join(
         mbb_union = a.select(*MBB_COLS) if self_join else (
             a.select(*MBB_COLS).unionByName(b.select(*MBB_COLS))
         )
+        # ONE pass when the footer row bound proves the frame fits the
+        # sample budget (extent_count_sample); exact two-pass otherwise
+        ext, sample = extent_count_sample(
+            mbb_union, max_sample, spans=geography)
         if geography:
-            ext = extent_and_spans(mbb_union)
             require_points_geo(ext, "knn_join(geography=True)")
             x0, y0, x1, y1, n_total = (
                 float(ext[0] or 0.0), float(ext[1] or 0.0),
                 float(ext[2] or 0.0), float(ext[3] or 0.0), int(ext[4]),
             )
         else:
-            x0, y0, x1, y1, n_total = space_extent(mbb_union)
+            x0, y0, x1, y1, n_total = (
+                ext[0], ext[1], ext[2], ext[3], int(ext[4]))
         if n_total == 0:
             return _empty(a, b, sfx1, sfx2)
         bucket = bucket_size or default_bucket_size(n_total, a.sparkSession)
-        sample = sample_mbbs(mbb_union, n_total, max_sample)
         scaled = max(1, int(bucket * min(1.0, max_sample / n_total)))
         tiles = partition_tiles(sample, scaled, partitioner, cover_plane=True)
         tiles_df = tiles_dataframe(a.sparkSession, tiles)
@@ -295,23 +297,52 @@ def knn_join(
     mbb_union = a.select(*MBB_COLS) if self_join else (
         a.select(*MBB_COLS).unionByName(b.select(*MBB_COLS))
     )
+    sample = None
     if self_join:
-        ext = extent_and_spans(mbb_union)
+        ext, sample = extent_count_sample(mbb_union, max_sample, spans=True)
         brow = ext
     else:
         tagged = (
             a.select(*MBB_COLS).withColumn("_side", F.lit(0))
             .unionByName(b.select(*MBB_COLS).withColumn("_side", F.lit(1)))
         )
-        srows = {
-            int(r[0]): tuple(r)[1:]
-            for r in tagged.groupBy("_side").agg(
-                F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax"),
-                F.count(F.lit(1)),
-                F.max(F.col("xmax") - F.col("xmin")),
-                F.max(F.col("ymax") - F.col("ymin")),
-            ).collect()
-        }
+        # fused small-data path (round 13, same contract as
+        # extent_count_sample): when the footer row bound proves the
+        # union fits the sample budget, ONE collect yields the
+        # side-tagged stats AND the partitioner sample (identical rows
+        # in identical order to the old separate sample collect — the
+        # extra _side column does not reorder a union)
+        from hadoopgis_spark.operators.mbb import _plan_rows_upper
+
+        upper = _plan_rows_upper(tagged)
+        if upper is not None and upper <= max_sample:
+            import numpy as np
+            import pandas as pd
+
+            pdf = tagged.toPandas()
+
+            def _v(x):
+                return None if pd.isna(x) else float(x)
+
+            srows = {}
+            for side, g in pdf.groupby("_side"):
+                srows[int(side)] = (
+                    _v(g["xmin"].min()), _v(g["ymin"].min()),
+                    _v(g["xmax"].max()), _v(g["ymax"].max()), len(g),
+                    _v((g["xmax"] - g["xmin"]).max()),
+                    _v((g["ymax"] - g["ymin"]).max()),
+                )
+            sample = pdf[list(MBB_COLS)].to_numpy(dtype=np.float64)
+        else:
+            srows = {
+                int(r[0]): tuple(r)[1:]
+                for r in tagged.groupBy("_side").agg(
+                    F.min("xmin"), F.min("ymin"), F.max("xmax"), F.max("ymax"),
+                    F.count(F.lit(1)),
+                    F.max(F.col("xmax") - F.col("xmin")),
+                    F.max(F.col("ymax") - F.col("ymin")),
+                ).collect()
+            }
         brow = srows.get(1)
         if brow is None:  # b empty
             return _empty(a, b, sfx1, sfx2)
@@ -369,7 +400,8 @@ def knn_join(
     from hadoopgis_spark.partition.algos import SPACE_PARTITIONERS
     alg = partitioner if partitioner in SPACE_PARTITIONERS else "bsp"
     bucket = bucket_size or default_bucket_size(n_total, a.sparkSession)
-    sample = sample_mbbs(mbb_union, n_total, max_sample)
+    if sample is None:  # big-data fallback: bounded Bernoulli sample
+        sample = sample_mbbs(mbb_union, n_total, max_sample)
     scaled = max(1, int(bucket * min(1.0, max_sample / n_total)))
     tiles = partition_tiles(sample, scaled, alg, cover_plane=True)
     tiles_df = tiles_dataframe(a.sparkSession, tiles)

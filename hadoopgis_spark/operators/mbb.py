@@ -9,13 +9,17 @@ agg, never a single-reducer bottleneck.
 
 from __future__ import annotations
 
+import os
+import re
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hadoopgis_spark.functions.spatial import st_mbb
 
 __all__ = ["with_mbb", "space_extent", "extent_and_spans",
-           "require_points_geo", "MBB_COLS"]
+           "extent_count_sample", "require_points_geo", "MBB_COLS"]
 
 MBB_COLS = ("xmin", "ymin", "xmax", "ymax")
 
@@ -70,6 +74,113 @@ def extent_and_spans(mbb_union: DataFrame):
         F.max(F.col("xmax") - F.col("xmin")),
         F.max(F.col("ymax") - F.col("ymin")),
     ).collect()[0]
+
+
+# (path, size, mtime_ns) -> footer num_rows. METADATA cache (like the
+# zonemap manifest caches), never row data; keyed on file identity so a
+# rewritten file re-reads its footer.
+_FOOTER_ROWS_CACHE: dict = {}
+
+# analyzed-plan operators that PRESERVE or SHRINK row counts, plus
+# Union (whose count is the SUM of its children — summing per-leaf
+# footer counts below is exactly that). Anything else (Generate, Join,
+# Expand, FlatMap, Aggregate-with-grouping-sets...) can multiply rows
+# and voids the bound; omissions are conservative (None -> the caller
+# keeps its exact aggregate job).
+_ROW_UPPER_OPS = frozenset({
+    "Relation", "LogicalRelation", "LocalRelation", "Project", "Filter",
+    "Union", "SubqueryAlias", "View", "GlobalLimit", "LocalLimit",
+    "Sort", "Deduplicate", "Distinct", "Repartition",
+    "RepartitionByExpression", "Sample", "Offset",
+})
+
+
+def _plan_rows_upper(df: DataFrame) -> int | None:
+    """Driver-side UPPER bound on ``df``'s row count — ZERO Spark jobs:
+    parquet footer ``num_rows`` per leaf scan file (cached by file
+    identity) / LocalRelation sizes, admitted only for plans whose every
+    operator preserves or shrinks counts (Union sums, handled per
+    leaf). ``None`` when not provable; callers fall back to their exact
+    aggregate."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        for line in plan.toString().splitlines():
+            m = re.match(r"^[\s:+\-]*'?([A-Za-z]+)", line)
+            if m and m.group(1) not in _ROW_UPPER_OPS:
+                return None
+        total = 0
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            kind = leaf.getClass().getSimpleName()
+            if kind == "LocalRelation":
+                total += leaf.data().size()
+                continue
+            files = leaf.relation().location().inputFiles()
+            for f in list(files):
+                p = urlparse(f).path
+                st = os.stat(p)
+                key = (p, st.st_size, st.st_mtime_ns)
+                n = _FOOTER_ROWS_CACHE.get(key)
+                if n is None:
+                    import pyarrow.parquet as pq
+
+                    n = pq.ParquetFile(p).metadata.num_rows
+                    _FOOTER_ROWS_CACHE[key] = n
+                total += n
+        return total
+    except Exception:
+        return None
+
+
+def extent_count_sample(mbb_df: DataFrame, max_sample: int = 200_000,
+                        *, spans: bool = False):
+    """(extent_row, sample_ndarray) for the tile machinery in ONE pass
+    when the input provably fits the driver sample budget.
+
+    The fused small-data path: when the footer row bound (zero jobs)
+    proves the frame has at most ``max_sample`` rows, the partitioner
+    sample collect — which at that size is the WHOLE frame, exactly
+    what ``sample_mbbs``'s ``frac == 1.0`` branch collected — doubles
+    as the extent source: min/max/count (+ max spans) computed from the
+    collected pandas frame are the same IEEE doubles the Spark
+    aggregate returns over the same rows, and the sample array is
+    byte-identical to the old one (same select, same collect, same
+    order), so tile layouts are unchanged. Saves one full scan at any
+    scale where the bound proves small — and the bound only proves
+    small when collecting is safe.
+
+    Bigger (or unprovable) inputs keep the exact two-pass form: the
+    extent aggregate + the bounded Bernoulli sample."""
+    import numpy as np
+
+    from hadoopgis_spark.operators.tile import sample_mbbs
+
+    sel = mbb_df.select(*MBB_COLS)
+    upper = _plan_rows_upper(sel)
+    if upper is not None and upper <= max_sample:
+        pdf = sel.toPandas()
+        n = len(pdf)
+        if n == 0:
+            ext = (None, None, None, None, 0) + ((0.0, 0.0) if spans else ())
+            return ext, pdf.to_numpy(dtype=np.float64)
+
+        def _v(x):
+            import pandas as pd
+
+            return None if pd.isna(x) else float(x)
+
+        ext = [_v(pdf["xmin"].min()), _v(pdf["ymin"].min()),
+               _v(pdf["xmax"].max()), _v(pdf["ymax"].max()), n]
+        if spans:
+            ext += [_v((pdf["xmax"] - pdf["xmin"]).max()),
+                    _v((pdf["ymax"] - pdf["ymin"]).max())]
+        return tuple(ext), pdf.to_numpy(dtype=np.float64)
+    ext = extent_and_spans(sel) if spans else space_extent(sel)
+    n_total = int(ext[4])
+    sample = (sample_mbbs(sel, n_total, max_sample)
+              if n_total else None)
+    return tuple(ext), sample
 
 
 def require_points_geo(ext_row, what: str) -> None:

@@ -38,14 +38,13 @@ from hadoopgis_spark.functions import spatial as S
 from hadoopgis_spark.operators.mbb import (
     MBB_COLS,
     extent_and_spans,
+    extent_count_sample,
     require_points_geo,
-    space_extent,
     with_mbb,
 )
 from hadoopgis_spark.operators.tile import (
     WRAP_X_COLS,
     assign_tiles,
-    sample_mbbs,
     tiles_dataframe,
     unwrap_x,
     wrap_antimeridian,
@@ -258,21 +257,20 @@ def spatial_join(
             stats, suffixes, id_col, replicate, keep_mbb,
         )
 
-    # ---- extent + count + sample (bounded driver data) -----------------
+    # ---- extent + count + sample (bounded driver data; ONE pass when
+    # the footer row bound proves the frame fits the sample budget) ----
     mbb_union = a.select(*MBB_COLS) if self_join else (
         a.select(*MBB_COLS).unionByName(b.select(*MBB_COLS))
     )
+    ext, sample = extent_count_sample(
+        mbb_union, max_sample, spans=geo_point_check)
     if geo_point_check:
-        ext = extent_and_spans(mbb_union)
         require_points_geo(ext, "spatial_join(geography=True)")
-        x0, y0, x1, y1, n_total = ext[0], ext[1], ext[2], ext[3], int(ext[4])
-    else:
-        x0, y0, x1, y1, n_total = space_extent(mbb_union)
+    x0, y0, x1, y1, n_total = ext[0], ext[1], ext[2], ext[3], int(ext[4])
     if n_total == 0:
         empty = _pair_schema_frame(a, b, sfx1, sfx2, stats, keep_mbb)
         return empty
     bucket = bucket_size or default_bucket_size(n_total, a.sparkSession)
-    sample = sample_mbbs(mbb_union, n_total, max_sample)
     scaled_bucket = max(1, int(bucket * min(1.0, max_sample / n_total)))
     fit = partition_tiles_two_level if two_level else partition_tiles
     tiles = fit(sample, scaled_bucket, partitioner, cover_plane=True)

@@ -31,9 +31,10 @@ from pyspark.sql import functions as F
 
 from hadoopgis_spark.operators.containment import parse_window
 from hadoopgis_spark.sources import fsio as _fs
-from hadoopgis_spark.operators.mbb import MBB_COLS, extent_and_spans, with_mbb
+from hadoopgis_spark.operators.mbb import (MBB_COLS, extent_count_sample,
+                                           with_mbb)
 from hadoopgis_spark.operators.spatial_join import default_bucket_size
-from hadoopgis_spark.operators.tile import sample_mbbs, tiles_dataframe
+from hadoopgis_spark.operators.tile import tiles_dataframe
 from hadoopgis_spark.partition import partition_tiles
 
 __all__ = ["save_partitioned", "load_partitioned"]
@@ -74,17 +75,17 @@ def save_partitioned(
         from hadoopgis_spark.functions.spatial import st_as_wkb
 
         df = df.withColumn(geom_col, st_as_wkb(F.col(geom_col)))
-    # ONE aggregate pass carries extent + count + max object width/
-    # height (the boundary pad stored in the metadata) — this used to be
-    # two sequential jobs (space_extent, then a dedicated max-span agg)
-    ext = extent_and_spans(df.select(*MBB_COLS))
+    # extent + count + max spans + the partitioner sample in ONE pass
+    # when the footer row bound proves the input fits the sample budget
+    # (extent_count_sample); exact aggregate + Bernoulli sample otherwise
+    ext, sample = extent_count_sample(
+        df.select(*MBB_COLS), max_sample, spans=True)
     n = int(ext[4])
     if n == 0:
         raise ValueError("cannot save an empty dataset")
     x0, y0, x1, y1 = float(ext[0]), float(ext[1]), float(ext[2]), float(ext[3])
     max_w, max_h = float(ext[5]), float(ext[6])
     bucket = bucket_size or default_bucket_size(n, spark)
-    sample = sample_mbbs(df.select(*MBB_COLS), n, max_sample)
     scaled = max(1, int(bucket * min(1.0, max_sample / n)))
     tiles = partition_tiles(sample, scaled, partitioner, cover_plane=True)
     tiles_df = tiles_dataframe(spark, tiles)

@@ -485,12 +485,22 @@ def _mutator(op: str):
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             path = sig.bind(*args, **kwargs).arguments["path"]
-            if op in ("save", "evolve"):
-                # a fresh save may change the schema outright; evolve_*
-                # writes the pinning record the read path prefers anyway
+            # EVERY mutation drops the schema memo — on entry AND exit
+            # (finally: the mutator's own internal reads re-pin the
+            # PRE-mutation schema mid-protocol, and a crash must not
+            # leave that pin alive): a save may change the schema
+            # outright, and merge/compact REWRITES can widen physical
+            # types via union coercion (an int table merged with a
+            # bigint batch stages INT64 files — caught by the
+            # crash-point suite), so only reads between mutations may
+            # trust the pin. evolve_* writes the sidecar record the
+            # read path prefers anyway.
+            _SCHEMA_MEMO.pop(path, None)
+            try:
+                with _lease.writer_lease(path, op=op):
+                    return fn(*args, **kwargs)
+            finally:
                 _SCHEMA_MEMO.pop(path, None)
-            with _lease.writer_lease(path, op=op):
-                return fn(*args, **kwargs)
 
         return wrapper
 
@@ -842,6 +852,10 @@ def _settle_compaction(spark: SparkSession, path: str) -> None:
         if _fs.is_dir(_stage_dir(path)):  # pre-record crash leftovers
             _fs.rmtree(_stage_dir(path))
         return
+    # settling moves staged files in (or rolls back): the visible file
+    # set — and possibly its physical types (union-widened rewrites) —
+    # changes, so the schema pin must not outlive it
+    _SCHEMA_MEMO.pop(path, None)
     on_disk = _data_files(path)
     new, old = set(rec["new"]), set(rec["old"])
     missing = new - on_disk
