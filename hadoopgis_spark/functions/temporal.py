@@ -243,8 +243,11 @@ def multi_interval_join(
     # every scan re-runs that upstream shuffle (round 13; measured 3×
     # the groupBy+collect_list work per query at sf0.1, and at scale
     # it is three full passes over the event history instead of one)
-    az = durable_checkpoint(az)
-    bz = durable_checkpoint(bz)
+    # LAZY: the tile engine's first touch is the full extent/sample
+    # scan, which materializes every partition in that same job — the
+    # eager form paid two extra fixed-latency jobs (round 13)
+    az = durable_checkpoint(az, eager=False)
+    bz = durable_checkpoint(bz, eager=False)
     out = interval_join(az, bz, start_col="__ms", end_col="__me", **spatial_kwargs)
     sfx1, sfx2 = spatial_kwargs.get("suffixes", ("_1", "_2"))
     drop = [f"__ms{sfx1}", f"__me{sfx1}", f"__ms{sfx2}", f"__me{sfx2}", "__ms", "__me"]

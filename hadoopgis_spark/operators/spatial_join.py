@@ -404,10 +404,27 @@ def _broadcast_join(
     a, b, predicate, self_join, wkt_mode, geom_col, pad, geography,
     stats, suffixes, id_col, replicate, keep_mbb,
 ):
-    """Broadcast-side-B spatial join: one stage, no shuffle, no dedup."""
+    """Broadcast-side-B spatial join: one stage, no shuffle, no dedup.
+
+    Round 13: the join's parallelism is the PROBE side's partitioning.
+    A probe that scans as exactly ONE partition (a single-row-group
+    parquet file — unsplittable by maxPartitionBytes — or any other
+    serial source) runs the whole |A|x|B| candidate evaluation on one
+    core; round-robin it across the session's shuffle width first (the
+    guide's unsplittable-input fix). Any parallel scan keeps the
+    strategy's zero-shuffle contract (pinned in tests): shuffling a big
+    probe side merely for width would be a wasted full pass."""
     sfx1, sfx2 = suffixes
     at = _suffix_all(a, sfx1)
     bt = _suffix_all(b, sfx2)
+    try:
+        serial_probe = at.rdd.getNumPartitions() == 1
+    except Exception:
+        serial_probe = False
+    if serial_probe:
+        parts = int(a.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        at = at.repartition(parts)
     m1 = [f"{c}{sfx1}" for c in MBB_COLS]
     m2 = [f"{c}{sfx2}" for c in MBB_COLS]
     geo_dwithin = geography and predicate == "st_dwithin"
