@@ -30,6 +30,16 @@ def get_spark(app_name: str = "hadoopgis_spark", **extra_conf: str) -> SparkSess
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # Spark 4's DataFrame call-site capture (error enrichment) costs
+        # 4-6 py4j round trips + a Python stack walk on EVERY DataFrame
+        # API call — measured at ~half of this workload's per-query plan
+        # CONSTRUCTION time (a 200-call chain: 4.6 s with it on, ~0.2 s
+        # off). Pure debugging metadata: plans, results and error TYPES
+        # are unchanged, only AnalysisException messages lose the
+        # "called from <file>:<line>" origin line. Static conf, so it
+        # must be set here at build time (guide §7.3: driver/planning
+        # overhead is per-query fixed cost that multiplies at scale).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # local mode runs every executor thread inside the driver JVM.
         # Measured on the reference-scale workloads: 8g and 16g both run
         # ~14 s, 32g runs 19-22 s (bigger young gen, worse locality) —
