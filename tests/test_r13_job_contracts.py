@@ -151,3 +151,48 @@ class TestIterativeRoundBudget:
         # collect's AQE stages — measured 18 on Spark 4.1; the pre-r13
         # shape adds a second sequential extent pass over b on top
         assert n_jobs <= 18, f"exact knn ran {n_jobs} jobs"
+
+
+class TestDriverCallOverhead:
+    def test_dataframe_debug_capture_disabled(self, spark):
+        """get_spark disables Spark 4's per-call DataFrame call-site
+        capture (spark.python.sql.dataFrameDebugging.enabled): with it
+        on, every decorated DataFrame/functions call pays extra py4j
+        round trips plus a Python stack walk — measured at 73% of the
+        py4j round trips on a Column-heavy plan construction (the
+        simhash build: 10,135 -> 2,725 send_commands). Static conf, so
+        a regression here silently re-taxes every query's planning; pin
+        both the conf value and that pyspark's cached gate agrees."""
+        assert spark.conf.get(
+            "spark.python.sql.dataFrameDebugging.enabled") == "false"
+        from pyspark.errors.utils import is_debugging_enabled
+
+        assert is_debugging_enabled() is False
+
+    def test_simhash_construction_stays_lean(self, spark):
+        """simhash64 emits its 63 vote aggregates + bit fold as SQL text
+        (round 13): building the pairs plan must stay in the hundreds of
+        py4j round trips, not the ~10k of per-node Column assembly —
+        planning time is pure driver latency at any scale."""
+        from py4j import clientserver
+
+        from hadoopgis_spark.operators.dedup import simhash_pairs
+
+        df = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {i}") for i in range(4)],
+            "doc_id long, text string")
+        orig = clientserver.ClientServerConnection.send_command
+        calls = [0]
+
+        def counting(self, *a, **k):
+            calls[0] += 1
+            return orig(self, *a, **k)
+
+        clientserver.ClientServerConnection.send_command = counting
+        try:
+            simhash_pairs(df, max_hamming=3)
+        finally:
+            clientserver.ClientServerConnection.send_command = orig
+        assert calls[0] < 2000, (
+            f"simhash_pairs construction made {calls[0]} py4j round trips"
+        )
