@@ -1807,8 +1807,16 @@ def txt_tfidf_topterms(spark, sf):
     pure built-ins — tokens, explode, two aggregations, window rank."""
     d = _t(spark, sf, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc"))
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # tf is consumed three ways (the scored join, document frequency,
+    # and — derived — document length): checkpoint it so the corpus is
+    # exploded ONCE (round 13: 3 explode passes -> 1). doclen as the
+    # integer SUM of per-term counts equals the old COUNT(*) over the
+    # token stream exactly, so every downstream double is bit-identical.
+    tf = durable_checkpoint(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tc")),
+        eager=False,  # consumers read every row inside the one final job
+    )
+    doclen = tf.groupBy("doc_id").agg(F.sum("tc").alias("dl"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.count()
     scored = (
@@ -2026,8 +2034,17 @@ def cur_quality_cut(spark, sf):
     (`rel_percentiles_approx`). Threshold rounded to 4 decimals so the
     boundary comparison is cross-engine reproducible."""
     d = _t(spark, sf, "documents")
-    scored = d.select(
-        "doc_id", F.round(TXT.quality_score(F.col("text")), 6).alias("quality")
+    # materialize the LIGHT (doc_id, quality) frame once: the threshold
+    # aggregate and the filter branch both consume it, and without the
+    # checkpoint each consumer re-runs the regex-heavy scoring scan over
+    # the whole corpus (round 13: 2 scoring passes -> 1; the output
+    # carries no text, so the materialized frame is 16 bytes/row)
+    scored = durable_checkpoint(
+        d.select(
+            "doc_id",
+            F.round(TXT.quality_score(F.col("text")), 6).alias("quality"),
+        ),
+        eager=False,  # first consumer (the percentile) reads every row
     )
     thr = scored.agg(F.round(F.expr("percentile(quality, 0.25)"), 4).alias("_thr"))
     return (
@@ -4751,9 +4768,15 @@ def cur_mixture_alloc(spark, sf):
     d = _t(spark, sf, "documents")
     budget = 100_000
     w = F.when(F.col("source").isin("src0", "src1"), F.lit(2)).otherwise(F.lit(1))
-    stats = d.groupBy("source").agg(
-        F.sum(TXT.token_count(F.col("text"))).alias("avail_tokens"),
-        F.max(w).alias("w"),
+    # per-source stats are a handful of rows derived from an expensive
+    # token-count corpus scan, consumed twice (sum_w + the allocation) —
+    # checkpoint so the corpus is scanned once (round 13)
+    stats = durable_checkpoint(
+        d.groupBy("source").agg(
+            F.sum(TXT.token_count(F.col("text"))).alias("avail_tokens"),
+            F.max(w).alias("w"),
+        ),
+        eager=False,  # first consumer (sum_w) reads every row
     )
     total_w = stats.agg(F.sum("w").alias("sum_w"))
     return (
@@ -6090,8 +6113,17 @@ def txt_unigram_logprob(spark, sf):
     corpus is never shuffled on the Zipf-skewed token key."""
     d = _t(spark, sf, "documents")
     toks = d.select("doc_id", F.explode(TXT.tokens(F.col("text"))).alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = toks.count()  # bounded scalar (one partial-agg job)
+    # the vocabulary-bounded count table is consumed twice (the total
+    # scalar + the broadcast join build) — checkpoint it so the corpus
+    # is exploded once for counts, and derive the token total as the
+    # exact integer SUM over the materialized table instead of a second
+    # full explode+count pass (round 13: 3 corpus explodes -> 2; the
+    # remaining two are the counts build and the join probe side)
+    counts = durable_checkpoint(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")),
+        eager=False,  # first consumer (the total) reads every row
+    )
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 0
     j = toks.join(F.broadcast(counts), "tok")
     lp = F.log2(F.col("cnt").cast("double") / F.lit(float(total)))
     return j.groupBy("doc_id").agg(F.round(F.avg(lp), 3).alias("mean_log2p"))

@@ -196,3 +196,42 @@ class TestDriverCallOverhead:
         assert calls[0] < 2000, (
             f"simhash_pairs construction made {calls[0]} py4j round trips"
         )
+
+
+class TestSingleCorpusPass:
+    """Wave-12 contracts: the threshold/frequency gates materialize
+    their small derived table once (durable_checkpoint) so the final
+    plan never re-runs the expensive corpus scan per consumer — pinned
+    as parquet-scan counts in the initial physical plan (the corpus
+    pass now lives in the checkpointed RDD's lineage, executed once)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _parquet_scans(df) -> int:
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "Scan parquet")
+
+    @pytest.mark.parametrize(
+        "gate,max_scans",
+        [
+            # both threshold consumers read the checkpointed light frame
+            ("cur_quality_cut", 0),
+            # sum_w and the allocation read the checkpointed stats
+            ("cur_mixture_alloc", 0),
+            # only the join probe side re-explodes the corpus; the
+            # count table is checkpointed and the total derives from it
+            ("txt_unigram_logprob", 1),
+            # doclen/df/scored all read the checkpointed tf
+            ("txt_tfidf_topterms", 0),
+        ],
+    )
+    def test_final_plan_scan_budget(self, spark, gate, max_scans):
+        from hadoopgis_spark.workload import REGISTRY
+
+        df = REGISTRY[gate].fn(spark, self.SF)
+        n = self._parquet_scans(df)
+        assert n <= max_scans, (
+            f"{gate}: {n} parquet scans in the final plan "
+            f"(expected <= {max_scans} — a consumer re-runs the corpus pass)"
+        )
