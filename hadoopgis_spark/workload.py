@@ -2072,8 +2072,17 @@ def cur_pipeline(spark, sf):
     from hadoopgis_spark.operators.dedup import exact_dedup
 
     d = stratified_sample(_t(spark, sf, "documents"), {"src0": 0.5})
-    scored = d.select(
-        "doc_id", "text", F.round(TXT.quality_score(F.col("text")), 6).alias("quality")
+    # the regex-heavy scoring scan feeds FOUR final-plan consumers (the
+    # percentile threshold, the dedup key pass, the winners aggregate
+    # and the semi-join left side): checkpoint it so the corpus is
+    # sampled+scored ONCE (round 13: 4 parquet scans -> 0; text must be
+    # carried because the dedup key is md5(text))
+    scored = durable_checkpoint(
+        d.select(
+            "doc_id", "text",
+            F.round(TXT.quality_score(F.col("text")), 6).alias("quality"),
+        ),
+        eager=False,  # first consumer (the percentile) reads every row
     )
     thr = scored.agg(F.round(F.expr("percentile(quality, 0.2)"), 4).alias("_thr"))
     kept = (

@@ -224,6 +224,9 @@ class TestSingleCorpusPass:
             ("txt_unigram_logprob", 1),
             # doclen/df/scored all read the checkpointed tf
             ("txt_tfidf_topterms", 0),
+            # thr/keyed/winners/semi-join all read the checkpointed
+            # scored frame (was 8 scans of documents)
+            ("cur_pipeline", 0),
         ],
     )
     def test_final_plan_scan_budget(self, spark, gate, max_scans):
