@@ -65,9 +65,11 @@ def main():
     # "detail" pointer) so a consumer summing "queries" as the full
     # per-query map fails loudly instead of silently undercounting.
     # The complete map goes to BENCH_DETAIL.json next to this script.
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    build_total = round(sum(builds.values()), 3)
     out = {
         "metric": "workload_total_wall",
-        "value": round(sum(v for v in timings.values() if v > 0), 3),
+        "value": total,
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
@@ -75,6 +77,13 @@ def main():
         "queries": slowest,
         "queries_truncated": True,
         "detail": "BENCH_DETAIL.json",
+        # round-14 (additions-only, VERDICT r13 item 7): split the
+        # headline into one-time memoized BUILD wall vs steady-state
+        # SERVE wall, so round-over-round comparison can separate build
+        # placement (which moves with every prefix rotation) from real
+        # movement. value == build_total + serve_value by construction.
+        "build_total": build_total,
+        "serve_value": round(total - build_total, 3),
     }
     # the detail file must not point at itself (round-8 verdict): it IS
     # the full map, so the pointer key is dropped there

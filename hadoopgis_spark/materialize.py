@@ -26,12 +26,32 @@ __all__ = ["durable_checkpoint"]
 def durable_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df`` — reliably under ``hgs.checkpointDir``, else
     via executor-local blocks. Both modes cut lineage and return a frame
-    whose consumers never recompute upstream stages."""
+    whose consumers never recompute upstream stages.
+
+    Reliable mode persists the input first (round-14 advisor fix):
+    Spark's ``ReliableCheckpointRDD`` writes the checkpoint files in a
+    SEPARATE job after the one that computed the RDD, so an unpersisted
+    reliable checkpoint recomputes the full lineage once more — for the
+    single-corpus-pass gates that would silently double the expensive
+    scoring pass on clusters. With the persist, the checkpoint-write job
+    reads the just-computed blocks instead. The pre-checkpoint frame is
+    unpersisted right after an eager checkpoint (the returned frame
+    reads from checkpoint files, not the cache); a lazy caller's first
+    action triggers persist+checkpoint together, after which the
+    one-shot cache entry ages out via LRU — still strictly cheaper than
+    recomputing the lineage. ``localCheckpoint`` already stores blocks
+    directly and needs none of this."""
     spark = df.sparkSession
     target = spark.conf.get("hgs.checkpointDir", None)
     if target:
+        from pyspark.storagelevel import StorageLevel
+
         sc = spark.sparkContext
         if sc.getCheckpointDir() != target:
             sc.setCheckpointDir(target)
-        return df.checkpoint(eager=eager)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = df.checkpoint(eager=eager)
+        if eager:
+            df.unpersist()
+        return out
     return df.localCheckpoint(eager=eager)
