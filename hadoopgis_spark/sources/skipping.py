@@ -186,6 +186,72 @@ def _evolved_schema(path: str):
     return StructType.fromJson(rec["schema"])
 
 
+def _as_nullable(dt):
+    """Schema with every field/element forced nullable — Spark's parquet
+    READ schema is all-nullable regardless of the writer's repetition
+    levels, while an arrow footer schema carries ``required`` as
+    non-null; pinning the footer form verbatim would flip nullability
+    flags relative to Spark's own inference."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType([
+            StructField(f.name, _as_nullable(f.dataType), True, f.metadata)
+            for f in dt.fields])
+    if isinstance(dt, ArrayType):
+        return ArrayType(_as_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_as_nullable(dt.keyType), _as_nullable(dt.valueType),
+                       True)
+    return dt
+
+
+def _footer_schema(spark: SparkSession, path: str,
+                   files: Iterable[str] | None = None):
+    """Driver-side read-schema inference from ONE data-file footer — the
+    job-free equivalent of Spark's parquet schema sampling, valid for
+    MANAGED tables because they are single-writer and appends are
+    schema-guarded to equality (the same invariant the round-13
+    ``_SCHEMA_MEMO`` pin rests on). Before round 14 every first read
+    after a mutation (which pops the memo) paid a 1-task Spark
+    inference job — pure fixed latency per mutation at any scale, and
+    on an object store one scheduler round trip per commit.
+
+    Returns ``None`` — caller falls back to Spark's own inference —
+    whenever anything is off: no data files, INT96 physical timestamps
+    (Spark reads them as TimestampType while arrow reports tz-less
+    nanos; this module's writers always force TIMESTAMP_MICROS, so only
+    foreign files hit this), or a type the arrow bridge can't express.
+    Nullability is forced like Spark's read schema (:func:`_as_nullable`);
+    parity with ``spark.read.parquet().schema`` is pinned by a test."""
+    try:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        if files is not None:
+            flist = sorted(files)
+            if not flist:
+                return None
+            first = flist[0]
+        else:
+            names = sorted(_data_files(path))
+            if not names:
+                return None
+            first = os.path.join(path, names[0])
+        md = _fs.read_metadata(first)
+        pq_schema = md.schema
+        for i in range(len(pq_schema)):
+            if pq_schema.column(i).physical_type == "INT96":
+                return None
+        ntz = str(spark.conf.get(
+            "spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        ).lower() == "true"
+        return _as_nullable(
+            from_arrow_schema(pq_schema.to_arrow_schema(),
+                              prefer_timestamp_ntz=ntz))
+    except Exception:  # noqa: BLE001 — conservative: inference job instead
+        return None
+
+
 def _read_table(spark: SparkSession, path: str,
                 files: Iterable[str] | None = None) -> DataFrame:
     """EVERY data/schema read of a managed table routes through here:
@@ -230,7 +296,14 @@ def _read_table(spark: SparkSession, path: str,
         # above): appends are schema-guarded to equality and compaction/
         # delete/merge rewrite the same schema, so pinning the first
         # inference is exact and every later read is job-free.
+        # Round 14: the first inference itself is now driver-side (ONE
+        # pyarrow footer read, _footer_schema) — every mutation pops the
+        # memo, so the old form re-paid a 1-task Spark job per mutation.
         pin = _SCHEMA_MEMO.get(path)
+        if pin is None:
+            pin = _footer_schema(spark, path, files)
+            if pin is not None:
+                _SCHEMA_MEMO[path] = pin
     reader = spark.read if pin is None else spark.read.schema(pin)
     def _pinning(df: DataFrame) -> DataFrame:
         if pin is None:
@@ -625,29 +698,47 @@ def _record_version(path: str, op: str) -> int:
     return nxt
 
 
-def _retire_old(path: str, name: str, versioned: bool) -> None:
-    """Drop a superseded data file: retired IN PLACE (ledger entry,
-    file untouched) when the table is versioned — older snapshots still
-    reference it AND a running reader may have planned it (snapshot
-    isolation: data files never move, so a read planned before this
-    mutation executes unharmed; ``vacuum_versions`` deletes after its
-    grace period). Deleted immediately otherwise. Idempotent across
-    settle retries (the first retirement timestamp wins — grace counts
-    from the FIRST retirement). Pre-round-13 tables may hold legacy
-    moved files under ``_hgs_retired/``; those keep resolving for
-    historical reads and keep vacuuming by mtime."""
-    src = os.path.join(path, name)
-    if not _fs.exists(src):
-        return
-    if versioned:
-        import time
+def _retire_files(path: str, names, versioned: bool,
+                  crash_tag: str | None = None) -> None:
+    """Drop a batch of superseded data files: retired IN PLACE (ledger
+    entries, files untouched) when the table is versioned — older
+    snapshots still reference them AND a running reader may have
+    planned them (snapshot isolation: data files never move, so a read
+    planned before this mutation executes unharmed; ``vacuum_versions``
+    deletes after its grace period). Deleted immediately otherwise.
+    Idempotent across settle retries (the first retirement timestamp
+    wins — grace counts from the FIRST retirement). Pre-round-13 tables
+    may hold legacy moved files under ``_hgs_retired/``; those keep
+    resolving for historical reads and keep vacuuming by mtime.
 
+    Round 14 (guide §6 metadata latency): the versioned form writes the
+    ledger ONCE per mutation — the old per-file helper re-read and
+    rewrote it for EVERY superseded file, O(files) sequential driver
+    PUTs per commit on an object store. Retirement runs strictly after
+    the commit record (visibility is record-governed), so collapsing
+    the intermediate per-file ledger states changes nothing a reader
+    can observe; ``crash_tag`` preserves the protocol suites'
+    mid-retirement crash point."""
+    import time
+
+    names = list(names)
+    if versioned:
         led = _retired_ledger(path)
-        if name not in led:
-            led[name] = time.time()
+        now = time.time()
+        add = [n for n in names
+               if n not in led and _fs.exists(os.path.join(path, n))]
+        if add:
+            led.update({n: now for n in add})
             _write_retired_ledger(path, led)
-    else:
-        _fs.remove(src)
+        if names and crash_tag:
+            _maybe_crash(crash_tag)
+        return
+    for i, name in enumerate(names):
+        src = os.path.join(path, name)
+        if _fs.exists(src):
+            _fs.remove(src)
+        if i == 0 and crash_tag:
+            _maybe_crash(crash_tag)
 
 
 @_mutator('enable_time_travel')
@@ -866,8 +957,7 @@ def _settle_compaction(spark: SparkSession, path: str) -> None:
         for name in sorted(missing):  # roll forward: complete the moves
             _fs.rename(os.path.join(_stage_dir(path), name),
                        os.path.join(path, name))
-        for name in sorted(old & _data_files(path)):
-            _retire_old(path, name, versioned)
+        _retire_files(path, sorted(old & _data_files(path)), versioned)
         rolled_forward = True
     else:
         # roll back: drop whatever moved, serve the old files (the new
@@ -1004,10 +1094,7 @@ def _compact(spark, path, small_bytes, rewrite, check) -> dict:
         if i == 0:
             _maybe_crash("mid-move")
     versioned = _versions_enabled(path)
-    for i, name in enumerate(small):
-        _retire_old(path, name, versioned)
-        if i == 0:
-            _maybe_crash("mid-delete")
+    _retire_files(path, small, versioned, crash_tag="mid-delete")
     _fs.remove(_record_path(path))
     _fs.rmtree(os.path.join(path, _COMPACT_DIR))
     if versioned:
@@ -1136,10 +1223,7 @@ def delete_range(
         if i == 0:
             _maybe_crash("mid-move")
     versioned = _versions_enabled(path)
-    for i, name in enumerate(old):
-        _retire_old(path, name, versioned)
-        if i == 0:
-            _maybe_crash("mid-delete")
+    _retire_files(path, old, versioned, crash_tag="mid-delete")
     _fs.remove(_record_path(path))
     if _fs.is_dir(os.path.join(path, _COMPACT_DIR)):
         _fs.rmtree(os.path.join(path, _COMPACT_DIR))
@@ -1208,7 +1292,12 @@ def merge_range(
         raise ValueError(
             f"batch lacks table columns {missing_cols} — MERGE replaces "
             "whole rows, so the batch must carry the full schema")
-    batch = durable_checkpoint(batch.select(*table_cols))
+    # LAZY checkpoint (round 14): the bounds aggregate directly below is
+    # the first consumer and scans every batch partition, so it
+    # materializes the checkpoint in the same action — the old eager
+    # form paid one extra fixed-latency job per merge (per MICRO-BATCH
+    # under streaming_ingest_merge)
+    batch = durable_checkpoint(batch.select(*table_cols), eager=False)
     row = batch.agg(
         F.min(col), F.max(col), F.count(F.lit(1)), F.count(col)
     ).collect()[0]  # bounded: one scalar row
@@ -1247,10 +1336,17 @@ def merge_range(
             [(f, _decode(r.vtype, r.vmin), _decode(r.vtype, r.vmax))
              for f, r in sorted(refinable.items())],
             f"file string, lo {ktype}, hi {ktype}")
+        # round 14: probe with the RAW batch column, not the distinct
+        # keys — the pre-distinct paid a full extra shuffle of the batch
+        # (2 more fixed-latency jobs per merge under AQE) only to shrink
+        # the broadcast-join probe, while the distinct-on-file below
+        # already partial-aggregates map-side, so at most (#files hit)
+        # rows per task reach its shuffle either way. Same hit set.
         hits = (
-            keys.join(F.broadcast(ranges_df),
-                      (F.col(col) >= F.col("lo"))
-                      & (F.col(col) <= F.col("hi")))
+            batch.select(col).join(
+                F.broadcast(ranges_df),
+                (F.col(col) >= F.col("lo"))
+                & (F.col(col) <= F.col("hi")))
             .select("file").distinct().collect())  # bounded: ≤ kept files
         overlapping = sorted(set(always) | {h.file for h in hits})
     else:
@@ -1314,10 +1410,7 @@ def merge_range(
         if i == 0:
             _maybe_crash("mid-move")
     versioned = _versions_enabled(path)
-    for i, name in enumerate(overlapping):
-        _retire_old(path, name, versioned)
-        if i == 0:
-            _maybe_crash("mid-delete")
+    _retire_files(path, overlapping, versioned, crash_tag="mid-delete")
     _fs.remove(_record_path(path))
     if _fs.is_dir(os.path.join(path, _COMPACT_DIR)):
         _fs.rmtree(os.path.join(path, _COMPACT_DIR))
