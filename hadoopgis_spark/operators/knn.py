@@ -86,6 +86,27 @@ _LAST_EXACT_INFO: dict = {}
 _SWEEP_BUDGET = 1 << 20
 
 
+def _dedup_pairs_by_id(pairs: DataFrame, idc1: str, idc2: str) -> DataFrame:
+    """Exactly-once (idc1, idc2) pairs, clustered by ``idc1`` (round 14,
+    guide §2.4 "two operations keyed the same way can share one
+    exchange"): one hash exchange on ``idc1`` + a per-pair row_number
+    replaces ``dropDuplicates([idc1, idc2])``'s own (idc1, idc2)
+    exchange, and every downstream idc1-keyed consumer — the k-ranking
+    window, the straggler satisfaction groupBy, the semi/anti joins —
+    rides the same partitioning instead of paying another exchange
+    (HashPartitioning(idc1) satisfies clustering on both (idc1, idc2)
+    and (idc1)). Tile-multicast duplicates of a pair are VALUE-identical
+    rows (coordinates unwrapped before any dedup), so keeping the
+    window's first row returns exactly dropDuplicates' rows."""
+    w = Window.partitionBy(F.col(idc1), F.col(idc2)).orderBy(F.col(idc2))
+    return (
+        pairs.repartition(F.col(idc1))
+        .withColumn("_pdup", F.row_number().over(w))
+        .filter(F.col("_pdup") == 1)
+        .drop("_pdup")
+    )
+
+
 def _box_maxdist(m1: list[str], m2: list[str]) -> Column:
     """Upper bound on min geometry distance: farthest corner separation
     (valid because every point of a geometry lies inside its MBB)."""
@@ -249,6 +270,17 @@ def knn_join(
             pairs = at.join(bt, "tile_id")
         if self_join:
             pairs = pairs.filter(F.col(idc1) != F.col(idc2))
+        if geography or wkt_mode:
+            # ONE exchange for the whole rank chain (round 14, guide
+            # §2.4): hash(idc1) satisfies the clustering of the per-tile
+            # prune window (tile_id, idc1), the pair dedup (idc1, idc2)
+            # AND the final k-ranking window (idc1) — without this the
+            # per-tile window, the dedup and the ranking each forced
+            # their own exchange over the same multicast pair volume.
+            # (The single-tile broadcast path's explicit repartition
+            # above already establishes it; the optimizer drops the
+            # redundant one.)
+            pairs = pairs.repartition(F.col(idc1))
         if geography:
             # exact per-pair haversine is native column math for points,
             # so the per-tile prune ranks the TRUE distance directly: a
@@ -283,7 +315,7 @@ def knn_join(
             pairs = pairs.filter(F.col("_tlo") <= F.col("_tth")).drop(
                 "_tlo", "_thi", "_thr", "_tth"
             )
-        pairs = pairs.drop("tile_id").dropDuplicates([idc1, idc2])
+        pairs = _dedup_pairs_by_id(pairs.drop("tile_id"), idc1, idc2)
         return _rank_k_refined(
             pairs, idc1, idc2, k, wkt_mode, geography, g1, g2, m1, m2,
             max_distance, out_cols,
@@ -414,6 +446,17 @@ def knn_join(
     bt = assign_tiles(_suffix_all(b, sfx2), tiles_df, mbb_cols=tuple(m2)).drop(
         "t_xmin", "t_ymin", "t_xmax", "t_ymax"
     ).transform(lambda d: durable_checkpoint(d, eager=False))
+    # broadcast the b side when its known row count fits (round 14,
+    # guide §3.1): the checkpointed bt is size-opaque to Catalyst
+    # (LogicalRDD has no stats), so every tile_cand join planned as a
+    # SortMergeJoin — two tile_id exchanges per probe round over the
+    # multicast pair volume. n_b is exact (from the entry aggregate);
+    # the cap mirrors the tile-mode guard, and bigger b keeps the
+    # shuffle join — the same decision logic at any scale.
+    bcast_cap = int(a.sparkSession.conf.get(
+        "hgs.broadcastRowThreshold", "5000")) * 100
+    if n_b <= bcast_cap:
+        bt = F.broadcast(bt)
     sel_cols = at.columns + [c for c in bt.columns if c != "tile_id"]
     # lo = provable LOWER bound on the ranking distance (planar: box
     # distance; geography: the exact haversine itself — points only)
@@ -476,11 +519,11 @@ def knn_join(
     if max_distance is not None:
         # capped search (st_nearest's -d, knn_2d.hpp:187-195): one
         # padded tile join IS the complete candidate set
-        cand = (
+        cand = _dedup_pairs_by_id(
             tile_cand(at, max_distance)
             .filter(lo <= max_distance)
-            .select(*sel_cols)
-            .dropDuplicates([idc1, idc2])
+            .select(*sel_cols),
+            idc1, idc2,
         )
         return _rank_k_refined(
             cand, idc1, idc2, k, wkt_mode, geography, g1, g2, m1, m2,
@@ -502,14 +545,20 @@ def knn_join(
     # Per-(tile, object) top-k by upper bound first: the k-th smallest
     # global _thi lives inside the union of per-tile top-k lists, so the
     # wide dedup+window sees O(k · tiles-per-object) rows per object.
-    c1 = tile_cand(at, 0.0).withColumn("_thi", hi_dist())
+    # ONE exchange for the whole round-1 chain (round 14, guide §2.4):
+    # hash(idc1) satisfies the per-tile window's (tile_id, idc1)
+    # clustering, the pair dedup's (idc1, idc2), and the k-th-bound
+    # window's (idc1) — previously each forced its own exchange over
+    # the same multicast pair volume (3 exchanges → 1).
+    c1 = tile_cand(at, 0.0).withColumn("_thi", hi_dist()) \
+        .repartition(F.col(idc1))
     w_tile = Window.partitionBy("tile_id", idc1).orderBy(
         F.col("_thi").asc(), F.col(idc2).asc()
     )
     c1 = c1.withColumn("_trn", F.row_number().over(w_tile)).filter(
         F.col("_trn") <= k
     )
-    c1 = c1.select(*sel_cols, "_thi").dropDuplicates([idc1, idc2])
+    c1 = _dedup_pairs_by_id(c1.select(*sel_cols, "_thi"), idc1, idc2)
     if single_tile_points:
         # consumed by u AND the fast path; lazy — u.count() materializes
         c1 = durable_checkpoint(c1, eager=False)
@@ -588,14 +637,13 @@ def knn_join(
         probe = probe_parts[0]
         for p in probe_parts[1:]:
             probe = probe.unionByName(p)
-        c2 = (
+        c2 = _dedup_pairs_by_id(
             tile_cand(probe, F.col("_u"))
             .withColumn("_lo", lo)
             .filter(F.col("_lo") <= F.col("_u"))
-            .select(*sel_cols, "_proven")
-            .dropDuplicates([idc1, idc2])
-            .withColumn("_shi", hi_dist())
-        )
+            .select(*sel_cols, "_proven"),
+            idc1, idc2,
+        ).withColumn("_shi", hi_dist())
         if n_strag:
             # 4 consumers below. Lazy only when the merged probe swept
             # the whole space (no expansion loop): the final action then
@@ -648,11 +696,12 @@ def knn_join(
         if rounds == max_rounds:
             r = max(r, diag)  # safety net: whole-space sweep terminates
         cand = (
-            tile_cand(remaining, r)
-            .withColumn("_lo", lo)
-            .filter(F.col("_lo") <= r)
-            .select(*sel_cols)
-            .dropDuplicates([idc1, idc2])
+            _dedup_pairs_by_id(
+                tile_cand(remaining, r)
+                .withColumn("_lo", lo)
+                .filter(F.col("_lo") <= r)
+                .select(*sel_cols),
+                idc1, idc2)
             .withColumn("_shi", hi_dist())
             .transform(durable_checkpoint)
         )

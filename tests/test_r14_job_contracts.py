@@ -101,6 +101,36 @@ class TestFooterSchemaPin:
         assert df.count() == 50
 
 
+class TestKnnRankChainOneExchange:
+    def test_tile_knn_rank_chain_rides_one_id_exchange(self, spark):
+        """The kNN rank chain — per-tile prune window (tile_id, id_1),
+        pair dedup (id_1, id_2), k-ranking window (id_1) — rides ONE
+        hash exchange on id_1 (round 14): HashPartitioning(id_1)
+        satisfies all three clusterings. The pre-r14 shape paid three
+        exchanges over the same multicast pair volume."""
+        import re
+
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        rows_a = [(i, x, y, x, y) for i, (x, y) in
+                  enumerate(rng.uniform(0, 50, (300, 2)).tolist())]
+        rows_b = [(i, x, y, x, y) for i, (x, y) in
+                  enumerate(rng.uniform(0, 50, (200, 2)).tolist())]
+        schema = "id long, xmin double, ymin double, xmax double, ymax double"
+        a = spark.createDataFrame(rows_a, schema)
+        b = spark.createDataFrame(rows_b, schema)
+        from hadoopgis_spark.operators.knn import knn_join
+
+        q = knn_join(a, b, k=2, mode="tile", bucket_size=50, geography=True)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        id_exchanges = re.findall(
+            r"Exchange hashpartitioning\([^)]*id_1[^)]*\)", plan)
+        assert len(id_exchanges) == 1, (
+            f"rank chain pays {len(id_exchanges)} id_1 exchanges "
+            f"(expected 1):\n" + "\n".join(id_exchanges))
+
+
 class TestMutationJobBudget:
     def test_merge_range_job_budget(self, spark, tmp_path):
         """merge_range runs: ONE lazily-checkpoint-materializing bounds
